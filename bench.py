@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
+JSON line with total + per-query wall seconds.
+
+Timing counts full execution (plan + shuffle + collect-to-count); a
+warm-up query first so JVM/codegen startup isn't billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gather_datawarehouse_sync_spark.queries import REGISTRY  # noqa: E402
+from gather_datawarehouse_sync_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    # warm up the JVM / parquet footer caches outside the timed region
+    REGISTRY["q1"].spark(spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    t_total = time.perf_counter()
+    for name in sorted(REGISTRY):
+        t0 = time.perf_counter()
+        df = REGISTRY[name].spark(spark, sf_dir)
+        # count() forces full execution of every operator without
+        # serializing the whole result set back to Python
+        df.count()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_total, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Path/string scalar helpers (F1-F9, SURVEY §2.9).
+
+Each mirrors an inline JS expression in the reference; all are thin
+wrappers over built-in ``pyspark.sql.functions`` so they stay inside
+whole-stage codegen (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def basename(path: Column) -> Column:
+    """Last path component (F3; ``split('/').pop()``,
+    ``src/DataWarehouse.js:132``, ``:331``, ``:364``)."""
+    return F.element_at(F.split(path, "/"), -1)
+
+
+def strip_extension(name: Column) -> Column:
+    """Drop the final ``.ext`` (F4; ``src/DataWarehouse.js:364``)."""
+    return F.regexp_replace(name, r"\.[^.]*$", "")
+
+
+def strip_prefix(path: Column, prefix: str) -> Column:
+    """Remove a configured root prefix (F5; ``src/DataWarehouse.js:38``)."""
+    import re
+
+    return F.regexp_replace(path, "^" + re.escape(prefix), "")
+
+
+def has_suffix(path: Column, suffix: str = ".shp") -> Column:
+    """Case-insensitive suffix predicate (F2/S2;
+    ``src/DataWarehouse.js:34``)."""
+    return F.lower(path).endswith(suffix.lower())
+
+
+def derived_title(path: Column) -> Column:
+    """Project title = basename without extension
+    (``src/DataWarehouse.js:364``)."""
+    return strip_extension(basename(path))

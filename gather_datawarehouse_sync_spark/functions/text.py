@@ -1,0 +1,112 @@
+"""Text-analysis functions for the LLM-pipeline extension surface
+(SURVEY §2.14): token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything here is built-in-expression based (codegen'd, JVM-side); the
+one pandas UDF (``token_count_udf``) exists to exercise the UDF parity
+path (Q41) and as the template for genuinely Python-only logic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Tiny per-language stopword lists for the n-gram language heuristic.
+# Deterministic and dependency-free; a real deployment would swap in a
+# fastText/CLD3 pandas UDF behind the same column contract.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "es": ("el", "la", "los", "que", "es", "una", "para", "con"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace/punct tokenization, lowercased (BPE-ish regex split)."""
+    return F.array_remove(F.split(F.lower(text), r"[^\p{L}\p{N}']+"), "")
+
+
+def token_count(text: Column) -> Column:
+    """Token count via built-ins (the fast path Q41 compares against)."""
+    return F.size(F.array_remove(F.split(text, r"\s+"), ""))
+
+
+@F.pandas_udf(T.IntegerType())
+def token_count_udf(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized token counter (Q41's UDF-parity path).
+
+    Deliberately identical semantics to :func:`token_count` — whitespace
+    split, empties dropped — so the two can be cross-checked."""
+    return text.str.split().str.len().fillna(0).astype("int32")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality ∈ [0,1]: blends length, alphabetic
+    ratio, mean word length sanity, and punctuation balance — the usual
+    cheap pre-filter in training-data pipelines (C4-style rules)."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    n_tokens = token_count(text)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0)
+    mean_word = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(0.0)
+    word_ok = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.5)
+    len_ok = F.when(n_chars >= 200, 1.0).otherwise(n_chars / 200.0)
+    return F.round(alpha_ratio * 0.4 + word_ok * 0.3 + len_ok * 0.3, 4)
+
+
+def language_guess(text: Column) -> Column:
+    """n-gram/stopword language heuristic: score each candidate language
+    by marker-token hits; highest count wins, 'und' (undetermined) when
+    nothing matches.  Pure expression — one pass, no shuffle, no UDF."""
+    toks = tokens(text)
+    scores = [
+        (
+            lang,
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t, markers=markers: F.array_contains(
+                        F.array(*[F.lit(m) for m in markers]), t
+                    ),
+                )
+            ),
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reverse order so earlier languages win ties
+    for lang, score in reversed(scores):
+        expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: xxhash64 of each word
+    ``window``-gram, keep the minimum — a stable rolling-hash signature
+    used for cheap containment checks."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return F.array_min(grams)
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (for n-gram Jaccard on short strings)."""
+    lowered = F.lower(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(lowered) - F.lit(n - 1), F.lit(1))
+            ),
+            lambda i: lowered.substr(i, F.lit(n)),
+        )
+    )

@@ -1,0 +1,585 @@
+"""Deduplication operators.
+
+Exact dedup matches the reference's duplicate-marking semantics
+(``_markDuplicates``, ``src/DataWarehouse.js:312-348``): group rows by a
+content hash, pick one canonical row per group, annotate the canonical
+with the list of duplicate ids and every other row with an ``alias``
+pointer to the canonical.  The reference is O(n²) (``indexOf`` per row at
+``:325``) and nondeterministic (canonical = first in watcher discovery
+order); the engine is one shuffle (window over the hash) and
+deterministic (canonical = minimum of ``order_col`` — SURVEY §7).
+
+The fuzzy family (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine)
+is the driver-mandated LLM-pipeline extension; none of it exists in the
+reference.  All variants are pure DataFrame compositions — shuffle-based,
+no driver materialization — so they scale with the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (D1)
+# ---------------------------------------------------------------------------
+
+def mark_duplicates(
+    df: DataFrame,
+    hash_col: str = "md5",
+    id_col: str = "ino",
+    order_col: str | None = None,
+    alias_col: str = "alias",
+    duplicates_col: str = "duplicates",
+) -> DataFrame:
+    """Annotate duplicate groups (D1, ``src/DataWarehouse.js:312-348``).
+
+    Per ``hash_col`` group: the row with the smallest ``order_col``
+    (default: ``id_col``) is canonical.  The canonical row gets
+    ``duplicates`` = sorted ids of the *other* rows (empty group ⇒ null,
+    matching the reference where singletons are never touched,
+    ``:330-339``); every other row gets ``alias`` = canonical id
+    (``:338``).  Single shuffle on ``hash_col``; no O(n²) ``indexOf``.
+    """
+    order_col = order_col or id_col
+    w = Window.partitionBy(hash_col).orderBy(order_col, id_col)
+    grp = Window.partitionBy(hash_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(grp))
+        .withColumn("__canon", F.first(F.col(id_col)).over(w))
+        .withColumn(
+            alias_col,
+            F.when(F.col("__rn") > 1, F.col("__canon")),
+        )
+        .withColumn(
+            duplicates_col,
+            F.when(
+                (F.col("__rn") == 1) & (F.col("__cnt") > 1),
+                F.array_sort(
+                    F.array_remove(
+                        F.collect_list(F.col(id_col)).over(grp), F.col(id_col)
+                    )
+                ),
+            ),
+        )
+        .drop("__rn", "__cnt", "__canon")
+    )
+
+
+def exact_dedup(df: DataFrame, *cols: str, keep_order: str | None = None) -> DataFrame:
+    """Keep one row per distinct combination of ``cols``.
+
+    With ``keep_order`` set, keeps the row minimizing that column
+    (deterministic); otherwise a hash-aggregate ``dropDuplicates`` (faster:
+    partial map-side combine, no window sort).
+    """
+    if keep_order is None:
+        return df.dropDuplicates(list(cols))
+    w = Window.partitionBy(*cols).orderBy(keep_order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared text shingling helpers (JVM-side expressions only — no Python UDFs)
+# ---------------------------------------------------------------------------
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens; empty strings removed."""
+    return F.array_remove(F.split(F.lower(col), r"[^a-z0-9]+"), "")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct)."""
+    toks = tokens(col)
+    if n <= 1:
+        return F.array_distinct(toks)
+    # slide an n-window over the token array with transform + slice
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact) — small-scale oracle for the fuzzy family
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 1,
+    bitset_vocab_limit: int = 1024,
+) -> DataFrame:
+    """EXACT token-set Jaccard-similar pairs ≥ ``threshold`` (Q42).
+
+    Adaptive strategy, both branches exact:
+
+    - **tiny vocabulary** (≤ ``bitset_vocab_limit`` distinct shingles):
+      the corpus is inherently dense — every token hits a large fraction
+      of documents, candidate pruning cannot work, and the true output is
+      itself near-quadratic.  Use :func:`jaccard_pairs_bitset`: encode
+      each token set as a fixed-width bitmask and run an all-pairs
+      broadcast nested-loop join with popcount intersection — pure
+      whole-stage-codegen compute, no token-explosion shuffle.
+    - **real vocabulary**: prefix filtering (PPJoin-family), below.
+
+    The vocabulary probe is one cheap ``approx_count_distinct`` job — an
+    AQE-style adaptive decision made from a corpus statistic.
+    """
+    probe = (
+        df.select(F.explode(shingles(F.col(text_col), ngram)).alias("tok"))
+        .agg(F.approx_count_distinct("tok").alias("v"))
+        .collect()[0]["v"]
+    )
+    if probe <= bitset_vocab_limit:
+        return jaccard_pairs_bitset(df, id_col, text_col, threshold, ngram)
+    return jaccard_pairs_prefix(df, id_col, text_col, threshold, ngram)
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 1,
+) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (PPJoin-family).
+
+    1. order every document's token set by ascending global document
+       frequency (rare tokens first — any consistent total order is
+       correct; rarity maximizes pruning);
+    2. two documents can only reach Jaccard ≥ t if their *prefixes* of
+       length ``n - ceil(t·n) + 1`` share a token, so the self-join runs
+       on exploded prefixes only — the O(df²) blowup on stop-words never
+       happens because frequent tokens land at the ends of the ordering;
+    3. candidates additionally pass the size filter ``t·na ≤ nb``;
+    4. exact verification via ``array_intersect`` on the full (distinct)
+       token arrays — per-pair linear, no extra shuffle.
+
+    The threshold compare is integer-exact: t is converted to a rational
+    num/den and applied as ``shared·den ≥ union·num``, so results
+    hash-match a SQL oracle computing the same ratio.
+
+    Returns (a, b, shared, na, nb, jaccard) with a < b.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+
+    tok = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), ngram).alias("toks")
+    ).filter(F.size("toks") > 0)
+
+    # global document frequency per token → rarity order
+    docfreq = (
+        tok.select("id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ordered = (
+        tok.select("id", F.explode("toks").alias("tok"))
+        .join(docfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .withColumn("n", F.size("toks"))
+    )
+    # prefix length p = n - ceil(t*n) + 1, computed in integer arithmetic
+    p = F.expr(f"n - ((n * {num} + {den} - 1) DIV {den}) + 1")
+    prefixes = ordered.select(
+        "id", "toks", "n", F.explode(F.slice("toks", 1, p)).alias("tok")
+    )
+    a = prefixes.select(
+        F.col("id").alias("a"),
+        F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
+        "tok",
+    )
+    b = prefixes.select(
+        F.col("id").alias("b"),
+        F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
+        "tok",
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("a") < F.col("b"))
+            # size filter: t·max ≤ min  ⇔  num·max ≤ den·min
+            & (F.greatest("na", "nb") * num <= F.least("na", "nb") * den)
+        )
+        .select("a", "b", "ta", "tb", "na", "nb")
+        .dropDuplicates(["a", "b"])
+    )
+    shared = F.size(F.array_intersect("ta", "tb"))
+    out = (
+        cand.withColumn("shared", shared)
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("shared"))
+        .filter(F.col("shared") * den >= F.col("union_n") * num)
+        .withColumn("jaccard", F.col("shared") / F.col("union_n"))
+    )
+    return out.select("a", "b", "shared", "na", "nb", "jaccard")
+
+
+def jaccard_pairs_bitset(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 1,
+) -> DataFrame:
+    """EXACT Jaccard pairs for tiny vocabularies via bitmask intersection.
+
+    Token sets over a vocabulary of V distinct shingles are encoded as
+    ``ceil(V/64)`` 64-bit words; the pair join is a broadcast
+    nested-loop all-pairs join whose per-pair cost is a handful of
+    AND+popcount ops inside whole-stage codegen.  When V is tiny the true
+    result is near-quadratic anyway, so all-pairs *is* the output
+    complexity — the win over the token-explosion plan is removing the
+    O(Σ df²) shuffle entirely.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+
+    tok = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), ngram).alias("toks")
+    ).filter(F.size("toks") > 0)
+    ex = tok.select("id", F.explode("toks").alias("tok"))
+
+    # vocabulary index: tiny by precondition → a single-partition window
+    # then a broadcast join is fine
+    vocab = (
+        ex.select("tok")
+        .distinct()
+        .withColumn(
+            "idx", F.row_number().over(Window.orderBy("tok")) - 1
+        )
+    )
+    width_row = vocab.agg(F.count(F.lit(1)).alias("v")).collect()[0]
+    width = max(1, (int(width_row["v"]) + 63) // 64)
+
+    idxed = (
+        ex.join(F.broadcast(vocab), "tok")
+        .groupBy("id")
+        .agg(F.collect_set("idx").alias("idxs"))
+    )
+    # SQL expr because pyspark's shiftleft() wrapper rejects Column numBits
+    mask = F.expr(
+        f"transform(sequence(0, {width - 1}), w -> "
+        "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
+        "(acc, i) -> acc | shiftleft(1L, int(i % 64))))"
+    )
+    docs = idxed.select(
+        "id", mask.alias("mask"), F.size("idxs").alias("n")
+    )
+
+    a = docs.select(
+        F.col("id").alias("a"), F.col("mask").alias("ma"), F.col("n").alias("na")
+    )
+    b = docs.select(
+        F.col("id").alias("b"), F.col("mask").alias("mb"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.greatest("na", "nb") * num <= F.least("na", "nb") * den)
+        )
+        .withColumn(
+            "shared",
+            F.aggregate(
+                F.zip_with(
+                    F.col("ma"), F.col("mb"), lambda x, y: F.bit_count(x.bitwiseAND(y))
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("shared"))
+        .filter(F.col("shared") * den >= F.col("union_n") * num)
+        .withColumn("jaccard", F.col("shared") / F.col("union_n"))
+    )
+    return pairs.select("a", "b", "shared", "na", "nb", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB fuzzy-dedup path)
+# ---------------------------------------------------------------------------
+
+#: Large prime for the universal hash family h(x) = (a*x + b) mod p.
+_MERSENNE_PRIME = (1 << 61) - 1
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    ngram: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature (array<bigint> of length
+    ``num_hashes``) over word ``ngram`` shingles.
+
+    All JVM-side: xxhash64 per shingle, then ``h_i(x) = (a_i·x+b_i) mod p``
+    minimized with ``array_min(transform(...))`` — no Python in the hot
+    path, fully parallel, one narrow pass over the corpus.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE_PRIME), rng.randrange(0, _MERSENNE_PRIME))
+        for _ in range(num_hashes)
+    ]
+    sh = shingles(F.col(text_col), ngram)
+    # base hash per shingle, kept non-negative in a 61-bit domain
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_PRIME)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda x: F.pmod(
+                        x * F.lit(a) + F.lit(b), F.lit(_MERSENNE_PRIME)
+                    ),
+                )
+            )
+            for (a, b) in coeffs
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.size(sh) > 0, sig).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Split each signature into ``bands`` bands of ``num_hashes/bands``
+    rows; hash each band; documents sharing any band bucket are
+    candidates.  The band-bucket groupBy is the only shuffle and its
+    fan-out is bounded by bucket sizes — the standard web-scale dedup
+    layout (one shuffle + per-bucket pair expansion), not an all-pairs
+    join.  Returns distinct candidate pairs (a < b) with their estimated
+    Jaccard (signature agreement rate).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, ngram, seed).filter(
+        F.col("signature").isNotNull()
+    )
+    banded = sig.select(
+        "id",
+        "signature",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"),
+                                    i * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("id").alias("a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("id").alias("b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return cand.select(
+        "a",
+        "b",
+        (agree / F.size(F.col("sig_a"))).alias("est_jaccard"),
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list (columns
+    ``a``, ``b``) via min-label propagation accelerated with pointer
+    jumping (each round: adopt the min label in the neighborhood, then
+    compress ``label ← label[label]``), giving O(log n) rounds instead of
+    O(diameter).
+
+    Used to turn near-duplicate pairs into duplicate *clusters* so a
+    canonical per cluster can be chosen.  Iterative self-joins grow
+    lineage, so every round is ``localCheckpoint``-ed (SURVEY §7 watch
+    list); convergence is detected with a cheap changed-count per round.
+    Returns (``id``, ``component``) with component = min id in the
+    cluster.
+    """
+    sym = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("n_comp"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: component ← component's component
+        hop = stepped.select(
+            F.col("id").alias("h_id"), F.col("component").alias("h_comp")
+        )
+        new_labels = (
+            stepped.join(hop, stepped.component == hop.h_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("h_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: LSH candidates → threshold on estimated
+    Jaccard → connected components → canonical = min id per cluster.
+
+    Returns the input plus a ``canon`` column (= own id for unique docs /
+    cluster minimum for near-duplicates).
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, ngram).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    comp = connected_components(pairs.select("a", "b"))
+    return (
+        df.join(comp, df[id_col] == comp.id, "left")
+        .select(
+            *[df[c] for c in df.columns],
+            F.coalesce(F.col("component"), df[id_col]).alias("canon"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document, JVM-side.
+
+    For each bit position, sum +1/-1 votes of every token's xxhash64 bit;
+    fingerprint bit = sign of the vote.  Near-duplicates have small
+    Hamming distance.  Expressed with explode + groupBy (one shuffle);
+    the per-bit vote is a conditional sum, vectorized by codegen.
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return votes.select("id", fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))

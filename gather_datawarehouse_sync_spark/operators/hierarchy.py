@@ -1,0 +1,67 @@
+"""Path-hierarchy dimension derivation (H1/H2).
+
+The reference grows a trie one path at a time (``_addPath``,
+``src/DataWarehouse.js:616-637``) and flattens it breadth-first into
+category rows (``_flattenTreeChildrenBFS``, ``:662-709``).  Relationally
+that whole structure is just "the distinct set of directory prefixes of
+every file path", so the Spark version is split → prefix explosion →
+distinct — no tree, no driver state, one shuffle for the distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def path_categories(
+    df: DataFrame,
+    path_col: str = "file",
+    root_category: str = "files",
+) -> DataFrame:
+    """Derive the category dimension from file paths.
+
+    Matches the reference's row shape (``src/DataWarehouse.js:683-689``):
+
+    - ``type``      — lowercased parent path (``:684``)
+    - ``name``      — full prefix path, original case (``:685``)
+    - ``short_name`` — last path component (``:687``)
+    - ``path``      — parent path + "/" (``:688``)
+    - ``depth``     — levels under the root (ordering key; the reference's
+      BFS order restored with ``ORDER BY depth, name``)
+
+    The filename itself is dropped (``.slice(0, -1)`` at ``:622``) and the
+    root row is not emitted (``list.slice(1)`` at ``:706``).
+    """
+    parts = F.expr(f"slice(split({path_col}, '/'), 1, size(split({path_col}, '/')) - 1)")
+    root = F.lit(root_category)
+    prefixes = df.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(parts)),
+                lambda i: F.struct(
+                    F.concat_ws("/", root, F.slice(parts, 1, i)).alias("name"),
+                    F.when(
+                        i == 1, root
+                    ).otherwise(
+                        F.concat_ws("/", root, F.slice(parts, 1, i - F.lit(1)))
+                    ).alias("parent"),
+                    F.element_at(parts, i).alias("short_name"),
+                    i.alias("depth"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*").distinct()
+    return prefixes.select(
+        F.lower("parent").alias("type"),
+        "name",
+        "short_name",
+        F.concat(F.col("parent"), F.lit("/")).alias("path"),
+        "depth",
+    )
+
+
+def prefix_rollup(df: DataFrame, *cols: str) -> DataFrame:
+    """Hierarchical rollup over categorical levels (Q36 shape): counts at
+    every prefix of the level list, via Spark's native ``rollup``."""
+    return df.rollup(*cols).agg(F.count(F.lit(1)).alias("c"))

@@ -1,0 +1,759 @@
+"""Declared query registry — the oracle-differential correctness surface.
+
+Each entry pairs a Spark implementation (DataFrame API or Spark SQL;
+Catalyst owns the physical plan either way) with the equivalent DuckDB
+SQL.  Conventions (SURVEY §2 preamble / BASELINE.md):
+
+- every query carries a total ORDER BY (the driver's value-hash is
+  order-insensitive, but determinism keeps local debugging sane);
+- DOUBLE aggregates go through ``SUM(CAST(x AS DECIMAL(18,2)))`` and the
+  final value is cast back to ``DECIMAL(18,2)`` in BOTH dialects so the
+  declared result types agree (Spark widens sums to DECIMAL(28,2),
+  DuckDB to DECIMAL(38,2) — the outer cast normalizes);
+- timestamps in result sets are rendered to DATE or formatted strings
+  (events.ts is ns-precision parquet, orders/lineitem are ms — casting
+  sidesteps precision-mismatch hashes);
+- approximate operators (MinHash estimate, LSH ANN) are never
+  hash-compared — they ship without an oracle entry and are validated in
+  ``tests/`` against their exact counterparts instead.
+
+Queries whose SQL text is valid in both dialects are declared once via
+``_twin``; dialect-divergent ones carry an explicit DuckDB spelling.
+Reference-semantics queries (Q10/Q11/Q14/Q15/Q36/Q37/Q42/Q43…) run
+through the operator library (``operators/``) so the correctness gate
+exercises the same code paths users call.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gather_datawarehouse_sync_spark.session import load_tables
+from gather_datawarehouse_sync_spark.operators.joins import (
+    cascading_join,
+    pick_one_per_group,
+)
+from gather_datawarehouse_sync_spark.operators.dedup import (
+    jaccard_pairs,
+    mark_duplicates,
+)
+from gather_datawarehouse_sync_spark.operators.similarity import brute_force_topk
+from gather_datawarehouse_sync_spark.functions.text import (
+    quality_score,
+    token_count_udf,
+)
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: SparkFn
+    oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
+    tables: tuple[str, ...] = ()
+    note: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(spec: QuerySpec) -> None:
+    REGISTRY[spec.name] = spec
+
+
+def _sql_fn(sql: str, tables: tuple[str, ...]) -> SparkFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir, tables)
+        return spark.sql(sql)
+
+    return run
+
+
+def _twin(name: str, sql: str, tables: tuple[str, ...], note: str = "") -> None:
+    """One SQL text valid in both Spark and DuckDB."""
+    _register(QuerySpec(name, _sql_fn(sql, tables), sql, tables, note))
+
+
+def _pair(
+    name: str,
+    spark_sql: str,
+    duck_sql: str,
+    tables: tuple[str, ...],
+    note: str = "dialect-adapted",
+) -> None:
+    _register(QuerySpec(name, _sql_fn(spark_sql, tables), duck_sql, tables, note))
+
+
+def _df(name: str, fn: SparkFn, duck_sql: str | None, tables: tuple[str, ...], note: str = "") -> None:
+    _register(QuerySpec(name, fn, duck_sql, tables, note))
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scan tier
+# ---------------------------------------------------------------------------
+
+_twin("q1", "SELECT COUNT(*) AS c FROM lineitem", ("lineitem",))
+_twin(
+    "q2",
+    "SELECT COUNT(*) AS c, COUNT(DISTINCT l_orderkey) AS k FROM lineitem",
+    ("lineitem",),
+)
+_twin(
+    "q3",
+    "SELECT CAST(MIN(o_orderdate) AS DATE) AS mn, CAST(MAX(o_orderdate) AS DATE) AS mx FROM orders",
+    ("orders",),
+)
+
+# ---------------------------------------------------------------------------
+# §2.2 filters / projections
+# ---------------------------------------------------------------------------
+
+_twin(
+    "q4",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE l_returnflag = 'R' AND l_quantity > 45 "
+    "ORDER BY l_orderkey, l_linenumber",
+    ("lineitem",),
+)
+_twin(
+    "q5",
+    "SELECT o_orderkey FROM orders "
+    "WHERE o_orderstatus = 'O' AND o_totalprice > 100000 ORDER BY o_orderkey",
+    ("orders",),
+)
+
+# ---------------------------------------------------------------------------
+# §2.3 joins & matching
+# ---------------------------------------------------------------------------
+
+_twin(
+    "q6",
+    "SELECT c.c_custkey, COUNT(*) AS cnt, "
+    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS tot "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "GROUP BY c.c_custkey ORDER BY c.c_custkey",
+    ("customer", "orders"),
+)
+_twin(
+    "q7",
+    "SELECT r_name, n_name, COUNT(*) AS c FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name, n_name ORDER BY r_name, n_name",
+    ("customer", "nation", "region"),
+)
+_twin(
+    "q8",
+    "SELECT COUNT(*) AS c FROM customer WHERE c_custkey IN "
+    "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000)",
+    ("customer", "orders"),
+)
+_twin(
+    "q9",
+    "SELECT p_partkey FROM part WHERE p_partkey NOT IN "
+    "(SELECT l_partkey FROM lineitem) ORDER BY p_partkey",
+    ("part", "lineitem"),
+)
+
+
+def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 cascading-key join via operators.cascading_join
+    (ref semantics: src/DataWarehouse.js:538-572)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("cust_seg"),
+    )
+    joined = cascading_join(
+        t["orders"].select("o_orderkey", "o_custkey"),
+        cust,
+        tiers=[
+            (
+                "exactMatch",
+                lambda l, r: (l["o_custkey"] == r["cust_key"])
+                & (r["cust_seg"] == "BUILDING"),
+            ),
+            ("md5Match", lambda l, r: l["o_custkey"] == r["cust_key"]),
+        ],
+        match_col="m",
+    )
+    return (
+        joined.select("o_orderkey", F.col("cust_key").alias("matched"), "m")
+        .distinct()
+        .orderBy("o_orderkey", "matched", "m")
+    )
+
+
+_df(
+    "q10",
+    _q10,
+    "SELECT o.o_orderkey, COALESCE(c1.c_custkey, c2.c_custkey) AS matched, "
+    "CASE WHEN c1.c_custkey IS NOT NULL THEN 'exactMatch' "
+    "WHEN c2.c_custkey IS NOT NULL THEN 'md5Match' ELSE 'none' END AS m "
+    "FROM orders o "
+    "LEFT JOIN customer c1 ON o.o_custkey = c1.c_custkey AND c1.c_mktsegment = 'BUILDING' "
+    "LEFT JOIN customer c2 ON o.o_custkey = c2.c_custkey "
+    "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+    ("orders", "customer"),
+    note="J1 cascading join (operator path)",
+)
+
+
+def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 deterministic one-per-group pick (ref src/DataWarehouse.js:465-536)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        pick_one_per_group(
+            t["orders"], ["o_custkey"], ["o_orderdate", "o_orderkey"]
+        )
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey")
+    )
+
+
+_df(
+    "q11",
+    _q11,
+    "WITH ranked AS (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn FROM orders) "
+    "SELECT o_custkey, o_orderkey FROM ranked WHERE rn = 1 ORDER BY o_custkey",
+    ("orders",),
+    note="J2 greedy assignment, deterministic variant",
+)
+
+_twin(
+    "q12",
+    "SELECT COUNT(*) AS c FROM lineitem l JOIN orders o "
+    "ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate",
+    ("lineitem", "orders"),
+)
+
+# ---------------------------------------------------------------------------
+# §2.4 exact dedup (D1)
+# ---------------------------------------------------------------------------
+
+_twin(
+    "q13",
+    "SELECT event_type, user_id, COUNT(*) AS c FROM events "
+    "GROUP BY event_type, user_id HAVING COUNT(*) > 1 "
+    "ORDER BY event_type, user_id",
+    ("events",),
+)
+
+
+def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 canonical pick via operators.mark_duplicates
+    (ref src/DataWarehouse.js:312-348)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    marked = mark_duplicates(
+        t["documents"], hash_col="text", id_col="doc_id"
+    )
+    return (
+        marked.filter(F.col("duplicates").isNotNull())
+        .select(
+            "doc_id", (F.size("duplicates") + 1).cast("bigint").alias("c")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "q14",
+    _q14,
+    "WITH d AS (SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY text "
+    "ORDER BY doc_id) rn, COUNT(*) OVER (PARTITION BY text) c FROM documents) "
+    "SELECT doc_id, c FROM d WHERE rn = 1 AND c > 1 ORDER BY doc_id",
+    ("documents",),
+    note="D1 canonical rows (operator path)",
+)
+
+
+def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 alias rows via operators.mark_duplicates."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    marked = mark_duplicates(t["documents"], hash_col="text", id_col="doc_id")
+    return (
+        marked.filter(F.col("alias").isNotNull())
+        .select("doc_id", F.col("alias").alias("canon"))
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "q15",
+    _q15,
+    "WITH d AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) canon "
+    "FROM documents) SELECT doc_id, canon FROM d WHERE doc_id <> canon "
+    "ORDER BY doc_id",
+    ("documents",),
+    note="D1 alias rows (operator path)",
+)
+
+# ---------------------------------------------------------------------------
+# §2.5 sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+_twin(
+    "q16",
+    "SELECT l_orderkey, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey LIMIT 10",
+    ("lineitem",),
+)
+_twin(
+    "q17",
+    "WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn "
+    "FROM orders) SELECT o_custkey, o_orderkey FROM r WHERE rn <= 2 "
+    "ORDER BY o_custkey, o_orderkey",
+    ("orders",),
+)
+
+# ---------------------------------------------------------------------------
+# §2.6 aggregations
+# ---------------------------------------------------------------------------
+
+_twin(
+    "q18",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sq, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sp, "
+    "COUNT(*) AS c FROM lineitem "
+    "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    ("lineitem",),
+)
+_twin(
+    "q19",
+    "SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events "
+    "GROUP BY event_type ORDER BY event_type",
+    ("events",),
+)
+_twin(
+    "q20",
+    "SELECT r_name, n_name, COUNT(*) AS c FROM nation "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY ROLLUP(r_name, n_name) "
+    "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, c",
+    ("nation", "region"),
+)
+_twin(
+    "q21",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+    "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c",
+    ("orders",),
+)
+_twin(
+    "q22",
+    "SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey "
+    "HAVING COUNT(*) >= 5 ORDER BY o_custkey",
+    ("orders",),
+)
+
+# ---------------------------------------------------------------------------
+# §2.7 window functions
+# ---------------------------------------------------------------------------
+
+_twin(
+    "q23",
+    "SELECT o_orderkey, RANK() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders ORDER BY o_orderkey",
+    ("orders",),
+)
+_twin(
+    "q24",
+    "SELECT event_id, user_id, CAST(value - LAG(value, 1, 0.0) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(18,2)) AS d "
+    "FROM events ORDER BY event_id",
+    ("events",),
+)
+_twin(
+    "q25",
+    "SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS rs "
+    "FROM events ORDER BY event_id",
+    ("events",),
+)
+_twin(
+    "q26",
+    "SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q "
+    "FROM orders ORDER BY o_orderkey",
+    ("orders",),
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 set operations
+# ---------------------------------------------------------------------------
+
+_twin(
+    "q27",
+    "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "UNION SELECT o_custkey FROM orders WHERE o_totalprice > 250000 ORDER BY k",
+    ("customer", "orders"),
+)
+_twin(
+    "q28",
+    "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders "
+    "ORDER BY k",
+    ("customer", "orders"),
+)
+_twin(
+    "q29",
+    "SELECT s_nationkey AS k FROM supplier INTERSECT "
+    "SELECT c_nationkey FROM customer ORDER BY k",
+    ("supplier", "customer"),
+)
+
+# ---------------------------------------------------------------------------
+# §2.9 scalar functions
+# ---------------------------------------------------------------------------
+
+_twin(
+    "q30",
+    "SELECT doc_id, LENGTH(text) AS l, UPPER(lang) AS u, SUBSTR(source, 4) AS sn "
+    "FROM documents ORDER BY doc_id",
+    ("documents",),
+)
+_twin(
+    "q31",
+    "SELECT p_partkey, REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word "
+    "FROM part ORDER BY p_partkey",
+    ("part",),
+)
+_twin(
+    "q32",
+    "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, COUNT(*) AS c "
+    "FROM orders GROUP BY 1 ORDER BY 1",
+    ("orders",),
+)
+# inputs are clean 2-dp doubles; casting them to DECIMAL first keeps the
+# whole product in exact decimal arithmetic — double→decimal rounding of a
+# *computed* product diverges between engines at representation boundaries.
+# Spark's decimal downscale cast rounds HALF_UP while DuckDB's truncates,
+# so the DuckDB side rounds explicitly before the cast.
+_pair(
+    "q33",
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(4,2))) "
+    "* (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,2)) AS net "
+    "FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber",
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(4,2))) "
+    "* (1 + CAST(l_tax AS DECIMAL(4,2))), 2) AS DECIMAL(18,2)) AS net "
+    "FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber",
+    ("lineitem",),
+    note="decimal downscale: Spark CAST rounds half-up, DuckDB CAST truncates",
+)
+_pair(
+    "q34",
+    "SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS k "
+    "FROM events ORDER BY event_id",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events ORDER BY event_id",
+    ("events",),
+    note="F8 JSON (dialect-adapted: get_json_object vs json_extract_string)",
+)
+_pair(
+    "q35",
+    "SELECT vec_id, CAST(SIZE(embedding) AS BIGINT) AS n FROM embeddings ORDER BY vec_id",
+    "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n FROM embeddings ORDER BY vec_id",
+    ("embeddings",),
+    note="array length (dialect-adapted)",
+)
+
+# ---------------------------------------------------------------------------
+# §2.10 hierarchy (H1/H2 emulated on testdata)
+# ---------------------------------------------------------------------------
+
+_twin(
+    "q36",
+    "SELECT source, lang, COUNT(*) AS c FROM documents "
+    "GROUP BY ROLLUP(source, lang) "
+    "ORDER BY source NULLS FIRST, lang NULLS FIRST, c",
+    ("documents",),
+)
+
+# ---------------------------------------------------------------------------
+# §2.11 diff / merge (M1-M5)
+# ---------------------------------------------------------------------------
+
+_twin(
+    "q37",
+    "SELECT CASE WHEN o.o_custkey IS NULL THEN 'create' "
+    "WHEN c.c_custkey IS NULL THEN 'remove' ELSE 'keep' END AS action, "
+    "COUNT(*) AS c FROM (SELECT DISTINCT o_custkey FROM orders) o "
+    "FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY 1 ORDER BY 1",
+    ("orders", "customer"),
+)
+
+# ---------------------------------------------------------------------------
+# §2.12 streaming-equivalent batch queries
+# ---------------------------------------------------------------------------
+
+
+def _q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h window via F.window (batch mode; the streaming path
+    reuses the same expression under readStream)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("v"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s"), "c", "v"
+        )
+        .orderBy("s")
+    )
+
+
+_df(
+    "q38",
+    _q38,
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS s, "
+    "COUNT(*) AS c, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v "
+    "FROM events GROUP BY 1 ORDER BY 1",
+    ("events",),
+    note="tumbling window (dialect-adapted)",
+)
+
+
+def _q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 h wide, 30 min slide — every event lands in
+    exactly two windows; alignment is epoch-based in both engines."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s"), "c")
+        .orderBy("s")
+    )
+
+
+_df(
+    "q39",
+    _q39,
+    "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS s, COUNT(*) AS c FROM ("
+    "SELECT unnest([time_bucket(INTERVAL 30 minutes, CAST(ts AS TIMESTAMP)), "
+    "time_bucket(INTERVAL 30 minutes, CAST(ts AS TIMESTAMP)) - INTERVAL 30 minutes]) AS ws "
+    "FROM events) GROUP BY 1 ORDER BY 1",
+    ("events",),
+    note="sliding window (dialect-adapted; DuckDB emulation via 2-bucket unnest)",
+)
+
+
+def _q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 10 min gap, per user (F.session_window in batch)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    sessions = t["events"].groupBy(
+        "user_id", F.session_window("ts", "10 minutes")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("sessions"))
+        .orderBy("user_id")
+    )
+
+
+_df(
+    "q40",
+    _q40,
+    "WITH g AS (SELECT user_id, CASE WHEN LAG(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts) IS NULL OR ts - LAG(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 minutes THEN 1 ELSE 0 END AS ns "
+    "FROM events) SELECT user_id, CAST(SUM(ns) AS BIGINT) AS sessions FROM g "
+    "GROUP BY user_id ORDER BY user_id",
+    ("events",),
+    note="session window (dialect-adapted; DuckDB lag-gap emulation)",
+)
+
+# ---------------------------------------------------------------------------
+# §2.13 UDF parity
+# ---------------------------------------------------------------------------
+
+
+def _q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF token counter (the sanctioned slow
+    path) — cross-checked against a pure-SQL oracle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select("doc_id", token_count_udf(F.col("text")).alias("n"))
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "q41",
+    _q41,
+    "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
+    "x -> x <> '')) AS INTEGER) AS n FROM documents ORDER BY doc_id",
+    ("documents",),
+    note="pandas UDF vs SQL oracle (dialect-adapted)",
+)
+
+# ---------------------------------------------------------------------------
+# §2.14 extension surface
+# ---------------------------------------------------------------------------
+
+
+def _q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ 0.8 (fuzzy-dedup oracle tier).
+
+    Threshold applied in integer arithmetic (5·shared ≥ 4·union) so the
+    comparison is hash-exact in both engines."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = jaccard_pairs(
+        t["documents"], id_col="doc_id", text_col="text", threshold=0.8, ngram=1
+    )
+    return pairs.select("a", "b").orderBy("a", "b")
+
+
+_df(
+    "q42",
+    _q42,
+    "WITH tok AS (SELECT doc_id, list_distinct(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks "
+    "FROM documents), "
+    "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tok) "
+    "SELECT a.doc_id AS a, b.doc_id AS b FROM ex a JOIN ex b ON a.tok = b.tok "
+    "WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id, a.n, b.n "
+    "HAVING COUNT(*) * 5 >= (a.n + b.n - COUNT(*)) * 4 ORDER BY a, b",
+    ("documents",),
+    note="exact Jaccard ≥0.8 pairs (fuzzy-dedup correctness tier)",
+)
+
+
+def _q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-1 neighbor by dot product for vec_id < 10
+    (exact ANN baseline); ids only — floats never hashed."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    topk = brute_force_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=1, metric="dot"
+    )
+    return topk.select("query_id", "neighbor_id").orderBy("query_id")
+
+
+_df(
+    "q43",
+    _q43,
+    "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+    "scored AS (SELECT q.qid, e.vec_id AS nid, "
+    "list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score "
+    "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid), "
+    "ranked AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid "
+    "ORDER BY score DESC, nid) AS rn FROM scored) "
+    "SELECT qid AS query_id, nid AS neighbor_id FROM ranked WHERE rn = 1 ORDER BY query_id",
+    ("embeddings",),
+    note="exact ANN baseline (ids compared, floats never hashed)",
+)
+
+_pair(
+    "q44",
+    "SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS s "
+    "FROM documents GROUP BY lang ORDER BY lang",
+    "SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS s "
+    "FROM documents GROUP BY lang ORDER BY lang",
+    ("documents",),
+    note="text-analysis rollup (HUGEINT sum normalized to BIGINT)",
+)
+
+# ---------------------------------------------------------------------------
+# extension queries beyond the declared 44
+# ---------------------------------------------------------------------------
+
+_pair(
+    "x_multimodal_bytes",
+    "SELECT doc_id, CAST(LENGTH(ENCODE(text, 'UTF-8')) AS BIGINT) AS n_bytes "
+    "FROM documents ORDER BY doc_id",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes "
+    "FROM documents ORDER BY doc_id",
+    ("documents",),
+    note="multimodal plumbing: opaque binary column + byte length",
+)
+
+
+def _x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select("doc_id", quality_score(F.col("text")).alias("q"))
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "x_text_quality",
+    _x_text_quality,
+    None,
+    ("documents",),
+    note="heuristic quality score (float heuristic → rows-only check)",
+)
+
+
+def _x_ngram_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from exact-Jaccard edges via connected
+    components; canonical = min doc_id (count per canonical)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        connected_components,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = jaccard_pairs(
+        t["documents"], id_col="doc_id", text_col="text", threshold=0.8, ngram=1
+    )
+    comp = connected_components(pairs.select("a", "b"))
+    return (
+        comp.groupBy(F.col("component").alias("canon"))
+        .agg(F.count(F.lit(1)).alias("members"))
+        .orderBy("canon")
+    )
+
+
+_df(
+    "x_ngram_dedup_clusters",
+    _x_ngram_dedup_clusters,
+    "WITH RECURSIVE tok AS (SELECT doc_id, list_distinct(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks "
+    "FROM documents), "
+    "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tok), "
+    "edges AS (SELECT a.doc_id AS a, b.doc_id AS b FROM ex a JOIN ex b "
+    "ON a.tok = b.tok WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id, a.n, b.n "
+    "HAVING COUNT(*) * 5 >= (a.n + b.n - COUNT(*)) * 4), "
+    "sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges), "
+    "reach AS (SELECT a AS id, b AS r FROM sym "
+    "UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a), "
+    "comp AS (SELECT id, LEAST(id, MIN(r)) AS canon FROM reach GROUP BY id) "
+    "SELECT canon, CAST(COUNT(*) AS BIGINT) AS members FROM comp "
+    "GROUP BY canon ORDER BY canon",
+    ("documents",),
+    note="near-dup clusters via connected components; oracle = recursive-CTE "
+    "transitive closure",
+)
+
+
+def queries() -> dict[str, SparkFn]:
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }

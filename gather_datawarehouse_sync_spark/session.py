@@ -1,0 +1,96 @@
+"""SparkSession construction and test-table catalog.
+
+The reference engine holds everything in one Node process heap
+(``src/DataWarehouse.js:25`` — ``this._files``); the Spark engine instead
+gets a session tuned for local[N] testing while keeping every setting
+cluster-safe (AQE, adaptive partition coalescing, Arrow for pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-generated synthetic star schema (TESTDATA.md / FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "gather_datawarehouse_sync_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    local[N] for tests; on a real cluster the same configs apply — AQE
+    re-plans joins/partitions at runtime, which is the 100 TB story for
+    skew and partition sizing.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # events.ts is TIMESTAMP(NANOS) parquet, which the vectorized reader
+        # rejects; read as long and convert in load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# columns stored as TIMESTAMP(NANOS) in the synthetic parquet; with
+# nanosAsLong they arrive as epoch-nanos LongType and are normalized to
+# TimestampType (µs) here.  DuckDB reads the same column at ns precision —
+# sub-µs digits never reach a query result (outputs go through
+# date_trunc/window/date_format), so the two engines stay hash-compatible.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Plain parquet scan → Catalyst gets full
+    pushdown/pruning; no schema inference cost (parquet is self-describing)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # runtime-settable SQL conf; defensive for driver-provided sessions
+    # that were built without it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Read the requested tables and register each as a temp view so both
+    the DataFrame API and ``spark.sql`` can address them."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

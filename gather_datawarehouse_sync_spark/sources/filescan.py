@@ -1,0 +1,87 @@
+"""File-inventory source (S1-S5, ``src/DataWarehouse.js:32-63``).
+
+The reference builds its inventory from chokidar watcher events: one row
+per ``*.shp`` file with relative path, md5, size and inode.  The Spark
+expression is the built-in ``binaryFile`` source — recursive listing,
+suffix predicate pushed into the scan via ``pathGlobFilter`` (the
+reference pushed it by hand at ``:34``), content hashing as a JVM-side
+``F.md5`` over the bytes.
+
+At 100 TB the same plan holds: binaryFile splits the listing across
+executors, the glob prunes before any byte is read, and the md5 is
+computed where the data lives (no driver I/O, unlike the reference's
+one-file-at-a-time ``md5File`` at ``:44``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Inventory schema (FIXTURES.md B / ref ``:48-56``).
+FILE_COLUMNS = ("file", "md5", "size", "ino")
+
+
+def _inventory(df: DataFrame, root: str, suffix: str) -> DataFrame:
+    """Project binaryFile rows to the reference's inventory shape."""
+    rel = F.regexp_replace(
+        F.col("path"), "^file:" + re.escape(root.rstrip("/")) + "/?", ""
+    )
+    return (
+        df
+        # glob matched case-sensitively upstream; keep the reference's
+        # case-insensitive guard (ref :34 lowercases before testing)
+        .filter(F.lower(F.col("path")).endswith(suffix.lower()))
+        .select(
+            rel.alias("file"),
+            F.md5(F.col("content")).alias("md5"),
+            F.col("length").alias("size"),
+            # no portable inode through binaryFile: a stable surrogate id
+            # derived from the absolute path (collision-safe enough for
+            # identity; the reference only uses ino as an opaque id)
+            F.xxhash64(F.col("path")).alias("ino"),
+        )
+    )
+
+
+def scan_files(
+    spark: SparkSession,
+    root: str,
+    suffix: str = ".shp",
+) -> DataFrame:
+    """Batch snapshot scan of a directory tree (S1 batch mode).
+
+    Returns ``(file, md5, size, ino)`` with ``file`` relative to
+    ``root`` (S5, ref ``:38``).
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*{suffix}")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    return _inventory(df, root, suffix)
+
+
+def scan_files_stream(
+    spark: SparkSession,
+    root: str,
+    suffix: str = ".shp",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming variant (S1 live mode): the chokidar watcher becomes a
+    Structured Streaming file source; new files surface as new rows.
+    Pair with ``Trigger.AvailableNow`` for the reference's
+    debounce-then-snapshot behavior (T1) or ``ProcessingTime`` for
+    continuous tailing.
+    """
+    reader = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", f"*{suffix}")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _inventory(reader.load(root), root, suffix)

@@ -1,0 +1,151 @@
+"""REST-shaped source/sink connectors (S6-S11).
+
+The reference talks to its warehouse through a paginating HTTP client
+(``client.listProjects()`` etc., ``src/DataWarehouse.js:74``, ``:400``)
+and applies per-row writes as unbounded fire-and-forget promises
+(``:238-244``, ``:449-451`` — no backpressure, results never awaited).
+
+The Spark versions fix both ends:
+
+- **source**: a driver-side paginated fetch materialized through
+  ``spark.createDataFrame`` with an explicit schema (dimension tables are
+  small — projects/categories — so a driver fetch then broadcast-sized
+  DataFrame is the right topology; a huge source would instead shard page
+  ranges across ``mapInPandas`` workers);
+- **sink**: ``foreachPartition`` writers with *bounded* per-partition
+  concurrency and idempotency keys, so retries can't double-apply and a
+  slow endpoint backpressures the job instead of ballooning memory.
+
+No HTTP library is imported here: the transport is injected as a
+callable, which keeps the module dependency-free and unit-testable (the
+test suite injects an in-memory fake).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import types as T
+
+#: transport: (method, path, json_body) -> parsed-json response
+Transport = Callable[[str, str, Any], Any]
+
+PROJECT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField(
+            "metadata",
+            T.StructType(
+                [
+                    T.StructField("iam", T.StringType(), True),
+                    T.StructField(
+                        "file",
+                        T.StructType(
+                            [
+                                T.StructField("file", T.StringType(), True),
+                                T.StructField("md5", T.StringType(), True),
+                            ]
+                        ),
+                        True,
+                    ),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("archived", T.BooleanType(), True),
+    ]
+)
+
+CATEGORY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("shortName", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField(
+            "metadata",
+            T.StructType(
+                [
+                    T.StructField("iam", T.StringType(), True),
+                    T.StructField("selectable", T.BooleanType(), True),
+                    T.StructField("editable", T.BooleanType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def fetch_paginated(
+    spark: SparkSession,
+    transport: Transport,
+    path: str,
+    schema: T.StructType,
+    page_size: int = 1000,
+    id_coerce: tuple[str, ...] = ("id",),
+) -> DataFrame:
+    """Paginated GET → DataFrame with an explicit schema.
+
+    The reference receives stringly-typed ids and ``parseInt``s them at
+    every use site (``:158``, ``:179``, ``:298`` …); here the coercion
+    happens once at the boundary (``id_coerce``).
+    """
+    rows: list[dict] = []
+    page = 0
+    while True:
+        batch = transport("GET", f"{path}?page={page}&limit={page_size}", None) or []
+        for r in batch:
+            r = dict(r)
+            for k in id_coerce:
+                if k in r and r[k] is not None:
+                    r[k] = int(r[k])
+            rows.append(r)
+        if len(batch) < page_size:
+            break
+        page += 1
+    return spark.createDataFrame(rows, schema=schema) if rows else (
+        spark.createDataFrame([], schema=schema)
+    )
+
+
+def foreach_partition_writer(
+    df: DataFrame,
+    make_request: Callable[[Row], tuple[str, str, Any, str]],
+    transport_factory: Callable[[], Transport],
+    max_in_flight: int = 8,
+    max_retries: int = 3,
+) -> None:
+    """Apply one HTTP call per row with bounded concurrency + retries.
+
+    ``make_request(row)`` returns ``(method, path, body, idempotency_key)``.
+    Each partition opens its own transport (connections are not
+    serializable) and bounds in-flight calls with a thread pool of
+    ``max_in_flight`` — the backpressure the reference lacks
+    (``src/DataWarehouse.js:238-244``).  The idempotency key is sent so a
+    retried request is safe on the server side.
+    """
+
+    def write_partition(rows: Iterator[Row]) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        transport = transport_factory()
+
+        def send(row: Row) -> None:
+            method, path, body, idem = make_request(row)
+            last: Exception | None = None
+            for _ in range(max_retries):
+                try:
+                    transport(method, f"{path}#idempotency_key={idem}", body)
+                    return
+                except Exception as exc:  # pragma: no cover - retry path
+                    last = exc
+            raise RuntimeError(f"sink write failed after {max_retries} tries: {last}")
+
+        with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+            list(pool.map(send, rows))
+
+    df.foreachPartition(write_partition)

@@ -63,19 +63,16 @@ def language_guess(text: Column) -> Column:
     by marker-token hits; highest count wins, 'und' (undetermined) when
     nothing matches.  Pure expression — one pass, no shuffle, no UDF."""
     toks = tokens(text)
+
+    # closure factory, not a default-arg lambda: a 2-parameter lambda is
+    # interpreted by F.filter as (element, index) and the marker list
+    # would arrive as an index Column
+    def _marker_hits(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
     scores = [
-        (
-            lang,
-            F.size(
-                F.filter(
-                    toks,
-                    lambda t, markers=markers: F.array_contains(
-                        F.array(*[F.lit(m) for m in markers]), t
-                    ),
-                )
-            ),
-        )
-        for lang, markers in _LANG_MARKERS.items()
+        (lang, _marker_hits(markers)) for lang, markers in _LANG_MARKERS.items()
     ]
     best_score = F.greatest(*[s for _, s in scores])
     expr = F.lit("und")

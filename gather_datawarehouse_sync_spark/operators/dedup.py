@@ -327,8 +327,10 @@ def jaccard_pairs_bitset(
 # MinHash + LSH (the 100 TB fuzzy-dedup path)
 # ---------------------------------------------------------------------------
 
-#: Large prime for the universal hash family h(x) = (a*x + b) mod p.
-_MERSENNE_PRIME = (1 << 61) - 1
+#: Prime for the universal hash family h(x) = (a*x + b) mod p.  2^31-1
+#: keeps a·x + b < 2^62 — inside signed-64 range, so ANSI-mode Spark
+#: (overflow-checking since 4.0) never trips on the multiply.
+_MERSENNE_PRIME = (1 << 31) - 1
 
 
 def minhash_signatures(
@@ -565,17 +567,20 @@ def simhash(
     """
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
     h = F.xxhash64("tok")
+    # bit masks via shiftleft: 1<<63 overflows a Python-side literal but is
+    # Long.MIN_VALUE (the sign bit) when shifted JVM-side
+    one = F.lit(1).cast("long")
     votes = tok.groupBy("id").agg(
         *[
             F.sum(
-                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+                F.when(h.bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(bits)
         ]
     )
     fp = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return votes.select("id", fp.alias("simhash"))
 

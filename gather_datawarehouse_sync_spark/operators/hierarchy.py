@@ -35,23 +35,23 @@ def path_categories(
     """
     parts = F.expr(f"slice(split({path_col}, '/'), 1, size(split({path_col}, '/')) - 1)")
     root = F.lit(root_category)
-    prefixes = df.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(parts)),
-                lambda i: F.struct(
-                    F.concat_ws("/", root, F.slice(parts, 1, i)).alias("name"),
-                    F.when(
-                        i == 1, root
-                    ).otherwise(
-                        F.concat_ws("/", root, F.slice(parts, 1, i - F.lit(1)))
-                    ).alias("parent"),
-                    F.element_at(parts, i).alias("short_name"),
-                    i.alias("depth"),
-                ),
-            )
-        ).alias("c")
-    ).select("c.*").distinct()
+    # posexplode of the directory components: a root-level file has an
+    # empty parts array and naturally emits no rows (the old
+    # sequence(1, size) formulation produced a *descending* [1,0] sequence
+    # on empty input and crashed element_at)
+    exploded = df.select(
+        parts.alias("__parts"), F.posexplode(parts).alias("__pos", "__part")
+    )
+    prefixes = exploded.select(
+        F.concat_ws(
+            "/", root, F.slice("__parts", 1, F.col("__pos") + 1)
+        ).alias("name"),
+        F.when(F.col("__pos") == 0, root)
+        .otherwise(F.concat_ws("/", root, F.slice("__parts", 1, F.col("__pos"))))
+        .alias("parent"),
+        F.col("__part").alias("short_name"),
+        (F.col("__pos") + 1).alias("depth"),
+    ).distinct()
     return prefixes.select(
         F.lower("parent").alias("type"),
         "name",

@@ -19,9 +19,36 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Inventory schema (FIXTURES.md B / ref ``:48-56``).
 FILE_COLUMNS = ("file", "md5", "size", "ino")
+
+#: binaryFile's fixed schema — required explicitly by the streaming reader.
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), True),
+        T.StructField("modificationTime", T.TimestampType(), True),
+        T.StructField("length", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def _ci_glob(suffix: str) -> str:
+    """Case-insensitive glob for a suffix — ``.shp`` → ``*.[sS][hH][pP]``.
+
+    Keeps the predicate pushed into the *listing* (no file opened, no row
+    produced for non-matches) while matching the reference's
+    case-insensitive admit (``:34`` lowercases before testing).
+    """
+    out = []
+    for ch in suffix:
+        if ch.isalpha():
+            out.append(f"[{ch.lower()}{ch.upper()}]")
+        else:
+            out.append(ch)
+    return "*" + "".join(out)
 
 
 def _inventory(df: DataFrame, root: str, suffix: str) -> DataFrame:
@@ -58,7 +85,7 @@ def scan_files(
     """
     df = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", f"*{suffix}")
+        .option("pathGlobFilter", _ci_glob(suffix))
         .option("recursiveFileLookup", "true")
         .load(root)
     )
@@ -79,7 +106,8 @@ def scan_files_stream(
     """
     reader = (
         spark.readStream.format("binaryFile")
-        .option("pathGlobFilter", f"*{suffix}")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", _ci_glob(suffix))
         .option("recursiveFileLookup", "true")
     )
     if max_files_per_trigger is not None:

@@ -1,0 +1,457 @@
+"""Per-operator unit tests (SURVEY §5.2): each operator's exact
+semantics, extracted from the reference, asserted on tiny inline frames.
+
+Reference citations are in the operator docstrings; these tests pin the
+*behavioral* contract (canonical pick, tier priority, action
+classification, …) independent of the oracle-differential suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gather_datawarehouse_sync_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    hamming64,
+    jaccard_pairs_bitset,
+    jaccard_pairs_prefix,
+    mark_duplicates,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    simhash,
+)
+from gather_datawarehouse_sync_spark.operators.joins import (
+    cascading_join,
+    one_to_one_assign,
+    pick_one_per_group,
+)
+from gather_datawarehouse_sync_spark.operators.hierarchy import path_categories
+from gather_datawarehouse_sync_spark.operators.reconcile import (
+    action_counts,
+    assert_unique_keys,
+    reconcile,
+)
+from gather_datawarehouse_sync_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from gather_datawarehouse_sync_spark.functions import scalar, text
+
+
+# ---------------------------------------------------------------------------
+# D1 exact dedup
+# ---------------------------------------------------------------------------
+
+
+def test_mark_duplicates_canonical_and_aliases(spark):
+    df = spark.createDataFrame(
+        [
+            ("a.shp", "h1", 10),
+            ("b.shp", "h1", 11),
+            ("c.shp", "h1", 12),
+            ("d.shp", "h2", 13),
+        ],
+        "file string, md5 string, ino long",
+    )
+    out = {r["file"]: r for r in mark_duplicates(df).collect()}
+    # canonical = min ino; holds the sorted duplicate id list (ref :334-337)
+    assert out["a.shp"]["alias"] is None
+    assert out["a.shp"]["duplicates"] == [11, 12]
+    # every other group row aliases the canonical (ref :338)
+    assert out["b.shp"]["alias"] == 10 and out["b.shp"]["duplicates"] is None
+    assert out["c.shp"]["alias"] == 10
+    # singletons untouched (ref :330-339 never visits them)
+    assert out["d.shp"]["alias"] is None and out["d.shp"]["duplicates"] is None
+
+
+def test_mark_duplicates_deterministic_by_order_col(spark):
+    df = spark.createDataFrame(
+        [("z.shp", "h", 1), ("a.shp", "h", 2)], "file string, md5 string, ino long"
+    )
+    out = {
+        r["file"]: r
+        for r in mark_duplicates(df, order_col="file").collect()
+    }
+    # canonical = min file path, not min ino (SURVEY §7 watch-list fix)
+    assert out["a.shp"]["alias"] is None
+    assert out["z.shp"]["alias"] == 2
+
+
+def test_exact_dedup_keeps_min_order_row(spark):
+    df = spark.createDataFrame(
+        [("k", "x", 3), ("k", "y", 1), ("j", "z", 9)], "k string, v string, o long"
+    )
+    kept = {r["k"]: r["v"] for r in exact_dedup(df, "k", keep_order="o").collect()}
+    assert kept == {"k": "y", "j": "z"}
+    assert exact_dedup(df, "k").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# J1 cascading join
+# ---------------------------------------------------------------------------
+
+
+def _files_projects(spark):
+    files = spark.createDataFrame(
+        [("p/a.shp", "m1"), ("p/b.shp", "m2"), ("p/c.shp", "m3")],
+        "file string, md5 string",
+    )
+    projects = spark.createDataFrame(
+        [(1, "p/a.shp", "zz"), (2, "other", "m2"), (3, "nope", "nope")],
+        "pid long, pfile string, pmd5 string",
+    )
+    return files, projects
+
+
+def test_cascading_join_tier_priority(spark):
+    files, projects = _files_projects(spark)
+    out = {
+        r["file"]: r
+        for r in cascading_join(
+            files,
+            projects,
+            tiers=[
+                ("exactMatch", lambda l, r: l["file"] == r["pfile"]),
+                ("md5Match", lambda l, r: l["md5"] == r["pmd5"]),
+            ],
+        ).collect()
+    }
+    # path tier wins even though no md5 tier match exists for a.shp (ref :544-554)
+    assert out["p/a.shp"]["match"] == "exactMatch" and out["p/a.shp"]["pid"] == 1
+    # md5 fallback only when the path tier missed (ref :558-568)
+    assert out["p/b.shp"]["match"] == "md5Match" and out["p/b.shp"]["pid"] == 2
+    # unmatched row survives with nulls (left-join semantics)
+    assert out["p/c.shp"]["match"] == "none" and out["p/c.shp"]["pid"] is None
+
+
+def test_cascading_join_earlier_tier_masks_later(spark):
+    files = spark.createDataFrame([("f", "m")], "file string, md5 string")
+    projects = spark.createDataFrame(
+        [(1, "f", "x"), (2, "x", "m")], "pid long, pfile string, pmd5 string"
+    )
+    row = cascading_join(
+        files,
+        projects,
+        tiers=[
+            ("exactMatch", lambda l, r: l["file"] == r["pfile"]),
+            ("md5Match", lambda l, r: l["md5"] == r["pmd5"]),
+        ],
+    ).collect()
+    # both tiers matchable → only the first tier's row comes through
+    assert len(row) == 1 and row[0]["pid"] == 1 and row[0]["match"] == "exactMatch"
+
+
+def test_cascading_join_rejects_column_collision(spark):
+    files, _ = _files_projects(spark)
+    with pytest.raises(ValueError, match="collide"):
+        cascading_join(files, files, tiers=[("t", lambda l, r: F.lit(True))])
+
+
+def test_cascading_join_requires_tiers(spark):
+    files, projects = _files_projects(spark)
+    with pytest.raises(ValueError):
+        cascading_join(files, projects, tiers=[])
+
+
+# ---------------------------------------------------------------------------
+# J2 one-per-group / one-to-one
+# ---------------------------------------------------------------------------
+
+
+def test_pick_one_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "z")], "k long, v string"
+    )
+    out = {r["k"]: r["v"] for r in pick_one_per_group(df, ["k"], ["v"]).collect()}
+    assert out == {1: "a", 2: "z"}
+
+
+def test_one_to_one_assign_is_bijective_per_key(spark):
+    left = spark.createDataFrame(
+        [("k", i) for i in range(3)] + [("j", 0)], "key string, lid long"
+    )
+    right = spark.createDataFrame(
+        [("k", i * 10) for i in range(2)] + [("j", 99)], "key string, rid long"
+    )
+    out = one_to_one_assign(left, right, "key", ["lid"], ["rid"]).collect()
+    # min(3,2)+min(1,1) pairings; each lid and rid used at most once
+    assert len(out) == 3
+    assert len({r["lid"] for r in out if r["key"] == "k"}) == 2
+    assert len({r["rid"] for r in out if r["key"] == "k"}) == 2
+    pair = {(r["key"], r["lid"]): r["rid"] for r in out}
+    # rank-k left pairs with rank-k right (deterministic)
+    assert pair[("k", 0)] == 0 and pair[("k", 1)] == 10 and pair[("j", 0)] == 99
+
+
+# ---------------------------------------------------------------------------
+# M1-M4 reconcile
+# ---------------------------------------------------------------------------
+
+
+def test_reconcile_classification(spark):
+    source = spark.createDataFrame(
+        [("a", "v1"), ("b", "v2"), ("d", "v9")], "k string, val string"
+    )
+    target = spark.createDataFrame(
+        [("a", "v1"), ("b", "OLD"), ("c", "v3")], "k string, val string"
+    )
+    out = {r["k"]: r["action"] for r in reconcile(source, target, ["k"]).collect()}
+    assert out == {"a": "keep", "b": "update", "c": "delete", "d": "insert"}
+
+
+def test_reconcile_null_safe_compare(spark):
+    source = spark.createDataFrame([("a", None)], "k string, val string")
+    target = spark.createDataFrame([("a", None)], "k string, val string")
+    out = reconcile(source, target, ["k"]).collect()
+    # null == null must classify keep, not update (eqNullSafe)
+    assert out[0]["action"] == "keep"
+
+
+def test_action_counts(spark):
+    source = spark.createDataFrame([("a", "1"), ("b", "2")], "k string, v string")
+    target = spark.createDataFrame([("b", "9"), ("c", "3")], "k string, v string")
+    counts = {
+        r["action"]: r["c"]
+        for r in action_counts(reconcile(source, target, ["k"])).collect()
+    }
+    assert counts == {"insert": 1, "update": 1, "delete": 1}
+
+
+def test_assert_unique_keys_raises(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        assert_unique_keys(df, ["k"])
+    assert_unique_keys(df, ["k", "v"])  # composite key is unique
+
+
+# ---------------------------------------------------------------------------
+# H1/H2 path hierarchy
+# ---------------------------------------------------------------------------
+
+
+def test_path_categories_row_shape(spark):
+    df = spark.createDataFrame(
+        [("A/B/x.shp",), ("A/y.shp",), ("A/B/z.shp",)], "file string"
+    )
+    rows = {
+        r["name"]: r for r in path_categories(df, root_category="files").collect()
+    }
+    # one row per distinct directory prefix; filenames dropped (ref :622)
+    assert set(rows) == {"files/A", "files/A/B"}
+    a = rows["files/A"]
+    assert a["type"] == "files" and a["short_name"] == "A" and a["path"] == "files/"
+    ab = rows["files/A/B"]
+    # type = lowercased parent path (ref :684); path = parent + "/" (ref :688)
+    assert ab["type"] == "files/a" and ab["path"] == "files/A/"
+    assert ab["short_name"] == "B" and ab["depth"] == 2
+
+
+def test_path_categories_root_only_file_emits_nothing(spark):
+    df = spark.createDataFrame([("x.shp",)], "file string")
+    # a file at the root has no directory prefix → no category rows
+    assert path_categories(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup family
+# ---------------------------------------------------------------------------
+
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "completely different content about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),
+]
+
+
+def test_jaccard_prefix_and_bitset_agree(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    kw = dict(id_col="doc_id", text_col="text", threshold=0.5, ngram=1)
+    p = {(r["a"], r["b"]) for r in jaccard_pairs_prefix(df, **kw).collect()}
+    b = {(r["a"], r["b"]) for r in jaccard_pairs_bitset(df, **kw).collect()}
+    assert p == b
+    # docs 1/4 identical (J=1); 1/2 share 8 of 9 distinct tokens (J=8/10=0.8)
+    assert (1, 4) in p and (1, 2) in p and (2, 4) in p
+    assert not any(3 in pair for pair in p)
+
+
+def test_jaccard_exact_threshold_boundary(spark):
+    # two 4-token sets sharing 2 tokens: J = 2/6 = 1/3; threshold 1/3 keeps it
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f")], "doc_id long, text string"
+    )
+    hit = jaccard_pairs_prefix(
+        df, id_col="doc_id", text_col="text", threshold=1 / 3, ngram=1
+    ).collect()
+    assert len(hit) == 1 and hit[0]["shared"] == 2
+    miss = jaccard_pairs_prefix(
+        df, id_col="doc_id", text_col="text", threshold=0.34, ngram=1
+    ).collect()
+    assert miss == []
+
+
+def test_minhash_lsh_finds_identical_docs(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    pairs = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(df, ngram=3).collect()
+    }
+    # identical docs share every band bucket and every signature row
+    assert pairs[(1, 4)] == 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_dedup_assigns_cluster_canon(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r["canon"] for r in minhash_dedup(df, threshold=0.9).collect()}
+    assert out[1] == 1 and out[4] == 1  # cluster canonical = min id
+    assert out[3] == 3  # unique doc is its own canonical
+
+
+def test_connected_components_chain_and_island(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    fp = simhash(df, id_col="doc_id", text_col="text")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    dist = {
+        (r["ia"], r["ib"]): r["d"]
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("d"),
+        )
+        .collect()
+    }
+    assert dist[(1, 4)] == 0  # identical docs → identical fingerprints
+    assert dist[(1, 2)] < dist[(1, 3)]  # near-dup closer than unrelated
+
+
+# ---------------------------------------------------------------------------
+# Vector similarity
+# ---------------------------------------------------------------------------
+
+
+def _vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_dot(spark):
+    vecs = _vectors(spark)
+    out = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(vecs, vecs, k=1, metric="dot").collect()
+    }
+    assert out[1] == 2 and out[2] == 1
+
+
+def test_brute_force_topk_k2_ranks(spark):
+    vecs = _vectors(spark)
+    rows = brute_force_topk(vecs, vecs, k=2, metric="cosine").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert sorted(by_q[1]) == [(1, 2), (2, 3)] or sorted(by_q[1])[0] == (1, 2)
+    assert all(len(v) == 2 for v in by_q.values())
+
+
+def test_lsh_topk_recalls_exact_duplicate_vector(spark):
+    vecs = _vectors(spark)
+    dup = vecs.union(
+        spark.createDataFrame(
+            [(5, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    out = lsh_topk(dup, dup, k=1, dim=3, num_planes=4, num_tables=4).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in out}
+    # an identical vector always lands in every shared bucket → guaranteed hit
+    assert got.get(5) == 1 or got.get(1) == 5
+
+
+# ---------------------------------------------------------------------------
+# Scalar / text functions
+# ---------------------------------------------------------------------------
+
+
+def test_scalar_path_functions(spark):
+    df = spark.createDataFrame([("root/dir/Name.File.SHP",)], "p string")
+    row = df.select(
+        scalar.basename(F.col("p")).alias("base"),
+        scalar.strip_extension(scalar.basename(F.col("p"))).alias("noext"),
+        scalar.has_suffix(F.col("p"), ".shp").alias("is_shp"),
+        scalar.derived_title(F.col("p")).alias("title"),
+        scalar.strip_prefix(F.col("p"), "root/").alias("rel"),
+    ).collect()[0]
+    assert row["base"] == "Name.File.SHP"
+    assert row["noext"] == "Name.File"
+    assert row["is_shp"] is True  # case-insensitive (ref :34)
+    assert row["title"] == "Name.File"
+    assert row["rel"] == "dir/Name.File.SHP"
+
+
+def test_token_count_udf_matches_builtin(spark):
+    df = spark.createDataFrame(
+        [("one two  three",), ("",), ("  padded  ",)], "text string"
+    )
+    rows = df.select(
+        text.token_count(F.col("text")).alias("fast"),
+        text.token_count_udf(F.col("text")).alias("udf"),
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["udf"]
+
+
+def test_language_guess(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in that house",),
+            ("der hund und die katze ist nicht hier",),
+            ("xyzzy plugh",),
+        ],
+        "text string",
+    )
+    langs = [r[0] for r in df.select(text.language_guess(F.col("text"))).collect()]
+    assert langs == ["en", "de", "und"]
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    df = spark.createDataFrame(
+        [("A clean sentence with normal words throughout the text. " * 5,), ("!!!",)],
+        "text string",
+    )
+    scores = [r[0] for r in df.select(text.quality_score(F.col("text"))).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert scores[0] > scores[1]
+
+
+def test_fingerprint_stable_and_discriminative(spark):
+    df = spark.createDataFrame(
+        [(1, _DOCS[0][1]), (2, _DOCS[0][1]), (3, _DOCS[2][1])],
+        "id long, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcd",)], "t string")
+    grams = df.select(text.char_ngrams(F.col("t"), 3).alias("g")).collect()[0]["g"]
+    assert set(grams) == {"abc", "bcd"}

@@ -1,0 +1,110 @@
+"""Property-based tests (SURVEY §5.2): invariants that must hold for
+any input, not just the fixtures — dedup idempotence, partition
+invariance, reconciliation convergence.
+
+Examples are kept small (Spark round-trip per example is ~100ms); the
+properties, not the scale, are the point.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gather_datawarehouse_sync_spark.operators.dedup import (
+    exact_dedup,
+    mark_duplicates,
+)
+from gather_datawarehouse_sync_spark.operators.reconcile import reconcile
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# rows: (key ∈ small alphabet → collisions likely, value, unique id)
+_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["h1", "h2", "h3"]),
+        st.sampled_from(["a", "b", "c", "d"]),
+    ),
+    min_size=1,
+    max_size=12,
+).map(lambda rs: [(k, v, i) for i, (k, v) in enumerate(rs)])
+
+
+@given(_rows)
+@_SETTINGS
+def test_exact_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "md5 string, v string, ino long")
+    once = exact_dedup(df, "md5", keep_order="ino")
+    twice = exact_dedup(once, "md5", keep_order="ino")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(_rows, st.integers(min_value=1, max_value=5))
+@_SETTINGS
+def test_dedup_partition_invariance(spark, rows, n):
+    df = spark.createDataFrame(rows, "md5 string, v string, ino long")
+    base = sorted(map(tuple, mark_duplicates(df).collect()))
+    repart = sorted(map(tuple, mark_duplicates(df.repartition(n)).collect()))
+    assert base == repart
+
+
+@given(_rows)
+@_SETTINGS
+def test_mark_duplicates_is_a_partition_of_ids(spark, rows):
+    df = spark.createDataFrame(rows, "md5 string, v string, ino long")
+    out = mark_duplicates(df).collect()
+    canonicals = {r["ino"] for r in out if r["alias"] is None}
+    aliased = {r["ino"] for r in out if r["alias"] is not None}
+    # every row is exactly one of canonical/aliased; aliases point at canonicals
+    assert canonicals | aliased == {r["ino"] for r in out}
+    assert canonicals & aliased == set()
+    assert all(r["alias"] in canonicals for r in out if r["alias"] is not None)
+    # duplicates lists exactly cover the aliased ids
+    listed = {i for r in out if r["duplicates"] for i in r["duplicates"]}
+    assert listed == aliased
+
+
+_src_tgt = st.tuples(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.sampled_from(["v1", "v2", "v3"]),
+        max_size=5,
+    ),
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.sampled_from(["v1", "v2", "v3"]),
+        max_size=5,
+    ),
+)
+
+
+@given(_src_tgt)
+@_SETTINGS
+def test_reconcile_convergence(spark, src_tgt):
+    """Applying the diff then re-diffing yields zero pending actions —
+    the key invariant of syncFilesystem/syncCategories (SURVEY §5.2)."""
+    src_map, tgt_map = src_tgt
+    schema = "k string, val string"
+    source = spark.createDataFrame(list(src_map.items()) or [], schema)
+    target = spark.createDataFrame(list(tgt_map.items()) or [], schema)
+
+    actions = reconcile(source, target, ["k"]).collect()
+
+    # apply the actions to the target map
+    new_tgt = dict(tgt_map)
+    for r in actions:
+        if r["action"] == "insert" or r["action"] == "update":
+            new_tgt[r["k"]] = r["src_val"]
+        elif r["action"] == "delete":
+            new_tgt.pop(r["k"], None)
+
+    assert new_tgt == src_map  # converged to the source of truth
+
+    target2 = spark.createDataFrame(list(new_tgt.items()) or [], schema)
+    again = reconcile(source, target2, ["k"]).collect()
+    assert all(r["action"] == "keep" for r in again)

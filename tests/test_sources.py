@@ -1,0 +1,126 @@
+"""Source/sink connector tests (S1-S11) against tmpdir trees and an
+in-memory fake transport."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+
+from gather_datawarehouse_sync_spark.sources.filescan import scan_files
+from gather_datawarehouse_sync_spark.sources.rest import (
+    PROJECT_SCHEMA,
+    fetch_paginated,
+    foreach_partition_writer,
+)
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "b").mkdir()
+    files = {
+        "a/one.shp": b"content-one",
+        "a/b/two.SHP": b"content-two",  # case-insensitive admit (ref :34)
+        "a/skip.txt": b"nope",
+        "three.shp": b"content-one",  # duplicate bytes of one.shp
+    }
+    for rel, data in files.items():
+        (tmp_path / rel).write_bytes(data)
+    return str(tmp_path), files
+
+
+def test_scan_files_inventory(spark, tree):
+    root, files = tree
+    rows = {r["file"]: r for r in scan_files(spark, root).collect()}
+    # only *.shp admitted, relative paths, recursive
+    assert set(rows) == {"a/one.shp", "a/b/two.SHP", "three.shp"}
+    one = rows["a/one.shp"]
+    assert one["md5"] == hashlib.md5(b"content-one").hexdigest()
+    assert one["size"] == len(b"content-one")
+    # duplicate content ⇒ same md5, distinct surrogate ino
+    assert rows["three.shp"]["md5"] == one["md5"]
+    assert rows["three.shp"]["ino"] != one["ino"]
+
+
+def test_scan_files_streaming_plan_builds(spark, tree):
+    from gather_datawarehouse_sync_spark.sources.filescan import scan_files_stream
+
+    root, _ = tree
+    sdf = scan_files_stream(spark, root)
+    assert sdf.isStreaming
+    assert set(sdf.columns) == {"file", "md5", "size", "ino"}
+
+
+def test_fetch_paginated_coerces_ids(spark):
+    pages = [
+        [{"id": str(i), "metadata": None, "archived": False} for i in range(2)],
+        [{"id": "7", "metadata": {"iam": "x", "file": None}, "archived": True}],
+    ]
+
+    def transport(method, path, body):
+        assert method == "GET"
+        page = int(path.split("page=")[1].split("&")[0])
+        return pages[page] if page < len(pages) else []
+
+    df = fetch_paginated(spark, transport, "/projects", PROJECT_SCHEMA, page_size=2)
+    rows = {r["id"]: r for r in df.collect()}
+    # stringly ids coerced once at the boundary (ref parseInt at :158 et al.)
+    assert set(rows) == {0, 1, 7}
+    assert rows[7]["metadata"]["iam"] == "x"
+
+
+def test_fetch_paginated_empty(spark):
+    df = fetch_paginated(spark, lambda *a: [], "/projects", PROJECT_SCHEMA)
+    assert df.count() == 0 and df.schema == PROJECT_SCHEMA
+
+
+def test_foreach_partition_writer_bounded_sink(spark, tmp_path):
+    log = tmp_path / "calls.jsonl"
+    df = spark.createDataFrame([(i, f"f{i}") for i in range(20)], "id long, file string")
+
+    log_path = str(log)
+
+    def transport_factory():
+        def transport(method, path, body):
+            with open(log_path, "a") as fh:
+                fh.write(json.dumps({"m": method, "p": path, "b": body}) + "\n")
+
+        return transport
+
+    foreach_partition_writer(
+        df.repartition(4),
+        lambda row: ("POST", "/projects", {"id": row["id"]}, f"idem-{row['id']}"),
+        transport_factory,
+        max_in_flight=2,
+    )
+    calls = [json.loads(l) for l in log.read_text().splitlines()]
+    # every row written exactly once, idempotency key attached
+    assert len(calls) == 20
+    assert {c["b"]["id"] for c in calls} == set(range(20))
+    assert all("idempotency_key=idem-" in c["p"] for c in calls)
+
+
+def test_foreach_partition_writer_retries_then_fails(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "id long")
+    attempts = tmp_path / "attempts.log"
+    attempts_path = str(attempts)
+
+    def transport_factory():
+        def transport(method, path, body):
+            with open(attempts_path, "a") as fh:
+                fh.write("x\n")
+            raise RuntimeError("boom")
+
+        return transport
+
+    with pytest.raises(Exception, match="sink write failed"):
+        foreach_partition_writer(
+            df.coalesce(1),
+            lambda row: ("POST", "/p", {}, "k"),
+            transport_factory,
+            max_retries=3,
+        )
+    assert attempts.read_text().count("x") == 3

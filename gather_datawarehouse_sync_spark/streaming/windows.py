@@ -1,0 +1,150 @@
+"""Event-time windowed operators (Q38-Q40's streaming forms) and
+stateful streaming dedup/aggregation.
+
+The reference has no event time at all (SURVEY §2.12) — its only clock
+is a processing-time debounce.  This module is the new-engine surface:
+the same ``F.window`` / ``F.session_window`` expressions the batch
+queries (queries.py q38-q40) use, made incremental with watermarks so
+state is bounded on unbounded input.  Every function accepts either a
+batch or a streaming DataFrame — the expressions are identical; only
+the sink differs (collect vs writeStream).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    agg_cols: tuple = (),
+) -> DataFrame:
+    """Tumbling event-time window counts (+ optional extra aggregates).
+
+    The watermark bounds state: windows older than max(event time) −
+    ``watermark`` are finalized and evicted — late rows beyond it are
+    dropped instead of growing state forever (the 100 TB requirement the
+    reference's in-memory array cannot meet).
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, width).alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"), *agg_cols)
+        .select(F.col("w.start").alias("window_start"), "*")
+        .drop("w")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows — each event lands in ``width/slide`` windows."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "c")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per key with a quiescence ``gap`` — the
+    event-time generalization of the reference's processing-time debounce
+    (``_checkIdle``, ``:639-659``): a session closes when its key is
+    silent for ``gap``."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once keyed dedup over a stream (D1's streaming form).
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts
+    key state once the watermark passes — bounded memory on an unbounded
+    stream.  Batch input falls back to plain ``dropDuplicates`` (same
+    result on a finite frame).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
+def stateful_running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful per-key accumulator via ``applyInPandasWithState``
+    — the template for operators windows can't express (the reference's
+    incremental trie maintenance T3 is this shape).
+
+    Streaming: per-key state holds ``(count, total)`` across
+    micro-batches, emitting one updated row per key per batch.  Batch
+    input computes the same totals with a plain aggregation.
+    """
+    out_schema = f"{key_col} string, n bigint, total double"
+
+    if not events.isStreaming:
+        return events.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("double")).alias("total"),
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

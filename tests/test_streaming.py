@@ -1,0 +1,196 @@
+"""Streaming surface tests: run each streaming operator over a file
+source with Trigger.AvailableNow and cross-check against its batch
+equivalent on the same data (the streaming/batch parity contract)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gather_datawarehouse_sync_spark.streaming import (
+    session_counts,
+    sliding_counts,
+    snapshot_inventory,
+    stateful_running_totals,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+_SCHEMA = "event_id long, user_id string, ts timestamp, value double"
+
+
+_T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+#: everything at/after this instant is watermark ballast, not data
+_SENTINEL_CUTOFF = _T0 + dt.timedelta(days=5)
+
+
+def _event_rows():
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                f"u{i % 3}",
+                _T0 + dt.timedelta(minutes=7 * i),
+                float(i),
+            )
+        )
+    # one exact duplicate event id (late copy)
+    rows.append((5, "u2", _T0 + dt.timedelta(minutes=35), 5.0))
+    # sentinel events far in the future: in append mode a window is only
+    # emitted once the watermark passes it, so these push the watermark
+    # beyond every real window (their own windows stay open and are
+    # excluded from comparisons by _SENTINEL_CUTOFF)
+    for u in range(3):
+        rows.append((1000 + u, f"u{u}", _T0 + dt.timedelta(days=10), 0.0))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("events_src")
+    batch = spark.createDataFrame(_event_rows(), _SCHEMA)
+    batch.coalesce(2).write.parquet(str(src / "part1"))
+    return str(src), batch
+
+
+def _run_stream(spark, tmp_path, stream_df, name, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _read_stream(spark, path):
+    return (
+        spark.readStream.schema(_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+
+
+def _finalized(df):
+    return df.filter(F.col(df.columns[0]) < F.lit(_SENTINEL_CUTOFF))
+
+
+def test_tumbling_counts_stream_matches_batch(spark, event_source, tmp_path):
+    path, batch = event_source
+    stream = tumbling_counts(_read_stream(spark, path), width="1 hour")
+    got = _finalized(_run_stream(spark, tmp_path, stream, "t_tumble", "append"))
+    want = _finalized(tumbling_counts(batch, width="1 hour"))
+    assert sorted((r["window_start"], r["c"]) for r in got.collect()) == sorted(
+        (r["window_start"], r["c"]) for r in want.collect()
+    )
+    assert got.count() > 0
+
+
+def test_sliding_counts_stream_matches_batch(spark, event_source, tmp_path):
+    path, batch = event_source
+    got = _finalized(
+        _run_stream(
+            spark,
+            tmp_path,
+            sliding_counts(_read_stream(spark, path)),
+            "t_slide",
+            "append",
+        )
+    )
+    want = _finalized(sliding_counts(batch))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_session_counts_stream_matches_batch(spark, event_source, tmp_path):
+    path, batch = event_source
+    # events are 7 min apart per stream but 21 min apart per *user*, so a
+    # 25-minute gap merges them per user; use the per-user cadence
+    def finalized_sessions(df):
+        return df.filter(F.col("session_start") < F.lit(_SENTINEL_CUTOFF))
+
+    got = finalized_sessions(
+        _run_stream(
+            spark,
+            tmp_path,
+            session_counts(_read_stream(spark, path), gap="25 minutes"),
+            "t_sess",
+            "append",
+        )
+    )
+    want = finalized_sessions(session_counts(batch, gap="25 minutes"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # sanity: finalized sessions cover every non-sentinel event exactly once
+    n_real = batch.filter(F.col("ts") < F.lit(_SENTINEL_CUTOFF)).count()
+    assert got.agg(F.sum("n_events")).collect()[0][0] == n_real
+
+
+def test_streaming_dedup_drops_late_duplicate(spark, event_source, tmp_path):
+    path, batch = event_source
+    got = _run_stream(
+        spark,
+        tmp_path,
+        streaming_dedup(_read_stream(spark, path), keys=("event_id",)),
+        "t_dedup",
+        "append",
+    )
+    assert got.count() == batch.dropDuplicates(["event_id"]).count()
+    assert got.filter(F.col("event_id") == 5).count() == 1
+
+
+def test_stateful_running_totals_stream(spark, event_source, tmp_path):
+    path, batch = event_source
+    got = _run_stream(
+        spark,
+        tmp_path,
+        stateful_running_totals(_read_stream(spark, path)),
+        "t_state",
+        "update",
+    )
+    # final state per key (one batch → one emission per key)
+    final = {r["user_id"]: (r["n"], r["total"]) for r in got.collect()}
+    want = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in stateful_running_totals(batch).collect()
+    }
+    assert final == want
+
+
+def test_continuous_inventory_idle_stop(spark, tmp_path):
+    from gather_datawarehouse_sync_spark.streaming import start_inventory_stream
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    (watch / "first.shp").write_bytes(b"one")
+    seen: list[str] = []
+
+    q = start_inventory_stream(
+        spark,
+        str(watch),
+        str(tmp_path / "ckpt_cont"),
+        on_batch=lambda df, bid: seen.extend(r["file"] for r in df.collect()),
+        interval="500 milliseconds",
+        idle_timeout_s=4.0,
+    )
+    # the idle latch (T1) must stop the query by itself once quiescent
+    q.awaitTermination(60)
+    assert not q.isActive
+    assert seen == ["first.shp"]
+
+
+def test_snapshot_inventory(spark, tmp_path):
+    (tmp_path / "w").mkdir()
+    (tmp_path / "w" / "a.shp").write_bytes(b"alpha")
+    (tmp_path / "w" / "b.txt").write_bytes(b"skip")
+    inv = snapshot_inventory(
+        spark, str(tmp_path / "w"), str(tmp_path / "ckpt_inv"), table="t_inv"
+    )
+    rows = inv.collect()
+    assert [r["file"] for r in rows] == ["a.shp"]
+    assert rows[0]["size"] == 5

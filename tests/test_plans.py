@@ -1,0 +1,113 @@
+"""Plan-shape tests: the 100 TB contract checked at sf0.001.
+
+Correctness says the engine returns the right rows; these tests say it
+returns them with the right *plan* — filters at the scan, columns
+pruned, dimensions broadcast, no gratuitous shuffles.  A regression here
+is a performance bug even while every oracle test stays green.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gather_datawarehouse_sync_spark.plans import (
+    broadcast_join_count,
+    codegen_stage_count,
+    plan_str,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from gather_datawarehouse_sync_spark.queries import REGISTRY
+from gather_datawarehouse_sync_spark.session import load_table
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = REGISTRY["q4"].spark(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    # both predicates must reach the parquet reader (row-group pruning)
+    assert "l_returnflag" in pushed and "l_quantity" in pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    df = REGISTRY["q4"].spark(spark, sf_dir)
+    schemas = [set(s) for s in read_schemas(df)]
+    assert schemas, "no scan found"
+    # 2 projected + 2 filtered columns; a 16-column lineitem read is wrong
+    assert schemas[0] == {"l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"}
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    # Q7: customer ⋈ nation ⋈ region — both dimension joins must be
+    # broadcast-hash (zero shuffles of the fact side per join)
+    df = REGISTRY["q7"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+
+
+def test_agg_is_two_phase(spark, sf_dir):
+    # partial (map-side) + final aggregate around one exchange: Q18 shape
+    df = REGISTRY["q18"].spark(spark, sf_dir)
+    plan = plan_str(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_scan_only_query_has_no_join_shuffle(spark, sf_dir):
+    df = REGISTRY["q1"].spark(spark, sf_dir)
+    # global count: partial agg per partition + single-partition exchange
+    assert shuffle_count(df) <= 1
+
+
+def test_groupby_costs_one_shuffle(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert shuffle_count(df) == 1
+
+
+def test_semi_and_anti_joins_stay_joins(spark, sf_dir):
+    # Q8/Q9 compile to semi/anti joins, not subquery materialization
+    plan8 = plan_str(REGISTRY["q8"].spark(spark, sf_dir), "simple")
+    plan9 = plan_str(REGISTRY["q9"].spark(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan8
+    assert "LeftAnti" in plan9
+
+
+def test_whole_stage_codegen_covers_agg_pipeline(spark, sf_dir):
+    df = REGISTRY["q18"].spark(spark, sf_dir)
+    # scan→filter→partial-agg and exchange→final-agg→sort spans
+    assert codegen_stage_count(df) >= 2
+
+
+def test_dedup_window_costs_one_shuffle(spark, sf_dir):
+    from gather_datawarehouse_sync_spark.operators.dedup import mark_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = mark_duplicates(docs, hash_col="text", id_col="doc_id")
+    # one hash-partition exchange on the hash col; both window functions
+    # and the sort ride the same partitioning
+    assert shuffle_count(df) == 1
+
+
+def test_cascading_join_broadcasts_small_dimension(spark, sf_dir):
+    from gather_datawarehouse_sync_spark.operators.joins import cascading_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg"))
+    )
+    df = cascading_join(
+        orders,
+        cust,
+        tiers=[
+            ("t1", lambda l, r: (l["o_custkey"] == r["k"]) & (r["seg"] == "BUILDING")),
+            ("t2", lambda l, r: l["o_custkey"] == r["k"]),
+        ],
+    )
+    # both tiers broadcast the dimension: the fact side is never shuffled
+    assert broadcast_join_count(df) == 2
+    assert shuffle_count(df) == 0

@@ -206,20 +206,13 @@ def jaccard_pairs_prefix(
     # prefix length p = n - ceil(t*n) + 1, computed in integer arithmetic
     p = F.expr(f"n - ((n * {num} + {den} - 1) DIV {den}) + 1")
     prefixes = ordered.select(
-        "id", "toks", "n", F.explode(F.slice("toks", 1, p)).alias("tok")
+        "id", "n", F.explode(F.slice("toks", 1, p)).alias("tok")
     )
-    a = prefixes.select(
-        F.col("id").alias("a"),
-        F.col("toks").alias("ta"),
-        F.col("n").alias("na"),
-        "tok",
-    )
-    b = prefixes.select(
-        F.col("id").alias("b"),
-        F.col("toks").alias("tb"),
-        F.col("n").alias("nb"),
-        "tok",
-    )
+    a = prefixes.select(F.col("id").alias("a"), F.col("n").alias("na"), "tok")
+    b = prefixes.select(F.col("id").alias("b"), F.col("n").alias("nb"), "tok")
+    # candidate pairs carry only (id, id, n, n): on clique-heavy corpora a
+    # pair surfaces once per shared prefix token, and deduping narrow rows
+    # is far cheaper than shuffling full token arrays per duplicate
     cand = (
         a.join(b, "tok")
         .filter(
@@ -227,12 +220,18 @@ def jaccard_pairs_prefix(
             # size filter: t·max ≤ min  ⇔  num·max ≤ den·min
             & (F.greatest("na", "nb") * num <= F.least("na", "nb") * den)
         )
-        .select("a", "b", "ta", "tb", "na", "nb")
+        .select("a", "b", "na", "nb")
         .dropDuplicates(["a", "b"])
     )
+    # re-attach token arrays for verification; the docs side is one row
+    # per document (no explosion), so AQE broadcasts it when small
+    ta = ordered.select(F.col("id").alias("a"), F.col("toks").alias("ta"))
+    tb = ordered.select(F.col("id").alias("b"), F.col("toks").alias("tb"))
     shared = F.size(F.array_intersect("ta", "tb"))
     out = (
-        cand.withColumn("shared", shared)
+        cand.join(ta, "a")
+        .join(tb, "b")
+        .withColumn("shared", shared)
         .withColumn("union_n", F.col("na") + F.col("nb") - F.col("shared"))
         .filter(F.col("shared") * den >= F.col("union_n") * num)
         .withColumn("jaccard", F.col("shared") / F.col("union_n"))
@@ -455,17 +454,19 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """Connected components over an undirected edge list (columns
-    ``a``, ``b``) via min-label propagation accelerated with pointer
-    jumping (each round: adopt the min label in the neighborhood, then
-    compress ``label ← label[label]``), giving O(log n) rounds instead of
-    O(diameter).
+    ``a``, ``b``) via min-label propagation: each round every node
+    adopts ``min(own label, labels of neighbors)`` — one join + one
+    aggregation, converging in O(cluster diameter) rounds (near-dup
+    graphs are clique-ish; diameter is small).
 
     Used to turn near-duplicate pairs into duplicate *clusters* so a
     canonical per cluster can be chosen.  Iterative self-joins grow
     lineage, so every round is ``localCheckpoint``-ed (SURVEY §7 watch
-    list); convergence is detected with a cheap changed-count per round.
-    Returns (``id``, ``component``) with component = min id in the
-    cluster.
+    list).  Convergence detection rides the monotonicity of min-label
+    propagation: labels only ever decrease, so an unchanged label *sum*
+    ⇔ a fixed point — one scalar aggregate per round instead of a
+    compare-join.  Returns (``id``, ``component``) with component = min
+    id in the cluster.
     """
     sym = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -477,46 +478,23 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_sum: int | None = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
-        neighbor_min = (
+        # min over {self} ∪ N(v): neighbor labels unioned with own labels
+        # (labels is tiny next to sym — AQE broadcasts it into the join)
+        propagated = (
             sym.join(labels, sym.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("component").alias("n_comp"))
-        )
-        stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("n_comp"), F.col("component")),
-                ).alias("component"),
-            )
-        )
-        # pointer jumping: component ← component's component
-        hop = stepped.select(
-            F.col("id").alias("h_id"), F.col("component").alias("h_comp")
-        )
-        new_labels = (
-            stepped.join(hop, stepped.component == hop.h_id, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("h_comp"), F.col("component"))
-                ).alias("component"),
-            )
+            .select(F.col("a").alias("id"), "component")
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = propagated.agg(F.sum("component")).collect()[0][0]
+        labels = propagated
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

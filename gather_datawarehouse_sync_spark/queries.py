@@ -676,6 +676,196 @@ _pair(
 )
 
 # ---------------------------------------------------------------------------
+# operator-path queries: run library operators through the oracle gate
+# ---------------------------------------------------------------------------
+
+
+def _x_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reconcile() operator (M1-M4) exercised end-to-end: all four
+    actions appear (insert/delete/update/keep)."""
+    from gather_datawarehouse_sync_spark.operators.reconcile import (
+        action_counts,
+        reconcile,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    src = (
+        t["orders"]
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .withColumn("v", F.lit(1).cast("long"))
+    )
+    tgt = t["customer"].select(
+        F.col("c_custkey").alias("k"), (F.col("c_custkey") % 2).alias("v")
+    )
+    return action_counts(reconcile(src, tgt, ["k"], compare_cols=["v"])).orderBy(
+        "action"
+    )
+
+
+_df(
+    "x_reconcile",
+    _x_reconcile,
+    "SELECT CASE WHEN t.k IS NULL THEN 'insert' WHEN s.k IS NULL THEN 'delete' "
+    "WHEN s.v <> t.v THEN 'update' ELSE 'keep' END AS action, COUNT(*) AS c "
+    "FROM (SELECT DISTINCT o_custkey AS k, CAST(1 AS BIGINT) AS v FROM orders) s "
+    "FULL OUTER JOIN (SELECT c_custkey AS k, c_custkey % 2 AS v FROM customer) t "
+    "ON s.k = t.k GROUP BY 1 ORDER BY 1",
+    ("orders", "customer"),
+    note="reconcile operator: full 4-way action classification",
+)
+
+
+def _x_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """one_to_one_assign (J2's deterministic pairing) through the gate."""
+    from gather_datawarehouse_sync_spark.operators.joins import one_to_one_assign
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    left = t["orders"].select(
+        F.col("o_custkey").alias("k"), "o_orderkey", "o_orderdate"
+    )
+    right = t["customer"].select(F.col("c_custkey").alias("k"), "c_name")
+    return (
+        one_to_one_assign(
+            left, right, "k", ["o_orderdate", "o_orderkey"], ["c_name"]
+        )
+        .select("k", "o_orderkey", "c_name")
+        .orderBy("k", "o_orderkey")
+    )
+
+
+_df(
+    "x_one_to_one",
+    _x_one_to_one,
+    "WITH l AS (SELECT o_custkey AS k, o_orderkey, ROW_NUMBER() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders), "
+    "r AS (SELECT c_custkey AS k, c_name, ROW_NUMBER() OVER "
+    "(PARTITION BY c_custkey ORDER BY c_name) AS rn FROM customer) "
+    "SELECT l.k, l.o_orderkey, r.c_name FROM l JOIN r ON l.k = r.k AND l.rn = r.rn "
+    "ORDER BY l.k, l.o_orderkey",
+    ("orders", "customer"),
+    note="one-to-one rank pairing (J2 deterministic variant)",
+)
+
+
+def _x_path_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1/H2 path-dimension derivation through the gate: synthesize file
+    paths from documents (source/lang/doc_id) and derive the category
+    dimension relationally."""
+    from gather_datawarehouse_sync_spark.operators.hierarchy import path_categories
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    files = t["documents"].select(
+        F.concat_ws(
+            "/", F.col("source"), F.col("lang"), F.concat(F.col("doc_id"), F.lit(".txt"))
+        ).alias("file")
+    )
+    return path_categories(files, root_category="files").orderBy("name")
+
+
+_df(
+    "x_path_categories",
+    _x_path_categories,
+    "WITH p1 AS (SELECT DISTINCT 'files' AS type, 'files/' || source AS name, "
+    "source AS short_name, 'files/' AS path, 1 AS depth FROM documents), "
+    "p2 AS (SELECT DISTINCT lower('files/' || source) AS type, "
+    "'files/' || source || '/' || lang AS name, lang AS short_name, "
+    "'files/' || source || '/' AS path, 2 AS depth FROM documents) "
+    "SELECT * FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) ORDER BY name",
+    ("documents",),
+    note="H1/H2 path hierarchy (operator path)",
+)
+
+# ---------------------------------------------------------------------------
+# SQL-surface extension queries (subqueries, pivot, unnest, frames, aggs)
+# ---------------------------------------------------------------------------
+
+_twin(
+    "x_scalar_subquery",
+    "SELECT c_custkey, (SELECT COUNT(*) FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey) AS n FROM customer c ORDER BY c_custkey",
+    ("customer", "orders"),
+)
+_twin(
+    "x_exists",
+    "SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000) "
+    "ORDER BY c_custkey",
+    ("customer", "orders"),
+)
+_pair(
+    "x_percentile",
+    "SELECT o_orderstatus, CAST(percentile(o_totalprice, 0.5) AS DECIMAL(18,3)) "
+    "AS med FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "SELECT o_orderstatus, CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,3)) "
+    "AS med FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ("orders",),
+    note="exact interpolated median (dialect-adapted: percentile/quantile_cont)",
+)
+_pair(
+    "x_argmax",
+    "SELECT o_custkey, CAST(MAX_BY(o_orderdate, o_orderkey) AS DATE) AS last_date "
+    "FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+    "SELECT o_custkey, CAST(arg_max(o_orderdate, o_orderkey) AS DATE) AS last_date "
+    "FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+    ("orders",),
+    note="arg-max on a unique ordering key (dialect-adapted: max_by/arg_max)",
+)
+
+
+def _x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+_df(
+    "x_pivot",
+    _x_pivot,
+    "SELECT o_orderpriority, "
+    'COUNT(*) FILTER (o_orderstatus = \'O\') AS "O", '
+    'COUNT(*) FILTER (o_orderstatus = \'F\') AS "F", '
+    'COUNT(*) FILTER (o_orderstatus = \'P\') AS "P" '
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    ("orders",),
+    note="pivot vs filtered-count oracle (dialect-adapted)",
+)
+
+_pair(
+    "x_unnest",
+    "SELECT vec_id, pos, CAST(v AS DOUBLE) AS v FROM embeddings "
+    "LATERAL VIEW posexplode(embedding) AS pos, v "
+    "WHERE vec_id < 5 ORDER BY vec_id, pos",
+    "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos, "
+    "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings "
+    "WHERE vec_id < 5 ORDER BY vec_id, pos",
+    ("embeddings",),
+    note="array explode with position (dialect-adapted: posexplode/unnest)",
+)
+_twin(
+    "x_first_last",
+    "SELECT event_id, FIRST_VALUE(event_id) OVER w AS f, "
+    "LAST_VALUE(event_id) OVER w AS l FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+    "ORDER BY event_id",
+    ("events",),
+)
+_twin(
+    "x_stddev",
+    "SELECT event_type, CAST(ROUND(STDDEV_SAMP(value), 6) AS DECIMAL(18,6)) AS sd "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+    ("events",),
+    note="float stddev rounded before decimal normalization",
+)
+
+# ---------------------------------------------------------------------------
 # extension queries beyond the declared 44
 # ---------------------------------------------------------------------------
 
@@ -746,6 +936,133 @@ _df(
     ("documents",),
     note="near-dup clusters via connected components; oracle = recursive-CTE "
     "transitive closure",
+)
+
+
+def _x_minhash_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH fuzzy dedup (the 100 TB path).  xxhash-based —
+    no DuckDB twin exists; validated against the exact-Jaccard tier in
+    tests/test_operators.py instead (rows-only check here)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import minhash_dedup
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    out = minhash_dedup(t["documents"], threshold=0.7)
+    return (
+        out.groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .filter(F.col("members") > 1)
+        .orderBy("canon")
+    )
+
+
+_df(
+    "x_minhash_canon",
+    _x_minhash_canon,
+    None,
+    ("documents",),
+    note="MinHash-LSH dedup clusters (sketch-based → rows-only check; "
+    "exact-tier cross-validation lives in tests)",
+)
+
+
+def _x_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: pairs within Hamming distance 8 of a
+    64-bit fingerprint, found by banding the fingerprint into 4 16-bit
+    keys (any exact-band collision → candidate; one shuffle)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import hamming64, simhash
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    fp = simhash(t["documents"], id_col="doc_id", text_col="text")
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.select(
+        F.col("id").alias("a"), F.col("simhash").alias("fa"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("b"), F.col("simhash").alias("fb"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming64(F.col("fa"), F.col("fb")).alias("hd"))
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("hd") <= 8)
+        .orderBy("a", "b")
+    )
+
+
+_df(
+    "x_simhash_neighbors",
+    _x_simhash_neighbors,
+    None,
+    ("documents",),
+    note="SimHash banded near-dup pairs (xxhash-based → rows-only check)",
+)
+
+
+def _x_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH — the
+    scale path that replaces q43's brute force; recall vs exact is
+    asserted in tests, never hash-compared."""
+    from gather_datawarehouse_sync_spark.operators.similarity import lsh_topk
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return (
+        lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=1, dim=64)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
+_df(
+    "x_lsh_ann",
+    _x_lsh_ann,
+    None,
+    ("embeddings",),
+    note="LSH approximate top-1 (random projections → rows-only check)",
+)
+
+
+def _x_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis profile: language guess + quality + fingerprint per
+    document in one pass (all JVM-side expressions)."""
+    from gather_datawarehouse_sync_spark.functions.text import (
+        fingerprint,
+        language_guess,
+        quality_score,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        language_guess(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+_df(
+    "x_doc_profile",
+    _x_doc_profile,
+    None,
+    ("documents",),
+    note="language-ID + quality + winnowing fingerprint (heuristic/hash → "
+    "rows-only check)",
 )
 
 

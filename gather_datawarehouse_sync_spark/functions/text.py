@@ -96,6 +96,42 @@ def fingerprint(text: Column, window: int = 8) -> Column:
     return F.array_min(grams)
 
 
+def split_sentences_udtf():
+    """Python UDTF (SURVEY §2.13): one input document → N sentence rows.
+
+    The table-function shape Spark's generators can't express when the
+    split logic is genuinely Python (here a regex for demonstration; the
+    slot is for sentence models).  Returns the UDTF class for
+    registration; see :func:`explode_sentences` for the lateral-join
+    wiring.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence string, n_tokens int")
+    class SplitSentences:
+        def eval(self, text: str):
+            for raw in _re.split(r"[.!?]+", text or ""):
+                s = raw.strip()
+                if s:
+                    yield s, len(s.split())
+
+    return SplitSentences
+
+
+def explode_sentences(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Lateral-join a document frame through the sentence UDTF:
+    (id, sentence, n_tokens) — one row per sentence."""
+    spark = df.sparkSession
+    spark.udtf.register("split_sentences", split_sentences_udtf())
+    df.createOrReplaceTempView("__sentences_src")
+    return spark.sql(
+        f"SELECT {id_col}, s.sentence, s.n_tokens "
+        f"FROM __sentences_src, LATERAL split_sentences({text_col}) s"
+    )
+
+
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct character n-grams (for n-gram Jaccard on short strings)."""
     lowered = F.lower(text)

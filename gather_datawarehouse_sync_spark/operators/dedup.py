@@ -68,6 +68,23 @@ def mark_duplicates(
     )
 
 
+def canonical_first_sort(
+    df: DataFrame,
+    hash_col: str = "md5",
+    duplicates_col: str = "duplicates",
+    order_col: str = "file",
+) -> DataFrame:
+    """O1 (ref ``src/DataWarehouse.js:109-120``): order by hash; within a
+    hash group the canonical row (bearing ``duplicates``) sorts first.
+    The reference's comparator returns 0 among aliases (insertion-order
+    ties); the engine totalizes with ``order_col`` — deterministic."""
+    return df.orderBy(
+        F.col(hash_col),
+        F.col(duplicates_col).isNull(),  # false (canonical) sorts first
+        F.col(order_col),
+    )
+
+
 def exact_dedup(df: DataFrame, *cols: str, keep_order: str | None = None) -> DataFrame:
     """Keep one row per distinct combination of ``cols``.
 

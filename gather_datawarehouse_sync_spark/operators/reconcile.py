@@ -109,3 +109,19 @@ def action_counts(actions: DataFrame) -> DataFrame:
     """The reference's end-of-run report (``found/missing/updates``
     counters, ``src/DataWarehouse.js:230``) as one aggregation."""
     return actions.groupBy(ACTION_COL).agg(F.count(F.lit(1)).alias("c"))
+
+
+def verify_applied(
+    source: DataFrame,
+    target_after: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """M5 write-back verification (ref ``:304-305`` logs expected vs
+    actual per row).  Re-diff after the sink applied the plan: a
+    converged target yields only ``keep`` rows, so anything returned
+    here is a divergence to alert on.  One aggregation-free pass — run
+    it as a post-MERGE assertion."""
+    return reconcile(source, target_after, keys, compare_cols).filter(
+        F.col(ACTION_COL) != "keep"
+    )

@@ -455,3 +455,43 @@ def test_char_ngrams(spark):
     df = spark.createDataFrame([("abcd",)], "t string")
     grams = df.select(text.char_ngrams(F.col("t"), 3).alias("g")).collect()[0]["g"]
     assert set(grams) == {"abc", "bcd"}
+
+
+def test_split_sentences_udtf(spark):
+    df = spark.createDataFrame(
+        [(1, "First one. Second here! Third?"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = text.explode_sentences(df).collect()
+    got = [(r["doc_id"], r["sentence"], r["n_tokens"]) for r in rows]
+    assert sorted(got) == [
+        (1, "First one", 2),
+        (1, "Second here", 2),
+        (1, "Third", 1),
+    ]
+
+
+def test_canonical_first_sort(spark):
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        canonical_first_sort,
+        mark_duplicates,
+    )
+
+    df = spark.createDataFrame(
+        [("b.shp", "h2", 2), ("a.shp", "h2", 1), ("z.shp", "h1", 3)],
+        "file string, md5 string, ino long",
+    )
+    out = canonical_first_sort(mark_duplicates(df)).collect()
+    # O1: md5 ascending; within a group the canonical leads (ref :112-118)
+    assert [r["file"] for r in out] == ["z.shp", "a.shp", "b.shp"]
+
+
+def test_verify_applied_flags_divergence(spark):
+    from gather_datawarehouse_sync_spark.operators.reconcile import verify_applied
+
+    source = spark.createDataFrame([("a", "v1"), ("b", "v2")], "k string, v string")
+    ok = spark.createDataFrame([("a", "v1"), ("b", "v2")], "k string, v string")
+    drifted = spark.createDataFrame([("a", "v1"), ("b", "OLD")], "k string, v string")
+    assert verify_applied(source, ok, ["k"]).count() == 0
+    bad = verify_applied(source, drifted, ["k"]).collect()
+    assert len(bad) == 1 and bad[0]["k"] == "b" and bad[0]["action"] == "update"

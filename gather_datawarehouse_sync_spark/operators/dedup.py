@@ -105,6 +105,21 @@ def exact_dedup(df: DataFrame, *cols: str, keep_order: str | None = None) -> Dat
     )
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input is under-partitioned.
+
+    Small parquet inputs arrive as one file → one task, which serializes
+    every downstream map stage (shingling, hashing, UDFs) onto a single
+    core.  One cheap narrow-row shuffle buys full-cluster parallelism for
+    the compute-heavy stages behind it.  At 100 TB inputs are already
+    well-partitioned and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Shared text shingling helpers (JVM-side expressions only — no Python UDFs)
 # ---------------------------------------------------------------------------
@@ -199,7 +214,7 @@ def jaccard_pairs_prefix(
     frac = Fraction(threshold).limit_denominator(10_000)
     num, den = frac.numerator, frac.denominator
 
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), ngram).alias("toks")
     ).filter(F.size("toks") > 0)
 
@@ -281,7 +296,7 @@ def jaccard_pairs_bitset(
     frac = Fraction(threshold).limit_denominator(10_000)
     num, den = frac.numerator, frac.denominator
 
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), ngram).alias("toks")
     ).filter(F.size("toks") > 0)
     ex = tok.select("id", F.explode("toks").alias("tok"))
@@ -294,6 +309,9 @@ def jaccard_pairs_bitset(
         .withColumn(
             "idx", F.row_number().over(Window.orderBy("tok")) - 1
         )
+        # tiny by precondition; materialized because both the width probe
+        # below and the index join re-execute the explode otherwise
+        .localCheckpoint(eager=True)
     )
     width_row = vocab.agg(F.count(F.lit(1)).alias("v")).collect()[0]
     width = max(1, (int(width_row["v"]) + 63) // 64)
@@ -309,11 +327,17 @@ def jaccard_pairs_bitset(
         "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
         "(acc, i) -> acc | shiftleft(1L, int(i % 64))))"
     )
+    # materialize the narrow mask table once: it feeds BOTH sides of the
+    # all-pairs join below, and a checkpointed RDD makes the spread()
+    # partition probe free (no AQE stage execution behind .rdd)
     docs = idxed.select(
         "id", mask.alias("mask"), F.size("idxs").alias("n")
-    )
+    ).localCheckpoint(eager=True)
 
-    a = docs.select(
+    # AQE coalesces the small post-shuffle doc table to one partition,
+    # which would serialize the O(n²) popcount loop onto a single core —
+    # spread the probe side so the broadcast NLJ fans out
+    a = spread(docs).select(
         F.col("id").alias("a"), F.col("mask").alias("ma"), F.col("n").alias("na")
     )
     b = docs.select(
@@ -363,14 +387,14 @@ def minhash_signatures(
     """Per-document MinHash signature (array<bigint> of length
     ``num_hashes``) over word ``ngram`` shingles.
 
-    All JVM-side and **single-pass**: one ``aggregate`` over the shingle
-    array folds all ``num_hashes`` running minimums at once
-    (``acc[i] = min(acc[i], (a_i·x+b_i) mod p)`` via nested
-    ``zip_with``).  The obvious per-lane formulation — 64 separate
-    ``array_min(transform(...))`` expressions — is catastrophically
-    slower: Catalyst's CollapseProject inlines the shared shingle/hash
-    subexpression into every lane, re-tokenizing and re-hashing the
-    document 64 times (measured 62s → <2s for 5k docs at sf0.1).
+    Shingling and base hashing (xxhash64 mod p) stay JVM-side inside
+    codegen; the ``num_hashes``-lane affine-min crosses to Python once as
+    an Arrow batch and is computed as a single flattened numpy
+    segment-reduce (see ``_minhash`` below).  The pure-JVM per-lane
+    formulation — 64 separate ``array_min(transform(...))`` expressions —
+    is catastrophically slower: Catalyst's CollapseProject inlines the
+    shared shingle/hash subexpression into every lane, re-tokenizing and
+    re-hashing the document 64 times (measured 62 s for 5k docs at sf0.1).
     """
     import random
 
@@ -384,25 +408,48 @@ def minhash_signatures(
 
     # shingling + hashing stay JVM-side (string work in codegen); only the
     # (num_hashes × n_shingles) modular arithmetic crosses into Python,
-    # where numpy broadcasting vectorizes it.  a,x < 2^31 keeps a·x+b
-    # exactly representable in uint64 — no overflow, no float rounding.
+    # where numpy vectorizes it.  a,x < 2^31 keeps a·x+b exactly
+    # representable in uint64 — no overflow, no float rounding.  The whole
+    # Arrow batch is flattened into ONE (num_hashes × Σ n_shingles) matrix
+    # and segment-reduced with ``np.minimum.reduceat`` — a per-row numpy
+    # loop spends ~2.5 ms/row on small-array dispatch overhead (measured
+    # 12.5 s for 5k docs at sf0.1; this formulation: <1 s).
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _minhash(base: pd.Series) -> pd.Series:
-        out = []
-        for arr in base:
-            if arr is None or len(arr) == 0:
-                out.append(None)
-                continue
-            x = np.asarray(arr, dtype=np.uint64)
-            mins = (A[:, None] * x[None, :] + B[:, None]) % np.uint64(
-                _MERSENNE_PRIME
-            )
-            out.append(mins.min(axis=1).astype(np.int64))
+        n_rows = len(base)
+        sizes = np.fromiter(
+            (0 if a is None else len(a) for a in base),
+            dtype=np.int64,
+            count=n_rows,
+        )
+        out = np.empty(n_rows, dtype=object)
+        valid = np.flatnonzero(sizes > 0)
+        if len(valid) == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(base.iat[i], dtype=np.uint64) for i in valid]
+        )
+        offsets = np.zeros(len(valid), dtype=np.int64)
+        np.cumsum(sizes[valid][:-1], out=offsets[1:])
+        hashed = (A[:, None] * flat[None, :] + B[:, None]) % np.uint64(
+            _MERSENNE_PRIME
+        )
+        mins = np.minimum.reduceat(hashed, offsets, axis=1).T.astype(np.int64)
+        for j, i in enumerate(valid):
+            out[i] = mins[j]
         return pd.Series(out)
+
+    # the UDF IS deterministic, but Catalyst must not know that: a
+    # downstream filter on the signature column otherwise gets pushed
+    # below the spread-Exchange with a DUPLICATED ArrowEvalPython — the
+    # whole minhash then runs twice, once single-partition (measured 1 s →
+    # 8 s warm).  asNondeterministic() pins one evaluation above the
+    # exchange.
+    _minhash = _minhash.asNondeterministic()
 
     sh = shingles(F.col(text_col), ngram)
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_PRIME)))
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _minhash(base).alias("signature")
     )
 
@@ -428,8 +475,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, ngram, seed).filter(
-        F.col("signature").isNotNull()
+    # materialize the signatures once: the plan below fans out into four
+    # branches (two join sides of the banding self-join + two signature
+    # re-attachments) and each would otherwise re-run the scan + shingle +
+    # minhash pipeline.  On a cluster this is "persist the sketch table
+    # before the LSH join" — standard web-dedup practice.
+    sig = (
+        minhash_signatures(df, id_col, text_col, num_hashes, ngram, seed)
+        .filter(F.col("signature").isNotNull())
+        .localCheckpoint(eager=True)
     )
     banded = sig.select(
         "id",
@@ -501,7 +555,11 @@ def connected_components(
     compare-join.  Returns (``id``, ``component``) with component = min
     id in the cluster.
     """
-    sym = edges.select("a", "b").union(
+    # materialize the edge list BEFORE symmetrizing: the union's two
+    # branches each re-execute the (often expensive) pair-generation plan
+    # otherwise — Spark does not share common subtrees across union arms
+    edges = edges.select("a", "b").localCheckpoint(eager=True)
+    sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     sym = sym.localCheckpoint(eager=True)
@@ -576,7 +634,9 @@ def simhash(
     Hamming distance.  Expressed with explode + groupBy (one shuffle);
     the per-bit vote is a conditional sum, vectorized by codegen.
     """
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = spread(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     h = F.xxhash64("tok")
     # bit masks via shiftleft: 1<<63 overflows a Python-side literal but is
     # Long.MIN_VALUE (the sign bit) when shifted JVM-side

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gather_datawarehouse_sync_spark.operators.dedup import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Elementwise product then sum — all JVM-side."""
@@ -60,7 +62,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    # the corpus is the big side: spread it so the per-pair scoring loop
+    # parallelizes even when the input arrives as one parquet file
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     score = {
@@ -138,7 +142,7 @@ def lsh_topk(
         ).select(idn, vecn, "tb.table", "tb.bucket")
 
     qb = with_buckets(queries, "query_id", "__qv")
-    cb = with_buckets(corpus, "neighbor_id", "__cv")
+    cb = with_buckets(spread(corpus), "neighbor_id", "__cv")
     cand = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -16,8 +16,11 @@ no Python in the loop.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gather_datawarehouse_sync_spark.operators.dedup import spread
 
@@ -86,6 +89,123 @@ def brute_force_topk(
     )
 
 
+def normalized(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Project to (id, unit-norm vector); zero vectors dropped."""
+    n = l2_norm(F.col(vec_col))
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), n.alias("nrm"))
+        .filter(F.col("nrm") > 0)
+        .select("id", F.transform("v", lambda x: x / F.col("nrm")).alias("v"))
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs ≥ ``threshold``.
+
+    The embedding analogue of :func:`...dedup.jaccard_pairs`: normalize
+    once, then an all-pairs broadcast join with a JVM-side dot product —
+    the correctness tier the LSH path (:func:`cosine_pairs_lsh`) is
+    validated against.  O(n²) scoring spread over the cluster; use the
+    LSH variant beyond ~1e5 vectors.
+
+    Returns (a, b, cos) with a < b.
+    """
+    nv = normalized(df, id_col, vec_col).localCheckpoint(eager=True)
+    a = spread(nv).select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = nv.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: random-hyperplane LSH buckets
+    generate candidates (bounded fan-out, no all-pairs join), then the
+    exact cosine verifies each candidate — same shape as MinHash-LSH →
+    exact-Jaccard verify on the text side.  Recall < 1 by construction
+    (a pair whose buckets never collide is missed); more tables raise it.
+    """
+    nv = normalized(df, id_col, vec_col).localCheckpoint(eager=True)
+    bucketed = _hyperplane_buckets(nv, "id", "v", num_planes, num_tables, seed)
+    a = bucketed.select(F.col("id").alias("a"), "table", "bucket")
+    b = bucketed.select(F.col("id").alias("b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    va = nv.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = nv.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cos", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
+def _hyperplane_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, table, bucket) rows: sign-sketch bucket of ``vec_col`` in each
+    of ``num_tables`` random-hyperplane tables.
+
+    All tables' projections happen in ONE vectorized pandas UDF — a
+    single (batch × dim) @ (dim × tables·planes) matmul — instead of
+    tables·planes interpreted higher-order-function dot products per row
+    (HOF expressions are not codegen'd; the matmul is ~100× cheaper).
+    The plane matrix is derived from the vector dimension at plan time.
+    """
+    import random
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    rng = random.Random(seed)
+    M = np.array(
+        [[rng.gauss(0.0, 1.0) for _ in range(num_tables * num_planes)] for _ in range(dim)]
+    )
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        S = (X @ M) >= 0  # (n, tables*planes) sign bits
+        B = S.reshape(len(X), num_tables, num_planes) @ weights  # (n, tables)
+        return pd.Series(list(B))
+
+    # nondeterministic marking pins ONE evaluation (see dedup._minhash)
+    _buckets = _buckets.asNondeterministic()
+    return (
+        spread(df)
+        .select(F.col(id_col).alias("id"), _buckets(F.col(vec_col)).alias("bs"))
+        .select("id", F.posexplode("bs").alias("table", "bucket"))
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -106,48 +226,23 @@ def lsh_topk(
     more tables; exactness is *not* guaranteed (validated against
     :func:`brute_force_topk` in tests, never hash-compared).
     """
-    import random
-
-    rng = random.Random(seed)
-    planes = [
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
-        for _ in range(num_tables)
-    ]
-
-    def bucket_col(vec: Column, table: int) -> Column:
-        bits = []
-        for p, plane in enumerate(planes[table]):
-            proj = dot(vec, F.array(*[F.lit(v) for v in plane]))
-            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        acc = bits[0]
-        for b in bits[1:]:
-            acc = acc + b
-        return acc
-
-    def with_buckets(df: DataFrame, idn: str, vecn: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(idn),
-            F.col(vec_col).alias(vecn),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            bucket_col(F.col(vec_col), t).alias("bucket"),
-                        )
-                        for t in range(num_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(idn, vecn, "tb.table", "tb.bucket")
-
-    qb = with_buckets(queries, "query_id", "__qv")
-    cb = with_buckets(spread(corpus), "neighbor_id", "__cv")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).localCheckpoint(eager=True)
+    qb = _hyperplane_buckets(
+        q, "query_id", "__qv", num_planes, num_tables, seed
+    ).withColumnRenamed("id", "query_id")
+    cb = _hyperplane_buckets(
+        c, "neighbor_id", "__cv", num_planes, num_tables, seed
+    ).withColumnRenamed("id", "neighbor_id")
     cand = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+        .join(q, "query_id")
+        .join(c, "neighbor_id")
         .withColumn("score", dot(F.col("__qv"), F.col("__cv")))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1038,6 +1038,99 @@ _df(
 )
 
 
+def _x_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact tier): all pairs with
+    cosine ≥ 0.45.  The synthetic corpus has no pair within 1e-6 of the
+    threshold, so the float compare is hash-stable across engines."""
+    from gather_datawarehouse_sync_spark.operators.similarity import cosine_pairs
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return cosine_pairs(emb, threshold=0.45).select("a", "b").orderBy("a", "b")
+
+
+_df(
+    "x_embed_dup",
+    _x_embed_dup,
+    "WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) "
+    "SELECT a.vec_id AS a, b.vec_id AS b FROM s a JOIN s b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.v, b.v) >= 0.45 ORDER BY a, b",
+    ("embeddings",),
+    note="embedding-cosine near-dup pairs, exact tier (ids only; corpus has "
+    "no threshold-boundary pair)",
+)
+
+
+def _x_embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clusters: exact cosine pairs → connected
+    components → canonical = min vec_id (members per canonical)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        connected_components,
+    )
+    from gather_datawarehouse_sync_spark.operators.similarity import cosine_pairs
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    pairs = cosine_pairs(emb, threshold=0.45)
+    comp = connected_components(pairs.select("a", "b"))
+    return (
+        comp.groupBy(F.col("component").alias("canon"))
+        .agg(F.count(F.lit(1)).alias("members"))
+        .orderBy("canon")
+    )
+
+
+_df(
+    "x_embed_dup_clusters",
+    _x_embed_dup_clusters,
+    "WITH RECURSIVE s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), "
+    "edges AS (SELECT a.vec_id AS a, b.vec_id AS b FROM s a JOIN s b "
+    "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.v, b.v) >= 0.45), "
+    "sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges), "
+    "reach AS (SELECT a AS id, b AS r FROM sym "
+    "UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a), "
+    "comp AS (SELECT id, LEAST(id, MIN(r)) AS canon FROM reach GROUP BY id) "
+    "SELECT canon, CAST(COUNT(*) AS BIGINT) AS members FROM comp "
+    "GROUP BY canon ORDER BY canon",
+    ("embeddings",),
+    note="embedding near-dup clusters via connected components; oracle = "
+    "recursive-CTE transitive closure",
+)
+
+
+def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for embedding near-dup: hyperplane-LSH candidates
+    + exact cosine verify (recall vs the exact tier asserted in tests —
+    sketch-based, so rows-only here)."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return (
+        cosine_pairs_lsh(emb, threshold=0.45, num_planes=6, num_tables=12)
+        .select("a", "b")
+        .orderBy("a", "b")
+    )
+
+
+_df(
+    "x_embed_dup_lsh",
+    _x_embed_dup_lsh,
+    None,
+    ("embeddings",),
+    note="LSH-bucketed embedding near-dup (approximate recall → rows-only "
+    "check; exact-tier cross-validation in tests)",
+)
+
+
 def _x_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis profile: language guess + quality + fingerprint per
     document in one pass (all JVM-side expressions)."""

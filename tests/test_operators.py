@@ -385,6 +385,39 @@ def test_lsh_topk_recalls_exact_duplicate_vector(spark):
     assert got.get(5) == 1 or got.get(1) == 5
 
 
+def test_cosine_pairs_exact(spark):
+    from gather_datawarehouse_sync_spark.operators.similarity import cosine_pairs
+
+    vecs = _vectors(spark)
+    got = {(r["a"], r["b"]) for r in cosine_pairs(vecs, threshold=0.9).collect()}
+    # cos(v1, v2) = 0.9/sqrt(0.82) ≈ 0.9939; every other pair ≤ 0.11
+    assert got == {(1, 2)}
+
+
+def test_cosine_pairs_lsh_subset_of_exact_with_identical_recall(spark):
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    dup = _vectors(spark).union(
+        spark.createDataFrame(
+            [(5, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    exact = {(r["a"], r["b"]) for r in cosine_pairs(dup, threshold=0.9).collect()}
+    approx = {
+        (r["a"], r["b"])
+        for r in cosine_pairs_lsh(
+            dup, threshold=0.9, num_planes=4, num_tables=4
+        ).collect()
+    }
+    # verify step is exact → approx ⊆ exact; identical vectors share every
+    # bucket → the (1, 5) duplicate pair is guaranteed recalled
+    assert approx <= exact
+    assert (1, 5) in approx
+
+
 # ---------------------------------------------------------------------------
 # Scalar / text functions
 # ---------------------------------------------------------------------------

@@ -44,6 +44,25 @@ def token_count_udf(text: pd.Series) -> pd.Series:
     return text.str.split().str.len().fillna(0).astype("int32")
 
 
+# GPT-2-style pre-tokenizer regex, restricted to constructs RE2 also
+# supports (no lookahead, no unicode property classes) so the DuckDB
+# oracle can run the byte-identical pattern: contraction suffixes, then
+# optionally-space-prefixed letter / digit / symbol runs.
+BPE_SPLIT_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization: the merge-free first stage of a GPT-2
+    tokenizer (regex split into contraction/word/number/symbol pieces).
+    A real BPE would follow with vocab merges per piece; piece counts are
+    already the standard cheap length signal for training-data curation."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic document quality ∈ [0,1]: blends length, alphabetic
     ratio, mean word length sanity, and punctuation balance — the usual

@@ -136,6 +136,138 @@ def pick_one_per_group(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the temporally nearest right row on
+    the same key (``backward`` = latest right_ts ≤ left_ts, inclusive;
+    ``forward`` = earliest right_ts ≥ left_ts).
+
+    Absent from the reference (its joins are all exact-key,
+    ``src/DataWarehouse.js:544``, ``:558``); standard time-series surface
+    the new engine adds.
+
+    Implementation is the union-and-window plan, *not* an inequality
+    join: tag both sides, union on (key, ts), and window-fill the right
+    payload with ``last(..., ignorenulls=True)`` over
+    ``ORDER BY ts, side ROWS UNBOUNDED PRECEDING``.  That is ONE shuffle
+    of |L|+|R| rows on the key — no range-condition BroadcastNestedLoop
+    blowup, no per-key cross product; at 100 TB it scales exactly like a
+    groupBy on the key.  Right rows sort before left rows at equal ts,
+    which makes the boundary inclusive.  Among right rows with the same
+    (key, ts) the winner is the one sorting LAST by the remaining payload
+    columns (deterministic).
+
+    ``tolerance_seconds`` voids matches farther than the given horizon
+    (timestamp columns only).
+
+    Returns all left columns + the right payload columns (right minus
+    key), null where no match exists.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
+    payload = [c for c in right.columns if c != on]
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"rename right-side columns that collide with left: {overlap}")
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+
+    lpart = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *left.columns,
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in payload],
+    )
+    rpart = right.filter(F.col(right_ts).isNotNull()).select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left.columns],
+        *payload,
+    )
+    tie = [F.col(c).asc_nulls_first() for c in payload if c != right_ts]
+    if direction == "backward":
+        order = [F.col("__t").asc_nulls_first(), F.col("__side").asc(), *tie]
+    else:
+        order = [F.col("__t").desc_nulls_last(), F.col("__side").asc(), *tie]
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lpart.unionByName(rpart).select(
+        "__side",
+        *left.columns,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col(left_ts).cast("double") - F.col(right_ts).cast("double")
+        )
+        keep = F.col(right_ts).isNotNull() & (gap <= F.lit(tolerance_seconds))
+        out = out.select(
+            *left.columns,
+            *[F.when(keep, F.col(c)).alias(c) for c in payload],
+        )
+    return out
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    band: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Band (range) join: all pairs with ``|left_on - right_on| <= band``
+    over numeric columns — WITHOUT the BroadcastNestedLoopJoin cross
+    product Catalyst would pick for a bare inequality condition.
+
+    Classic bucketed-range rewrite: bucket each side by
+    ``floor(value / band)``; any qualifying pair's buckets differ by at
+    most 1, so probing left buckets {b-1, b, b+1} against right bucket b
+    as an EQUI-join finds every pair exactly once (each right row lives
+    in one bucket; the three left probes are distinct).  One shuffle on
+    the bucket key, 3× left fan-out, then the exact predicate filters —
+    at 100 TB this is a plain shuffled equi-join AQE can skew-split,
+    instead of |L|·|R| nested-loop work.
+    """
+    if band <= 0:
+        raise ValueError("band must be positive")
+    overlap = set(right.columns) & set(left.columns)
+    if overlap:
+        raise ValueError(f"rename right-side columns that collide with left: {overlap}")
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col(left_on) / F.lit(band)) + F.lit(d)).cast("long")
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket", F.floor(F.col(right_on) / F.lit(band)).cast("long")
+    )
+    return (
+        lb.join(rb, "__bucket", how)
+        .filter(F.abs(F.col(left_on) - F.col(right_on)) <= F.lit(band))
+        .drop("__bucket")
+    )
+
+
 def one_to_one_assign(
     left: DataFrame,
     right: DataFrame,

@@ -1104,8 +1104,17 @@ _df(
 
 def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for embedding near-dup: hyperplane-LSH candidates
-    + exact cosine verify (recall vs the exact tier asserted in tests —
-    sketch-based, so rows-only here)."""
+    + exact cosine verify (sketch-based, so rows-only here; subset-of-
+    exact + guaranteed-identical-vector recall asserted in tests).
+
+    Parameter note: this corpus has no planted near-dups — pairs ≥ 0.45
+    are the tail of a continuous cosine distribution (background ≈ 0.25),
+    so per-plane collision odds barely separate signal (0.65) from noise
+    (0.58) and no hyperplane parameterization gets both high recall and
+    a small candidate set.  10 planes × 8 tables keeps the candidate set
+    ~3% of all pairs (the property that matters at 100 TB); on a corpus
+    with true near-dups (cos ≥ 0.9, per-plane 0.86) the same shape gives
+    >95% recall."""
     from gather_datawarehouse_sync_spark.operators.similarity import (
         cosine_pairs_lsh,
     )
@@ -1115,7 +1124,7 @@ def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     return (
-        cosine_pairs_lsh(emb, threshold=0.45, num_planes=6, num_tables=12)
+        cosine_pairs_lsh(emb, threshold=0.45, num_planes=10, num_tables=8)
         .select("a", "b")
         .orderBy("a", "b")
     )
@@ -1156,6 +1165,127 @@ _df(
     ("documents",),
     note="language-ID + quality + winnowing fingerprint (heuristic/hash → "
     "rows-only check)",
+)
+
+
+def _x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (backward, inclusive; ties on order date break
+    to max o_orderkey).  Single-shuffle union-and-window plan — no
+    inequality-join nested loop."""
+    from gather_datawarehouse_sync_spark.operators.joins import asof_join
+
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    ev = t["events"].select("event_id", "user_id", "ts")
+    od = t["orders"].select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(
+        ev, od, on="user_id", left_ts="ts", right_ts="o_orderdate"
+    )
+    return out.select("event_id", "o_orderkey").orderBy("event_id")
+
+
+_df(
+    "x_asof_join",
+    _x_asof_join,
+    "SELECT e.event_id, "
+    "(SELECT o.o_orderkey FROM orders o "
+    "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+    "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey "
+    "FROM events e ORDER BY event_id",
+    ("events", "orders"),
+    note="as-of join (backward); oracle = correlated LIMIT-1 subquery",
+)
+
+
+def _x_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: event pairs within 120 s of each other, counted per
+    left-side event type — bucketed-range rewrite (equi-join on
+    floor(ts/band) probing 3 buckets), not a nested-loop theta join."""
+    from gather_datawarehouse_sync_spark.operators.joins import band_join
+
+    t = load_tables(spark, sf_dir, ("events",))
+    a = t["events"].select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("a_type"),
+        F.unix_micros("ts").alias("a_us"),
+    )
+    b = t["events"].select(
+        F.col("event_id").alias("b_id"), F.unix_micros("ts").alias("b_us")
+    )
+    return (
+        band_join(a, b, "a_us", "b_us", 120_000_000)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy(F.col("a_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .orderBy("event_type")
+    )
+
+
+_df(
+    "x_band_pairs",
+    _x_band_pairs,
+    "SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS pairs "
+    "FROM events a JOIN events b ON a.event_id < b.event_id "
+    "AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 120000000 "
+    "GROUP BY a.event_type ORDER BY a.event_type",
+    ("events",),
+    note="band (range) join via bucketed equi-join; oracle = plain theta "
+    "join (DuckDB IEJoin); epoch_us truncates ns identically on both sides",
+)
+
+
+def _x_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer piece counts (GPT-2-style regex split,
+    RE2-compatible subset so DuckDB runs the byte-identical pattern)."""
+    from gather_datawarehouse_sync_spark.functions.text import bpe_token_count
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select(
+            "doc_id", bpe_token_count(F.col("text")).cast("long").alias("n_pieces")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "x_bpe_tokens",
+    _x_bpe_tokens,
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+    "'''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+')) AS BIGINT) "
+    "AS n_pieces FROM documents ORDER BY doc_id",
+    ("documents",),
+    note="BPE-ish tokenizer parity: same regex, Java vs RE2 engines",
+)
+
+
+def _x_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-1 (FAISS-style inverted lists): the second ANN
+    scale path next to hyperplane LSH.  Probing all cells equals brute
+    force exactly (asserted in tests); here nprobe=4 of nlist=16."""
+    from gather_datawarehouse_sync_spark.operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return (
+        ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=1, nlist=16, nprobe=4)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
+_df(
+    "x_ivf_ann",
+    _x_ivf_ann,
+    None,
+    ("embeddings",),
+    note="IVF approximate top-1 (probe-subset recall → rows-only check; "
+    "full-probe==brute-force equality asserted in tests)",
 )
 
 

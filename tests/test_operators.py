@@ -528,3 +528,134 @@ def test_verify_applied_flags_divergence(spark):
     assert verify_applied(source, ok, ["k"]).count() == 0
     bad = verify_applied(source, drifted, ["k"]).collect()
     assert len(bad) == 1 and bad[0]["k"] == "b" and bad[0]["action"] == "update"
+
+
+# ---------------------------------------------------------------------------
+# As-of join / band join (time-series surface)
+# ---------------------------------------------------------------------------
+
+
+def _asof_frames(spark):
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", datetime(2024, 1, 1, 10, 0, 0)),
+            (2, "u1", datetime(2024, 1, 1, 12, 0, 0)),
+            (3, "u2", datetime(2024, 1, 1, 9, 0, 0)),
+            (4, "u3", datetime(2024, 1, 1, 9, 0, 0)),
+        ],
+        "eid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 1, 9, 30, 0), 100),
+            ("u1", datetime(2024, 1, 1, 11, 0, 0), 200),
+            ("u1", datetime(2024, 1, 1, 13, 0, 0), 300),
+            ("u2", datetime(2024, 1, 1, 9, 0, 0), 400),
+        ],
+        "k string, rts timestamp, rid long",
+    )
+    return left, right
+
+
+def test_asof_join_backward(spark):
+    from gather_datawarehouse_sync_spark.operators.joins import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {
+        r["eid"]: r["rid"]
+        for r in asof_join(left, right, "k", "ts", "rts").collect()
+    }
+    # latest right at-or-before each left ts; equal ts is inclusive;
+    # no-right-rows key (u3) → null
+    assert out == {1: 100, 2: 200, 3: 400, 4: None}
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from gather_datawarehouse_sync_spark.operators.joins import asof_join
+
+    left, right = _asof_frames(spark)
+    fwd = {
+        r["eid"]: r["rid"]
+        for r in asof_join(left, right, "k", "ts", "rts", direction="forward").collect()
+    }
+    assert fwd == {1: 200, 2: 300, 3: 400, 4: None}
+    tol = {
+        r["eid"]: r["rid"]
+        for r in asof_join(
+            left, right, "k", "ts", "rts", tolerance_seconds=1800.0
+        ).collect()
+    }
+    # eid=2's nearest-backward right (11:00) is 3600 s away → voided
+    assert tol == {1: 100, 2: None, 3: 400, 4: None}
+
+
+def test_asof_join_equal_ts_tiebreak_is_max_payload(spark):
+    from datetime import datetime
+
+    from gather_datawarehouse_sync_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", datetime(2024, 1, 2))], "eid long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1), 7), ("u", datetime(2024, 1, 1), 9)],
+        "k string, rts timestamp, rid long",
+    )
+    out = asof_join(left, right, "k", "ts", "rts").collect()
+    # among equal right timestamps the winner sorts last by payload → max rid
+    assert out[0]["rid"] == 9
+
+
+def test_band_join_matches_naive_theta_join(spark):
+    import random
+
+    from gather_datawarehouse_sync_spark.operators.joins import band_join
+
+    rng = random.Random(7)
+    xs = [(i, float(rng.randint(0, 1000))) for i in range(120)]
+    a = spark.createDataFrame(xs, "a_id long, a_v double")
+    b = spark.createDataFrame(
+        [(i + 1000, v) for i, v in xs], "b_id long, b_v double"
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in band_join(a, b, "a_v", "b_v", 25).collect()
+    }
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .filter(F.abs(F.col("a_v") - F.col("b_v")) <= 25)
+        .collect()
+    }
+    assert got == want and len(want) > 100
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    vecs = _vectors(spark)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vecs, vecs, k=1, metric="dot").collect()
+    }
+    # probing every cell makes IVF exhaustive → identical to brute force
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(vecs, vecs, k=1, nlist=3, nprobe=3).collect()
+    }
+    assert full == exact
+
+
+def test_bpe_token_count_pieces(spark):
+    from gather_datawarehouse_sync_spark.functions.text import bpe_tokens
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world's 42 tests ok")], "doc_id long, text string"
+    )
+    out = df.select(bpe_tokens(F.col("text")).alias("p")).collect()[0]["p"]
+    assert out == ["Hello", ",", " world", "'s", " 42", " tests", " ok"]

@@ -1289,6 +1289,118 @@ _df(
 )
 
 
+def _x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact COUNT(DISTINCT) via two-stage value-hash salting —
+    same result as Q19's plain distinct-agg (the oracle), different
+    physical plan: no single reducer ever holds a whole group's distinct
+    set."""
+    from gather_datawarehouse_sync_spark.operators.skew import (
+        salted_distinct_count,
+    )
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        salted_distinct_count(
+            t["events"], ["event_type"], "user_id", n_salts=16, out_col="u"
+        )
+        .withColumn("u", F.col("u").cast("long"))
+        .orderBy("event_type")
+    )
+
+
+_df(
+    "x_salted_agg",
+    _x_salted_agg,
+    "SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events "
+    "GROUP BY event_type ORDER BY event_type",
+    ("events",),
+    note="salted two-stage distinct-agg ≡ plain COUNT(DISTINCT) (skew path "
+    "in the correctness gate)",
+)
+
+
+def _x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact↔dimension join via key salting (fact side salted,
+    dimension replicated per salt) — result identical to the plain
+    equi-join oracle."""
+    from gather_datawarehouse_sync_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    o = t["orders"].select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    c = t["customer"].select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(o, c, ["c_custkey"], n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("tot"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_df(
+    "x_salted_join",
+    _x_salted_join,
+    "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS tot "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    ("orders", "customer"),
+    note="salted join ≡ plain equi-join (skew path in the correctness gate)",
+)
+
+
+def _x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (approx_count_distinct).  Sketch
+    output — never hash-compared to DuckDB (different sketch); relative
+    error vs the exact count is asserted ≤5% in tests."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("u_est"))
+        .orderBy("event_type")
+    )
+
+
+_df(
+    "x_approx_distinct",
+    _x_approx_distinct,
+    None,
+    ("events",),
+    note="HLL++ estimate (sketch → rows-only; ≤5% relative-error vs exact "
+    "asserted in tests)",
+)
+
+
+def _x_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna-style sketch) of order totals
+    per status.  Sketch output → rows-only; tolerance vs exact quantiles
+    asserted in tests."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("q")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_df(
+    "x_approx_quantile",
+    _x_approx_quantile,
+    None,
+    ("orders",),
+    note="approx_percentile sketch (rows-only; tolerance vs exact asserted "
+    "in tests)",
+)
+
+
 def queries() -> dict[str, SparkFn]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 

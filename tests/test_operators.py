@@ -659,3 +659,87 @@ def test_bpe_token_count_pieces(spark):
     )
     out = df.select(bpe_tokens(F.col("text")).alias("p")).collect()[0]["p"]
     assert out == ["Hello", ",", " world", "'s", " 42", " tests", " ok"]
+
+
+# ---------------------------------------------------------------------------
+# Skew salting + approximate sketches
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    from gather_datawarehouse_sync_spark.operators.skew import salted_join
+
+    # one hot key (k=1 carries 80% of rows) + cold keys
+    left = spark.createDataFrame(
+        [(1, i) for i in range(80)] + [(k, k * 100) for k in range(2, 22)],
+        "k long, lv long",
+    )
+    right = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 22)], "k long, rv string"
+    )
+    got = {
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join(left, right, ["k"], n_salts=4).collect()
+    }
+    want = {
+        (r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()
+    }
+    assert got == want and len(want) == 100
+
+
+def test_salted_distinct_count_and_collect_list(spark):
+    from gather_datawarehouse_sync_spark.operators.skew import (
+        salted_collect_list,
+        salted_distinct_count,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v % 7) for v in range(100)] + [("b", v) for v in range(5)],
+        "g string, v long",
+    )
+    dc = {
+        r["g"]: r["distinct_count"]
+        for r in salted_distinct_count(df, ["g"], "v", n_salts=4).collect()
+    }
+    assert dc == {"a": 7, "b": 5}
+    cl = {
+        r["g"]: r["values"]
+        for r in salted_collect_list(df, ["g"], "v", n_salts=4).collect()
+    }
+    # sorted flatten: all 100 hot-group values present, duplicates kept
+    assert len(cl["a"]) == 100 and cl["a"] == sorted(cl["a"])
+    assert cl["b"] == [0, 1, 2, 3, 4]
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    from gather_datawarehouse_sync_spark.queries import REGISTRY
+    from gather_datawarehouse_sync_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    est = {
+        r["event_type"]: r["u_est"]
+        for r in REGISTRY["x_approx_distinct"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["u"]
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(est[k] - v) <= max(1, 0.05 * v), (k, est[k], v)
+
+    q = {
+        r["o_orderstatus"]: r["q"]
+        for r in REGISTRY["x_approx_quantile"].spark(spark, sf_dir).collect()
+    }
+    for status, (p50, p90, p99) in q.items():
+        vals = sorted(
+            r["o_totalprice"]
+            for r in t["orders"].filter(F.col("o_orderstatus") == status).collect()
+        )
+        for frac, got in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            lo = vals[max(0, int(frac * len(vals)) - max(2, len(vals) // 50))]
+            hi = vals[min(len(vals) - 1, int(frac * len(vals)) + max(2, len(vals) // 50))]
+            assert lo <= got <= hi, (status, frac, got, lo, hi)

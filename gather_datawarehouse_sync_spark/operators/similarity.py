@@ -170,6 +170,7 @@ def _hyperplane_buckets(
     num_planes: int,
     num_tables: int,
     seed: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, table, bucket) rows: sign-sketch bucket of ``vec_col`` in each
     of ``num_tables`` random-hyperplane tables.
@@ -178,12 +179,14 @@ def _hyperplane_buckets(
     single (batch × dim) @ (dim × tables·planes) matmul — instead of
     tables·planes interpreted higher-order-function dot products per row
     (HOF expressions are not codegen'd; the matmul is ~100× cheaper).
-    The plane matrix is derived from the vector dimension at plan time.
+    Pass ``dim`` when known to skip the one-row probe job that otherwise
+    derives it at plan time.
     """
     import random
 
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
+    if dim is None:
+        dim_row = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(dim_row["d"])
     rng = random.Random(seed)
     M = np.array(
         [[rng.gauss(0.0, 1.0) for _ in range(num_tables * num_planes)] for _ in range(dim)]
@@ -310,10 +313,10 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     ).localCheckpoint(eager=True)
     qb = _hyperplane_buckets(
-        q, "query_id", "__qv", num_planes, num_tables, seed
+        q, "query_id", "__qv", num_planes, num_tables, seed, dim=dim
     ).withColumnRenamed("id", "query_id")
     cb = _hyperplane_buckets(
-        c, "neighbor_id", "__cv", num_planes, num_tables, seed
+        c, "neighbor_id", "__cv", num_planes, num_tables, seed, dim=dim
     ).withColumnRenamed("id", "neighbor_id")
     cand = (
         qb.join(cb, ["table", "bucket"])

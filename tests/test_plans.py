@@ -111,3 +111,27 @@ def test_cascading_join_broadcasts_small_dimension(spark, sf_dir):
     # both tiers broadcast the dimension: the fact side is never shuffled
     assert broadcast_join_count(df) == 2
     assert shuffle_count(df) == 0
+
+
+def test_band_join_avoids_nested_loop(spark, sf_dir):
+    # the bucketed-range rewrite must plan as an equi-join on the bucket
+    # key — a bare |a-b|<=band condition would pick BroadcastNestedLoopJoin
+    df = REGISTRY["x_band_pairs"].spark(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    # union-and-window as-of: ONE exchange on the key (plus the output
+    # sort's exchange), and no join operator of any kind in the plan
+    from gather_datawarehouse_sync_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    df = asof_join(ev, od, on="user_id", left_ts="ts", right_ts="o_orderdate")
+    plan = plan_str(df)
+    assert "Join" not in plan, "as-of must not plan a join"
+    assert shuffle_count(df) == 1

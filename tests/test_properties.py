@@ -108,3 +108,41 @@ def test_reconcile_convergence(spark, src_tgt):
     target2 = spark.createDataFrame(list(new_tgt.items()) or [], schema)
     again = reconcile(source, target2, ["k"]).collect()
     assert all(r["action"] == "keep" for r in again)
+
+
+# ---------------------------------------------------------------------------
+# As-of join: oracle equivalence + partition invariance
+# ---------------------------------------------------------------------------
+
+_asof_lefts = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 50)),
+    min_size=1,
+    max_size=10,
+).map(lambda rs: [(i, k, t) for i, (k, t) in enumerate(rs)])
+
+_asof_rights = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2", "k3"]), st.integers(0, 50)),
+    min_size=0,
+    max_size=10,
+).map(lambda rs: [(k, t, 100 + i) for i, (k, t) in enumerate(rs)])
+
+
+@given(_asof_lefts, _asof_rights, st.integers(min_value=1, max_value=4))
+@_SETTINGS
+def test_asof_join_matches_python_oracle_any_partitioning(spark, ls, rs, n):
+    from gather_datawarehouse_sync_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(ls, "eid long, k string, ts long").repartition(n)
+    right = spark.createDataFrame(rs, "k string, rts long, rid long").repartition(
+        max(1, 5 - n)
+    )
+    got = {
+        r["eid"]: r["rid"]
+        for r in asof_join(left, right, "k", "ts", "rts").collect()
+    }
+    # python oracle: latest right at-or-before; ties → max (rts, rid)
+    want = {}
+    for eid, k, t in ls:
+        cands = [(rt, rid) for rk, rt, rid in rs if rk == k and rt <= t]
+        want[eid] = max(cands)[1] if cands else None
+    assert got == want

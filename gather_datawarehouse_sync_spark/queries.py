@@ -1401,6 +1401,86 @@ _df(
 )
 
 
+# Classic analytics shapes (multi-join + agg + top-k; CBO/AQE join-order
+# exercise) — the SQL-surface tier a warehouse user expects day one.
+
+_twin(
+    "x_tpch_q3",
+    "SELECT l_orderkey, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) "
+    "AS DECIMAL(18,2)) AS revenue, "
+    "CAST(o_orderdate AS DATE) AS odate, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-03-15' "
+    "AND l_shipdate > TIMESTAMP '1997-03-15' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    ("customer", "orders", "lineitem"),
+    note="TPC-H Q3 shape: fact-fact join + broadcast dim filter + top-k",
+)
+
+_twin(
+    "x_tpch_q5",
+    "SELECT n_name, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) "
+    "AS DECIMAL(18,2)) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name",
+    ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    note="TPC-H Q5 shape: 6-table star join, two-key equi condition",
+)
+
+# Correlated-subquery surface: Catalyst decorrelation
+# (RewriteCorrelatedScalarSubquery — SURVEY §4.2) turns these into joins.
+
+_twin(
+    "x_exists_subq",
+    "SELECT c_custkey FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_totalprice > 300000) ORDER BY c_custkey",
+    ("customer", "orders"),
+    note="correlated EXISTS → decorrelated semi join",
+)
+
+_twin(
+    "x_scalar_subq",
+    "SELECT o_orderkey, o_totalprice FROM orders o WHERE o_totalprice > "
+    "(SELECT AVG(o_totalprice) * 1.5 FROM orders i "
+    "WHERE i.o_orderstatus = o.o_orderstatus) "
+    "ORDER BY o_orderkey",
+    ("orders",),
+    note="correlated scalar subquery → decorrelated agg + join "
+    "(float compare far from any boundary: prices are 2-decimal, "
+    "threshold is a mean×1.5)",
+)
+
+_pair(
+    "x_quality_int",
+    # integer basis points via DIV — exact arithmetic, hash-safe (unlike
+    # the float heuristic in x_text_quality, which stays rows-only)
+    "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
+    "CAST(10000 * LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '')) DIV LENGTH(text) "
+    "AS BIGINT) AS alpha_bp, "
+    "CAST(10000 * LENGTH(REGEXP_REPLACE(text, '[^ ]', '')) DIV LENGTH(text) "
+    "AS BIGINT) AS space_bp "
+    "FROM documents WHERE LENGTH(text) > 0 ORDER BY doc_id",
+    "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
+    "CAST(10000 * LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) // LENGTH(text) "
+    "AS BIGINT) AS alpha_bp, "
+    "CAST(10000 * LENGTH(REGEXP_REPLACE(text, '[^ ]', '', 'g')) // LENGTH(text) "
+    "AS BIGINT) AS space_bp "
+    "FROM documents WHERE LENGTH(text) > 0 ORDER BY doc_id",
+    ("documents",),
+    note="quality profile in integer basis points (DIV ≡ //; global-replace "
+    "flag differs by dialect)",
+)
+
+
 def queries() -> dict[str, SparkFn]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 

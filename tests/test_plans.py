@@ -135,3 +135,53 @@ def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
     plan = plan_str(df)
     assert "Join" not in plan, "as-of must not plan a join"
     assert shuffle_count(df) == 1
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    from gather_datawarehouse_sync_spark.sources.layout import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    df = spark.read.parquet(path).filter(F.col("lang") == "en").select("doc_id")
+    plan = plan_str(df)
+    # the lang predicate must prune directories, not filter rows post-scan
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
+    got = df.count()
+    want = docs.filter(F.col("lang") == "en").count()
+    assert got == want > 0
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    from gather_datawarehouse_sync_spark.sources.layout import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], num_buckets=4,
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        num_buckets=4,
+        path=str(tmp_path / "b_lineitem"),
+    )
+    bo, bl = read_bucketed(spark, "b_orders"), read_bucketed(spark, "b_lineitem")
+    # bucketed-bucketed equi-join on the bucket key: the write-time
+    # shuffle substitutes for both join exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, "o_orderkey")
+        assert shuffle_count(joined) == 0
+        assert joined.count() == orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -1,0 +1,74 @@
+"""Deterministic sampling & dataset splitting.
+
+Training-data pipelines need splits that are (a) reproducible across
+runs/engines/retries, (b) stable under repartitioning, and (c) derived
+from the ROW, not from RNG state.  ``F.rand(seed)`` fails (a)/(b) — its
+draw depends on partition layout; speculative re-execution can see
+different values.  Everything here keys off ``xxhash64`` of an id column
+instead: the same row always lands in the same split, on any cluster
+layout, at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(id_col: str, salt: str = "") -> Column:
+    """Uniform bucket ∈ [0, 1e6) from the row id (optionally salted so
+    independent samples decorrelate)."""
+    h = F.xxhash64(F.col(id_col), F.lit(salt)) if salt else F.xxhash64(F.col(id_col))
+    return F.pmod(h, F.lit(_BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by id hash — reproducible and
+    partition-invariant, unlike ``df.sample`` (rows tested in unit tests
+    for exact stability across repartitioning)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_hash_bucket(id_col, salt) < int(fraction * _BUCKETS))
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.1,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append ``split ∈ {train, test}``: disjoint, exhaustive, and stable
+    — a document keeps its split assignment even when the corpus around
+    it grows (critical for avoiding train/test leakage across dataset
+    versions)."""
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError("test_fraction must be in [0, 1]")
+    is_test = _hash_bucket(id_col, salt) < int(test_fraction * _BUCKETS)
+    return df.withColumn(
+        split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: Sequence[str],
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. downsample web text to 10% while
+    keeping 100% of code): ``fractions`` maps the stratum value (the
+    concatenated strata columns) to its keep-rate."""
+    stratum = F.concat_ws("§", *[F.col(c) for c in strata_cols])
+    frac = F.lit(default_fraction)
+    for value, f in fractions.items():
+        frac = F.when(stratum == value, F.lit(f)).otherwise(frac)
+    return df.filter(_hash_bucket(id_col, salt) < (frac * _BUCKETS).cast("long"))

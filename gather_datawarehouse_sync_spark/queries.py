@@ -1481,6 +1481,112 @@ _pair(
 )
 
 
+def _x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (10-min gap) via the sessions operator —
+    session rollup per (user, session seq)."""
+    from gather_datawarehouse_sync_spark.operators.sessions import session_bounds
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        session_bounds(
+            t["events"].select("user_id", "ts", "event_id"),
+            "user_id",
+            "ts",
+            gap_seconds=600.0,
+            order_tiebreak="event_id",
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("e"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+_df(
+    "x_sessionize",
+    _x_sessionize,
+    "WITH t AS (SELECT user_id, event_id, ts, epoch_us(ts) us FROM events), "
+    "s AS (SELECT user_id, event_id, ts, us, CASE WHEN us - LAG(us) OVER "
+    "(PARTITION BY user_id ORDER BY us, event_id) > 600000000 THEN 1 ELSE 0 END brk "
+    "FROM t), "
+    "x AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, "
+    "event_id ROWS UNBOUNDED PRECEDING) sid FROM s) "
+    "SELECT user_id, CAST(sid AS BIGINT) AS session_seq, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s, "
+    "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS e "
+    "FROM x GROUP BY user_id, sid ORDER BY user_id, session_seq",
+    ("events",),
+    note="gap-based batch sessionization; timestamps second-formatted for "
+    "ns/µs hash parity (gap arithmetic: Spark µs-truncated double vs DuckDB "
+    "µs — identical, events are µs-grained after the nanos floor)",
+)
+
+
+_pair(
+    "x_unpivot",
+    "SELECT l_orderkey, l_linenumber, metric, "
+    "CAST(val AS DECIMAL(18,2)) AS val FROM lineitem "
+    "UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax)) "
+    "WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber, metric",
+    "SELECT l_orderkey, l_linenumber, metric, CAST(val AS DECIMAL(18,2)) AS val "
+    "FROM (SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val "
+    "FROM lineitem UNION ALL "
+    "SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem "
+    "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) "
+    "WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber, metric",
+    ("lineitem",),
+    note="UNPIVOT (wide→long melt); oracle = UNION ALL expansion",
+)
+
+
+_pair(
+    "x_rolling_1h",
+    "SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY user_id ORDER BY unix_micros(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS rs "
+    "FROM events ORDER BY event_id",
+    "SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS rs "
+    "FROM events ORDER BY event_id",
+    ("events",),
+    note="RANGE frame (trailing 1 h rolling sum) — value-based window frame "
+    "over epoch-µs; µs truncation identical on both engines",
+)
+
+
+def _x_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split — engine-specific hash
+    (xxhash64) so rows-only here; disjointness/stability/proportion are
+    asserted in tests."""
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        train_test_split(t["documents"], "doc_id", test_fraction=0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+    )
+
+
+_df(
+    "x_split_counts",
+    _x_split_counts,
+    None,
+    ("documents",),
+    note="hash-based split sizes (xxhash64 is Spark-specific → rows-only; "
+    "invariants tested)",
+)
+
+
 def queries() -> dict[str, SparkFn]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 

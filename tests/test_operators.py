@@ -743,3 +743,88 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
             lo = vals[max(0, int(frac * len(vals)) - max(2, len(vals) // 50))]
             hi = vals[min(len(vals) - 1, int(frac * len(vals)) + max(2, len(vals) // 50))]
             assert lo <= got <= hi, (status, frac, got, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization + deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_assignment(spark):
+    from datetime import datetime
+
+    from gather_datawarehouse_sync_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, "u", datetime(2024, 1, 1, 10, 0, 0)),
+            (2, "u", datetime(2024, 1, 1, 10, 5, 0)),   # 5 min → same
+            (3, "u", datetime(2024, 1, 1, 10, 30, 0)),  # 25 min → new
+            (4, "u", datetime(2024, 1, 1, 10, 31, 0)),
+            (5, "v", datetime(2024, 1, 1, 10, 0, 0)),
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", 600.0, "event_id").collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.3).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(7), "doc_id", 0.3).collect()
+    }
+    assert s1 == s2                      # partition-invariant
+    assert 0.2 < len(s1) / 2000 < 0.4    # ~fraction
+    # salted draw decorrelates from the unsalted one
+    s3 = {
+        r["doc_id"]
+        for r in deterministic_sample(df, "doc_id", 0.3, salt="v2").collect()
+    }
+    assert s3 != s1
+
+
+def test_train_test_split_disjoint_exhaustive_stable(spark):
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = train_test_split(df, "doc_id", 0.2).collect()
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) == {"train", "test"}
+    assert len(by_split["train"] | by_split["test"]) == 1000   # exhaustive
+    assert not (by_split["train"] & by_split["test"])          # disjoint
+    # growth-stability: a doc's assignment is unchanged when the corpus doubles
+    grown = train_test_split(
+        spark.range(0, 2000).withColumnRenamed("id", "doc_id"), "doc_id", 0.2
+    ).collect()
+    grown_test = {r["doc_id"] for r in grown if r["split"] == "test"}
+    assert {d for d in grown_test if d < 1000} == by_split["test"]
+
+
+def test_stratified_deterministic_sample_per_stratum_rates(spark):
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        stratified_deterministic_sample,
+    )
+
+    rows = [(i, "web" if i % 2 == 0 else "code") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_deterministic_sample(
+        df, "doc_id", ["source"], {"web": 0.1, "code": 1.0}
+    ).collect()
+    n_web = sum(1 for r in out if r["source"] == "web")
+    n_code = sum(1 for r in out if r["source"] == "code")
+    assert n_code == 1000                 # keep-all stratum intact
+    assert 50 <= n_web <= 200             # ~10% of 1000

@@ -1,0 +1,100 @@
+"""Training-data curation pipeline: the composition layer.
+
+Chains the curation stages every LLM-data pipeline runs — quality
+filter, language filter, exact dedup, fuzzy dedup, train/test split —
+into ONE lazy DataFrame DAG.  No stage materializes anything: Catalyst
+sees the whole chain, pushes the cheap filters to the parquet scan,
+prunes columns end-to-end, and the only shuffles are the ones the dedup
+semantics require (one hash-partition for exact; the MinHash-LSH
+band-join for fuzzy).  At 100 TB the filter stages are embarrassingly
+parallel scan work; ordering them before dedup shrinks the shuffled
+volume by the rejection rate.
+
+The exact-dedup prefix of the pipeline is oracle-differential tested
+(x_curation in the registry); the fuzzy stage rides the MinHash
+machinery validated against exact Jaccard in ``tests/``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gather_datawarehouse_sync_spark.operators.sampling import train_test_split
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 0,
+    min_alpha_bp: int = 0,
+) -> DataFrame:
+    """Cheap JVM-side quality gate: minimum length + minimum alphabetic
+    ratio in integer basis points (exact arithmetic — the same DIV
+    formula the x_quality_int oracle runs)."""
+    n = F.length(F.col(text_col))
+    out = df.filter(n >= min_chars)
+    if min_alpha_bp > 0:
+        alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+        # integer basis points: floor(10000·alpha / n), exact arithmetic
+        alpha_bp = F.floor((F.lit(10000) * alpha) / n).cast("long")
+        out = out.filter((n > 0) & (alpha_bp >= min_alpha_bp))
+    return out
+
+
+def language_filter(
+    df: DataFrame, langs: Sequence[str], lang_col: str = "lang"
+) -> DataFrame:
+    """Keep documents in the given languages (declared-metadata column;
+    swap in ``functions.text.language_guess`` when no metadata exists)."""
+    return df.filter(F.col(lang_col).isin(list(langs)))
+
+
+def exact_dedup_min_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Drop byte-identical duplicate texts, keeping the minimum id
+    (deterministic canonical — same rule as D1's fixed tie-break)."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def curate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: Sequence[str] | None = None,
+    min_chars: int = 0,
+    min_alpha_bp: int = 0,
+    fuzzy_threshold: float | None = None,
+    test_fraction: float | None = None,
+) -> DataFrame:
+    """The full curation chain; every stage optional, all lazy.
+
+    Order matters for cost, not semantics: filters first (scan-parallel,
+    shrink everything downstream), exact dedup next (one shuffle), fuzzy
+    dedup on the survivors (the expensive stage sees the smallest input),
+    split last (adds a column, no shuffle).
+    """
+    out = df
+    if min_chars or min_alpha_bp:
+        out = quality_filter(out, text_col, min_chars, min_alpha_bp)
+    if langs:
+        out = language_filter(out, langs)
+    out = exact_dedup_min_id(out, id_col, text_col)
+    if fuzzy_threshold is not None:
+        from gather_datawarehouse_sync_spark.operators.dedup import minhash_dedup
+
+        out = minhash_dedup(
+            out, id_col=id_col, text_col=text_col, threshold=fuzzy_threshold
+        )
+        out = out.filter(F.col("canon") == F.col(id_col)).drop("canon")
+    if test_fraction is not None:
+        out = train_test_split(out, id_col, test_fraction)
+    return out

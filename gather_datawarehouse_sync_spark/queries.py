@@ -1587,6 +1587,76 @@ _df(
 )
 
 
+def _x_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-pipeline prefix (quality gate → language filter → exact
+    dedup keep-min-id) as ONE lazy DAG, rolled up per source — the
+    oracle runs the same filters and windowed canonical pick in SQL."""
+    from gather_datawarehouse_sync_spark.pipelines import curate
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        curate(
+            t["documents"],
+            langs=["en", "de"],
+            min_chars=50,
+            min_alpha_bp=5000,
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source")
+    )
+
+
+_df(
+    "x_curation",
+    _x_curation,
+    "WITH f AS (SELECT * FROM documents WHERE LENGTH(text) >= 50 "
+    "AND LENGTH(text) > 0 "
+    "AND 10000 * LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) "
+    "// LENGTH(text) >= 5000 AND lang IN ('en', 'de')), "
+    "d AS (SELECT source, doc_id, ROW_NUMBER() OVER "
+    "(PARTITION BY text ORDER BY doc_id) rn FROM f) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d WHERE rn = 1 "
+    "GROUP BY source ORDER BY source",
+    ("documents",),
+    note="curation pipeline (exact-dedup prefix) vs SQL oracle of the same "
+    "stages",
+)
+
+
+def _x_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation chain incl. MinHash fuzzy dedup + train/test split —
+    sketch + engine-hash stages → rows-only (stagewise validation lives
+    in tests and the x_curation / x_minhash_canon / x_split_counts
+    entries)."""
+    from gather_datawarehouse_sync_spark.pipelines import curate
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        curate(
+            t["documents"],
+            langs=["en", "de", "fr", "es"],
+            min_chars=50,
+            min_alpha_bp=4000,
+            fuzzy_threshold=0.7,
+            test_fraction=0.1,
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "split")
+    )
+
+
+_df(
+    "x_curation_full",
+    _x_curation_full,
+    None,
+    ("documents",),
+    note="full curation chain (quality → lang → exact dedup → MinHash "
+    "fuzzy dedup → split); sketch stage → rows-only",
+)
+
+
 def queries() -> dict[str, SparkFn]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 

@@ -828,3 +828,27 @@ def test_stratified_deterministic_sample_per_stratum_rates(spark):
     n_code = sum(1 for r in out if r["source"] == "code")
     assert n_code == 1000                 # keep-all stratum intact
     assert 50 <= n_web <= 200             # ~10% of 1000
+
+
+def test_curate_stages_and_laziness(spark):
+    from gather_datawarehouse_sync_spark.pipelines import curate
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog again", "en", "web"),
+            (2, "The quick brown fox jumps over the lazy dog again", "en", "web"),
+            (3, "x" * 10, "en", "web"),          # too short
+            (4, "1234567890 " * 10, "en", "web"), # low alpha ratio
+            (5, "Der schnelle braune Fuchs springt wirklich sehr weit", "de", "web"),
+            (6, "El zorro marron rapido salta sobre el perro perezoso", "es", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = curate(df, langs=["en", "de"], min_chars=20, min_alpha_bp=6000)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 2 = exact dup of 1 (min id kept), 3 short, 4 numeric, 6 wrong lang
+    assert ids == [1, 5]
+    split = curate(
+        df, langs=["en", "de"], min_chars=20, min_alpha_bp=6000, test_fraction=0.5
+    )
+    assert set(split.columns) == set(df.columns) | {"split"}

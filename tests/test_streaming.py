@@ -194,3 +194,28 @@ def test_snapshot_inventory(spark, tmp_path):
     rows = inv.collect()
     assert [r["file"] for r in rows] == ["a.shp"]
     assert rows[0]["size"] == 5
+
+
+def test_stateful_running_totals_v2_matches_v1(spark, event_source, tmp_path):
+    # the state-v2 runner speaks protobuf to the JVM; skip where the
+    # container ships no usable google.protobuf (operator is gated, not
+    # stubbed — on a normal cluster this test runs)
+    pytest.importorskip("google.protobuf.descriptor")
+    from gather_datawarehouse_sync_spark.streaming.windows import (
+        stateful_running_totals_v2,
+    )
+
+    path, batch = event_source
+    got = _run_stream(
+        spark,
+        tmp_path,
+        stateful_running_totals_v2(_read_stream(spark, path)),
+        "t_state_v2",
+        "update",
+    )
+    final = {r["user_id"]: (r["n"], r["total"]) for r in got.collect()}
+    want = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in stateful_running_totals(batch).collect()
+    }
+    assert final == want

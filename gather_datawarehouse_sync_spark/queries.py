@@ -1657,6 +1657,55 @@ _df(
 )
 
 
+# Remaining SQL-surface corners: CUBE (completes the rollup/grouping-sets
+# trio of Q20/Q21), exact percentiles, ordered string aggregation, and the
+# lateral explode shape.
+
+_twin(
+    "x_cube",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders "
+    "GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+    "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c",
+    ("orders",),
+    note="CUBE: all 4 grouping combinations in one pass",
+)
+
+_pair(
+    "x_median_exact",
+    "SELECT o_orderstatus, CAST(ROUND(PERCENTILE(o_totalprice, 0.5), 2) "
+    "AS DECIMAL(18,2)) AS med FROM orders GROUP BY o_orderstatus "
+    "ORDER BY o_orderstatus",
+    "SELECT o_orderstatus, CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) "
+    "AS DECIMAL(18,2)) AS med FROM orders GROUP BY o_orderstatus "
+    "ORDER BY o_orderstatus",
+    ("orders",),
+    note="EXACT median (interpolating): Spark PERCENTILE ≡ DuckDB "
+    "quantile_cont; rounded before decimal cast",
+)
+
+_pair(
+    "x_string_agg",
+    "SELECT n_regionkey, array_join(sort_array(collect_list(n_name)), ',') "
+    "AS names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names "
+    "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    ("nation",),
+    note="ordered string aggregation: collect_list+sort ≡ ordered string_agg",
+)
+
+_pair(
+    "x_lateral_tokens",
+    "SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM documents "
+    "LATERAL VIEW explode(split(lower(text), '[^a-z0-9]+')) t AS tok "
+    "WHERE tok <> '' GROUP BY tok ORDER BY c DESC, tok LIMIT 20",
+    "SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (SELECT "
+    "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok "
+    "FROM documents) WHERE tok <> '' GROUP BY tok ORDER BY c DESC, tok LIMIT 20",
+    ("documents",),
+    note="lateral explode (table-generating) + global top-k tokens",
+)
+
+
 def queries() -> dict[str, SparkFn]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 

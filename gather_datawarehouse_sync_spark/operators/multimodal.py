@@ -157,6 +157,52 @@ def extract_image_features(
     return src.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, duration_ms long, sample_rate int, channels int, rms double"
+)
+
+
+def fake_audio_decode(content: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for an audio codec (STUB, same contract
+    pattern as :func:`fake_image_decode`): pseudo duration/rate/rms from
+    the payload hash so plumbing tests have exact expected values."""
+    if content is None or len(content) == 0:
+        raise ValueError("empty payload")
+    h = hashlib.sha256(content).digest()
+    return {
+        "duration_ms": 100 + int.from_bytes(h[0:2], "big"),
+        "sample_rate": (8000, 16000, 22050, 44100)[h[2] % 4],
+        "channels": 1 + h[3] % 2,
+        "rms": round(h[4] / 255.0, 6),
+    }
+
+
+def extract_audio_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], dict[str, Any]] = fake_audio_decode,
+) -> DataFrame:
+    """Audio twin of :func:`extract_image_features`: Arrow-batched
+    ``mapInPandas`` decode to (duration, rate, channels, rms); corrupt
+    payloads dropped, same quarantine caveat."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    feats = decoder(bytes(content) if content is not None else b"")
+                except Exception:
+                    continue
+                out.append({"media_id": media_id, **feats})
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "duration_ms", "sample_rate", "channels", "rms"],
+            )
+
+    src = media.filter(F.col("kind") == "audio").select("media_id", "content")
+    return src.mapInPandas(decode, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame,
     every_n_bytes: int = 1024,

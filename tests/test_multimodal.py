@@ -127,3 +127,31 @@ def test_real_decoder_gated_behind_import(spark):
     # container ships no PIL: the real slot must fail loudly and name the fix
     with pytest.raises((NotImplementedError, Exception)):
         real_image_decode(b"\x89PNG\r\n\x1a\n")
+
+
+def test_extract_audio_features_stub(spark, tmp_path):
+    from gather_datawarehouse_sync_spark.operators.multimodal import (
+        extract_audio_features,
+        fake_audio_decode,
+        media_from_files,
+    )
+
+    payloads = {"a.wav": b"RIFF-fake-aud-a", "b.mp3": b"ID3-fake-aud-b", "c.txt": b"x"}
+    for rel, data in payloads.items():
+        (tmp_path / rel).write_bytes(data)
+    media = media_from_files(
+        spark.read.format("binaryFile").load(str(tmp_path))
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    # only the two audio-kind files decode; values match the stub exactly
+    assert len(rows) == 2
+    ids = {
+        r["media_id"]: r["path"].rsplit("/", 1)[-1]
+        for r in media.filter(F.col("kind") == "audio").select("media_id", "path").collect()
+    }
+    for mid, name in ids.items():
+        want = fake_audio_decode(payloads[name])
+        got = rows[mid]
+        assert (got["duration_ms"], got["sample_rate"], got["channels"], got["rms"]) == (
+            want["duration_ms"], want["sample_rate"], want["channels"], want["rms"],
+        )

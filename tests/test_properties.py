@@ -146,3 +146,34 @@ def test_asof_join_matches_python_oracle_any_partitioning(spark, ls, rs, n):
         cands = [(rt, rid) for rk, rt, rid in rs if rk == k and rt <= t]
         want[eid] = max(cands)[1] if cands else None
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Band join: oracle equivalence incl. boundary values
+# ---------------------------------------------------------------------------
+
+_band_vals = st.lists(st.integers(0, 60), min_size=1, max_size=12)
+
+
+@given(_band_vals, _band_vals, st.integers(min_value=1, max_value=25))
+@_SETTINGS
+def test_band_join_matches_python_oracle(spark, ls, rs, band):
+    from gather_datawarehouse_sync_spark.operators.joins import band_join
+
+    left = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(ls)], "a_id long, a_v double"
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, float(v)) for i, v in enumerate(rs)], "b_id long, b_v double"
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in band_join(left, right, "a_v", "b_v", band).collect()
+    }
+    want = {
+        (i, 1000 + j)
+        for i, lv in enumerate(ls)
+        for j, rv in enumerate(rs)
+        if abs(lv - rv) <= band
+    }
+    assert got == want

@@ -1,6 +1,8 @@
 """Text-analysis functions for the LLM-pipeline extension surface
 (SURVEY §2.14): token counting, quality scoring, language ID,
-document fingerprinting.
+document fingerprinting.  No reference counterpart — the reference's
+only string processing is path manipulation (SURVEY §2.9 F1-F9,
+``functions/scalar.py``).
 
 Everything here is built-in-expression based (codegen'd, JVM-side); the
 one pandas UDF (``token_count_udf``) exists to exercise the UDF parity

@@ -1,5 +1,9 @@
 """Deterministic sampling & dataset splitting.
 
+Driver-mandated extension surface (SURVEY §2.14); the reference has no
+sampling concept (it always processes the full inventory,
+``src/DataWarehouse.js:99``).
+
 Training-data pipelines need splits that are (a) reproducible across
 runs/engines/retries, (b) stable under repartitioning, and (c) derived
 from the ROW, not from RNG state.  ``F.rand(seed)`` fails (a)/(b) — its

@@ -1,5 +1,10 @@
 """Batch sessionization: gap-based session assignment over an event log.
 
+Extension surface: the closest reference concept is the processing-time
+idle debounce (``src/DataWarehouse.js:639-659``), which is a single
+global gap detector; this operator is its per-key, event-time
+generalization.
+
 The streaming side already has ``F.session_window`` (streaming/windows.py,
 Q40); this is the batch/backfill twin that materializes explicit session
 *ids* — the shape training-data pipelines need when grouping user activity

@@ -1,5 +1,9 @@
 """Training-data curation pipeline: the composition layer.
 
+Driver-mandated extension surface (SURVEY §2.14) — no reference
+counterpart (the reference's only pipeline is the fixed sync sequence at
+``src/DataWarehouse.js:67-258``, mirrored in ``sync/engine.py``).
+
 Chains the curation stages every LLM-data pipeline runs — quality
 filter, language filter, exact dedup, fuzzy dedup, train/test split —
 into ONE lazy DataFrame DAG.  No stage materializes anything: Catalyst

@@ -1706,6 +1706,34 @@ _pair(
 )
 
 
+_pair(
+    "x_json_struct",
+    # schema-full JSON parsing (from_json → typed struct), vs q34's
+    # schemaless get_json_object path
+    "SELECT event_id, from_json(props, 'k BIGINT').k AS k FROM events "
+    "WHERE from_json(props, 'k BIGINT').k > 50 ORDER BY event_id",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+    "FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50 "
+    "ORDER BY event_id",
+    ("events",),
+    note="typed JSON struct extraction + predicate on the parsed field",
+)
+
+_pair(
+    "x_date_arith",
+    "SELECT o_orderkey, CAST(date_add(CAST(o_orderdate AS DATE), 30) AS DATE) "
+    "AS due, CAST(datediff(CAST('1998-01-01' AS DATE), "
+    "CAST(o_orderdate AS DATE)) AS BIGINT) AS age "
+    "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey",
+    "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) "
+    "AS due, CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') "
+    "AS BIGINT) AS age FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey",
+    ("orders",),
+    note="date interval add + day diff (sign convention aligned: "
+    "Spark datediff(end, start) ≡ DuckDB date_diff('day', start, end))",
+)
+
+
 def queries() -> dict[str, SparkFn]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 

@@ -209,6 +209,26 @@ def _hyperplane_buckets(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> np.ndarray:
+    """Trained coarse quantizer for IVF: distributed k-means (Spark ML,
+    deterministic seed) over the corpus — better cell balance than
+    first-N centroids on skewed embedding distributions.  Returns the
+    (nlist × dim) centroid matrix (bounded driver transfer — this IS the
+    broadcast quantizer)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    return np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -217,14 +237,16 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second scale path next
     to :func:`lsh_topk`, mirroring FAISS's IVF-flat design.
 
-    - **Coarse quantizer**: ``nlist`` centroids, chosen deterministically
-      as the first ``nlist`` corpus vectors by id (a real deployment
-      would k-means a sample; the partitioning contract is identical) and
-      broadcast to executors as a numpy matrix.
+    - **Coarse quantizer**: ``nlist`` centroids — pass
+      ``centroids=kmeans_centroids(...)`` for a trained quantizer, else
+      the first ``nlist`` corpus vectors by id are used (deterministic;
+      same partitioning contract either way) — broadcast to executors as
+      a numpy matrix.
     - **Inverted lists**: each corpus vector is assigned to its nearest
       centroid (one vectorized matmul per Arrow batch) — at 100 TB this
       is the partitioning column, so each query only shuffles against
@@ -238,13 +260,16 @@ def ivf_topk(
     ``nprobe`` trades recall for a 1/``nlist``-scale candidate set.
     Ties broken by minimum neighbor id, matching the exact tier.
     """
-    cent_rows = (
-        corpus.orderBy(id_col)
-        .limit(nlist)
-        .select(vec_col)
-        .collect()
-    )
-    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cent_rows])
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        cent_rows = (
+            corpus.orderBy(id_col)
+            .limit(nlist)
+            .select(vec_col)
+            .collect()
+        )
+        C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cent_rows])
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     n_cells = len(C)
     n_probe = min(nprobe, n_cells)

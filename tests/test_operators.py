@@ -852,3 +852,25 @@ def test_curate_stages_and_laziness(spark):
         df, langs=["en", "de"], min_chars=20, min_alpha_bp=6000, test_fraction=0.5
     )
     assert set(split.columns) == set(df.columns) | {"split"}
+
+
+def test_ivf_topk_with_kmeans_centroids(spark):
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    vecs = _vectors(spark)
+    cents = kmeans_centroids(vecs, nlist=2, seed=7)
+    assert cents.shape == (2, 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vecs, vecs, k=1, metric="dot").collect()
+    }
+    # trained quantizer + full probe is still exhaustive → exact
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(vecs, vecs, k=1, nlist=2, nprobe=2, centroids=cents).collect()
+    }
+    assert full == exact

@@ -49,6 +49,34 @@ def sessionize(
     return df.withColumn(session_col, F.sum(brk).over(running))
 
 
+def forward_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    fill_cols: list[str],
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key forward fill (LOCF): replace nulls in ``fill_cols`` with
+    the key's most recent non-null value at-or-before each row — the
+    standard gap-fill for sparse sensor/feature streams.  One window
+    (``last ignorenulls`` over rows-unbounded-preceding) per column, all
+    sharing one shuffle on the key; same single-Exchange shape as
+    :func:`sessionize`.
+    """
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in fill_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
 def session_bounds(
     df: DataFrame,
     key_col: str,

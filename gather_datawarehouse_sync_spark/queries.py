@@ -1734,6 +1734,49 @@ _pair(
 )
 
 
+def _x_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): carry each user's last non-error value
+    forward — error events' values masked to null, then gap-filled from
+    the most recent non-error event."""
+    from gather_datawarehouse_sync_spark.operators.sessions import forward_fill
+
+    t = load_tables(spark, sf_dir, ("events",))
+    masked = t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    return (
+        forward_fill(masked, "user_id", "ts", ["v"], order_tiebreak="event_id")
+        .select("event_id", F.round("v", 6).cast("decimal(18,6)").alias("v"))
+        .orderBy("event_id")
+    )
+
+
+_df(
+    "x_forward_fill",
+    _x_forward_fill,
+    "SELECT event_id, CAST(ROUND(LAST_VALUE(CASE WHEN event_type <> 'error' "
+    "THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, "
+    "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) "
+    "AS DECIMAL(18,6)) AS v FROM events ORDER BY event_id",
+    ("events",),
+    note="forward fill / LOCF via last_value IGNORE NULLS window",
+)
+
+
+_twin(
+    "x_null_semantics",
+    # three-valued logic: IS DISTINCT FROM, NULLIF, COALESCE interplay
+    "SELECT o_orderstatus, COUNT(*) AS c FROM orders "
+    "WHERE NULLIF(o_orderpriority, '1-URGENT') IS DISTINCT FROM NULL "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ("orders",),
+    note="NULLIF + IS DISTINCT FROM (three-valued-logic surface)",
+)
+
+
 def queries() -> dict[str, SparkFn]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 

@@ -874,3 +874,25 @@ def test_ivf_topk_with_kmeans_centroids(spark):
         for r in ivf_topk(vecs, vecs, k=1, nlist=2, nprobe=2, centroids=cents).collect()
     }
     assert full == exact
+
+
+def test_forward_fill_locf(spark):
+    from datetime import datetime
+
+    from gather_datawarehouse_sync_spark.operators.sessions import forward_fill
+
+    df = spark.createDataFrame(
+        [
+            (1, "u", datetime(2024, 1, 1, 10), 5.0),
+            (2, "u", datetime(2024, 1, 1, 11), None),
+            (3, "u", datetime(2024, 1, 1, 12), None),
+            (4, "u", datetime(2024, 1, 1, 13), 7.0),
+            (5, "v", datetime(2024, 1, 1, 10), None),  # leading null stays
+        ],
+        "event_id long, k string, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["v"]
+        for r in forward_fill(df, "k", "ts", ["v"], "event_id").collect()
+    }
+    assert out == {1: 5.0, 2: 5.0, 3: 5.0, 4: 7.0, 5: None}

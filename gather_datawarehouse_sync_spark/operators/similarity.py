@@ -4,11 +4,13 @@ Not present in the reference (its only notion of similarity is exact md5
 equality, ``src/DataWarehouse.js:558``); mandated by the driver's
 LLM-pipeline extension list.  Two tiers:
 
-- brute-force exact top-k: fine to ~1e6 vectors × small k — the
-  correctness baseline and the oracle for the approximate path;
-- LSH-bucketed (random hyperplane signs) approximate top-k: candidates
-  only within matching buckets, the 100 TB path (bounded fan-out instead
-  of an all-pairs cross join).
+- exact tiers: brute-force top-k (broadcast cross join, small-query
+  side) and block-grid threshold pairs (distributed all-pairs, no
+  nested-loop join) — the correctness baselines and oracles for the
+  approximate paths;
+- LSH-bucketed (random hyperplane signs) and IVF approximate search:
+  candidates only within matching buckets/cells, the 100 TB path
+  (bounded fan-out instead of an all-pairs cross join).
 
 Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side, codegen'd,
 no Python in the loop.
@@ -104,26 +106,57 @@ def cosine_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs ≥ ``threshold``.
 
     The embedding analogue of :func:`...dedup.jaccard_pairs`: normalize
-    once, then an all-pairs broadcast join with a JVM-side dot product —
-    the correctness tier the LSH path (:func:`cosine_pairs_lsh`) is
-    validated against.  O(n²) scoring spread over the cluster; use the
-    LSH variant beyond ~1e5 vectors.
+    once, then enumerate the pair space with a **block-grid** self-join —
+    ids hash into ``num_blocks`` blocks, each vector replicates to the
+    upper-triangle grid cells it participates in, and candidate pairs
+    materialize through a plain equi-join on the cell id.  No broadcast
+    nested-loop join: neither side must fit in one executor, the O(n²)
+    scoring distributes over B(B+1)/2 cells, and shuffle volume is
+    n·(B+1)/2 rows (B defaults to ~√(2·parallelism)).
+
+    Compute is inherently O(n²) — that is what "exact at an arbitrary
+    threshold" costs; use :func:`cosine_pairs_lsh` beyond ~1e5 vectors
+    when the threshold reflects true near-duplicates.
 
     Returns (a, b, cos) with a < b.
     """
+    spark = df.sparkSession
+    B = num_blocks or max(
+        2, int(round((2 * spark.sparkContext.defaultParallelism) ** 0.5))
+    )
     nv = normalized(df, id_col, vec_col).localCheckpoint(eager=True)
-    a = spread(nv).select(F.col("id").alias("a"), F.col("v").alias("va"))
-    b = nv.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    # row side owns grid cells (bi, j) for j ≥ bi; col side (i, bj) for
+    # i ≤ bj — every unordered block pair {p ≤ q} meets in exactly one
+    # cell, so each vector pair is scored exactly once
+    rows = (
+        spread(nv)
+        .select(F.col("id").alias("a"), F.col("v").alias("va"), blk.alias("bi"))
+        .withColumn("gj", F.explode(F.sequence(F.col("bi"), F.lit(B - 1))))
+    )
+    cols = (
+        nv.select(F.col("id").alias("b"), F.col("v").alias("vb"), blk.alias("bj"))
+        .withColumn("gi", F.explode(F.sequence(F.lit(0), F.col("bj"))))
+    )
+    joined = rows.join(
+        cols, (rows.bi == cols.gi) & (rows.gj == cols.bj)
+    ).filter(
+        # diagonal cells hold a block on both sides: order the pair there
+        (F.col("bi") != F.col("bj")) | (F.col("a") < F.col("b"))
+    )
     return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", dot(F.col("va"), F.col("vb")))
+        joined.withColumn("cos", dot(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
-        .select("a", "b", "cos")
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            "cos",
+        )
     )
 
 
@@ -135,15 +168,22 @@ def cosine_pairs_lsh(
     num_planes: int = 8,
     num_tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: random-hyperplane LSH buckets
     generate candidates (bounded fan-out, no all-pairs join), then the
     exact cosine verifies each candidate — same shape as MinHash-LSH →
     exact-Jaccard verify on the text side.  Recall < 1 by construction
     (a pair whose buckets never collide is missed); more tables raise it.
+
+    Pass ``dim`` when known to skip the one-row probe job.  The bucket
+    table is materialized once — it feeds both sides of the candidate
+    self-join, which would otherwise re-run the sketch UDF per side.
     """
     nv = normalized(df, id_col, vec_col).localCheckpoint(eager=True)
-    bucketed = _hyperplane_buckets(nv, "id", "v", num_planes, num_tables, seed)
+    bucketed = _hyperplane_buckets(
+        nv, "id", "v", num_planes, num_tables, seed, dim=dim
+    ).localCheckpoint(eager=True)
     a = bucketed.select(F.col("id").alias("a"), "table", "bucket")
     b = bucketed.select(F.col("id").alias("b"), "table", "bucket")
     cand = (

@@ -1124,7 +1124,14 @@ def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a small candidate set.  10 planes × 8 tables keeps the candidate set
     ~3% of all pairs (the property that matters at 100 TB); on a corpus
     with true near-dups (cos ≥ 0.9, per-plane 0.86) the same shape gives
-    >95% recall."""
+    >95% recall.
+
+    Measured crossover vs the exact tier (warm, local[32]): at this
+    corpus's 5 k vectors the sketch path's 4 fixed jobs cost more than
+    the exact tier's 12.5 M codegen'd dot products, so exact wins here;
+    the 0.03·n² vs 0.5·n² scoring gap puts the crossover at n ≈ 8–10 k
+    vectors, beyond which LSH wins and the gap widens quadratically
+    (full derivation in SCALE.md §Similarity)."""
     from gather_datawarehouse_sync_spark.operators.similarity import (
         cosine_pairs_lsh,
     )
@@ -1134,7 +1141,7 @@ def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     return (
-        cosine_pairs_lsh(emb, threshold=0.45, num_planes=10, num_tables=8)
+        cosine_pairs_lsh(emb, threshold=0.45, num_planes=10, num_tables=8, dim=64)
         .select("a", "b")
         .orderBy("a", "b")
     )

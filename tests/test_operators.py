@@ -319,6 +319,54 @@ def test_connected_components_chain_and_island(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def _union_find_components(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, list[int]] = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    return {x: min(ms) for ms in groups.values() for x in ms}
+
+
+@pytest.mark.parametrize("shape", ["path", "clique_mix", "random"])
+def test_connected_components_matches_union_find(spark, shape):
+    """Min-contraction CC vs a driver-side union-find oracle on graph
+    shapes that stress different convergence behavior: a long path
+    (max diameter — O(log d) halving), overlapping near-cliques (the
+    near-dup corpus shape — one-round collapse), and a sparse random
+    graph (many components and isolated edges)."""
+    import random as _random
+
+    rng = _random.Random(hash(shape) & 0xFFFF)
+    ids = rng.sample(range(100000), 300)
+    if shape == "path":
+        pairs = {(ids[i], ids[i + 1]) for i in range(len(ids) - 1)}
+    elif shape == "clique_mix":
+        pairs = set()
+        for grp in (ids[:40], ids[40:75], ids[75:80]):
+            pairs |= {(x, y) for x in grp for y in grp if x < y}
+        pairs |= {(ids[i], ids[i + 1]) for i in range(70, 90)}
+    else:
+        pairs = set()
+        for _ in range(250):
+            a, b = rng.choice(ids), rng.choice(ids)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+    edges = spark.createDataFrame(sorted(pairs), "a long, b long")
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == _union_find_components(pairs)
+
+
 def test_simhash_identical_zero_hamming(spark):
     df = spark.createDataFrame(_DOCS, "doc_id long, text string")
     fp = simhash(df, id_col="doc_id", text_col="text")

@@ -122,6 +122,17 @@ def test_band_join_avoids_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_exact_cosine_pairs_avoids_nested_loop(spark, sf_dir):
+    # block-grid all-pairs: the O(n²) pair space materializes through an
+    # equi-join on grid-cell ids, never a BroadcastNestedLoopJoin — at
+    # 100 TB neither side fits in one executor, so the NLJ formulation
+    # would be a scale-killer by construction
+    df = REGISTRY["x_embed_dup"].spark(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
     # union-and-window as-of: ONE exchange on the key (plus the output
     # sort's exchange), and no join operator of any kind in the plan

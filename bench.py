@@ -5,12 +5,21 @@ JSON line with total + per-query wall seconds.
 
 Timing counts full execution (plan + shuffle + collect-to-count); a
 warm-up query first so JVM/codegen startup isn't billed to q1.
+
+Per-query numbers are MEDIANS over $SPARK_GRAFT_BENCH_RUNS passes
+(default 3): this box's single-run wall times swing 2-4x under memory /
+scheduler noise (round-1 suite: 54-111 s across clean runs), so a
+single pass makes round-over-round comparison pure noise.  Passes are
+suite-major (pass 1 runs every query, then pass 2, ...) so every timed
+query after the first pass is equally warm; the reported suite value is
+the sum of per-query medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,22 +31,28 @@ from gather_datawarehouse_sync_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
     # warm up the JVM / parquet footer caches outside the timed region
     REGISTRY["q1"].spark(spark, sf_dir).collect()
 
-    per_query: dict[str, float] = {}
-    t_total = time.perf_counter()
-    for name in sorted(REGISTRY):
-        t0 = time.perf_counter()
-        df = REGISTRY[name].spark(spark, sf_dir)
-        # count() forces full execution of every operator without
-        # serializing the whole result set back to Python
-        df.count()
-        per_query[name] = round(time.perf_counter() - t0, 4)
-    total = round(time.perf_counter() - t_total, 4)
+    samples: dict[str, list[float]] = {name: [] for name in REGISTRY}
+    for _ in range(runs):
+        for name in sorted(REGISTRY):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].spark(spark, sf_dir)
+            # count() forces full execution of every operator without
+            # serializing the whole result set back to Python
+            df.count()
+            samples[name].append(time.perf_counter() - t0)
+
+    per_query = {
+        name: round(statistics.median(times), 4)
+        for name, times in sorted(samples.items())
+    }
+    total = round(sum(per_query.values()), 4)
 
     print(
         json.dumps(
@@ -47,6 +62,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "runs": runs,
             }
         )
     )

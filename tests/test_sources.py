@@ -124,3 +124,38 @@ def test_foreach_partition_writer_retries_then_fails(spark, tmp_path):
             max_retries=3,
         )
     assert attempts.read_text().count("x") == 3
+
+
+# ---------------------------------------------------------------------------
+# S12: SQL sink (df.write.jdbc) — Derby embedded round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_sink_round_trip(spark, tmp_path):
+    """S12 (`src/DataWarehouse.js:744-755`, `_toSql`): the category
+    dimension lands in a SQL table via the JDBC writer and reads back
+    byte-identical.  Derby embedded is the in-process target (it ships
+    on Spark's own classpath); the writer code is database-agnostic."""
+    from gather_datawarehouse_sync_spark.operators.hierarchy import path_categories
+    from gather_datawarehouse_sync_spark.sources.jdbc import (
+        category_insert_rows,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    files = spark.createDataFrame(
+        [("proj/maps/one.shp",), ("proj/maps/two.shp",), ("proj/other/x.shp",)],
+        "file string",
+    )
+    rows = category_insert_rows(path_categories(files))
+    url = f"jdbc:derby:{tmp_path}/s12db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    write_jdbc(rows, url, "categories", mode="append", properties=props, num_partitions=1)
+    back = read_jdbc(spark, url, "categories", properties=props)
+    assert set(back.columns) == {"type", "name", "metadata", "shortName"}
+    want = {tuple(r) for r in rows.collect()}
+    got = {tuple(r) for r in back.collect()}
+    # filenames are dropped: files/proj, files/proj/maps, files/proj/other
+    assert got == want and len(got) == 3
+    meta = json.loads(next(iter(got))[2])
+    assert meta == {"iam": "gatherbot", "selectable": False, "editable": False}

@@ -65,6 +65,7 @@ def start_inventory_stream(
     suffix: str = ".shp",
     interval: str = "1 second",
     idle_timeout_s: float | None = None,
+    on_idle: Callable[[], None] | None = None,
 ):
     """Continuous ingestion with the reference's idle-debounce latch.
 
@@ -76,8 +77,12 @@ def start_inventory_stream(
     micro-batch clock.  A batch-count latch can't work here: Spark skips
     the ``foreachBatch`` callback entirely when a trigger finds no data,
     so "consecutive empty batches" is unobservable — wall-clock since
-    the last non-empty batch is the honest signal.  Returns the
-    StreamingQuery.
+    the last non-empty batch is the honest signal.
+
+    ``on_idle`` is the reference's one-shot ``'idle'`` event
+    (``this.emit('idle')``, ``:650``): called exactly once, when the
+    latch fires and before the query stops — the "quiet now, snapshot is
+    stable" handover.  Returns the StreamingQuery.
     """
     last_data = {"t": time.monotonic()}
 
@@ -104,6 +109,8 @@ def start_inventory_stream(
                 if query.lastProgress is None:
                     last_data["t"] = time.monotonic()
                 elif time.monotonic() - last_data["t"] >= idle_timeout_s:
+                    if on_idle is not None:
+                        on_idle()
                     query.stop()
                     return
                 time.sleep(min(idle_timeout_s / 4, 0.5))

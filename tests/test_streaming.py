@@ -184,6 +184,51 @@ def test_continuous_inventory_idle_stop(spark, tmp_path):
     assert seen == ["first.shp"]
 
 
+def test_debounce_latch_burst_then_quiet(spark, tmp_path):
+    """T1 latch parity with ``_checkIdle`` (`src/DataWarehouse.js:639-659`):
+    events arriving inside the idle window keep resetting the timer (the
+    query must survive the whole burst), and once the directory goes
+    quiet the latch fires the 'idle' handover EXACTLY once, after which
+    every burst file has been observed."""
+    import time as _time
+
+    from gather_datawarehouse_sync_spark.streaming import start_inventory_stream
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    (watch / "f0.shp").write_bytes(b"zero")
+    seen: list[str] = []
+    idle_fired: list[float] = []
+
+    idle_timeout = 5.0
+    q = start_inventory_stream(
+        spark,
+        str(watch),
+        str(tmp_path / "ckpt_burst"),
+        on_batch=lambda df, bid: seen.extend(r["file"] for r in df.collect()),
+        interval="250 milliseconds",
+        idle_timeout_s=idle_timeout,
+        on_idle=lambda: idle_fired.append(_time.monotonic()),
+    )
+    # burst: three more files, each inside the idle window of the last —
+    # the reference resets its debounce timer on every event, so the
+    # stream must still be active after each write
+    last_write = _time.monotonic()
+    for i in range(1, 4):
+        _time.sleep(1.5)
+        assert q.isActive, f"latch fired mid-burst (before write {i})"
+        (watch / f"f{i}.shp").write_bytes(b"x" * i)
+        last_write = _time.monotonic()
+    # quiet: the latch must now fire on its own
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert len(idle_fired) == 1, "idle handover must be one-shot"
+    # fired only after a FULL quiet window since the last event (the
+    # data batch for the last write lands at/after the write itself)
+    assert idle_fired[0] - last_write >= idle_timeout - 0.5
+    assert sorted(seen) == ["f0.shp", "f1.shp", "f2.shp", "f3.shp"]
+
+
 def test_snapshot_inventory(spark, tmp_path):
     (tmp_path / "w").mkdir()
     (tmp_path / "w" / "a.shp").write_bytes(b"alpha")

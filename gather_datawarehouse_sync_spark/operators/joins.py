@@ -244,6 +244,11 @@ def band_join(
     """
     if band <= 0:
         raise ValueError("band must be positive")
+    if how != "inner":
+        # outer flavors would silently degenerate: the post-join band
+        # filter drops null-extended rows, and the 3-bucket explode means
+        # unmatched left rows vanish instead of surviving with nulls
+        raise ValueError(f"band_join supports how='inner' only, got {how!r}")
     overlap = set(right.columns) & set(left.columns)
     if overlap:
         raise ValueError(f"rename right-side columns that collide with left: {overlap}")

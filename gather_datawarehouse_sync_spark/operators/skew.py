@@ -51,7 +51,18 @@ def salted_join(
 
     Cost: right side is duplicated ``n_salts``× (choose the smaller side
     as ``right``); results are identical to the plain join (tested).
+
+    Only left-preserving flavors are allowed: the right side's
+    replication means a right/full join would return every unmatched
+    right row ``n_salts`` times.
     """
+    safe = {"inner", "left", "left_outer", "leftouter", "left_semi",
+            "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched right rows "
+            f"{n_salts}x (right side is replicated per salt); use one of {sorted(safe)}"
+        )
     on = list(on)
     lsalted = left.withColumn("__salt", _row_salt(left, n_salts))
     rsalted = right.withColumn(

@@ -944,3 +944,23 @@ def test_forward_fill_locf(spark):
         for r in forward_fill(df, "k", "ts", ["v"], "event_id").collect()
     }
     assert out == {1: 5.0, 2: 5.0, 3: 5.0, 4: 7.0, 5: None}
+
+
+def test_band_join_rejects_outer_flavors(spark):
+    from gather_datawarehouse_sync_spark.operators.joins import band_join
+
+    l = spark.createDataFrame([(1.0,)], "x double")
+    r = spark.createDataFrame([(1.2,)], "y double")
+    with pytest.raises(ValueError, match="inner"):
+        band_join(l, r, "x", "y", band=0.5, how="left")
+
+
+def test_salted_join_rejects_right_preserving_flavors(spark):
+    from gather_datawarehouse_sync_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame([(1, "a")], "k long, v string")
+    r = spark.createDataFrame([(1, "b")], "k long, w string")
+    with pytest.raises(ValueError, match="duplicate unmatched right"):
+        salted_join(l, r, ["k"], n_salts=4, how="full")
+    with pytest.raises(ValueError, match="duplicate unmatched right"):
+        salted_join(l, r, ["k"], n_salts=4, how="right")

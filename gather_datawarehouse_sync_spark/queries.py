@@ -1126,12 +1126,12 @@ def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with true near-dups (cos ≥ 0.9, per-plane 0.86) the same shape gives
     >95% recall.
 
-    Measured crossover vs the exact tier (warm, local[32]): at this
-    corpus's 5 k vectors the sketch path's 4 fixed jobs cost more than
-    the exact tier's 12.5 M codegen'd dot products, so exact wins here;
-    the 0.03·n² vs 0.5·n² scoring gap puts the crossover at n ≈ 8–10 k
-    vectors, beyond which LSH wins and the gap widens quadratically
-    (full derivation in SCALE.md §Similarity)."""
+    Measured (median-of-3, warm, local[32], sf0.1 = 5 k vectors): this
+    sketch path runs 2.0 s vs the exact block-grid tier's 4.6 s — LSH
+    wins already at bench scale once the sketch table is materialized
+    once and ``dim`` is passed (no probe job), and the 0.03·n² vs
+    0.5·n² scoring gap widens the margin quadratically from here
+    (SCALE.md §Similarity)."""
     from gather_datawarehouse_sync_spark.operators.similarity import (
         cosine_pairs_lsh,
     )

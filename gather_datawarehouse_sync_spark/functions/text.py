@@ -153,6 +153,58 @@ def explode_sentences(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """ALL word n-grams (non-distinct, in order) over the ascii
+    tokenization the dedup/oracle surface uses (``[^a-z0-9]+`` split) —
+    the multiset the repetition metrics count over.  Empty result for
+    documents shorter than ``n`` tokens."""
+    toks = F.array_remove(F.split(F.lower(text), r"[^a-z0-9]+"), "")
+    # guard short docs: sequence(1, 0) DESCENDS to [1, 0] and slice
+    # throws on start=0 — emit an empty array instead
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal: the fraction of word ``n``-grams
+    that are repeats of an earlier occurrence (1 − distinct/total).
+    High values mark boilerplate/templated text.  Pure expression —
+    exact integer ratio, so the double is bit-stable across engines."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+    ).otherwise(0.0)
+
+
+#: Redaction patterns, applied in order (email before phone so the
+#: digit-run in a mail host is not half-eaten by the phone pattern).
+#: RE2-compatible (no lookaround, no \d/\b) so the DuckDB oracle runs
+#: the byte-identical pattern with the 'g' flag.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    (r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, IPv4 addresses, and phone-like digit runs to typed
+    placeholders — the standard pre-training privacy pass.  Chained
+    ``regexp_replace`` (codegen'd, one projection); patterns are shared
+    with the SQL oracle via :data:`PII_PATTERNS`."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct character n-grams (for n-gram Jaccard on short strings)."""
     lowered = F.lower(text)

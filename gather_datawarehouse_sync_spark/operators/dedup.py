@@ -130,19 +130,26 @@ def tokens(col: Column) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (distinct)."""
+    """Word n-gram shingles as strings (distinct).
+
+    Documents shorter than ``n`` tokens yield an EMPTY array: the naive
+    ``sequence(1, greatest(size-n+1, 0))`` formulation descends to
+    ``[1, 0]`` there and ``slice`` throws on start 0 (latent until a
+    corpus with sub-``n`` docs hits it).
+    """
     toks = tokens(col)
     if n <= 1:
         return F.array_distinct(toks)
     # slide an n-window over the token array with transform + slice
-    return F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-            ),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gather_datawarehouse_sync_spark.session import load_tables
@@ -1182,6 +1182,140 @@ _df(
     ("documents",),
     note="language-ID + quality + winnowing fingerprint (heuristic/hash → "
     "rows-only check)",
+)
+
+
+def _x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: docs ≥ 20 whose distinct word
+    3-gram shingles overlap the 'benchmark' (docs < 20) at all, with the
+    exact containment ratio.  Benchmark shingles broadcast — the corpus
+    side never shuffles (the 100 TB shape)."""
+    from gather_datawarehouse_sync_spark.operators.contamination import (
+        ngram_containment,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = ngram_containment(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n=3,
+    )
+    return (
+        out.filter(F.col("n_hit") >= 1)
+        .select("doc_id", "n_shingles", "n_hit", "containment")
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "x_contamination",
+    _x_contamination,
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, "
+    "greatest(len(toks)-2, 0)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) "
+    "AS sh FROM tok), "
+    "bench AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id < 20), "
+    "corp AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id >= 20), "
+    "j AS (SELECT c.doc_id, count(*) AS n_shingles, count(b.s) AS n_hit "
+    "FROM corp c LEFT JOIN bench b ON c.s = b.s GROUP BY c.doc_id) "
+    "SELECT doc_id, n_shingles, CAST(n_hit AS BIGINT) AS n_hit, "
+    "CAST(n_hit AS DOUBLE) / n_shingles AS containment "
+    "FROM j WHERE n_hit >= 1 ORDER BY doc_id",
+    ("documents",),
+    note="benchmark contamination via broadcast shingle semi-join; exact "
+    "integer containment ratio",
+)
+
+
+def _x_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-frequent word 2-gram and its share of all
+    2-grams (Gopher-style repetition signal).  Explode → count → top-1
+    window; ties break to the lexicographically first gram."""
+    from gather_datawarehouse_sync_spark.functions.text import word_ngrams
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    grams = docs.select(
+        "doc_id",
+        F.size(word_ngrams(F.col("text"), 2)).alias("total"),
+        F.explode(word_ngrams(F.col("text"), 2)).alias("gram"),
+    )
+    counted = grams.groupBy("doc_id", "total", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_gram"),
+            "cnt",
+            (F.col("cnt") / F.col("total")).alias("frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "x_top_ngram",
+    _x_top_ngram,
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "g AS (SELECT doc_id, len(toks) - 1 AS total, "
+    "unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)), "
+    "i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram FROM tok), "
+    "c AS (SELECT doc_id, total, gram, count(*) AS cnt FROM g GROUP BY ALL), "
+    "r AS (SELECT doc_id, total, gram, cnt, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c) "
+    "SELECT doc_id, gram AS top_gram, CAST(cnt AS BIGINT) AS cnt, "
+    "CAST(cnt AS DOUBLE) / total AS frac FROM r WHERE rn = 1 ORDER BY doc_id",
+    ("documents",),
+    note="per-doc top word-2-gram share (repetition/boilerplate signal)",
+)
+
+
+def _x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub differential: synthesize contact strings with an email,
+    an IPv4, and a phone from customer columns, then redact — both
+    engines run byte-identical RE2-compatible patterns, so the redacted
+    text hash-matches."""
+    from gather_datawarehouse_sync_spark.functions.text import redact_pii
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    raw = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.regexp_replace(F.col("c_name"), r"#", "")),
+        F.lit("@example.com or +1 (555) 010-"),
+        (F.col("c_custkey") % 10000).cast("string"),
+        F.lit(" ip 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return (
+        cust.filter(F.col("c_custkey") <= 500)
+        .select("c_custkey", redact_pii(raw).alias("redacted"))
+        .orderBy("c_custkey")
+    )
+
+
+_df(
+    "x_pii_redact",
+    _x_pii_redact,
+    "SELECT c_custkey, "
+    "regexp_replace(regexp_replace(regexp_replace("
+    "'contact ' || c_name || ' at ' || lower(replace(c_name, '#', '')) || "
+    "'@example.com or +1 (555) 010-' || (c_custkey % 10000) || "
+    "' ip 10.0.' || (c_custkey % 256) || '.7', "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), "
+    "'\\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS redacted "
+    "FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey",
+    ("customer",),
+    note="PII redaction (email/IP/phone → placeholders), byte-identical "
+    "RE2 patterns in both dialects",
 )
 
 

@@ -964,3 +964,73 @@ def test_salted_join_rejects_right_preserving_flavors(spark):
         salted_join(l, r, ["k"], n_salts=4, how="full")
     with pytest.raises(ValueError, match="duplicate unmatched right"):
         salted_join(l, r, ["k"], n_salts=4, how="right")
+
+
+def test_redact_pii_all_kinds_and_clean_text(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@corp.example.org end",),
+            ("server 192.168.001.5 up",),
+            ("call +1 (555) 010-9934 now",),
+            ("nothing sensitive here",),
+        ],
+        "t string",
+    )
+    got = [r["r"] for r in df.select(text.redact_pii(F.col("t")).alias("r")).collect()]
+    assert got[0] == "mail <EMAIL> end"
+    assert got[1] == "server <IP> up"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "nothing sensitive here"
+
+
+def test_duplicate_ngram_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            ("a b a b a b",),   # 2-grams: ab ba ab ba ab -> 2 distinct of 5
+            ("w x y z",),       # all distinct -> 0.0
+            ("solo",),          # shorter than n -> 0.0
+        ],
+        "t string",
+    )
+    got = [
+        round(r["f"], 4)
+        for r in df.select(
+            text.duplicate_ngram_fraction(F.col("t"), 2).alias("f")
+        ).collect()
+    ]
+    assert got == [0.6, 0.0, 0.0]
+
+
+def test_ngram_containment_exact_and_partial(spark):
+    from gather_datawarehouse_sync_spark.operators.contamination import (
+        ngram_containment,
+    )
+
+    bench = spark.createDataFrame([(0, "the quick brown fox jumps")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps"),   # fully contained
+            (11, "the quick brown cat sleeps"),  # 1 of 3 shingles shared
+            (12, "completely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"], round(r["containment"], 4))
+        for r in ngram_containment(corpus, bench, n=3).collect()
+    }
+    assert out[10] == (3, 3, 1.0)
+    assert out[11] == (3, 1, round(1 / 3, 4))
+    # 4 tokens -> 2 distinct 3-gram shingles, none shared
+    assert out[12] == (2, 0, 0.0)
+
+
+def test_shingles_and_word_ngrams_short_docs_empty(spark):
+    from gather_datawarehouse_sync_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([("one two",), ("one",), ("",)], "t string")
+    rows = df.select(
+        shingles(F.col("t"), 3).alias("sh"),
+        text.word_ngrams(F.col("t"), 3).alias("ng"),
+    ).collect()
+    assert all(r["sh"] == [] and r["ng"] == [] for r in rows)

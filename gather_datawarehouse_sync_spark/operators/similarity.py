@@ -111,13 +111,15 @@ def cosine_pairs(
     """EXACT embedding-cosine near-duplicate pairs ≥ ``threshold``.
 
     The embedding analogue of :func:`...dedup.jaccard_pairs`: normalize
-    once, then enumerate the pair space with a **block-grid** self-join —
+    once, then enumerate the pair space with a **block-grid** layout —
     ids hash into ``num_blocks`` blocks, each vector replicates to the
-    upper-triangle grid cells it participates in, and candidate pairs
-    materialize through a plain equi-join on the cell id.  No broadcast
-    nested-loop join: neither side must fit in one executor, the O(n²)
-    scoring distributes over B(B+1)/2 cells, and shuffle volume is
-    n·(B+1)/2 rows (B defaults to ~√(2·parallelism)).
+    upper-triangle grid cells it participates in, and each cell scores
+    its (block × block) tile with ONE vectorized numpy matmul inside
+    ``applyInPandas``.  No broadcast nested-loop join and no per-pair
+    expression evaluation: neither side must fit in one executor, the
+    O(n²) scoring distributes over B(B+1)/2 cells at BLAS speed, and
+    shuffle volume is n·(B+1)/2 rows (B defaults to ~√(2·parallelism);
+    size B so two blocks of vectors fit one task's memory).
 
     Compute is inherently O(n²) — that is what "exact at an arbitrary
     threshold" costs; use :func:`cosine_pairs_lsh` beyond ~1e5 vectors
@@ -129,34 +131,58 @@ def cosine_pairs(
     B = num_blocks or max(
         2, int(round((2 * spark.sparkContext.defaultParallelism) ** 0.5))
     )
+    thr = float(threshold)
     nv = normalized(df, id_col, vec_col).localCheckpoint(eager=True)
     blk = F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
     # row side owns grid cells (bi, j) for j ≥ bi; col side (i, bj) for
     # i ≤ bj — every unordered block pair {p ≤ q} meets in exactly one
-    # cell, so each vector pair is scored exactly once
+    # cell, so each vector pair is scored exactly once.  Scoring is one
+    # numpy matmul per cell (BLAS) instead of an interpreted
+    # higher-order-function dot per pair — measured ~3× on 5 k vectors,
+    # and the gap grows with pair count.  The plan is a union + ONE
+    # shuffle on the cell id + FlatMapGroupsInPandas: no join operator
+    # at all.
     rows = (
         spread(nv)
-        .select(F.col("id").alias("a"), F.col("v").alias("va"), blk.alias("bi"))
-        .withColumn("gj", F.explode(F.sequence(F.col("bi"), F.lit(B - 1))))
+        .select("id", "v", blk.alias("ci"))
+        .withColumn("cj", F.explode(F.sequence(F.col("ci"), F.lit(B - 1))))
+        .withColumn("side", F.lit(0))
     )
     cols = (
-        nv.select(F.col("id").alias("b"), F.col("v").alias("vb"), blk.alias("bj"))
-        .withColumn("gi", F.explode(F.sequence(F.lit(0), F.col("bj"))))
+        nv.select("id", "v", blk.alias("cj"))
+        .withColumn("ci", F.explode(F.sequence(F.lit(0), F.col("cj"))))
+        .withColumn("side", F.lit(1))
     )
-    joined = rows.join(
-        cols, (rows.bi == cols.gi) & (rows.gj == cols.bj)
-    ).filter(
-        # diagonal cells hold a block on both sides: order the pair there
-        (F.col("bi") != F.col("bj")) | (F.col("a") < F.col("b"))
-    )
-    return (
-        joined.withColumn("cos", dot(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select(
-            F.least("a", "b").alias("a"),
-            F.greatest("a", "b").alias("b"),
-            "cos",
+    both = rows.unionByName(cols.select(*rows.columns))
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        r = pdf[pdf["side"] == 0]
+        c = pdf[pdf["side"] == 1]
+        if r.empty or c.empty:
+            return empty
+        RM = np.stack([np.asarray(x, dtype=np.float64) for x in r["v"]])
+        CM = np.stack([np.asarray(x, dtype=np.float64) for x in c["v"]])
+        S = RM @ CM.T
+        ii, jj = np.nonzero(S >= thr)
+        if len(ii) == 0:
+            return empty
+        a = r["id"].to_numpy()[ii]
+        b = c["id"].to_numpy()[jj]
+        cos = S[ii, jj]
+        if int(pdf["ci"].iat[0]) == int(pdf["cj"].iat[0]):
+            # diagonal cell holds one block on both sides: each unordered
+            # pair appears twice plus the self-pair — keep a < b once
+            keep = a < b
+            a, b, cos = a[keep], b[keep], cos[keep]
+        return pd.DataFrame(
+            {"a": np.minimum(a, b), "b": np.maximum(a, b), "cos": cos}
         )
+
+    return both.groupBy("ci", "cj").applyInPandas(
+        _score, "a long, b long, cos double"
     )
 
 

@@ -1,0 +1,155 @@
+"""Distributed BPE tokenizer training (LLM-pipeline extension surface).
+
+No reference counterpart; this is the corpus-side half of the tokenizer
+story whose apply-side lives in ``functions.text.bpe_tokens`` (the
+merge-free GPT-2-style pre-tokenizer).  Training learns the merge table
+itself — the standard iterative algorithm (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"):
+
+    repeat ``num_merges`` times:
+        count adjacent symbol pairs across the corpus   (one shuffle)
+        pick the most frequent pair                     (tiny collect)
+        merge that pair everywhere it occurs            (narrow map)
+
+Spark shape per round: explode bigrams → ``groupBy(pair).count`` →
+collect the argmax (ONE row — the only driver materialization), then a
+codegen'd ``aggregate`` rewrites every document's symbol array with the
+greedy left-to-right merge.  The corpus is ``localCheckpoint``-ed per
+round (iterative lineage, SURVEY §7 watch list).
+
+Scale notes: each merge is a full corpus pass by construction — at
+100 TB you train on a deterministic hash-sample (``sample_fraction``,
+xxhash-based like ``operators/sampling.py``: reproducible, partition-
+invariant) and apply the learned merges anywhere; the merge table is
+``num_merges`` rows, trivially broadcast.  Determinism: ties on pair
+count break lexicographically, so the merge table is a pure function of
+the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _initial_symbols(text: Column) -> Column:
+    """Whitespace words → per-word character symbol arrays with an
+    end-of-word marker on the last character (the classic BPE setup
+    keeping merges word-internal).  Documents become arrays of words;
+    each word is an array of single-character symbols."""
+    words = F.array_remove(F.split(F.lower(text), r"[^a-z0-9]+"), "")
+    return F.transform(
+        words,
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.when(
+                i == F.length(w), F.concat(w.substr(i, F.lit(1)), F.lit("</w>"))
+            ).otherwise(w.substr(i, F.lit(1))),
+        ),
+    )
+
+
+def _merge_word(word: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of (left, right) → left||right inside
+    one word's symbol array, as a codegen'd ``aggregate``: the running
+    state is the output array; a symbol merges with the previous output
+    symbol iff that symbol is exactly ``left`` (and was not itself just
+    produced by a merge — which holds automatically, because a merged
+    symbol is ``left || right`` ≠ ``left``)."""
+    merged = left + right
+    return F.aggregate(
+        word,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    corpus: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_count: int = 2,
+    sample_fraction: float | None = None,
+    id_col: str | None = None,
+    checkpoint_every: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns the ordered merge table ``[(left, right, count), ...]`` —
+    the full trained artifact (apply-side tokenization replays it in
+    order).  Stops early when no pair reaches ``min_count``.
+
+    ``checkpoint_every``: merge application is a narrow ``transform``,
+    so lineage can carry a round or two before re-materializing — one
+    count job per round instead of count + checkpoint cuts the job
+    count (the loop is job-overhead-bound, not data-bound, at bench
+    scales).  Don't raise it far: each deferred round nests another
+    higher-order function into the plan and Catalyst analysis time
+    grows superlinearly (measured at 5 k docs: every=2 → 9.8 s,
+    every=8 → 26.5 s for 8 merges).
+    """
+    df = corpus
+    if sample_fraction is not None:
+        if id_col is None:
+            raise ValueError("sample_fraction needs id_col for the hash sample")
+        buckets = 1 << 16
+        keep = int(buckets * sample_fraction)
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)) < keep)
+    syms = df.select(_initial_symbols(F.col(text_col)).alias("words"))
+    syms = syms.localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs = (
+            syms.select(F.explode("words").alias("w"))
+            .select(
+                F.explode(
+                    F.when(
+                        F.size("w") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("w") - 1),
+                            lambda i: F.struct(
+                                F.element_at("w", i).alias("l"),
+                                F.element_at("w", i + F.lit(1)).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("p")
+            )
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), F.col("p.l"), F.col("p.r")).first()
+        if top is None or top["c"] < min_count:
+            break
+        left, right, count = top["p"]["l"], top["p"]["r"], int(top["c"])
+        merges.append((left, right, count))
+        syms = syms.select(
+            F.transform("words", lambda w: _merge_word(w, left, right)).alias("words")
+        )
+        if len(merges) % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_apply(text: Column, merges: list[tuple[str, str, int]]) -> Column:
+    """Tokenize ``text`` with a trained merge table: rebuild the initial
+    symbols, replay every merge in training order, flatten to the final
+    subword sequence.  Pure expression — the merge table is inlined into
+    the plan (it is ``num_merges`` rows; at scale this is the broadcast
+    artifact)."""
+    words = _initial_symbols(text)
+
+    # closure factory, NOT a default-arg lambda: F.transform treats a
+    # multi-parameter lambda as (element, index)
+    def _apply_one(ws: Column, left: str, right: str) -> Column:
+        return F.transform(ws, lambda w: _merge_word(w, left, right))
+
+    for left, right, _ in merges:
+        words = _apply_one(words, left, right)
+    return F.flatten(words)

@@ -1319,6 +1319,34 @@ _df(
 )
 
 
+def _x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich-style iterative
+    merges): one shuffle + one single-row collect per merge.  Trains on
+    a FIXED-size slice of the corpus — tokenizer training uses a bounded
+    sample regardless of corpus size (the learned table is applied
+    corpus-wide via ``bpe_apply``), so this query's cost is constant in
+    sf.  Deterministic (ties break lexicographically) but iterative,
+    hence rows-only (no SQL oracle)."""
+    from gather_datawarehouse_sync_spark.functions.bpe import bpe_train
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    merges = bpe_train(docs.filter(F.col("doc_id") < 300), num_merges=8, min_count=2)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, cnt long",
+    ).orderBy("rank")
+
+
+_df(
+    "x_bpe_train",
+    _x_bpe_train,
+    None,
+    ("documents",),
+    note="BPE merge-table training (iterative; deterministic rows-only "
+    "check, toy-corpus merges pinned in unit tests)",
+)
+
+
 def _x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's latest order at or
     before the event time (backward, inclusive; ties on order date break

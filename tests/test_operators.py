@@ -1034,3 +1034,28 @@ def test_shingles_and_word_ngrams_short_docs_empty(spark):
         text.word_ngrams(F.col("t"), 3).alias("ng"),
     ).collect()
     assert all(r["sh"] == [] and r["ng"] == [] for r in rows)
+
+
+def test_bpe_train_learns_expected_merges_and_applies(spark):
+    from gather_datawarehouse_sync_spark.functions.bpe import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [("low low low lower lower lowest",), ("low lower newest newest",)],
+        "text string",
+    )
+    merges = bpe_train(df, num_merges=3, min_count=2)
+    # hand-computed: 'lo' appears 8x (every word), then 'we' 6x, then
+    # tie 'low</w>' vs 'lowe' at 4 breaks lexicographically ('lo','w</w>')
+    assert merges == [("l", "o", 8), ("w", "e", 6), ("lo", "w</w>", 4)]
+    toks = df.select(bpe_apply(F.col("text"), merges).alias("t")).collect()
+    assert toks[0]["t"][:3] == ["low</w>", "low</w>", "low</w>"]
+    # training is deterministic: same corpus -> same table
+    assert bpe_train(df, num_merges=3, min_count=2) == merges
+
+
+def test_bpe_train_min_count_stops_early(spark):
+    from gather_datawarehouse_sync_spark.functions.bpe import bpe_train
+
+    df = spark.createDataFrame([("ab cd",)], "text string")
+    # every adjacent pair occurs once -> below min_count, no merges
+    assert bpe_train(df, num_merges=5, min_count=2) == []

@@ -205,6 +205,67 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+def winnow_fingerprint_table(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+):
+    """Winnowing fingerprints (Schleimer et al. 2003 shape) as a
+    relation: (``id_col``, ``fp``) — distinct sliding-``window`` minima
+    over each document's ordered word ``n``-grams.  Two documents
+    sharing a passage of ≥ window+n-1 words are guaranteed to share a
+    fingerprint — the containment / shared-passage detector that
+    whole-document Jaccard dilutes away.
+
+    Two design points that matter:
+
+    - the window minimum is LEXICOGRAPHIC over gram strings (not a
+      hash): strings compare identically in every engine, so a SQL
+      oracle can mirror the selection byte-for-byte;
+    - the sliding min is a ROWS-frame window function over
+      posexploded grams, NOT an array expression: the array form
+      (``transform(sequence(...), i -> array_min(slice(grams, i, w)))``)
+      looks natural but Catalyst's CollapseProject inlines the whole
+      gram-construction into EVERY window position — O(len²) string
+      building per document (measured: sf0.1 went from >4 min to
+      seconds).  Same trap as the per-lane minhash formulation
+      (``operators/dedup.minhash_signatures``).
+
+    Documents with fewer than ``window`` grams contribute each gram as
+    its own fingerprint (standard winnowing short-input fallback).
+    """
+    from pyspark.sql import Window as W
+
+    grams = df.select(
+        F.col(id_col), F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "gram")
+    )
+    per_doc = W.partitionBy(id_col)
+    sliding = per_doc.orderBy("pos").rowsBetween(0, window - 1)
+    scored = grams.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("gram"),
+        F.count(F.lit(1)).over(per_doc).alias("__n"),
+        F.min("gram").over(sliding).alias("__wmin"),
+    )
+    return (
+        # drop incomplete trailing windows — unless the whole doc is
+        # shorter than one window, where every gram stands alone
+        scored.filter(
+            (F.col("pos") <= F.col("__n") - window) | (F.col("__n") < window)
+        )
+        .select(
+            id_col,
+            F.when(F.col("__n") < window, F.col("gram"))
+            .otherwise(F.col("__wmin"))
+            .alias("fp"),
+        )
+        .distinct()
+    )
+
+
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct character n-grams (for n-gram Jaccard on short strings)."""
     lowered = F.lower(text)

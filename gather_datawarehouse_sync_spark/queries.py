@@ -1347,6 +1347,51 @@ _df(
 )
 
 
+def _x_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-passage candidate pairs via winnowing fingerprints: docs
+    sharing ≥ 3 window-min 3-grams.  Narrow (id, fp) self-join — the
+    containment analogue of the LSH banding layout; detects common
+    passages whole-doc Jaccard dilutes away."""
+    from gather_datawarehouse_sync_spark.functions.text import (
+        winnow_fingerprint_table,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fps = winnow_fingerprint_table(docs, "doc_id", "text", 3, 4).localCheckpoint(
+        eager=False
+    )
+    a = fps.select(F.col("doc_id").alias("a"), "fp")
+    b = fps.select(F.col("doc_id").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .orderBy("a", "b")
+    )
+
+
+_df(
+    "x_winnow_pairs",
+    _x_winnow_pairs,
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks)-2, 0)), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS grams FROM tok), "
+    "fp AS (SELECT doc_id, CASE WHEN len(grams) >= 4 THEN "
+    "list_distinct(list_transform(generate_series(1, len(grams)-3), "
+    "i -> list_min(grams[i:i+3]))) ELSE list_distinct(grams) END AS fps FROM g), "
+    "e AS (SELECT doc_id, unnest(fps) AS fp FROM fp) "
+    "SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared "
+    "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY a, b",
+    ("documents",),
+    note="winnowing shared-passage pairs (lexicographic window minima — "
+    "cross-engine stable, no hash parity needed)",
+)
+
+
 def _x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's latest order at or
     before the event time (backward, inclusive; ties on order date break

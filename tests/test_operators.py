@@ -1059,3 +1059,37 @@ def test_bpe_train_min_count_stops_early(spark):
     df = spark.createDataFrame([("ab cd",)], "text string")
     # every adjacent pair occurs once -> below min_count, no merges
     assert bpe_train(df, num_merges=5, min_count=2) == []
+
+
+def test_winnow_fingerprints_shared_passage_guarantee(spark):
+    from gather_datawarehouse_sync_spark.functions.text import (
+        winnow_fingerprint_table,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta"  # 6 words >= window+n-1
+    df = spark.createDataFrame(
+        [
+            (1, "intro words here " + passage + " tail one"),
+            (2, "totally other start " + passage + " different end"),
+            (3, "nothing in common with those documents at all times"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprint_table(df, "doc_id", "text", n=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # docs 1 and 2 share the passage -> guaranteed common fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnow_fingerprints_short_doc_fallback(spark):
+    from gather_datawarehouse_sync_spark.functions.text import (
+        winnow_fingerprint_table,
+    )
+
+    # 4 tokens -> 2 3-grams < window=4 -> every gram is its own fp
+    df = spark.createDataFrame([(1, "w x y z")], "doc_id long, text string")
+    got = {r["fp"] for r in winnow_fingerprint_table(df, window=4).collect()}
+    assert got == {"w x y", "x y z"}

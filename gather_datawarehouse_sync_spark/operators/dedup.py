@@ -560,6 +560,100 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup_against(
+    new: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """INCREMENTAL fuzzy dedup: flag rows of ``new`` that near-duplicate
+    any ``reference`` document — the "new crawl vs existing corpus"
+    operation, distinct from :func:`minhash_dedup`'s within-corpus
+    self-join.
+
+    Banding join is NEW × REFERENCE only (no self-pairs, no N² within
+    either side); at 100 TB the reference side's signatures/bands are a
+    persisted table computed once per corpus version, so each crawl
+    increment costs one signature pass over the increment plus a
+    band-bucket equi-join against the persisted sketch.
+
+    Returns (``id_col``, ``ref_match``, ``est_jaccard``): one row per
+    NEW doc with at least one match ≥ ``threshold``; best match wins
+    (max agreement, ties to min reference id).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    def _banded(df: DataFrame, alias: str):
+        sig = (
+            minhash_signatures(df, id_col, text_col, num_hashes, ngram)
+            .filter(F.col("signature").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        banded = sig.select(
+            F.col("id").alias(alias),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("signature"),
+                                        i * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        return sig, banded
+
+    sig_n, band_n = _banded(new, "nid")
+    sig_r, band_r = _banded(reference, "rid")
+    cand = (
+        band_n.join(band_r, ["band", "bucket"])
+        .select("nid", "rid")
+        .dropDuplicates(["nid", "rid"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_n"), F.col("sig_r"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    scored = (
+        cand.join(sig_n.select(F.col("id").alias("nid"), F.col("signature").alias("sig_n")), "nid")
+        .join(sig_r.select(F.col("id").alias("rid"), F.col("signature").alias("sig_r")), "rid")
+        .select(
+            "nid", "rid", (agree / F.size(F.col("sig_n"))).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    best = Window.partitionBy("nid").orderBy(
+        F.col("est_jaccard").desc(), F.col("rid")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("nid").alias(id_col),
+            F.col("rid").alias("ref_match"),
+            "est_jaccard",
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,

@@ -1347,6 +1347,91 @@ _df(
 )
 
 
+def _x_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, exact tier: for each 'new' doc (doc_id % 5 ==
+    0) the best token-set-Jaccard ≥ 0.8 match in the 'existing corpus'
+    (the rest).  Reuses the adaptive ``jaccard_pairs`` machinery
+    (bitset / PPJoin-prefix) and restricts to cross-partition pairs —
+    a naive token explode-join fans out quadratically on this
+    tiny-vocabulary corpus (timed out at sf0.1; the adaptive path runs
+    in seconds).  Oracle stays the naive declarative SQL."""
+    from gather_datawarehouse_sync_spark.operators.dedup import jaccard_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = jaccard_pairs(docs, threshold=0.8, ngram=1)
+    a_new = F.col("a") % 5 == 0
+    b_new = F.col("b") % 5 == 0
+    oriented = (
+        pairs.filter(a_new != b_new)
+        .select(
+            F.when(a_new, F.col("a")).otherwise(F.col("b")).alias("nid"),
+            F.when(a_new, F.col("b")).otherwise(F.col("a")).alias("rid"),
+            "shared",
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("nid").orderBy(F.col("jaccard").desc(), F.col("rid"))
+    return (
+        oriented.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("nid").alias("doc_id"),
+            F.col("rid").alias("ref_match"),
+            F.col("shared").alias("shared_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "x_dedup_against",
+    _x_dedup_against,
+    "WITH tok AS (SELECT doc_id, list_distinct(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks "
+    "FROM documents), "
+    "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tok), "
+    "sc AS (SELECT a.doc_id AS nid, b.doc_id AS rid, a.n AS nsz, b.n AS rsz, "
+    "COUNT(*) AS c FROM ex a JOIN ex b ON a.tok = b.tok "
+    "AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 "
+    "GROUP BY 1, 2, 3, 4 HAVING COUNT(*) * 5 >= (a.n + b.n - COUNT(*)) * 4), "
+    "r AS (SELECT nid, rid, c, row_number() OVER (PARTITION BY nid ORDER BY "
+    "CAST(c AS DOUBLE) / (nsz + rsz - c) DESC, rid) AS rn FROM sc) "
+    "SELECT nid AS doc_id, rid AS ref_match, c AS shared_tok FROM r "
+    "WHERE rn = 1 ORDER BY doc_id",
+    ("documents",),
+    note="incremental dedup exact tier: best cross-partition Jaccard ≥ 0.8 "
+    "match per new doc",
+)
+
+
+def _x_minhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, scale tier: MinHash-banding join of the 'new'
+    slice against the persisted-corpus side only (no self-pairs) —
+    sketch-based, so rows-only; recall properties pinned in unit tests."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        minhash_dedup_against,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = minhash_dedup_against(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.8,
+        ngram=1,
+    )
+    return out.select("doc_id", "ref_match").orderBy("doc_id")
+
+
+_df(
+    "x_minhash_against",
+    _x_minhash_against,
+    None,
+    ("documents",),
+    note="incremental fuzzy dedup via banding join against the reference "
+    "sketch (rows-only; exact-tier cross-validation above)",
+)
+
+
 def _x_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage candidate pairs via winnowing fingerprints: docs
     sharing ≥ 3 window-min 3-grams.  Narrow (id, fp) self-join — the

@@ -1093,3 +1093,23 @@ def test_winnow_fingerprints_short_doc_fallback(spark):
     df = spark.createDataFrame([(1, "w x y z")], "doc_id long, text string")
     got = {r["fp"] for r in winnow_fingerprint_table(df, window=4).collect()}
     assert got == {"w x y", "x y z"}
+
+
+def test_minhash_dedup_against_recalls_identical_and_stays_cross(spark):
+    from gather_datawarehouse_sync_spark.operators.dedup import minhash_dedup_against
+
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely unrelated reference text about spark shuffles")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),
+         (11, "nothing like anything in the reference corpus whatsoever")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in minhash_dedup_against(new, ref, ngram=1).collect()}
+    # identical text -> identical signature -> guaranteed banding hit
+    assert out[10]["ref_match"] == 1 and out[10]["est_jaccard"] == 1.0
+    # only NEW ids may appear, and non-duplicates are absent
+    assert set(out) <= {10, 11} and 11 not in out

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000
@@ -76,3 +76,48 @@ def stratified_deterministic_sample(
     for value, f in fractions.items():
         frac = F.when(stratum == value, F.lit(f)).otherwise(frac)
     return df.filter(_hash_bucket(id_col, salt) < (frac * _BUCKETS).cast("long"))
+
+
+def shuffle_order(
+    df: DataFrame, id_col: str, seed: str = "0", out_col: str = "train_rank"
+) -> DataFrame:
+    """Deterministic global shuffle for training-example order: rank rows
+    by ``md5(seed:id)``.  Reproducible across runs, engines, cluster
+    layouts, and retries — unlike ``df.orderBy(F.rand(seed))``, whose
+    draws depend on partition layout.  Changing ``seed`` yields an
+    independent permutation (epoch reshuffling).
+
+    The rank itself is a global ordered ``row_number`` — at cluster scale
+    don't materialize it: ``df.repartitionByRange(n, hash).sortWithin
+    Partitions(hash)`` realizes the same order with a range shuffle and
+    no single-partition window.  The rank form exists for the oracle
+    surface and for bounded top-N curricula."""
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.orderBy(h, F.col(id_col))
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    cap: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Domain balancing (C4/RefinedWeb-style): keep at most ``cap`` rows
+    per group, chosen by id-hash order so the survivors are a stable
+    pseudo-random subset — a dominant domain can't flood the corpus, and
+    reruns/engine-swaps keep exactly the same rows.
+
+    One shuffle (window partitioned by the group); skewed groups cost
+    one hot partition each — for pathological skew pre-filter with
+    ``deterministic_sample`` before the exact cap."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -92,3 +92,42 @@ def session_bounds(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def change_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """SCD-type-2 style validity intervals: collapse each key's event
+    stream into runs of consecutive equal ``value_col`` and emit one row
+    per run with ``valid_from`` / ``valid_to`` (null ``valid_to`` = the
+    run is current).  This is the gaps-and-islands shape dimension
+    maintenance needs when replaying a change log into a versioned
+    dimension (the reference's update sink keeps only latest state,
+    ``src/DataWarehouse.js:472``; this keeps history).
+
+    Run detection is the two-row_number island trick; both windows and
+    the rollup share the key partitioning, so the whole operator is one
+    shuffle on ``key_col`` (plus the final ``lead`` in the same
+    partitioning).
+    """
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w_all = Window.partitionBy(key_col).orderBy(*order)
+    w_val = Window.partitionBy(key_col, value_col).orderBy(*order)
+    runs = df.withColumn(
+        "_isl", F.row_number().over(w_all) - F.row_number().over(w_val)
+    )
+    # the run's first tiebreak value keeps the lead window deterministic
+    # when adjacent runs share a timestamp (possible with equal-ts events)
+    aggs = [F.min(ts_col).alias("valid_from"), F.count(F.lit(1)).alias("n_events")]
+    lead_order = [F.col("valid_from")]
+    if order_tiebreak:
+        aggs.append(F.min(order_tiebreak).alias("_first_ord"))
+        lead_order.append(F.col("_first_ord"))
+    bounds = runs.groupBy(key_col, value_col, "_isl").agg(*aggs)
+    w_lead = Window.partitionBy(key_col).orderBy(*lead_order)
+    out = bounds.withColumn("valid_to", F.lead("valid_from").over(w_lead)).drop("_isl")
+    return out.drop("_first_ord") if order_tiebreak else out

@@ -2098,6 +2098,148 @@ _twin(
 
 
 # ---------------------------------------------------------------------------
+# training-batch layout: packing, shuffle order, domain balancing, SCD2
+# ---------------------------------------------------------------------------
+
+
+def _x_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing over the document corpus —
+    hierarchical prefix sum (no global single-partition window); the
+    small group_size exercises multiple groups even at sf0.001."""
+    from gather_datawarehouse_sync_spark.operators.packing import pack_chunks
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.size(F.array_remove(F.split(F.lower("text"), r"[^a-z0-9]+"), ""))
+        .cast("long")
+        .alias("tokens"),
+    )
+    return (
+        pack_chunks(toks, "doc_id", "tokens", chunk_tokens=2048, group_size=64)
+        .select(
+            "doc_id",
+            "tokens",
+            F.col("start").alias("st"),
+            "first_chunk",
+            "last_chunk",
+            "n_chunks",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "x_pack_chunks",
+    _x_pack_chunks,
+    "WITH t AS (SELECT doc_id, CAST(len(list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS tokens "
+    "FROM documents), "
+    "s AS (SELECT doc_id, tokens, COALESCE(SUM(tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM t) "
+    "SELECT doc_id, tokens, st, "
+    "CAST(FLOOR(st / 2048.0) AS BIGINT) AS first_chunk, "
+    "CAST(FLOOR(st / 2048.0) + (CASE WHEN tokens > 0 THEN "
+    "FLOOR((st + tokens - 1) / 2048.0) - FLOOR(st / 2048.0) + 1 "
+    "ELSE 0 END) - 1 AS BIGINT) AS last_chunk, "
+    "CAST(CASE WHEN tokens > 0 THEN FLOOR((st + tokens - 1) / 2048.0) "
+    "- FLOOR(st / 2048.0) + 1 ELSE 0 END AS BIGINT) AS n_chunks "
+    "FROM s ORDER BY doc_id",
+    ("documents",),
+    note="GPT-style concat-and-chunk packing; engine side uses the "
+    "hierarchical prefix sum, oracle the plain global window",
+)
+
+
+def _x_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle rank (epoch 42) over the corpus."""
+    from gather_datawarehouse_sync_spark.operators.sampling import shuffle_order
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        shuffle_order(docs.select("doc_id"), "doc_id", seed="42")
+        .orderBy("train_rank")
+    )
+
+
+_df(
+    "x_train_order",
+    _x_train_order,
+    "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+    "md5(concat('42:', CAST(doc_id AS VARCHAR))), doc_id) AS INT) "
+    "AS train_rank FROM documents ORDER BY train_rank",
+    ("documents",),
+    note="reproducible training-order shuffle: rank by md5(seed:id) — "
+    "partition-layout-invariant, unlike orderBy(rand(seed))",
+)
+
+
+def _x_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most 10 docs per source, hash-chosen."""
+    from gather_datawarehouse_sync_spark.operators.sampling import cap_per_group
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        cap_per_group(docs.select("doc_id", "source"), ["source"], "doc_id", 10)
+        .orderBy("source", "doc_id")
+    )
+
+
+_df(
+    "x_domain_cap",
+    _x_domain_cap,
+    "WITH r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
+    "ORDER BY md5(concat('0:', CAST(doc_id AS VARCHAR))), doc_id) AS rn "
+    "FROM documents) "
+    "SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY source, doc_id",
+    ("documents",),
+    note="per-domain cap (C4/RefinedWeb-style corpus balancing) by "
+    "deterministic hash order",
+)
+
+
+def _x_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 validity intervals of each user's event_type runs."""
+    from gather_datawarehouse_sync_spark.operators.sessions import change_intervals
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("user_id", "ts", "event_id", "event_type")
+    return (
+        change_intervals(ev, "user_id", "ts", "event_type", order_tiebreak="event_id")
+        .select(
+            "user_id",
+            "event_type",
+            "n_events",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        )
+        .orderBy("user_id", "valid_from", "event_type")
+    )
+
+
+_df(
+    "x_scd2_intervals",
+    _x_scd2_intervals,
+    "WITH e AS (SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us "
+    "FROM events), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, "
+    "event_id) - ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+    "ORDER BY us, event_id) AS isl FROM e), "
+    "b AS (SELECT user_id, event_type, isl, MIN(ts) AS vf, MIN(event_id) AS fe, "
+    "COUNT(*) AS n_events FROM r GROUP BY user_id, event_type, isl), "
+    "l AS (SELECT user_id, event_type, n_events, vf, LEAD(vf) OVER "
+    "(PARTITION BY user_id ORDER BY vf, fe) AS vt FROM b) "
+    "SELECT user_id, event_type, CAST(n_events AS BIGINT) AS n_events, "
+    "strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from, "
+    "strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to "
+    "FROM l ORDER BY user_id, valid_from, event_type",
+    ("events",),
+    note="gaps-and-islands run collapse + lead = SCD2 dimension history "
+    "from a change log; one shuffle on the key",
+)
+
+
+# ---------------------------------------------------------------------------
 # registration order = the driver's correctness budget
 # ---------------------------------------------------------------------------
 # The driver's oracle gate checks exactly the first 50 registered queries

@@ -1113,3 +1113,98 @@ def test_minhash_dedup_against_recalls_identical_and_stays_cross(spark):
     assert out[10]["ref_match"] == 1 and out[10]["est_jaccard"] == 1.0
     # only NEW ids may appear, and non-duplicates are absent
     assert set(out) <= {10, 11} and 11 not in out
+
+
+# ---------------------------------------------------------------------------
+# packing / training-batch layout
+# ---------------------------------------------------------------------------
+
+
+def test_exclusive_prefix_sum_matches_global_window(spark):
+    from gather_datawarehouse_sync_spark.operators.packing import (
+        exclusive_prefix_sum,
+    )
+
+    rows = [Row(i=i, v=(i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows).repartition(8)
+    got = {
+        r["i"]: r["off"]
+        for r in exclusive_prefix_sum(df, "i", "v", "off", group_size=16).collect()
+    }
+    run = 0
+    for i in range(200):
+        assert got[i] == run
+        run += (i * 7) % 13
+
+
+def test_pack_chunks_spans_and_zero_token_docs(spark):
+    from gather_datawarehouse_sync_spark.operators.packing import pack_chunks
+
+    # budget 10: doc0 fills [0,7), doc1 is empty, doc2 spans chunks 0-1
+    df = spark.createDataFrame(
+        [Row(i=0, t=7), Row(i=1, t=0), Row(i=2, t=8), Row(i=3, t=5)]
+    )
+    out = {r["i"]: r for r in pack_chunks(df, "i", "t", 10, group_size=2).collect()}
+    assert (out[0]["first_chunk"], out[0]["last_chunk"], out[0]["n_chunks"]) == (0, 0, 1)
+    assert out[1]["n_chunks"] == 0
+    assert (out[2]["first_chunk"], out[2]["last_chunk"], out[2]["n_chunks"]) == (0, 1, 2)
+    assert (out[3]["first_chunk"], out[3]["last_chunk"]) == (1, 1)
+
+
+def test_shuffle_order_partition_invariant_permutation(spark):
+    from gather_datawarehouse_sync_spark.operators.sampling import shuffle_order
+
+    df = spark.createDataFrame([Row(id=i) for i in range(300)])
+    a = {r["id"]: r["train_rank"] for r in shuffle_order(df, "id", "7").collect()}
+    b = {
+        r["id"]: r["train_rank"]
+        for r in shuffle_order(df.repartition(13), "id", "7").collect()
+    }
+    assert a == b  # layout-invariant
+    assert sorted(a.values()) == list(range(1, 301))  # a permutation
+    c = {r["id"]: r["train_rank"] for r in shuffle_order(df, "id", "8").collect()}
+    assert c != a  # different seed → different epoch order
+
+
+def test_cap_per_group_exact_cap_and_stability(spark):
+    from gather_datawarehouse_sync_spark.operators.sampling import cap_per_group
+
+    rows = [Row(id=i, g=f"g{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows)
+    out = cap_per_group(df, ["g"], "id", 5)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    # survivors are stable under repartitioning
+    kept1 = sorted(r["id"] for r in out.collect())
+    kept2 = sorted(r["id"] for r in cap_per_group(df.repartition(11), ["g"], "id", 5).collect())
+    assert kept1 == kept2
+    with pytest.raises(ValueError):
+        cap_per_group(df, ["g"], "id", 0)
+
+
+def test_change_intervals_runs_and_validity_chain(spark):
+    from gather_datawarehouse_sync_spark.operators.sessions import change_intervals
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        # user 1: a a b a  → runs a(2), b(1), a(1)
+        Row(k=1, ts=t0 + dt.timedelta(minutes=0), e=1, v="a"),
+        Row(k=1, ts=t0 + dt.timedelta(minutes=1), e=2, v="a"),
+        Row(k=1, ts=t0 + dt.timedelta(minutes=2), e=3, v="b"),
+        Row(k=1, ts=t0 + dt.timedelta(minutes=3), e=4, v="a"),
+        # user 2: single run
+        Row(k=2, ts=t0, e=5, v="x"),
+    ]
+    out = change_intervals(
+        spark.createDataFrame(ev), "k", "ts", "v", order_tiebreak="e"
+    ).collect()
+    u1 = sorted([r for r in out if r["k"] == 1], key=lambda r: r["valid_from"])
+    assert [(r["v"], r["n_events"]) for r in u1] == [("a", 2), ("b", 1), ("a", 1)]
+    # validity chain: each run's valid_to == next run's valid_from; last open
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None
+    (u2,) = [r for r in out if r["k"] == 2]
+    assert u2["valid_to"] is None and u2["n_events"] == 1

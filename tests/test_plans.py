@@ -196,3 +196,22 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_prefix_sum_avoids_global_window(spark, sf_dir):
+    """The hierarchical prefix sum's full-data window must be partitioned
+    (by the group id); only the n/group_size group-level rows may pass
+    through a global (unpartitioned) window.  A plain SUM() OVER (ORDER
+    BY id) would put ALL rows in one partition — the exact shape this
+    operator exists to avoid — and the group offsets must come back via a
+    broadcast join, not a shuffle."""
+    df = REGISTRY["x_pack_chunks"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    # any unpartitioned window may exist only on the group-level branch,
+    # which aggregates before windowing: an Aggregate must sit below it
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "windowspecdefinition(" in ln and "_gid" not in ln:
+            below = "\n".join(lines[i:])
+            assert "Aggregate" in below, "global window not on aggregated branch"

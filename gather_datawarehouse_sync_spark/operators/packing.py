@@ -100,3 +100,48 @@ def pack_chunks(
         .withColumn("last_chunk", F.col("first_chunk") + F.col("n_chunks") - F.lit(1))
         .select(*out.columns, "first_chunk", "last_chunk", "n_chunks")
     )
+
+
+def chunk_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    stride: int = 128,
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window prep):
+    cut each document into ``chunk_tokens``-token windows every
+    ``stride`` tokens (trailing partial windows kept).
+
+    Fully relational — tokenize once per document (a single generator;
+    naively re-referencing the token array per chunk would re-run the
+    tokenizer per output row, the CollapseProject trap), then each token
+    computes which chunks it belongs to as a row-local interval
+    (overlap factor ``chunk_tokens/stride`` rows per token) and chunks
+    reassemble with one shuffle on (doc, chunk).  No driver loops, no
+    UDFs, no per-doc state: scales with token count."""
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
+    tok_rows = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    lo = F.greatest(
+        F.ceil((F.col("pos") - F.lit(chunk_tokens - 1)) / F.lit(stride)), F.lit(0)
+    ).cast("long")
+    hi = (F.col("pos") / F.lit(stride)).cast("long")
+    memb = tok_rows.select(
+        id_col, "pos", "tok", F.explode(F.sequence(lo, hi)).alias("chunk_seq")
+    )
+    return (
+        memb.groupBy(id_col, "chunk_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .withColumn("start_pos", F.col("chunk_seq") * stride)
+    )

@@ -2239,6 +2239,85 @@ _df(
 )
 
 
+def _x_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of three orders columns."""
+    from gather_datawarehouse_sync_spark.operators.profile import profile
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        profile(t["orders"], ["o_orderkey", "o_orderstatus", "o_totalprice"])
+        .select(F.col("column").alias("col_name"), "n", "n_null", "n_distinct",
+                "min_s", "max_s")
+        .orderBy("col_name")
+    )
+
+
+_df(
+    "x_dq_profile",
+    _x_dq_profile,
+    "SELECT 'o_orderkey' AS col_name, COUNT(*) AS n, "
+    "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+    "COUNT(DISTINCT o_orderkey) AS n_distinct, "
+    "CAST(MIN(o_orderkey) AS VARCHAR) AS min_s, "
+    "CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM orders "
+    "UNION ALL SELECT 'o_orderstatus', COUNT(*), "
+    "CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+    "COUNT(DISTINCT o_orderstatus), CAST(MIN(o_orderstatus) AS VARCHAR), "
+    "CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders "
+    "UNION ALL SELECT 'o_totalprice', COUNT(*), "
+    "CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+    "COUNT(DISTINCT o_totalprice), printf('%.2f', MIN(o_totalprice)), "
+    "printf('%.2f', MAX(o_totalprice)) FROM orders "
+    "ORDER BY col_name",
+    ("orders",),
+    note="Great-Expectations-style table profile; engine computes every "
+    "column's stats in ONE aggregate pass (Expand), oracle is the "
+    "per-column UNION ALL",
+)
+
+
+def _x_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking (256-token windows, stride 128);
+    chunk text is md5'd so the oracle hash-checks full content without
+    shipping megabytes through the compare."""
+    from gather_datawarehouse_sync_spark.operators.packing import chunk_spans
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        chunk_spans(docs, "doc_id", "text", chunk_tokens=256, stride=128)
+        .select(
+            "doc_id",
+            "chunk_seq",
+            "n_tokens",
+            "start_pos",
+            F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_seq")
+    )
+
+
+_df(
+    "x_chunk_overlap",
+    _x_chunk_overlap,
+    "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "p AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, "
+    "unnest(toks) AS tok FROM t), "
+    "m AS (SELECT doc_id, pos, tok, unnest(generate_series("
+    "CAST(GREATEST(CEIL((pos - 255) / 128.0), 0) AS BIGINT), pos // 128)) "
+    "AS chunk_seq FROM p), "
+    "g AS (SELECT doc_id, chunk_seq, COUNT(*) AS n_tokens, "
+    "md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5 "
+    "FROM m GROUP BY doc_id, chunk_seq) "
+    "SELECT doc_id, chunk_seq, n_tokens, "
+    "CAST(chunk_seq * 128 AS BIGINT) AS start_pos, chunk_md5 "
+    "FROM g ORDER BY doc_id, chunk_seq",
+    ("documents",),
+    note="overlapping token-window chunking; relational membership "
+    "explode (overlap-factor rows per token), one shuffle on (doc, chunk)",
+)
+
+
 # ---------------------------------------------------------------------------
 # registration order = the driver's correctness budget
 # ---------------------------------------------------------------------------

@@ -5,6 +5,7 @@ from gather_datawarehouse_sync_spark.streaming.ingest import (
     start_inventory_stream,
 )
 from gather_datawarehouse_sync_spark.streaming.windows import (
+    interval_join,
     session_counts,
     sliding_counts,
     stateful_running_totals,
@@ -19,5 +20,6 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "streaming_dedup",
+    "interval_join",
     "stateful_running_totals",
 ]

@@ -203,3 +203,37 @@ def stateful_running_totals_v2(
             timeMode="None",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events of the same key that occur within ``(left_ts, left_ts +
+    max_delay]`` — the click→purchase attribution shape.
+
+    On streams, the watermark on BOTH inputs plus the closed time-range
+    predicate is what lets Spark bound the join state: buffered left
+    rows are evicted once the right watermark passes ``left_ts +
+    max_delay`` (unbounded state otherwise — Spark rejects the join
+    without the range condition).  On batch frames the same predicate
+    runs as an ordinary join, which is the parity contract the tests
+    check.  Every right column comes back ``r_``-prefixed so the two
+    sides never collide.
+    """
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    r = r.select(*[F.col(c).alias(f"r_{c}") for c in r.columns])
+    rts = f"r_{right_ts}"
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col(rts) > F.col(left_ts))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")

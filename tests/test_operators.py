@@ -1208,3 +1208,41 @@ def test_change_intervals_runs_and_validity_chain(spark):
     assert u1[2]["valid_to"] is None
     (u2,) = [r for r in out if r["k"] == 2]
     assert u2["valid_to"] is None and u2["n_events"] == 1
+
+
+def test_chunk_spans_overlap_and_trailing_partial(spark):
+    from gather_datawarehouse_sync_spark.operators.packing import chunk_spans
+
+    # 10 tokens "t0 .. t9", chunks of 4 every 2 → starts 0,2,4,6,8
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([Row(doc_id=1, text=text), Row(doc_id=2, text="")])
+    out = sorted(
+        chunk_spans(df, "doc_id", "text", chunk_tokens=4, stride=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_seq"]),
+    )
+    assert all(r["doc_id"] == 1 for r in out)  # empty doc → no chunks
+    assert [(r["chunk_seq"], r["start_pos"], r["n_tokens"]) for r in out] == [
+        (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4), (4, 8, 2)
+    ]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t2 t3 t4 t5"
+    assert out[4]["chunk_text"] == "t8 t9"  # trailing partial window
+
+
+def test_profile_one_pass_stats(spark):
+    from gather_datawarehouse_sync_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x", c=1.5), Row(a=2, b=None, c=2.25), Row(a=2, b="y", c=None)]
+    )
+    got = {r["column"]: r for r in profile(df).collect()}
+    assert got["a"]["n"] == 3 and got["a"]["n_null"] == 0
+    assert got["a"]["n_distinct"] == 2
+    assert (got["a"]["min_s"], got["a"]["max_s"]) == ("1", "2")
+    assert got["b"]["n_null"] == 1 and got["b"]["n_distinct"] == 2
+    assert (got["c"]["min_s"], got["c"]["max_s"]) == ("1.50", "2.25")
+    # one-pass contract: a single scan of the input (formatted mode
+    # repeats node names in the details section — use simple mode)
+    from gather_datawarehouse_sync_spark.plans import plan_str
+
+    assert plan_str(profile(df), mode="simple").count("Scan ExistingRDD") == 1

@@ -264,3 +264,28 @@ def test_stateful_running_totals_v2_matches_v1(spark, event_source, tmp_path):
         for r in stateful_running_totals(batch).collect()
     }
     assert final == want
+
+
+def test_interval_join_stream_matches_batch(spark, event_source, tmp_path):
+    from gather_datawarehouse_sync_spark.streaming import interval_join
+
+    src, batch = event_source
+    left_b = batch.filter(F.col("event_id") % 2 == 0)
+    right_b = batch.filter(F.col("event_id") % 2 == 1)
+
+    def realized(df):
+        rows = df.filter(
+            (F.col("ts") < F.lit(_SENTINEL_CUTOFF))
+            & (F.col("r_ts") < F.lit(_SENTINEL_CUTOFF))
+        ).collect()
+        return sorted((r["event_id"], r["r_event_id"]) for r in rows)
+
+    expected = realized(interval_join(left_b, right_b, "user_id", "ts", "ts"))
+    assert expected  # fixture must actually produce attribution pairs
+
+    ls = _read_stream(spark, src).filter(F.col("event_id") % 2 == 0)
+    rs = _read_stream(spark, src).filter(F.col("event_id") % 2 == 1)
+    out = _run_stream(
+        spark, tmp_path, interval_join(ls, rs, "user_id", "ts", "ts"), "ij"
+    )
+    assert realized(out) == expected

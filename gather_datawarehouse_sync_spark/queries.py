@@ -1985,6 +1985,17 @@ _twin(
     note="CUBE: all 4 grouping combinations in one pass",
 )
 
+_twin(
+    "x_grouping_sets",
+    # explicit set list (the general form CUBE/ROLLUP desugar into),
+    # including the grand total; one Expand pass in Spark
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+    "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c",
+    ("orders",),
+    note="GROUPING SETS: explicit aggregation lattice slices",
+)
+
 _pair(
     "x_median_exact",
     # milli-unit integer output for the same tie-proofing as x_percentile

@@ -18,7 +18,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -70,3 +71,64 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def _spread_bits16(c: Column) -> Column:
+    """Interleave-ready bit spread: the low 16 bits of ``c`` spaced out
+    to even positions (classic Morton magic-number shifts, all JVM-side
+    bitwise expressions — no UDF)."""
+    x = c.cast("long").bitwiseAND(F.lit(0xFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def morton_code(a: Column, b: Column) -> Column:
+    """Z-order (Morton) interleave of two 16-bit-normalized values —
+    rows close in BOTH dimensions get close codes."""
+    return _spread_bits16(a).bitwiseOR(F.shiftleft(_spread_bits16(b), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: normalize two numeric columns to
+    16-bit grids, interleave into a Morton code, range-partition + sort
+    by it, and write.
+
+    Parquet readers skip row groups whose min/max stats exclude the
+    filter; a single-column sort gives skipping on that column only,
+    while Morton clustering gives *both* columns tight per-file ranges —
+    a box predicate (``a BETWEEN … AND b BETWEEN …``) touches a few
+    files instead of all of them.  The min/max normalization is two
+    scalar aggregates (bounded driver data, same pattern as the IVF
+    centroid fetch); everything else is codegen'd bitwise expressions
+    plus the one range shuffle the sort requires.
+    """
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+
+    def norm(c: str, lo, hi) -> Column:
+        if hi == lo:
+            return F.lit(0)
+        return ((F.col(c) - F.lit(lo)) / F.lit(hi - lo) * F.lit(65535.0)).cast(
+            "long"
+        )
+
+    z = morton_code(norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -215,3 +215,58 @@ def test_prefix_sum_avoids_global_window(spark, sf_dir):
         if "Window" in ln and "windowspecdefinition(" in ln and "_gid" not in ln:
             below = "\n".join(lines[i:])
             assert "Aggregate" in below, "global window not on aggregated branch"
+
+
+def test_morton_code_matches_reference(spark):
+    from gather_datawarehouse_sync_spark.sources.layout import morton_code
+
+    def py_morton(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(a, b) for a in (0, 1, 2, 3, 255, 65535) for b in (0, 1, 7, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b", morton_code(F.col("a"), F.col("b")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == py_morton(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_layout_gives_two_dim_file_skipping(spark, tmp_path):
+    """A box predicate must touch few z-ordered files; the same data
+    written in row order gives no such locality (the min/max stats a
+    parquet reader skips on are per-file ranges — we assert on exactly
+    those ranges)."""
+    import glob as globmod
+
+    from gather_datawarehouse_sync_spark.sources.layout import write_zordered
+
+    rows = [(i, (i * 7919) % 1024, (i * 104729) % 1024) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    zpath = str(tmp_path / "zorder")
+    rpath = str(tmp_path / "roworder")
+    write_zordered(df, zpath, "x", "y", num_files=16)
+    df.repartitionByRange(16, "id").write.parquet(rpath)
+
+    def files_hit(path):
+        hit = 0
+        for f in globmod.glob(f"{path}/part-*.parquet"):
+            part = spark.read.parquet(f)
+            n = part.filter(
+                (F.col("x") < 128) & (F.col("y") < 128)
+            ).count()
+            hit += 1 if n > 0 else 0
+        return hit, len(globmod.glob(f"{path}/part-*.parquet"))
+
+    z_hit, z_total = files_hit(zpath)
+    r_hit, r_total = files_hit(rpath)
+    assert z_total >= 8 and r_total >= 8
+    # 1/64 of the area → a handful of z files, but (hash-scattered)
+    # nearly every row-order file
+    assert z_hit <= z_total // 4
+    assert r_hit >= (3 * r_total) // 4
+    # layout must not lose rows
+    assert spark.read.parquet(zpath).count() == 20000

@@ -2329,6 +2329,74 @@ _df(
 )
 
 
+def _x_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side pruning demo: lineitem semi-pruned by the keys of a
+    selective orders subset before the join — the oracle runs the plain
+    join (identical result, different physical plan)."""
+    from gather_datawarehouse_sync_spark.operators.prune import prefiltered_join
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    hot = t["orders"].filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return (
+        prefiltered_join(t["lineitem"], hot, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("long").alias("qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_df(
+    "x_pruned_join",
+    _x_pruned_join,
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(l_quantity) AS BIGINT) AS qty "
+    "FROM lineitem JOIN (SELECT o_orderkey, o_orderstatus FROM orders "
+    "WHERE o_totalprice > 400000) o ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ("lineitem", "orders"),
+    note="broadcast-semi fact pruning before the join; oracle is the "
+    "plain join — a plan-vs-semantics differential (l_quantity is "
+    "integer-valued in this corpus, so the BIGINT cast is exact)",
+)
+
+
+def _x_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide heavy hitters: top-20 tokens by frequency,
+    ties to the lexicographically first token.  The exact form is the
+    oracle tier; the mergeable-sketch tier (approx_top_k / HLL unions)
+    is exercised in tests where approximation contracts belong."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        F.explode(
+            F.array_remove(F.split(F.lower("text"), r"[^a-z0-9]+"), "")
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
+    )
+
+
+_df(
+    "x_heavy_tokens",
+    _x_heavy_tokens,
+    "WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents) "
+    "SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok "
+    "ORDER BY cnt DESC, tok LIMIT 20",
+    ("documents",),
+    note="exact global heavy hitters (vocabulary head); deterministic "
+    "tie-break so LIMIT is stable across engines",
+)
+
+
 # ---------------------------------------------------------------------------
 # registration order = the driver's correctness budget
 # ---------------------------------------------------------------------------

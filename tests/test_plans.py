@@ -270,3 +270,52 @@ def test_zorder_layout_gives_two_dim_file_skipping(spark, tmp_path):
     assert r_hit >= (3 * r_total) // 4
     # layout must not lose rows
     assert spark.read.parquet(zpath).count() == 20000
+
+
+def test_semi_prune_broadcasts_key_set(spark, sf_dir):
+    from gather_datawarehouse_sync_spark.operators.prune import semi_prune
+
+    big = load_table(spark, sf_dir, "lineitem")
+    small = load_table(spark, sf_dir, "nation")
+    pruned = semi_prune(big, small, [("l_orderkey", "n_nationkey")])
+    p = plan_str(pruned, mode="simple")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    # the fact side must not shuffle (the only Exchange allowed is the
+    # tiny key-set distinct on the build side)
+    assert "hashpartitioning(l_orderkey" not in p
+
+
+def test_runtime_bloom_filter_injects(spark, sf_dir, tmp_path):
+    """Catalyst's InjectRuntimeFilter must rewrite an eligible shuffle
+    join to Bloom-test the fact side (the too-big-to-broadcast pruning
+    tier enable_runtime_bloom turns on)."""
+    from gather_datawarehouse_sync_spark.operators.prune import enable_runtime_bloom
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+            "spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_bloom(spark)
+        # force a shuffle join: broadcast would make the filter pointless
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = load_table(spark, sf_dir, "lineitem")
+        dim = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "F"  # selective build-side filter
+        )
+        joined = fact.join(dim, fact["l_orderkey"] == dim["o_orderkey"])
+        p = plan_str(joined, mode="simple").lower()
+        assert "might_contain" in p and "bloom_filter_agg" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

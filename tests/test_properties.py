@@ -177,3 +177,36 @@ def test_band_join_matches_python_oracle(spark, ls, rs, band):
         if abs(lv - rv) <= band
     }
     assert got == want
+
+
+_pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=10_000),  # sparse/negative ids
+        st.integers(min_value=0, max_value=500),  # token counts, incl. 0
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(_pack_rows, st.integers(min_value=1, max_value=7))
+@_SETTINGS
+def test_prefix_sum_matches_serial_oracle_any_grouping(spark, rows, gs):
+    """The hierarchical prefix sum must equal the serial cumsum for any
+    id distribution (sparse, negative, singleton groups) and any
+    group_size — the decomposition is an optimization, never a
+    semantics change."""
+    from gather_datawarehouse_sync_spark.operators.packing import (
+        exclusive_prefix_sum,
+    )
+
+    df = spark.createDataFrame(rows, "i long, v long").repartition(3)
+    got = {
+        r["i"]: r["off"]
+        for r in exclusive_prefix_sum(df, "i", "v", "off", group_size=gs).collect()
+    }
+    run = 0
+    for i, v in sorted(rows):
+        assert got[i] == run
+        run += v

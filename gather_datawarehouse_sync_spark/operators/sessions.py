@@ -131,3 +131,49 @@ def change_intervals(
     w_lead = Window.partitionBy(key_col).orderBy(*lead_order)
     out = bounds.withColumn("valid_to", F.lead("valid_from").over(w_lead)).drop("_isl")
     return out.drop("_first_ord") if order_tiebreak else out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+    out_col: str = "v_interp",
+) -> DataFrame:
+    """Linear gap interpolation: null ``value_col`` rows get the
+    time-weighted blend of the nearest non-null neighbors on each side
+    (the imputation sibling of :func:`forward_fill`; feature pipelines
+    use it for sensor/metric gaps where LOCF biases).
+
+    Edges degrade gracefully: a gap with only one known side copies
+    that side; all-null keys stay null.  Two mirrored windows over the
+    same key partitioning — Catalyst runs both in one shuffle.  The
+    arithmetic is pure IEEE binary64 in a fixed operand order, so the
+    result is bit-stable across engines (differentially tested against
+    the identical SQL in DuckDB).
+    """
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    known_ts = F.when(F.col(value_col).isNotNull(), us)
+    pv = F.last(value_col, ignorenulls=True).over(w_prev)
+    pt = F.last(known_ts, ignorenulls=True).over(w_prev)
+    nv = F.first(value_col, ignorenulls=True).over(w_next)
+    nt = F.first(known_ts, ignorenulls=True).over(w_next)
+    interp = F.when(
+        pv.isNotNull() & nv.isNotNull(),
+        pv + (nv - pv) * ((us - pt) / (nt - pt)),
+    ).otherwise(F.coalesce(pv, nv))
+    return df.withColumn(
+        out_col, F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(interp)
+    )

@@ -2397,6 +2397,53 @@ _df(
 )
 
 
+def _x_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across masked gaps (error events' values
+    nulled, then time-weight-blended from the nearest known neighbors) —
+    the imputation sibling of x_forward_fill.  IEEE binary64 arithmetic
+    in a fixed operand order, so the doubles hash-match the oracle."""
+    from gather_datawarehouse_sync_spark.operators.sessions import interpolate_linear
+
+    t = load_tables(spark, sf_dir, ("events",))
+    masked = t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    return (
+        interpolate_linear(masked, "user_id", "ts", "v", order_tiebreak="event_id")
+        .select("event_id", "v_interp")
+        .orderBy("event_id")
+    )
+
+
+_df(
+    "x_interpolate",
+    _x_interpolate,
+    "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, "
+    "CASE WHEN event_type <> 'error' THEN value END AS v FROM events), "
+    "w AS (SELECT event_id, us, v, "
+    "last_value(v IGNORE NULLS) OVER pw AS pv, "
+    "last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER pw AS pt, "
+    "first_value(v IGNORE NULLS) OVER nw AS nv, "
+    "first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER nw AS nt "
+    "FROM e WINDOW "
+    "pw AS (PARTITION BY user_id ORDER BY us, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "nw AS (PARTITION BY user_id ORDER BY us, event_id "
+    "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) "
+    "SELECT event_id, CASE WHEN v IS NOT NULL THEN v "
+    "WHEN pv IS NOT NULL AND nv IS NOT NULL "
+    "THEN pv + (nv - pv) * ((us - pt) / (nt - pt)) "
+    "ELSE COALESCE(pv, nv) END AS v_interp "
+    "FROM w ORDER BY event_id",
+    ("events",),
+    note="time-weighted linear imputation via mirrored ignore-nulls "
+    "windows; one shuffle on the key",
+)
+
+
 # ---------------------------------------------------------------------------
 # registration order = the driver's correctness budget
 # ---------------------------------------------------------------------------

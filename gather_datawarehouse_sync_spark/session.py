@@ -79,7 +79,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
-            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+            # integer division: `/` would round-trip ~1.7e18 ns through a
+            # double (> 2^53), silently shifting timestamps by ±µs
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
 
 

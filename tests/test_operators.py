@@ -1312,3 +1312,37 @@ def test_hll_sketches_merge_across_shards(spark):
     # estimates are near-identical, not bit-identical)
     assert abs(merged - whole) / whole < 0.02
     assert abs(whole - 700) / 700 < 0.05
+
+
+def test_interpolate_linear_blend_and_edges(spark):
+    from gather_datawarehouse_sync_spark.operators.sessions import interpolate_linear
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, mins, v):
+        return Row(k="u", e=i, ts=t0 + dt.timedelta(minutes=mins), v=v)
+
+    rows = [
+        ev(0, 0, None),   # leading edge: copies the next known value
+        ev(1, 10, 2.0),
+        ev(2, 20, None),  # 1/3 of the way 10→40 min: 2 + (8-2)*(10/30) = 4
+        ev(3, 40, 8.0),
+        ev(4, 50, None),  # trailing edge: copies the previous known value
+    ]
+    out = {
+        r["e"]: r["v_interp"]
+        for r in interpolate_linear(
+            spark.createDataFrame(rows), "k", "ts", "v", order_tiebreak="e"
+        ).collect()
+    }
+    assert out[0] == 2.0 and out[4] == 8.0
+    assert out[1] == 2.0 and out[3] == 8.0  # known rows untouched
+    assert abs(out[2] - 4.0) < 1e-12
+    # all-null key stays null
+    nul = interpolate_linear(
+        spark.createDataFrame([Row(k="z", e=9, ts=t0, v=None)], "k string, e long, ts timestamp, v double"),
+        "k", "ts", "v", order_tiebreak="e",
+    ).first()
+    assert nul["v_interp"] is None

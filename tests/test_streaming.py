@@ -289,3 +289,36 @@ def test_interval_join_stream_matches_batch(spark, event_source, tmp_path):
         spark, tmp_path, interval_join(ls, rs, "user_id", "ts", "ts"), "ij"
     )
     assert realized(out) == expected
+
+
+def test_epoch_sink_exactly_once_under_replay(spark, event_source, tmp_path):
+    from gather_datawarehouse_sync_spark.streaming.sink import (
+        epoch_parquet_sink,
+        write_stream_exactly_once,
+    )
+
+    src, batch = event_source
+    out = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt_eos")
+
+    q = write_stream_exactly_once(_read_stream(spark, src), out, ckpt)
+    q.awaitTermination()
+    total = batch.count()
+    assert spark.read.parquet(out).count() == total
+
+    # crash-replay of an already-written epoch must be a no-op, not an
+    # append: deliver epoch 0's data again under the same epoch id
+    epoch_parquet_sink(out)(batch.limit(5), 0)
+    epoch_parquet_sink(out)(batch.limit(5), 0)
+    lake = spark.read.parquet(out)
+    assert lake.filter(F.col("epoch") == 0).count() == 5
+
+    # restarting the drained stream discovers nothing new: no new epochs
+    epochs_before = {r["epoch"] for r in lake.select("epoch").distinct().collect()}
+    q2 = write_stream_exactly_once(_read_stream(spark, src), out, ckpt)
+    q2.awaitTermination()
+    epochs_after = {
+        r["epoch"]
+        for r in spark.read.parquet(out).select("epoch").distinct().collect()
+    }
+    assert epochs_after == epochs_before

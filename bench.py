@@ -54,18 +54,44 @@ def main() -> None:
     }
     total = round(sum(per_query.values()), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "runs": runs,
-            }
-        )
+    # The driver keeps only the last ~2000 chars of stdout and parses the
+    # JSON line out of that tail; a per-query dict over the full registry
+    # (109+ queries) exceeds that window and the line is silently dropped
+    # (BENCH_r02/r03 recorded "parsed": null).  So the one printed line
+    # carries per-query timings for the driver's 50-query correctness
+    # window (the headline queries, short keys) plus an aggregate for the
+    # rest; full-precision per-query detail goes to BENCH_DETAIL.json.
+    headline = list(REGISTRY)[:50]
+    headline_set = set(headline)
+    ext_total = round(
+        sum(v for k, v in per_query.items() if k not in headline_set), 2
     )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as fh:
+        json.dump(
+            {"suite_seconds": total, "queries": per_query, "sf": sf, "runs": runs},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+
+    line = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(per_query[k], 2) for k in sorted(headline_set)},
+            "extensions_seconds": ext_total,
+            "n_queries": len(per_query),
+            "sf": sf,
+            "runs": runs,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1800, f"bench JSON line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

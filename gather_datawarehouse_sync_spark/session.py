@@ -73,9 +73,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    # runtime-settable SQL conf; defensive for driver-provided sessions
-    # that were built without it
+    # runtime-settable SQL confs; defensive for driver-provided sessions
+    # that were built without them
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the synthetic parquet stores naive timestamp[us] columns; Spark 4
+    # infers those as TIMESTAMP_NTZ by default, which unix_micros() and
+    # friends reject.  Read them as session-tz TIMESTAMP (the session is
+    # pinned to UTC, so naive values round-trip bit-identically and stay
+    # hash-compatible with DuckDB's naive reads).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

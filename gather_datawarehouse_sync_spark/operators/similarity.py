@@ -426,3 +426,40 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    quantum: int = 1000,
+) -> DataFrame:
+    """Per-group centroid of an embedding column, dimension-wise.
+
+    posexplode → hash aggregate on (group, position): one shuffle keyed
+    by group×dim, map-side partials, no vector ever materialized on the
+    driver — the shape survives a 100 TB corpus because the output is
+    |groups|×dim rows regardless of input size.
+
+    Components are quantized to integer 1/``quantum`` units with FLOOR
+    before summing (floats promote to double exactly, FLOOR has no tie
+    semantics), so the sums are exact integers and the final
+    ``centroid_milli = sum / n`` double is bit-stable across engines —
+    this is what lets a DuckDB oracle hash-compare a float-vector
+    aggregate.  Returns (group, pos, n, s_milli, centroid_milli) with
+    pos 0-based, optionally truncated to the first ``dims`` positions.
+    """
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    if dims is not None:
+        exploded = exploded.filter(F.col("pos") < dims)
+    q = F.floor(F.col("v").cast("double") * quantum).cast("long")
+    return (
+        exploded.select("grp", "pos", q.alias("q"))
+        .groupBy("grp", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s_milli"))
+        .withColumn("centroid_milli", F.col("s_milli").cast("double") / F.col("n"))
+    )

@@ -2444,6 +2444,102 @@ _df(
 )
 
 
+def _x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document: TF-IDF with an
+    integer-only ordering (tf desc, df asc, term) so no float score has
+    to hash-match across engines.  explode → two hash aggregates → join
+    → per-doc top-k window; the document-frequency side is
+    vocabulary-bounded, not corpus-bounded."""
+    from gather_datawarehouse_sync_spark.operators.terms import tfidf_topk
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return tfidf_topk(docs, k=3).orderBy("doc_id", "rn")
+
+
+_df(
+    "x_tfidf_topk",
+    _x_tfidf_topk,
+    "WITH tok AS (SELECT doc_id, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, ROW_NUMBER() OVER "
+    "(PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfq.df ASC, tf.term) AS rn "
+    "FROM tf JOIN dfq USING (term)) "
+    "SELECT doc_id, term, tf, df, rn FROM r WHERE rn <= 3 ORDER BY doc_id, rn",
+    ("documents",),
+    note="per-doc distinctive terms; integer-only TF-IDF ordering",
+)
+
+
+def _x_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid over the first 8 dimensions.
+    Components quantized to integer milli-units (FLOOR — no rounding-tie
+    semantics) before summing, so a float-vector aggregate becomes
+    hash-exact across engines; output is |labels|×8 rows regardless of
+    corpus size."""
+    from gather_datawarehouse_sync_spark.operators.similarity import group_centroids
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return group_centroids(emb, "label", "embedding", dims=8).orderBy("grp", "pos")
+
+
+_df(
+    "x_embed_centroid",
+    _x_embed_centroid,
+    "WITH e AS (SELECT label AS grp, i - 1 AS pos, "
+    "CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q "
+    "FROM embeddings, generate_series(1, 8) AS g(i)) "
+    "SELECT grp, pos, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s_milli, "
+    "CAST(SUM(q) AS DOUBLE) / COUNT(*) AS centroid_milli "
+    "FROM e GROUP BY grp, pos ORDER BY grp, pos",
+    ("embeddings",),
+    note="per-group mean vector via integer-quantized dimension-wise agg",
+)
+
+
+_pair(
+    "x_length_buckets",
+    # fixed-width token-length buckets (16-token stride): deterministic,
+    # embarrassingly parallel — deliberately NOT NTILE, whose global sort
+    # is a single-partition window at corpus scale.  pad_waste = padding
+    # cost of batching each bucket to its max length.
+    "WITH t AS (SELECT doc_id, size(array_remove(split(lower(text), "
+    "'[^a-z0-9]+'), '')) AS n_tok FROM documents), "
+    "b AS (SELECT doc_id, n_tok, CAST(FLOOR(n_tok / 16.0) AS INT) + 1 AS bucket FROM t) "
+    "SELECT bucket, COUNT(*) AS n_docs, MIN(n_tok) AS mn, MAX(n_tok) AS mx, "
+    "CAST(SUM(n_tok) AS BIGINT) AS sum_tok, "
+    "CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS pad_waste "
+    "FROM b GROUP BY bucket ORDER BY bucket",
+    "WITH t AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '')) AS n_tok FROM documents), "
+    "b AS (SELECT doc_id, n_tok, CAST(FLOOR(n_tok / 16.0) AS INT) + 1 AS bucket FROM t) "
+    "SELECT bucket, COUNT(*) AS n_docs, MIN(n_tok) AS mn, MAX(n_tok) AS mx, "
+    "CAST(SUM(n_tok) AS BIGINT) AS sum_tok, "
+    "CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS pad_waste "
+    "FROM b GROUP BY bucket ORDER BY bucket",
+    ("documents",),
+    note="fixed-width length bucketing for padding-efficient batching "
+    "(dialect-adapted tokenizer only)",
+)
+
+
+_twin(
+    "x_dup_rate_by_source",
+    # per-source exact-duplication rate: two hash aggregates with
+    # map-side partials; the integer/integer division is bit-stable
+    "WITH d AS (SELECT source, text, COUNT(*) AS c FROM documents "
+    "GROUP BY source, text) "
+    "SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, "
+    "CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dupes, "
+    "CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_rate "
+    "FROM d GROUP BY source ORDER BY source",
+    ("documents",),
+    note="per-source exact-dup share (dedup reporting)",
+)
+
+
 # ---------------------------------------------------------------------------
 # registration order = the driver's correctness budget
 # ---------------------------------------------------------------------------

@@ -1346,3 +1346,68 @@ def test_interpolate_linear_blend_and_edges(spark):
         "k", "ts", "v", order_tiebreak="e",
     ).first()
     assert nul["v_interp"] is None
+
+
+# ---------------------------------------------------------------------------
+# term statistics (operators/terms.py) + group centroids
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topk_ordering_and_k(spark):
+    """Rarer terms outrank common ones at equal tf; k bounds per-doc rows."""
+    from gather_datawarehouse_sync_spark.operators.terms import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="shared shared rare1"),
+            Row(doc_id=2, text="shared unique2"),
+            Row(doc_id=3, text="shared other"),
+        ]
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # doc 1: 'shared' has tf=2 and wins on tf despite df=3
+    top1 = sorted(by_doc[1], key=lambda r: r.rn)[0]
+    assert (top1.term, top1.tf, top1.df) == ("shared", 2, 3)
+    # doc 2: equal tf=1 → df ascending puts the unique term first
+    top2 = sorted(by_doc[2], key=lambda r: r.rn)[0]
+    assert (top2.term, top2.df) == ("unique2", 1)
+
+
+def test_tfidf_topk_partition_invariance(spark):
+    from gather_datawarehouse_sync_spark.operators.terms import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta w{i} w{i % 3}") for i in range(20)]
+    )
+    a = sorted(map(tuple, tfidf_topk(docs, k=3).collect()))
+    b = sorted(map(tuple, tfidf_topk(docs.repartition(7), k=3).collect()))
+    assert a == b
+
+
+def test_group_centroids_exact_integer_sums(spark):
+    """Quantized sums are exact: centroid of [0.1, 0.3] at pos 0 is
+    floor-milli (100+300)/2 regardless of float noise; dims truncates."""
+    from gather_datawarehouse_sync_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [
+            Row(label=1, embedding=[0.1, 0.5, 0.9]),
+            Row(label=1, embedding=[0.3, 0.5, 0.8]),
+            Row(label=2, embedding=[1.0, -0.25, 0.0]),
+        ],
+        "label INT, embedding ARRAY<FLOAT>",
+    )
+    rows = {
+        (r.grp, r.pos): r for r in group_centroids(df, dims=2).collect()
+    }
+    assert set(rows) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    r10 = rows[(1, 0)]
+    # float32 0.1 → 0.100000001...; *1000 → 100.000001...; floor → 100
+    # float32 0.3 → 0.300000011...; floor → 300
+    assert (r10.n, r10.s_milli, r10.centroid_milli) == (2, 400, 200.0)
+    # negative components floor toward -inf (-0.25 → -250), same as the oracle
+    assert rows[(2, 1)].s_milli == -250

@@ -100,7 +100,12 @@ def bpe_train(
         buckets = 1 << 16
         keep = int(buckets * sample_fraction)
         df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)) < keep)
-    syms = df.select(_initial_symbols(F.col(text_col)).alias("words"))
+    # spread before the symbol build: the checkpoint inherits the input
+    # partitioning, so an under-partitioned scan would otherwise run
+    # EVERY merge round's explode+count on one core
+    from gather_datawarehouse_sync_spark.session import spread
+
+    syms = spread(df).select(_initial_symbols(F.col(text_col)).alias("words"))
     syms = syms.localCheckpoint(eager=True)
 
     merges: list[tuple[str, str, int]] = []

@@ -238,7 +238,12 @@ def winnow_fingerprint_table(
     """
     from pyspark.sql import Window as W
 
-    grams = df.select(
+    from gather_datawarehouse_sync_spark.session import spread
+
+    # the n-gram construction is the heavy map stage and runs BEFORE the
+    # per-doc window shuffle — spread under-partitioned scans so it
+    # parallelizes (no-op on well-partitioned corpora)
+    grams = spread(df).select(
         F.col(id_col), F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "gram")
     )
     per_doc = W.partitionBy(id_col)

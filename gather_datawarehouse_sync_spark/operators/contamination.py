@@ -46,7 +46,11 @@ def ngram_containment(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    corp = corpus.select(
+    from gather_datawarehouse_sync_spark.session import spread
+
+    # shingling is the heavy map stage; spread under-partitioned scans
+    # so it parallelizes (no-op on a well-partitioned corpus)
+    corp = spread(corpus).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
     per_doc = (

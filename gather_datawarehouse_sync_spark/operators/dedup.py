@@ -105,19 +105,9 @@ def exact_dedup(df: DataFrame, *cols: str, keep_order: str | None = None) -> Dat
     )
 
 
-def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition iff the input is under-partitioned.
-
-    Small parquet inputs arrive as one file → one task, which serializes
-    every downstream map stage (shingling, hashing, UDFs) onto a single
-    core.  One cheap narrow-row shuffle buys full-cluster parallelism for
-    the compute-heavy stages behind it.  At 100 TB inputs are already
-    well-partitioned and this is a no-op.
-    """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# spread() lives in session.py; re-exported here because the
+# dedup/similarity operators historically import it from this module.
+from gather_datawarehouse_sync_spark.session import spread  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -584,18 +574,35 @@ def minhash_dedup_against(
     Returns (``id_col``, ``ref_match``, ``est_jaccard``): one row per
     NEW doc with at least one match ≥ ``threshold``; best match wins
     (max agreement, ties to min reference id).
+
+    The banding join runs over DISTINCT signatures, not documents: a
+    doc's match depends only on its signature, so identical-signature
+    groups are collapsed to one representative before the LSH join and
+    the verdict fans back to members afterwards.  On corpora with heavy
+    exact/near-exact repetition (every band bucket then holds whole
+    groups, and bucket pair expansion is quadratic in bucket size) this
+    is the difference between the join scaling with |distinct sketches|²
+    locally and |docs|² — at 100 TB the persisted reference sketch table
+    is stored signature-deduped for the same reason.  Group keys are
+    ``xxhash64(signature)`` — a 64-bit fingerprint over ≪ 2³² distinct
+    sketches, the standard collision budget sketch pipelines accept.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    def _banded(df: DataFrame, alias: str):
+    def _sigs(df: DataFrame, checkpoint: bool) -> DataFrame:
+        # checkpoint only frames with more than one consumer — every
+        # materialization of a signature frame pays the Arrow UDF pass
         sig = (
             minhash_signatures(df, id_col, text_col, num_hashes, ngram)
             .filter(F.col("signature").isNotNull())
-            .localCheckpoint(eager=True)
+            .withColumn("skey", F.xxhash64("signature"))
         )
-        banded = sig.select(
-            F.col("id").alias(alias),
+        return sig.localCheckpoint(eager=True) if checkpoint else sig
+
+    def _banded(reps: DataFrame, alias: str) -> DataFrame:
+        return reps.select(
+            F.col("skey").alias(alias),
             F.posexplode(
                 F.array(
                     *[
@@ -617,14 +624,20 @@ def minhash_dedup_against(
                 )
             ).alias("band", "bucket"),
         )
-        return sig, banded
 
-    sig_n, band_n = _banded(new, "nid")
-    sig_r, band_r = _banded(reference, "rid")
-    cand = (
-        band_n.join(band_r, ["band", "bucket"])
-        .select("nid", "rid")
-        .dropDuplicates(["nid", "rid"])
+    # sig_n feeds both the rep collapse and the final member fan-out;
+    # the reference side is consumed only through its collapsed reps
+    sig_n = _sigs(new, checkpoint=True)
+    reps_n = sig_n.groupBy("skey").agg(F.first("signature").alias("signature"))
+    # per ref signature group only the min id can ever be the answer
+    # (equal signatures ⇒ equal agreement), so fold the tie-break into
+    # the collapse; checkpointed because banding and signature attach
+    # both read it and each materialization re-runs the Arrow UDF pass
+    reps_r = (
+        _sigs(reference, checkpoint=False)
+        .groupBy("skey")
+        .agg(F.first("signature").alias("signature"), F.min("id").alias("rid"))
+        .localCheckpoint(eager=True)
     )
     agree = F.size(
         F.filter(
@@ -632,26 +645,46 @@ def minhash_dedup_against(
             lambda m: m,
         )
     )
+    # dedup collisions to distinct candidate pairs BEFORE attaching
+    # signatures: a pair collides in up to ``bands`` bands, and scoring
+    # each collision (two array attaches + a 64-lane compare) costs more
+    # than the one narrow (nkey, rkey) dedup shuffle (measured at sf0.1:
+    # 5.7 M collisions → 1.6 M pairs; score-raw 31 s vs dedup-first 13 s)
+    cand = (
+        _banded(reps_n, "nkey")
+        .join(_banded(reps_r, "rkey"), ["band", "bucket"])
+        .select("nkey", "rkey")
+        .dropDuplicates(["nkey", "rkey"])
+    )
     scored = (
-        cand.join(sig_n.select(F.col("id").alias("nid"), F.col("signature").alias("sig_n")), "nid")
-        .join(sig_r.select(F.col("id").alias("rid"), F.col("signature").alias("sig_r")), "rid")
+        cand.join(
+            reps_n.select(F.col("skey").alias("nkey"), F.col("signature").alias("sig_n")),
+            "nkey",
+        )
+        .join(
+            reps_r.select(
+                F.col("skey").alias("rkey"), F.col("signature").alias("sig_r"), "rid"
+            ),
+            "rkey",
+        )
         .select(
-            "nid", "rid", (agree / F.size(F.col("sig_n"))).alias("est_jaccard")
+            "nkey", "rid", (agree / F.size(F.col("sig_n"))).alias("est_jaccard")
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
-    best = Window.partitionBy("nid").orderBy(
-        F.col("est_jaccard").desc(), F.col("rid")
+    # best match as ONE hash aggregate (map-side partials) instead of a
+    # row_number window: max(struct(est, -rid)) = max agreement, ties to
+    # min reference id
+    verdicts = scored.groupBy("nkey").agg(
+        F.max(F.struct(F.col("est_jaccard"), (-F.col("rid")).alias("neg_rid"))).alias("b")
+    ).select(
+        "nkey",
+        (-F.col("b.neg_rid")).alias("ref_match"),
+        F.col("b.est_jaccard").alias("est_jaccard"),
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(best))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("nid").alias(id_col),
-            F.col("rid").alias("ref_match"),
-            "est_jaccard",
-        )
-    )
+    return sig_n.join(
+        verdicts, sig_n["skey"] == verdicts["nkey"]
+    ).select(F.col("id").alias(id_col), "ref_match", "est_jaccard")
 
 
 def connected_components(

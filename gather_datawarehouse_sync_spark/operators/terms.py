@@ -26,9 +26,12 @@ def term_counts(
 ) -> DataFrame:
     """Per-(document, term) frequencies over the ascii tokenization the
     dedup/oracle surface shares (``[^a-z0-9]+`` split, lowercased)."""
+    from gather_datawarehouse_sync_spark.session import spread
+
     toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
     return (
-        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        spread(docs)
+        .select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

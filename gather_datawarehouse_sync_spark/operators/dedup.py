@@ -758,11 +758,16 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         # compose the global mapping: nodes whose current component label
-        # is still a live graph node follow it one contraction level down
+        # is still a live graph node follow it one contraction level down.
+        # LAZY checkpoint: within the loop nothing branches on labels
+        # (only the next round's compose reads it), so an eager
+        # materialization per round is a wasted job — the chain of
+        # left-joins against eagerly-checkpointed h frames evaluates
+        # once, at the terminal read, and truncates its lineage then.
         labels = (
             labels.join(h, labels.component == h.id, "left")
             .select(labels.id, F.coalesce(h.h, labels.component).alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         ha = h.select(F.col("id").alias("a"), F.col("h").alias("ha"))
         hb = h.select(F.col("id").alias("b"), F.col("h").alias("hb"))
@@ -782,6 +787,63 @@ def connected_components(
     if not g.isEmpty():  # pragma: no cover - max_iter is far above log(d)
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     return labels
+
+
+def jaccard_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 1,
+) -> DataFrame:
+    """Near-dup clusters from EXACT Jaccard edges: (canon, members) per
+    cluster of ≥ 2 documents, canon = min id in the cluster.
+
+    Identical token sets are collapsed FIRST (exact dups are Jaccard 1.0
+    by definition — the standard exact-before-fuzzy dedup ordering): the
+    pair join and the connected-components contraction then run over
+    distinct sets only, and member counts fan back at the end.  Cluster
+    output is provably unchanged — members of one set group share every
+    edge, and the group representative (min id) carries the component's
+    global minimum because min composes.  On repetitive corpora this
+    cuts both the quadratic pair scoring and the CC edge set by the
+    square of the average group size.
+    """
+    key = F.xxhash64(
+        F.concat_ws("\x1f", F.array_sort(shingles(F.col(text_col), ngram)))
+    )
+    groups = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), key.alias("gkey"), F.col(text_col))
+        .groupBy("gkey")
+        .agg(
+            # min(struct) orders by the leading field: the group's min id
+            # and ITS text travel together
+            F.min(F.struct(F.col("id"), F.col(text_col))).alias("rep"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.col("rep.id").alias(id_col),
+            F.col(f"rep.{text_col}").alias(text_col),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = jaccard_pairs(groups, id_col, text_col, threshold, ngram)
+    comp = connected_components(pairs.select("a", "b"))
+    return (
+        groups.join(comp, groups[id_col] == comp.id, "left")
+        .select(
+            F.coalesce(F.col("component"), groups[id_col]).alias("canon"),
+            "cnt",
+            F.col("component").isNotNull().alias("__linked"),
+        )
+        # a cluster exists where reps are edge-linked OR one set group
+        # holds ≥ 2 identical documents; lone singletons drop out
+        .filter(F.col("__linked") | (F.col("cnt") >= 2))
+        .groupBy("canon")
+        .agg(F.sum("cnt").alias("members"))
+    )
 
 
 def minhash_dedup(

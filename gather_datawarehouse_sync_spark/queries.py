@@ -910,21 +910,16 @@ _df(
 
 def _x_ngram_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from exact-Jaccard edges via connected
-    components; canonical = min doc_id (count per canonical)."""
+    components; canonical = min doc_id (count per canonical).  Identical
+    token sets collapse before the pair join (exact-before-fuzzy)."""
     from gather_datawarehouse_sync_spark.operators.dedup import (
-        connected_components,
+        jaccard_dedup_clusters,
     )
 
     t = load_tables(spark, sf_dir, ("documents",))
-    pairs = jaccard_pairs(
+    return jaccard_dedup_clusters(
         t["documents"], id_col="doc_id", text_col="text", threshold=0.8, ngram=1
-    )
-    comp = connected_components(pairs.select("a", "b"))
-    return (
-        comp.groupBy(F.col("component").alias("canon"))
-        .agg(F.count(F.lit(1)).alias("members"))
-        .orderBy("canon")
-    )
+    ).orderBy("canon")
 
 
 _df(

@@ -132,3 +132,49 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files;
+    returns the file count written.
+
+    Streaming sinks and incremental syncs accrete small files; every
+    small file costs a task, a footer read, and a listing entry, so scan
+    cost drifts from O(bytes) toward O(files) — periodic compaction is
+    standard table maintenance (what Delta/Iceberg OPTIMIZE does).  File
+    count is sized from the directory's actual on-disk bytes (driver-side
+    listing arithmetic only, no data pass); the rewrite itself is one
+    round-robin shuffle — or one range shuffle when ``sort_cols`` is
+    given, which additionally restores min/max clustering for stat-based
+    row-group skipping.
+
+    Writes to ``path + '.compact'`` then swaps via rename — the
+    all-or-nothing boundary a real table format provides transactionally.
+    """
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if not f.startswith("_")
+    )
+    n = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = (
+        df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+        if sort_cols
+        else df.repartition(n)
+    )
+    tmp = path.rstrip("/") + ".compact"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n

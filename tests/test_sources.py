@@ -216,3 +216,53 @@ def test_read_parquet_evolved_merges_added_column(spark, tmp_path):
     df = read_parquet_evolved(spark, old, new)
     rows = {tuple(r) for r in df.select("id", "name", "lang").collect()}
     assert rows == {(1, "a", None), (2, "b", "en")}
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from gather_datawarehouse_sync_spark.sources.layout import compact_files
+
+    path = str(tmp_path / "accreted")
+    # simulate a streaming sink's accretion: 16 tiny appends
+    for i in range(16):
+        spark.createDataFrame(
+            [(i * 10 + j, f"v{i}-{j}") for j in range(10)], "id BIGINT, v STRING"
+        ).write.mode("append").parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 16
+    n = compact_files(spark, path, target_file_bytes=1 << 30)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert n == 1 and after == 1
+    df = spark.read.parquet(path)
+    assert df.count() == 160
+    assert {tuple(r) for r in df.filter("id < 3").collect()} == {
+        (0, "v0-0"), (1, "v0-1"), (2, "v0-2"),
+    }
+
+
+def test_compact_files_sorted_restores_clustering(spark, tmp_path):
+    from gather_datawarehouse_sync_spark.sources.layout import compact_files
+
+    path = str(tmp_path / "accreted2")
+    for i in range(8):
+        spark.createDataFrame(
+            [((i + 7 * j) % 80, i) for j in range(10)], "k BIGINT, src INT"
+        ).write.mode("append").parquet(path)
+    n = compact_files(spark, path, target_file_bytes=1, sort_cols=["k"])
+    # target_file_bytes=1 forces one file per byte-budget unit: many files,
+    # range-partitioned on k so each file owns a disjoint k range
+    import pyarrow.parquet as pq
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        col = md.row_group(0).column(0).statistics
+        ranges.append((col.min, col.max))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "range-compacted files must own disjoint key ranges"
+    assert spark.read.parquet(path).count() == 80

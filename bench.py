@@ -77,20 +77,23 @@ def main() -> None:
             sort_keys=True,
         )
 
-    line = json.dumps(
-        {
-            "metric": "suite_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": {k: round(per_query[k], 2) for k in sorted(headline_set)},
-            "extensions_seconds": ext_total,
-            "n_queries": len(per_query),
-            "sf": sf,
-            "runs": runs,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1800, f"bench JSON line too long ({len(line)} chars)"
+    payload = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(per_query[k], 2) for k in sorted(headline_set)},
+        "extensions_seconds": ext_total,
+        "n_queries": len(per_query),
+        "sf": sf,
+        "runs": runs,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1800:
+        # degrade to the aggregate-only line rather than losing the whole
+        # run — an oversized line would be truncated out of the consumer's
+        # stdout tail, and aborting here would be strictly worse
+        payload["queries"] = {}
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
 
 

@@ -691,13 +691,18 @@ def minhash_dedup_against(
         .filter(F.col("est_jaccard") >= threshold)
     )
     # best match as ONE hash aggregate (map-side partials) instead of a
-    # row_number window: max(struct(est, -rid)) = max agreement, ties to
-    # min reference id
+    # row_number window: min over (-est, rid) = max agreement, ties to
+    # min reference id.  Only the double est is negated, so reference
+    # ids keep working for ANY orderable type (string URLs/hashes
+    # included)
     verdicts = scored.groupBy("nkey").agg(
-        F.max(F.struct(F.col("est_jaccard"), (-F.col("rid")).alias("neg_rid"))).alias("b")
+        F.min_by(
+            F.struct(F.col("rid"), F.col("est_jaccard")),
+            F.struct((-F.col("est_jaccard")).alias("ne"), F.col("rid")),
+        ).alias("b")
     ).select(
         "nkey",
-        (-F.col("b.neg_rid")).alias("ref_match"),
+        F.col("b.rid").alias("ref_match"),
         F.col("b.est_jaccard").alias("est_jaccard"),
     )
     return sig_n.join(
@@ -814,6 +819,10 @@ def jaccard_dedup_clusters(
     )
     groups = (
         spread(df)
+        # token-less documents (empty/punctuation-only text) have no
+        # Jaccard relation to anything — jaccard_pairs excludes them, and
+        # grouping them here would fabricate one phantom "identical" set
+        .filter(F.size(shingles(F.col(text_col), ngram)) > 0)
         .select(F.col(id_col).alias("id"), key.alias("gkey"), F.col(text_col))
         .groupBy("gkey")
         .agg(

@@ -25,13 +25,14 @@ def term_counts(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-(document, term) frequencies over the ascii tokenization the
-    dedup/oracle surface shares (``[^a-z0-9]+`` split, lowercased)."""
+    dedup/oracle surface shares (``operators.dedup.tokens`` — one
+    definition, so the cross-engine hash contract cannot drift)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import tokens
     from gather_datawarehouse_sync_spark.session import spread
 
-    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
     return (
         spread(docs)
-        .select(F.col(id_col), F.explode(toks).alias("term"))
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -2484,9 +2484,14 @@ def _x_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df(
     "x_embed_centroid",
     _x_embed_centroid,
-    "WITH e AS (SELECT label AS grp, i - 1 AS pos, "
-    "CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q "
-    "FROM embeddings, generate_series(1, 8) AS g(i)) "
+    # series bounded by len(embedding): a ragged/null vector contributes
+    # rows only for positions it HAS, matching posexplode + pos<dims.
+    # Scalar generate_series + unnest (the lateral table-function form
+    # cannot reference a column in DuckDB)
+    "WITH s AS (SELECT label AS grp, embedding, "
+    "unnest(generate_series(1, LEAST(8, len(embedding)))) AS i FROM embeddings), "
+    "e AS (SELECT grp, i - 1 AS pos, "
+    "CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q FROM s) "
     "SELECT grp, pos, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s_milli, "
     "CAST(SUM(q) AS DOUBLE) / COUNT(*) AS centroid_milli "
     "FROM e GROUP BY grp, pos ORDER BY grp, pos",

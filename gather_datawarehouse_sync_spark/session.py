@@ -102,10 +102,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the synthetic parquet stores naive timestamp[us] columns; Spark 4
     # infers those as TIMESTAMP_NTZ by default, which unix_micros() and
-    # friends reject.  Read them as session-tz TIMESTAMP (the session is
-    # pinned to UTC, so naive values round-trip bit-identically and stay
-    # hash-compatible with DuckDB's naive reads).
+    # friends reject.  Read them as session-tz TIMESTAMP instead — and
+    # pin the session timezone too: a driver-provided session on a
+    # non-UTC host would otherwise shift every naive value by the local
+    # offset and diverge from DuckDB's naive reads.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

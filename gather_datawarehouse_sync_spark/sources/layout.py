@@ -153,8 +153,12 @@ def compact_files(
     given, which additionally restores min/max clustering for stat-based
     row-group skipping.
 
-    Writes to ``path + '.compact'`` then swaps via rename — the
-    all-or-nothing boundary a real table format provides transactionally.
+    The swap is rename-aside (old → ``.old``, new → live, then delete
+    ``.old``): the destructive delete happens LAST, so a crash at any
+    earlier point leaves either the original intact or both directories
+    present — never a window with no table.  (A real table format makes
+    this transactional; rename-aside is the closest a bare directory
+    gets.)
     """
     import math
     import os
@@ -173,8 +177,10 @@ def compact_files(
         if sort_cols
         else df.repartition(n)
     )
-    tmp = path.rstrip("/") + ".compact"
+    base = path.rstrip("/")
+    tmp, old = base + ".compact", base + ".old"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
     return n

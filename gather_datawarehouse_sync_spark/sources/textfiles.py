@@ -14,10 +14,13 @@ crawl-landing formats.  Design rules, all cluster-safe:
   :func:`split_corrupt` separates clean rows from a quarantine frame so
   pipelines can dead-letter them (the reference's analogue is
   crash-on-first-bad-row).
-- **line-splittable**: JSONL and CSV without embedded newlines split at
-  arbitrary byte offsets, so scan parallelism is input-size-bound, not
-  file-count-bound (``multiLine=true`` would make each file one task —
-  documented trap).
+- **line-splittable**: both readers scan with the ``text`` source (one
+  record per line, splittable at arbitrary byte offsets) and parse with
+  ``from_json`` / ``from_csv`` expressions, so scan parallelism is
+  input-size-bound, not file-count-bound (``multiLine=true`` on the
+  json/csv datasources would make each file one task), and the corrupt
+  column is an ordinary derived column — no datasource restriction on
+  filtering it, no ``cache()`` workaround.
 """
 
 from __future__ import annotations
@@ -41,16 +44,24 @@ def _with_corrupt(schema: T.StructType | str) -> T.StructType:
     )
 
 
+def _parsed(lines: DataFrame, parsed: F.Column) -> DataFrame:
+    """Flatten a parse-expression struct into top-level columns."""
+    return lines.select(parsed.alias("__p")).select("__p.*")
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType | str
 ) -> DataFrame:
     """One JSON object per line → DataFrame with ``schema`` plus a
     ``_corrupt_record`` quarantine column (null for clean rows)."""
-    return (
-        spark.read.schema(_with_corrupt(schema))
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+    lines = spark.read.text(path)
+    return _parsed(
+        lines,
+        F.from_json(
+            F.col("value"),
+            _with_corrupt(schema),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ),
     )
 
 
@@ -61,29 +72,41 @@ def read_csv(
     header: bool = True,
     sep: str = ",",
 ) -> DataFrame:
-    """Delimited text → DataFrame with ``schema`` plus ``_corrupt_record``."""
-    return (
-        spark.read.schema(_with_corrupt(schema))
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .option("header", str(header).lower())
-        .option("sep", sep)
-        .csv(path)
+    """Delimited text → DataFrame with ``schema`` plus ``_corrupt_record``.
+
+    ``header=True`` drops lines equal to the schema's own header
+    rendering (the per-file first line; a positional skip is impossible
+    once files split across tasks, which is also why the csv datasource
+    handles headers per-file — this reader keeps the splittable text
+    scan instead and filters the rendered header exactly).
+    """
+    full = _with_corrupt(schema)
+    lines = spark.read.text(path)
+    if header:
+        head = sep.join(f.name for f in full.fields if f.name != CORRUPT_COL)
+        lines = lines.filter(F.col("value") != head)
+    # from_csv takes a DDL string, not a StructType
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in full.fields)
+    return _parsed(
+        lines,
+        F.from_csv(
+            F.col("value"),
+            ddl,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL, "sep": sep},
+        ),
     )
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_rows_without_quarantine_col, quarantined_raw_lines).
 
-    Spark refuses a query that filters on ``_corrupt_record`` alone over
-    a lazily-parsed scan; both sides here also project, which keeps the
-    plans legal and lets the clean side prune the quarantine column out
-    of the parquet-ward schema entirely.
+    With expression-parsed input the quarantine column is an ordinary
+    column, so both sides are plain filters — no caching, no pinned
+    storage memory; each side re-reads its split of the text scan.
     """
     keep = [c for c in df.columns if c != CORRUPT_COL]
-    cached = df.cache()
-    clean = cached.filter(F.col(CORRUPT_COL).isNull()).select(*keep)
-    bad = cached.filter(F.col(CORRUPT_COL).isNotNull()).select(
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).select(*keep)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw")
     )
     return clean, bad

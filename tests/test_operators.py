@@ -1411,3 +1411,40 @@ def test_group_centroids_exact_integer_sums(spark):
     assert (r10.n, r10.s_milli, r10.centroid_milli) == (2, 400, 200.0)
     # negative components floor toward -inf (-0.25 → -250), same as the oracle
     assert rows[(2, 1)].s_milli == -250
+
+
+def test_jaccard_clusters_ignore_tokenless_docs(spark):
+    """Punctuation-only docs share an (empty) token set but have no
+    Jaccard relation — they must not form a phantom cluster."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        jaccard_dedup_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="!!! ..."),
+            Row(doc_id=2, text="??? ---"),
+            Row(doc_id=3, text="alpha beta gamma"),
+            Row(doc_id=4, text="alpha beta gamma"),
+        ]
+    )
+    out = {(r.canon, r.members) for r in jaccard_dedup_clusters(docs).collect()}
+    assert out == {(3, 2)}
+
+
+def test_minhash_against_supports_string_ids(spark):
+    """Reference ids are commonly URLs/hashes; the best-match tie-break
+    must not assume numeric ids."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        minhash_dedup_against,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    new = spark.createDataFrame([Row(doc_id="n1", text=text)])
+    ref = spark.createDataFrame(
+        [Row(doc_id="r2", text=text), Row(doc_id="r1", text=text)]
+    )
+    out = minhash_dedup_against(new, ref, threshold=0.8, ngram=1).collect()
+    assert len(out) == 1
+    # identical docs: est 1.0, tie broken to the MIN string id
+    assert (out[0].doc_id, out[0].ref_match, out[0].est_jaccard) == ("n1", "r1", 1.0)

@@ -2526,6 +2526,38 @@ _pair(
 )
 
 
+def _x_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-string record linkage: customer-name pairs within edit
+    distance 2 on a fixed-size id slice.  The Spark side runs the
+    length-blocked band join + codegen levenshtein verify; the oracle is
+    the naive quadratic theta join — a plan-vs-semantics differential."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    subset = cust.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey", "c_name"
+    )
+    return edit_distance_pairs(
+        subset, id_col="c_custkey", text_col="c_name", max_dist=2
+    ).orderBy("a", "b")
+
+
+_df(
+    "x_edit_pairs",
+    _x_edit_pairs,
+    "SELECT x.c_custkey AS a, y.c_custkey AS b, "
+    "CAST(levenshtein(x.c_name, y.c_name) AS INT) AS dist "
+    "FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey "
+    "WHERE x.c_custkey <= 300 AND y.c_custkey <= 300 "
+    "AND levenshtein(x.c_name, y.c_name) <= 2 "
+    "ORDER BY a, b",
+    ("customer",),
+    note="length-blocked Levenshtein join vs naive theta-join oracle",
+)
+
+
 _twin(
     "x_dup_rate_by_source",
     # per-source exact-duplication rate: two hash aggregates with

@@ -1448,3 +1448,38 @@ def test_minhash_against_supports_string_ids(spark):
     assert len(out) == 1
     # identical docs: est 1.0, tie broken to the MIN string id
     assert (out[0].doc_id, out[0].ref_match, out[0].est_jaccard) == ("n1", "r1", 1.0)
+
+
+def test_edit_distance_pairs_exact_and_cross_bucket(spark):
+    """Length blocking must be complete: pairs whose lengths straddle a
+    bucket boundary (|len diff| <= d) still match; beyond d they don't."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    rows = [
+        Row(id=1, name="kitten"),      # len 6  (bucket 2 at width 3)
+        Row(id=2, name="sitting"),     # len 7, dist(kitten,sitting)=3 > 2
+        Row(id=3, name="kitte"),       # len 5, dist to kitten = 1
+        Row(id=4, name="mitten"),      # len 6, dist to kitten = 1
+        Row(id=5, name="kit"),         # len 3, dist to kitte = 2 (cross-bucket)
+        Row(id=6, name="kittenxx"),    # len 8 (bucket 2), dist to kitten = 2
+    ]
+    out = {(r.a, r.b): r.dist for r in edit_distance_pairs(
+        spark.createDataFrame(rows), id_col="id", text_col="name", max_dist=2
+    ).collect()}
+    assert out == {(1, 3): 1, (1, 4): 1, (1, 6): 2, (3, 4): 2, (3, 5): 2}
+
+
+def test_edit_distance_pairs_partition_invariance(spark):
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    rows = [Row(id=i, name=f"name{i:04d}") for i in range(60)]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, edit_distance_pairs(df, "id", "name", 2).collect()))
+    b = sorted(
+        map(tuple, edit_distance_pairs(df.repartition(7), "id", "name", 2).collect())
+    )
+    assert a == b and len(a) > 0

@@ -66,3 +66,48 @@ def tfidf_topk(
         .filter(F.col("rn") <= k)
         .select(id_col, "term", "tf", "df", "rn")
     )
+
+
+def rare_ngram_profile(
+    docs: DataFrame,
+    n: int = 2,
+    rare_below: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-model-lite quality signal: how much of each document is
+    made of n-grams the corpus itself rarely produces.
+
+    The KenLM-perplexity filter's integer-exact proxy: train = one
+    corpus-wide n-gram count (vocabulary-keyed aggregate), score = join
+    each document's n-gram multiset back against the counts and tally
+    occurrences whose corpus frequency is below ``rare_below``.  High
+    ``rare_frac`` marks garbled/foreign/boilerplate-free-noise text the
+    same way high perplexity does, but every output is an exact integer
+    ratio, so a SQL oracle can hash-compare it — a float log-prob never
+    could (libm ulp drift across engines).
+
+    Returns (``id_col``, n_grams, n_rare, rare_frac); documents with
+    fewer than ``n`` tokens yield no row (no n-grams to judge).
+    """
+    from gather_datawarehouse_sync_spark.functions.text import word_ngrams
+    from gather_datawarehouse_sync_spark.session import spread
+
+    grams = spread(docs).select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    # one count per (doc, gram) then corpus totals from the partials —
+    # the corpus table is vocabulary-keyed, not corpus-sized
+    per_doc = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    corpus = per_doc.groupBy("g").agg(F.sum("c").alias("cf"))
+    return (
+        per_doc.join(corpus, "g")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("cf") < rare_below, F.col("c")).otherwise(0)).alias(
+                "n_rare"
+            ),
+        )
+        .withColumn("rare_frac", F.col("n_rare") / F.col("n_grams"))
+    )

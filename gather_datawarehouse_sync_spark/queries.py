@@ -2558,6 +2558,35 @@ _df(
 )
 
 
+def _x_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-lite quality filter proxy: per-doc share of 2-gram
+    occurrences whose corpus frequency is < 3 — integer-exact, so it
+    hash-compares where a float log-prob could not."""
+    from gather_datawarehouse_sync_spark.operators.terms import rare_ngram_profile
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return rare_ngram_profile(docs, n=2, rare_below=3).orderBy("doc_id")
+
+
+_df(
+    "x_lm_rarity",
+    _x_lm_rarity,
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "gg AS (SELECT doc_id, unnest(list_transform(generate_series(1, "
+    "greatest(len(toks) - 1, 0)), i -> concat_ws(' ', toks[i], toks[i+1]))) AS g "
+    "FROM tok), "
+    "pd AS (SELECT doc_id, g, COUNT(*) AS c FROM gg GROUP BY doc_id, g), "
+    "corp AS (SELECT g, SUM(c) AS cf FROM pd GROUP BY g) "
+    "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, "
+    "CAST(SUM(CASE WHEN cf < 3 THEN c ELSE 0 END) AS BIGINT) AS n_rare, "
+    "CAST(SUM(CASE WHEN cf < 3 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS rare_frac "
+    "FROM pd JOIN corp USING (g) GROUP BY doc_id ORDER BY doc_id",
+    ("documents",),
+    note="rare-ngram quality profile (perplexity-filter integer proxy)",
+)
+
+
 _twin(
     "x_dup_rate_by_source",
     # per-source exact-duplication rate: two hash aggregates with

@@ -1483,3 +1483,21 @@ def test_edit_distance_pairs_partition_invariance(spark):
         map(tuple, edit_distance_pairs(df.repartition(7), "id", "name", 2).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_rare_ngram_profile_counts(spark):
+    from gather_datawarehouse_sync_spark.operators.terms import rare_ngram_profile
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c"),      # grams: "a b", "b c"
+            Row(doc_id=2, text="a b a b"),    # grams: "a b", "b a", "a b"
+            Row(doc_id=3, text="x"),          # no 2-grams -> no row
+        ]
+    )
+    out = {r.doc_id: r for r in rare_ngram_profile(docs, n=2, rare_below=3).collect()}
+    assert set(out) == {1, 2}
+    # corpus freqs: "a b" = 3 (not rare at <3), "b c" = 1, "b a" = 1
+    assert (out[1].n_grams, out[1].n_rare) == (2, 1)
+    assert (out[2].n_grams, out[2].n_rare) == (3, 1)
+    assert out[2].rare_frac == 1 / 3

@@ -210,3 +210,38 @@ def test_prefix_sum_matches_serial_oracle_any_grouping(spark, rows, gs):
     for i, v in sorted(rows):
         assert got[i] == run
         run += v
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=7), min_size=2, max_size=14
+    ),
+    d=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_edit_distance_pairs_matches_bruteforce(spark, names, d):
+    """The length-blocked plan must find EXACTLY the brute-force pair
+    set for any strings and any max_dist — blocking completeness is the
+    property that silently breaks first."""
+    from gather_datawarehouse_sync_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, s) for i, s in enumerate(names)]
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= d
+    }
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {tuple(r) for r in edit_distance_pairs(df, "id", "name", d).collect()}
+    assert got == want

@@ -205,6 +205,39 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+#: HTML-stripping passes, applied in order; RE2-compatible (no
+#: lookaround, no backreferences) so the DuckDB oracle runs the
+#: byte-identical patterns with the 'g' flag.  Order matters:
+#: script/style bodies drop whole, then comments, then remaining tags,
+#: then the common entities, then whitespace collapses.
+HTML_STRIP_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"\s+", " "),
+)
+
+
+def strip_html(text: Column) -> Column:
+    """Boilerplate-removal pass for crawl text: drop script/style
+    bodies, comments, and tags; decode the common entities; collapse
+    whitespace (trafilatura-lite — the extraction step every web-corpus
+    pipeline runs before quality filtering).  Chained codegen'd
+    ``regexp_replace``; patterns shared with the SQL oracle via
+    :data:`HTML_STRIP_PATTERNS`."""
+    out = text
+    for pattern, repl in HTML_STRIP_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return F.trim(out)
+
+
 def winnow_fingerprint_table(
     df,
     id_col: str = "doc_id",

@@ -2558,6 +2558,52 @@ _df(
 )
 
 
+def _x_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-removal differential: wrap each document in synthetic
+    HTML (script/style/comment/tags/entities), strip, and compare — both
+    engines run byte-identical RE2-compatible patterns."""
+    from gather_datawarehouse_sync_spark.functions.text import strip_html
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    raw = F.concat(
+        F.lit(
+            '<html><head><style>p{color:red}</style>'
+            '<script type="text/js">var x=1;</script></head>'
+            '<body><!-- nav --><p class="a">'
+        ),
+        F.col("text"),
+        F.lit("</p>&nbsp;<b>T&amp;C</b></body></html>"),
+    )
+    return docs.select("doc_id", strip_html(raw).alias("clean")).orderBy("doc_id")
+
+
+def _html_strip_oracle() -> str:
+    from gather_datawarehouse_sync_spark.functions.text import HTML_STRIP_PATTERNS
+
+    expr = (
+        "'<html><head><style>p{color:red}</style>"
+        "<script type=\"text/js\">var x=1;</script></head>"
+        "<body><!-- nav --><p class=\"a\">' || text || "
+        "'</p>&nbsp;<b>T&amp;C</b></body></html>'"
+    )
+    for pat, repl in HTML_STRIP_PATTERNS:
+        p, r = pat.replace("'", "''"), repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return (
+        f"SELECT doc_id, trim({expr}) AS clean FROM documents ORDER BY doc_id"
+    )
+
+
+_df(
+    "x_html_strip",
+    _x_html_strip,
+    _html_strip_oracle(),
+    ("documents",),
+    note="HTML/boilerplate stripping (trafilatura-lite), byte-identical "
+    "RE2 patterns in both dialects",
+)
+
+
 def _x_lm_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KenLM-lite quality filter proxy: per-doc share of 2-gram
     occurrences whose corpus frequency is < 3 — integer-exact, so it

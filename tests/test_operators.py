@@ -1501,3 +1501,22 @@ def test_rare_ngram_profile_counts(spark):
     assert (out[1].n_grams, out[1].n_rare) == (2, 1)
     assert (out[2].n_grams, out[2].n_rare) == (3, 1)
     assert out[2].rare_frac == 1 / 3
+
+
+def test_strip_html_drops_boilerplate_decodes_entities(spark):
+    from gather_datawarehouse_sync_spark.functions.text import strip_html
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                id=1,
+                raw='<html><style>b{}</style><script>if(1<2)x();</script>'
+                '<!-- hidden --><p class="x">Hello &amp; welcome</p>'
+                "<b>to&nbsp;the&#39;site&#39;</b></html>",
+            ),
+            Row(id=2, raw="plain text, no markup"),
+        ]
+    )
+    out = {r.id: r.clean for r in df.select("id", strip_html(F.col("raw")).alias("clean")).collect()}
+    assert out[1] == "Hello & welcome to the'site'"
+    assert out[2] == "plain text, no markup"

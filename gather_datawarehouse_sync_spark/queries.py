@@ -2558,6 +2558,90 @@ _df(
 )
 
 
+_pair(
+    "x_funnel",
+    # conversion funnel: first signup per user, first purchase within 1 h
+    # after it — two filtered aggregates and one range join, no window.
+    # Integer epoch-µs arithmetic keeps both engines bit-identical.
+    "WITH s AS (SELECT user_id, MIN(unix_micros(ts)) AS su FROM events "
+    "WHERE event_type = 'signup' GROUP BY user_id), "
+    "c AS (SELECT s.user_id FROM s JOIN events p ON p.user_id = s.user_id "
+    "AND p.event_type = 'purchase' AND unix_micros(p.ts) >= s.su "
+    "AND unix_micros(p.ts) <= s.su + 3600000000 GROUP BY s.user_id) "
+    "SELECT (SELECT COUNT(*) FROM s) AS n_signup_users, "
+    "(SELECT COUNT(*) FROM c) AS n_converted",
+    "WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS su FROM events "
+    "WHERE event_type = 'signup' GROUP BY user_id), "
+    "c AS (SELECT s.user_id FROM s JOIN events p ON p.user_id = s.user_id "
+    "AND p.event_type = 'purchase' AND epoch_us(p.ts) >= s.su "
+    "AND epoch_us(p.ts) <= s.su + 3600000000 GROUP BY s.user_id) "
+    "SELECT (SELECT COUNT(*) FROM s) AS n_signup_users, "
+    "(SELECT COUNT(*) FROM c) AS n_converted",
+    ("events",),
+    note="signup→purchase 1 h conversion funnel (epoch-µs dialect pair)",
+)
+
+
+_pair(
+    "x_retention",
+    # weekly retention cohorts: users bucketed by first-event week,
+    # distinct-user counts per (cohort, weeks-since).  Week index via
+    # integer µs division — no dialect-divergent datediff
+    "WITH f AS (SELECT user_id, MIN(unix_micros(date_trunc('week', ts))) AS cu "
+    "FROM events GROUP BY user_id), "
+    "a AS (SELECT DISTINCT user_id, unix_micros(date_trunc('week', ts)) AS wku "
+    "FROM events) "
+    "SELECT CAST(timestamp_micros(f.cu) AS DATE) AS cohort, "
+    "CAST((a.wku - f.cu) / 604800000000 AS BIGINT) AS week_n, "
+    "COUNT(DISTINCT a.user_id) AS users "
+    "FROM f JOIN a ON a.user_id = f.user_id "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+    "WITH f AS (SELECT user_id, MIN(epoch_us(date_trunc('week', ts))) AS cu "
+    "FROM events GROUP BY user_id), "
+    "a AS (SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS wku "
+    "FROM events) "
+    "SELECT CAST(make_timestamp(f.cu) AS DATE) AS cohort, "
+    "CAST((a.wku - f.cu) / 604800000000 AS BIGINT) AS week_n, "
+    "COUNT(DISTINCT a.user_id) AS users "
+    "FROM f JOIN a ON a.user_id = f.user_id "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+    ("events",),
+    note="weekly retention cohorts (epoch-µs week index, dialect pair)",
+)
+
+
+_pair(
+    "x_mad_outliers",
+    # robust outlier counts: exact interpolating median + MAD per group;
+    # identical double arithmetic on both engines
+    "WITH m AS (SELECT event_type, percentile(value, 0.5) AS med "
+    "FROM events GROUP BY event_type), "
+    "d AS (SELECT e.event_type, e.value, m.med FROM events e "
+    "JOIN m ON e.event_type = m.event_type), "
+    "md AS (SELECT event_type, percentile(abs(value - med), 0.5) AS mad "
+    "FROM d GROUP BY event_type) "
+    "SELECT d.event_type, COUNT(*) AS n, "
+    "CAST(SUM(CASE WHEN abs(d.value - d.med) > 3 * md.mad THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_outliers "
+    "FROM d JOIN md ON d.event_type = md.event_type "
+    "GROUP BY d.event_type ORDER BY d.event_type",
+    "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "
+    "FROM events GROUP BY event_type), "
+    "d AS (SELECT e.event_type, e.value, m.med FROM events e "
+    "JOIN m ON e.event_type = m.event_type), "
+    "md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad "
+    "FROM d GROUP BY event_type) "
+    "SELECT d.event_type, COUNT(*) AS n, "
+    "CAST(SUM(CASE WHEN abs(d.value - d.med) > 3 * md.mad THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_outliers "
+    "FROM d JOIN md ON d.event_type = md.event_type "
+    "GROUP BY d.event_type ORDER BY d.event_type",
+    ("events",),
+    note="median/MAD robust outlier profile (exact interpolating "
+    "percentile ⇔ quantile_cont)",
+)
+
+
 def _x_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-removal differential: wrap each document in synthetic
     HTML (script/style/comment/tags/entities), strip, and compare — both

@@ -814,16 +814,22 @@ def jaccard_dedup_clusters(
     cuts both the quadratic pair scoring and the CC edge set by the
     square of the average group size.
     """
-    key = F.xxhash64(
-        F.concat_ws("\x1f", F.array_sort(shingles(F.col(text_col), ngram)))
-    )
     groups = (
         spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(text_col),
+            F.array_sort(shingles(F.col(text_col), ngram)).alias("__set"),
+        )
         # token-less documents (empty/punctuation-only text) have no
         # Jaccard relation to anything — jaccard_pairs excludes them, and
         # grouping them here would fabricate one phantom "identical" set
-        .filter(F.size(shingles(F.col(text_col), ngram)) > 0)
-        .select(F.col(id_col).alias("id"), key.alias("gkey"), F.col(text_col))
+        .filter(F.size("__set") > 0)
+        .select(
+            "id",
+            F.xxhash64(F.concat_ws("\x1f", F.col("__set"))).alias("gkey"),
+            F.col(text_col),
+        )
         .groupBy("gkey")
         .agg(
             # min(struct) orders by the leading field: the group's min id

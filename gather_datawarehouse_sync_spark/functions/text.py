@@ -216,12 +216,17 @@ HTML_STRIP_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"(?s)<!--.*?-->", " "),
     (r"<[^>]+>", " "),
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
-    (r"\s+", " "),
+    # &amp; decodes LAST (standard order): doing it earlier turns
+    # escaped entities in the source ('&amp;lt;' — the page displayed
+    # '&lt;') into live ones and double-decodes them
+    (r"&amp;", "&"),
+    # explicit class, not \s: Java's \s includes \x0B, RE2/DuckDB's
+    # does not — the one place 'byte-identical patterns' wouldn't be
+    (r"[ \t\n\x0B\f\r]+", " "),
 )
 
 

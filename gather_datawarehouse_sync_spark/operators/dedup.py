@@ -952,50 +952,43 @@ def edit_distance_pairs(
     where token-set Jaccard is meaningless.
 
     Blocking is COMPLETE on length: edit distance ≤ d implies
-    ``|len(a) − len(b)| ≤ d``, so strings bucket by ``len div (d+1)``
-    and each left row probes its own and both adjacent buckets (the
-    band-join rewrite, ``operators/joins.band_join``'s shape).  The
-    quadratic work is confined to same-bucket groups, then the codegen'd
-    ``levenshtein`` verifies exactly.  On corpora where one length
-    dominates, add a second blocking key (e.g. a character-q-gram
+    ``|len(a) − len(b)| ≤ d``, so candidates come from
+    :func:`~gather_datawarehouse_sync_spark.operators.joins.band_join`
+    on the length columns (the bucketed-range equi-join rewrite — one
+    canonical implementation of the 3-bucket probe).  The quadratic
+    work is confined to same-band groups, then the codegen'd
+    thresholded ``levenshtein`` verifies exactly.  On corpora where one
+    length dominates, add a second blocking key (e.g. a character-q-gram
     prefix) — length blocking alone degrades to per-length all-pairs,
     which is the honest worst case of every exact similarity join.
 
     Returns (a, b, dist) with a < b.
     """
-    width = max_dist + 1
-    base = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("s"),
-        F.length(text_col).alias("len"),
-    )
+    from gather_datawarehouse_sync_spark.operators.joins import band_join
+
+    base = spread(df)
     left = base.select(
-        "id",
-        "s",
-        "len",
-        F.explode(
-            F.array(
-                *[
-                    (F.col("len") / width).cast("long") + F.lit(off)
-                    for off in (-1, 0, 1)
-                ]
-            )
-        ).alias("bucket"),
+        F.col(id_col).alias("a"),
+        F.col(text_col).alias("sa"),
+        F.length(text_col).alias("la"),
     )
     right = base.select(
-        F.col("id").alias("b"),
-        F.col("s").alias("sb"),
-        F.col("len").alias("lenb"),
-        (F.col("len") / width).cast("long").alias("bucket"),
+        F.col(id_col).alias("b"),
+        F.col(text_col).alias("sb"),
+        F.length(text_col).alias("lb"),
     )
+    # band_join finds each |la - lb| <= band pair exactly once per
+    # orientation; a < b keeps one.  band must be positive, so d = 0
+    # (exact equality) runs with band 1 — the levenshtein threshold
+    # below still discards the distance-1 candidates.
+    cand = band_join(left, right, "la", "lb", max(max_dist, 1)).filter(
+        F.col("a") < F.col("b")
+    )
+    # thresholded levenshtein bounds the DP to a d-wide band (returns -1
+    # past the threshold) — O(d·n) per pair instead of O(n·m) on the
+    # per-length all-pairs worst case
     return (
-        left.join(right, "bucket")
-        .filter(
-            (F.col("id") < F.col("b"))
-            & (F.abs(F.col("len") - F.col("lenb")) <= max_dist)
-        )
-        .withColumn("dist", F.levenshtein(F.col("s"), F.col("sb")))
-        .filter(F.col("dist") <= max_dist)
-        .select(F.col("id").alias("a"), "b", "dist")
-        .dropDuplicates(["a", "b"])
+        cand.withColumn("dist", F.levenshtein(F.col("sa"), F.col("sb"), max_dist))
+        .filter(F.col("dist") >= 0)
+        .select("a", "b", "dist")
     )

@@ -1515,8 +1515,12 @@ def test_strip_html_drops_boilerplate_decodes_entities(spark):
                 "<b>to&nbsp;the&#39;site&#39;</b></html>",
             ),
             Row(id=2, raw="plain text, no markup"),
+            # the page DISPLAYS '&lt;' (escaped as &amp;lt;) — a correct
+            # decoder must not double-decode it into '<'
+            Row(id=3, raw="5 &amp;lt; 6"),
         ]
     )
     out = {r.id: r.clean for r in df.select("id", strip_html(F.col("raw")).alias("clean")).collect()}
     assert out[1] == "Hello & welcome to the'site'"
     assert out[2] == "plain text, no markup"
+    assert out[3] == "5 &lt; 6"

@@ -2717,6 +2717,46 @@ _df(
 )
 
 
+def _x_edit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution clusters: length-blocked Levenshtein pairs →
+    connected components; canon = min id, member count per cluster."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        connected_components,
+        edit_distance_pairs,
+    )
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    subset = cust.filter(F.col("c_custkey") <= 300).select("c_custkey", "c_name")
+    pairs = edit_distance_pairs(
+        subset, id_col="c_custkey", text_col="c_name", max_dist=2
+    )
+    comp = connected_components(pairs.select("a", "b"))
+    return (
+        comp.groupBy(F.col("component").alias("canon"))
+        .agg(F.count(F.lit(1)).alias("members"))
+        .orderBy("canon")
+    )
+
+
+_df(
+    "x_edit_clusters",
+    _x_edit_clusters,
+    "WITH RECURSIVE edges AS (SELECT x.c_custkey AS a, y.c_custkey AS b "
+    "FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey "
+    "WHERE x.c_custkey <= 300 AND y.c_custkey <= 300 "
+    "AND levenshtein(x.c_name, y.c_name) <= 2), "
+    "sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges), "
+    "reach AS (SELECT a AS id, b AS r FROM sym "
+    "UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a), "
+    "comp AS (SELECT id, LEAST(id, MIN(r)) AS canon FROM reach GROUP BY id) "
+    "SELECT canon, CAST(COUNT(*) AS BIGINT) AS members FROM comp "
+    "GROUP BY canon ORDER BY canon",
+    ("customer",),
+    note="entity-resolution clusters (blocked Levenshtein edges + CC); "
+    "oracle = recursive-CTE transitive closure over naive pairs",
+)
+
+
 _twin(
     "x_dup_rate_by_source",
     # per-source exact-duplication rate: two hash aggregates with

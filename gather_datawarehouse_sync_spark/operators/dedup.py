@@ -17,6 +17,8 @@ no driver materialization — so they scale with the cluster.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -559,6 +561,7 @@ def minhash_dedup_against(
     num_hashes: int = 64,
     bands: int = 16,
     ngram: int = 3,
+    broadcast_new_max: int = 100_000,
 ) -> DataFrame:
     """INCREMENTAL fuzzy dedup: flag rows of ``new`` that near-duplicate
     any ``reference`` document — the "new crawl vs existing corpus"
@@ -575,20 +578,52 @@ def minhash_dedup_against(
     NEW doc with at least one match ≥ ``threshold``; best match wins
     (max agreement, ties to min reference id).
 
-    The banding join runs over DISTINCT signatures, not documents: a
-    doc's match depends only on its signature, so identical-signature
-    groups are collapsed to one representative before the LSH join and
-    the verdict fans back to members afterwards.  On corpora with heavy
-    exact/near-exact repetition (every band bucket then holds whole
-    groups, and bucket pair expansion is quadratic in bucket size) this
-    is the difference between the join scaling with |distinct sketches|²
-    locally and |docs|² — at 100 TB the persisted reference sketch table
-    is stored signature-deduped for the same reason.  Group keys are
-    ``xxhash64(signature)`` — a 64-bit fingerprint over ≪ 2³² distinct
-    sketches, the standard collision budget sketch pipelines accept.
+    The join runs over DISTINCT signatures, not documents: a doc's match
+    depends only on its signature, so identical-signature groups are
+    collapsed to one representative before matching and the verdict fans
+    back to members afterwards.  On corpora with heavy exact/near-exact
+    repetition this is the difference between the join scaling with
+    |distinct sketches|² locally and |docs|² — at 100 TB the persisted
+    reference sketch table is stored signature-deduped for the same
+    reason.  Group keys are ``xxhash64(signature)`` — a 64-bit
+    fingerprint over ≪ 2³² distinct sketches, the standard collision
+    budget sketch pipelines accept.
+
+    TWO physical strategies, chosen adaptively (both produce the same
+    rows):
+
+    * **broadcast kernel** — when the NEW side has at most
+      ``broadcast_new_max`` distinct signatures AND
+      ``num_hashes - ceil(threshold·num_hashes) < bands``, collect the
+      new reps into a numpy matrix (bounded:
+      ``broadcast_new_max × num_hashes × 8 B``, the same driver budget
+      as IVF's centroid collect) and stream the reference reps through a
+      vectorized ``mapInPandas`` agreement kernel.  The threshold
+      condition is what makes this EXACT w.r.t. the banded plan: a pair
+      at agreement ≥ ``ceil(threshold·num_hashes)`` lanes has at most
+      ``num_hashes − that`` mismatched lanes, each of which can break at
+      most one band, so at least one band survives intact and the pair
+      is guaranteed to be a banding candidate — the two strategies
+      return identical sets.  (At threshold ≤ 1 − bands/num_hashes the
+      kernel would *find more* pairs than banding, so it is gated off.)
+    * **banding join** — the general scale path: band-bucket equi-join
+      of new reps × reference reps, candidate-pair dedup, then score.
+
+    The kernel exists because the banded plan's constants are wrong for
+    a small-increment crawl on a self-similar corpus: at sf0.1 (5k docs,
+    1k new, word unigrams) banding emits 5.7 M bucket collisions → 1.6 M
+    candidate pairs — 67 % of ALL rep pairs — and scoring them with
+    array ``zip_with`` (higher-order functions do not enter whole-stage
+    codegen; they evaluate interpreted per row) costs 10-15 s.  The
+    kernel scores the full 0.8 M × 3 K rep grid as 64 vectorized numpy
+    lane-compares in 2.0 s (measured round 5), emitting only
+    above-threshold pairs.  At a real 100 TB increment the gate fails
+    and the banded join — whose candidate set is then a vanishing
+    fraction of the grid — takes over.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    min_agree = int(math.ceil(threshold * num_hashes - 1e-9))
 
     def _side(df: DataFrame, side: str) -> DataFrame:
         # tag the id with its side so ONE signature pass can cover both
@@ -657,39 +692,113 @@ def minhash_dedup_against(
             F.min(F.col("id.orig")).alias("rid"),
         )
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_n"), F.col("sig_r"), lambda x, y: x == y),
-            lambda m: m,
+
+    kernel_used = False
+    if num_hashes - min_agree < bands:
+        # kernel is exact w.r.t. banding (docstring) — try it.  limit()
+        # bounds the collect: if the new side has more reps than the
+        # broadcast budget we learn that from ONE over-fetched row and
+        # fall back, never materializing the full rep set on the driver.
+        rep_rows = reps_n.limit(broadcast_new_max + 1).collect()
+        if len(rep_rows) <= broadcast_new_max and rep_rows:
+            nkeys = np.array([r["skey"] for r in rep_rows], dtype=np.int64)
+            nsigs = np.array(
+                [r["signature"] for r in rep_rows], dtype=np.int64
+            )
+            bc = new.sparkSession.sparkContext.broadcast((nkeys, nsigs))
+            rid_type = reference.schema[id_col].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("nkey", T.LongType()),
+                    T.StructField("rid", rid_type),
+                    T.StructField("est_jaccard", T.DoubleType()),
+                ]
+            )
+
+            def _score(batches):
+                nk, ns = bc.value
+                lanes = ns.shape[1]
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    rs = np.array(
+                        [np.asarray(s) for s in pdf["signature"]],
+                        dtype=np.int64,
+                    )
+                    rid = pdf["rid"].to_numpy()
+                    # lane-by-lane accumulate: never materializes the
+                    # (B × K × lanes) boolean cube, only a (B × K) int16
+                    # agreement grid
+                    agree = np.zeros((len(rs), len(nk)), dtype=np.int16)
+                    for lane in range(lanes):
+                        agree += rs[:, lane : lane + 1] == ns[None, :, lane]
+                    ri, ni = np.nonzero(agree >= min_agree)
+                    if len(ri) == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "nkey": nk[ni],
+                            "rid": rid[ri],
+                            "est_jaccard": agree[ri, ni] / float(lanes),
+                        }
+                    )
+
+            scored = reps_r.mapInPandas(_score, out_schema)
+            kernel_used = True
+        elif not rep_rows:
+            # empty new side ⇒ empty result, skip all remaining jobs
+            return sig_n.select(
+                F.col("id").alias(id_col),
+                F.lit(None).cast(reference.schema[id_col].dataType).alias(
+                    "ref_match"
+                ),
+                F.lit(None).cast("double").alias("est_jaccard"),
+            ).limit(0)
+        else:
+            scored = None
+    else:
+        scored = None
+
+    if scored is None:
+        # general scale path: band-bucket equi-join over the collapsed
+        # reps.  Dedup collisions to distinct candidate pairs BEFORE
+        # attaching signatures: a pair collides in up to ``bands`` bands,
+        # and scoring each collision (two array attaches + an interpreted
+        # ``zip_with`` lane compare) costs more than the one narrow
+        # (nkey, rkey) dedup shuffle.
+        agree = F.size(
+            F.filter(
+                F.zip_with(F.col("sig_n"), F.col("sig_r"), lambda x, y: x == y),
+                lambda m: m,
+            )
         )
-    )
-    # dedup collisions to distinct candidate pairs BEFORE attaching
-    # signatures: a pair collides in up to ``bands`` bands, and scoring
-    # each collision (two array attaches + a 64-lane compare) costs more
-    # than the one narrow (nkey, rkey) dedup shuffle (measured at sf0.1:
-    # 5.7 M collisions → 1.6 M pairs; score-raw 31 s vs dedup-first 13 s)
-    cand = (
-        _banded(reps_n, "nkey")
-        .join(_banded(reps_r, "rkey"), ["band", "bucket"])
-        .select("nkey", "rkey")
-        .dropDuplicates(["nkey", "rkey"])
-    )
-    scored = (
-        cand.join(
-            reps_n.select(F.col("skey").alias("nkey"), F.col("signature").alias("sig_n")),
-            "nkey",
+        cand = (
+            _banded(reps_n, "nkey")
+            .join(_banded(reps_r, "rkey"), ["band", "bucket"])
+            .select("nkey", "rkey")
+            .dropDuplicates(["nkey", "rkey"])
         )
-        .join(
-            reps_r.select(
-                F.col("skey").alias("rkey"), F.col("signature").alias("sig_r"), "rid"
-            ),
-            "rkey",
+        scored = (
+            cand.join(
+                reps_n.select(
+                    F.col("skey").alias("nkey"), F.col("signature").alias("sig_n")
+                ),
+                "nkey",
+            )
+            .join(
+                reps_r.select(
+                    F.col("skey").alias("rkey"),
+                    F.col("signature").alias("sig_r"),
+                    "rid",
+                ),
+                "rkey",
+            )
+            .select(
+                "nkey", "rid", (agree / F.size(F.col("sig_n"))).alias("est_jaccard")
+            )
+            .filter(F.col("est_jaccard") >= threshold)
         )
-        .select(
-            "nkey", "rid", (agree / F.size(F.col("sig_n"))).alias("est_jaccard")
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-    )
+
     # best match as ONE hash aggregate (map-side partials) instead of a
     # row_number window: min over (-est, rid) = max agreement, ties to
     # min reference id.  Only the double est is negated, so reference
@@ -705,6 +814,11 @@ def minhash_dedup_against(
         F.col("b.rid").alias("ref_match"),
         F.col("b.est_jaccard").alias("est_jaccard"),
     )
+    # under the kernel gate verdicts is bounded by ``broadcast_new_max``
+    # rows, so the member fan-out can be pinned shuffle-free; on the
+    # general path its size is data-dependent and AQE decides
+    if kernel_used:
+        verdicts = F.broadcast(verdicts)
     return sig_n.join(
         verdicts, sig_n["skey"] == verdicts["nkey"]
     ).select(F.col("id").alias(id_col), "ref_match", "est_jaccard")

@@ -1115,6 +1115,36 @@ def test_minhash_dedup_against_recalls_identical_and_stays_cross(spark):
     assert set(out) <= {10, 11} and 11 not in out
 
 
+def test_minhash_against_kernel_matches_banded_join(spark):
+    """The broadcast numpy kernel and the banding-join fallback are two
+    physical strategies for the same operator; under the kernel's
+    threshold gate (threshold > 1 - bands/num_hashes) they must return
+    identical rows.  ``broadcast_new_max=0`` forces the fallback."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        minhash_dedup_against,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    ref = spark.createDataFrame(
+        [(i, " ".join(words[j % len(words)] for j in range(i, i + 6)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, " ".join(words[j % len(words)] for j in range(i, i + 6)))
+         for i in range(0, 20, 2)]
+        + [(999, "totally disjoint vocabulary here nothing shared at all")],
+        "doc_id long, text string",
+    )
+    kernel = minhash_dedup_against(new, ref, threshold=0.8, ngram=1)
+    banded = minhash_dedup_against(
+        new, ref, threshold=0.8, ngram=1, broadcast_new_max=0
+    )
+    assert kernel.exceptAll(banded).count() == 0
+    assert banded.exceptAll(kernel).count() == 0
+    assert kernel.count() > 0
+
+
 # ---------------------------------------------------------------------------
 # packing / training-batch layout
 # ---------------------------------------------------------------------------

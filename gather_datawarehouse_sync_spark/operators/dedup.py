@@ -359,22 +359,28 @@ def jaccard_pairs_bitset(
     b = docs.select(
         F.col("id").alias("b"), F.col("mask").alias("mb"), F.col("n").alias("nb")
     )
+    # popcount as an UNROLLED sum over the mask words — ``width`` is known
+    # at plan time, so this stays a flat whole-stage-codegen expression.
+    # The zip_with/aggregate formulation computes the same thing but
+    # higher-order functions never enter codegen: they evaluate
+    # interpreted per pair, which at n² pairs is the whole runtime
+    # (measured at sf0.1, 3 935 docs / width 1: NLJ 1.9 s → 0.6 s)
+    shared = sum(
+        (
+            F.bit_count(
+                F.col("ma").getItem(w).bitwiseAND(F.col("mb").getItem(w))
+            )
+            for w in range(1, width)
+        ),
+        start=F.bit_count(F.col("ma").getItem(0).bitwiseAND(F.col("mb").getItem(0))),
+    )
     pairs = (
         a.crossJoin(F.broadcast(b))
         .filter(
             (F.col("a") < F.col("b"))
             & (F.greatest("na", "nb") * num <= F.least("na", "nb") * den)
         )
-        .withColumn(
-            "shared",
-            F.aggregate(
-                F.zip_with(
-                    F.col("ma"), F.col("mb"), lambda x, y: F.bit_count(x.bitwiseAND(y))
-                ),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            ),
-        )
+        .withColumn("shared", shared)
         .withColumn("union_n", F.col("na") + F.col("nb") - F.col("shared"))
         .filter(F.col("shared") * den >= F.col("union_n") * num)
         .withColumn("jaccard", F.col("shared") / F.col("union_n"))
@@ -858,16 +864,10 @@ def connected_components(
     # otherwise — Spark does not share common subtrees across union arms
     g = edges.select("a", "b").filter(F.col("a") != F.col("b"))
     g = g.localCheckpoint(eager=True)
-    labels = (
-        g.select(F.col("a").alias("id"))
-        .union(g.select(F.col("b").alias("id")))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    labels = None
     for _ in range(max_iter):
         if g.isEmpty():
-            return labels
+            break
         sym = g.union(g.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # h(v) = min over {v} ∪ N(v)
         h = (
@@ -878,16 +878,24 @@ def connected_components(
         )
         # compose the global mapping: nodes whose current component label
         # is still a live graph node follow it one contraction level down.
-        # LAZY checkpoint: within the loop nothing branches on labels
-        # (only the next round's compose reads it), so an eager
-        # materialization per round is a wasted job — the chain of
-        # left-joins against eagerly-checkpointed h frames evaluates
-        # once, at the terminal read, and truncates its lineage then.
-        labels = (
-            labels.join(h, labels.component == h.id, "left")
-            .select(labels.id, F.coalesce(h.h, labels.component).alias("component"))
-            .localCheckpoint(eager=False)
-        )
+        # Round 1's h IS the initial mapping — its key set is exactly the
+        # edge-touched nodes, so a separate identity-labels distinct pass
+        # would be a wasted shuffle + job.  LAZY checkpoint thereafter:
+        # within the loop nothing branches on labels (only the next
+        # round's compose reads it), so an eager materialization per
+        # round is a wasted job — the chain of left-joins against
+        # eagerly-checkpointed h frames evaluates once, at the terminal
+        # read, and truncates its lineage then.
+        if labels is None:
+            labels = h.select("id", F.col("h").alias("component"))
+        else:
+            labels = (
+                labels.join(h, labels.component == h.id, "left")
+                .select(
+                    labels.id, F.coalesce(h.h, labels.component).alias("component")
+                )
+                .localCheckpoint(eager=False)
+            )
         ha = h.select(F.col("id").alias("a"), F.col("h").alias("ha"))
         hb = h.select(F.col("id").alias("b"), F.col("h").alias("hb"))
         g = (
@@ -905,6 +913,10 @@ def connected_components(
         )
     if not g.isEmpty():  # pragma: no cover - max_iter is far above log(d)
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    if labels is None:  # empty edge list ⇒ no components
+        return edges.select(
+            F.col("a").alias("id"), F.col("a").alias("component")
+        ).limit(0)
     return labels
 
 

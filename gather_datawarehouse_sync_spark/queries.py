@@ -1121,12 +1121,17 @@ def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with true near-dups (cos ≥ 0.9, per-plane 0.86) the same shape gives
     >95% recall.
 
-    Measured (median-of-3, warm, local[32], sf0.1 = 5 k vectors): this
-    sketch path runs 2.0 s vs the exact block-grid tier's 4.6 s — LSH
-    wins already at bench scale once the sketch table is materialized
-    once and ``dim`` is passed (no probe job), and the 0.03·n² vs
-    0.5·n² scoring gap widens the margin quadratically from here
-    (SCALE.md §Similarity)."""
+    Measured (median-of-3, warm, local[32], sf0.1 = 5 k vectors,
+    round 5): this sketch path runs 1.8 s vs the exact block-grid
+    tier's 1.3 s — at bench scale the EXACT tier wins, because its
+    per-cell numpy matmul scores the whole 12.5 M-pair grid in well
+    under a second and LSH's fixed costs (signature pass + 8 bucket-
+    table joins) exceed the scoring it avoids.  The ranking flips with
+    corpus size: exact scoring grows with the full n² grid while LSH
+    scores its ~3 % candidate set, so the ~1 s fixed-cost gap is
+    overtaken roughly when 0.97·(n²-pair scoring cost) > 1 s — around
+    3-4× this corpus on this box — and the margin then widens
+    quadratically (SCALE.md §Similarity)."""
     from gather_datawarehouse_sync_spark.operators.similarity import (
         cosine_pairs_lsh,
     )
@@ -2778,18 +2783,24 @@ _twin(
 # The driver's oracle gate checks exactly the first 50 registered queries
 # (list(REGISTRY)[:50]).  Source order above groups queries by topic; this
 # explicit priority list spends the 50-slot budget deliberately: the 44
-# core queries plus the six strongest oracled LLM-pipeline flagships
-# (fuzzy-dedup clusters, embedding near-dup, as-of join, band join,
-# sessionization, curation).  Everything else — including rows-only sketch
-# queries — registers after the window and is covered by local tests.
+# core queries plus six fully-oracled LLM-pipeline flagships.  The six
+# extension slots ROTATE between rounds so driver-side evidence
+# accumulates across the whole oracled surface: rounds ≤ 4 ran
+# fuzzy-dedup clusters / embedding near-dup / as-of join / band join /
+# sessionization / curation (all driver-green in CORRECTNESS_r04); round
+# 5 swaps in the next six oracled flagships — incremental dedup, TF-IDF
+# top-k, entity-resolution clusters, rare-ngram rarity, winnowing pairs,
+# and benchmark contamination.  Rotated-out queries stay green in the
+# local sf0.01 oracle suite (tests/test_queries_oracle.py covers every
+# registered query, in- or out-of-window).
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    "x_ngram_dedup_clusters",
-    "x_embed_dup",
-    "x_asof_join",
-    "x_band_pairs",
-    "x_sessionize",
-    "x_curation",
+    "x_dedup_against",
+    "x_tfidf_topk",
+    "x_edit_clusters",
+    "x_lm_rarity",
+    "x_winnow_pairs",
+    "x_contamination",
 )
 
 

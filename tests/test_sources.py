@@ -161,6 +161,45 @@ def test_jdbc_sink_round_trip(spark, tmp_path):
     assert meta == {"iam": "gatherbot", "selectable": False, "editable": False}
 
 
+def test_jdbc_merge_upsert_idempotent_converges(spark, tmp_path):
+    """S9 update-by-key semantics (`src/DataWarehouse.js:294-309`) against
+    a real SQL store: stage-then-MERGE upsert.  Re-applying the same
+    batch is a no-op (idempotent), a changed batch updates in place, and
+    unknown keys insert — the three MERGE behaviours the reference's
+    PUT-per-project loop implements row-at-a-time."""
+    from gather_datawarehouse_sync_spark.sources.jdbc import (
+        merge_jdbc,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/mergedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    base = spark.createDataFrame(
+        [(1, "alpha", "a.shp"), (2, "beta", "b.shp")],
+        "id int, iam string, file string",
+    )
+    write_jdbc(base, url, "projects", mode="append", properties=props, num_partitions=1)
+
+    def snapshot():
+        return {
+            r["id"]: (r["iam"], r["file"])
+            for r in read_jdbc(spark, url, "projects", properties=props).collect()
+        }
+
+    batch = spark.createDataFrame(
+        [(2, "beta-v2", "b2.shp"), (3, "gamma", "c.shp")],
+        "id int, iam string, file string",
+    )
+    merge_jdbc(batch, url, "projects", ("id",), properties=props, num_partitions=1)
+    want = {1: ("alpha", "a.shp"), 2: ("beta-v2", "b2.shp"), 3: ("gamma", "c.shp")}
+    assert snapshot() == want
+
+    # idempotent re-apply: exact same batch, exact same converged state
+    merge_jdbc(batch, url, "projects", ("id",), properties=props, num_partitions=1)
+    assert snapshot() == want
+
+
 # ---------------------------------------------------------------------------
 # delimited/JSONL ingestion (sources/textfiles.py)
 # ---------------------------------------------------------------------------

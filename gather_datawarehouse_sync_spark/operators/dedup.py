@@ -951,9 +951,17 @@ def jaccard_dedup_clusters(
         # Jaccard relation to anything — jaccard_pairs excludes them, and
         # grouping them here would fabricate one phantom "identical" set
         .filter(F.size("__set") > 0)
+        # group on the rendered set string itself, NOT a 64-bit hash of
+        # it: this operator's contract is EXACT Jaccard edges, and a
+        # hash collision would silently merge unrelated documents into
+        # one "identical" group.  The wider shuffle key costs one
+        # string-sized row instead of 8 bytes — negligible next to the
+        # text column already travelling in the same row.  (The minhash
+        # tier's skey hashing is different: there a documented 2^-64
+        # collision budget is inherent to sketching.)
         .select(
             "id",
-            F.xxhash64(F.concat_ws("\x1f", F.col("__set"))).alias("gkey"),
+            F.concat_ws("\x1f", F.col("__set")).alias("gkey"),
             F.col(text_col),
         )
         .groupBy("gkey")

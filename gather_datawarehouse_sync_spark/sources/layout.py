@@ -155,10 +155,15 @@ def compact_files(
 
     The swap is rename-aside (old → ``.old``, new → live, then delete
     ``.old``): the destructive delete happens LAST, so a crash at any
-    earlier point leaves either the original intact or both directories
-    present — never a window with no table.  (A real table format makes
-    this transactional; rename-aside is the closest a bare directory
-    gets.)
+    earlier point never loses data.  It is NOT reader-transparent,
+    though: between the two renames the live path briefly does not
+    exist, so a concurrent reader can fail with path-not-found, and a
+    crash in that window leaves the table parked at ``<path>.old`` —
+    recovery is renaming ``.old`` back by hand.  ``os.rename``/
+    ``shutil`` also restrict this helper to local filesystems (tests,
+    single-node maintenance); on object stores or HDFS use the
+    FileSystem API, and for concurrent readers use a real table format
+    (Delta/Iceberg OPTIMIZE), which is the only genuinely atomic swap.
     """
     import math
     import os

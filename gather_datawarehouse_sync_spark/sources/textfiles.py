@@ -79,6 +79,22 @@ def read_csv(
     once files split across tasks, which is also why the csv datasource
     handles headers per-file — this reader keeps the splittable text
     scan instead and filters the rendered header exactly).
+
+    Two failure modes follow from that exact-match filter, both
+    accepted costs of the splittable-scan design:
+
+    - a DATA row that coincidentally equals the rendered header (every
+      field string-typed and named like its column) is silently
+      dropped, anywhere in the file, not just line 1;
+    - a REAL header that renders differently (spaces after separators,
+      quoted names, different column names than ``schema``) is NOT
+      recognized — it falls through the parser and lands in the
+      ``_corrupt_record`` quarantine (or, if every column is string,
+      parses as a bogus data row).
+
+    When headers can't be trusted to match the schema rendering, read
+    with ``header=False`` and drop the known header rows upstream, or
+    use the per-file csv datasource and give up input splitting.
     """
     full = _with_corrupt(schema)
     lines = spark.read.text(path)

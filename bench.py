@@ -35,6 +35,24 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
+    # Silence WindowExec's "No Partition Defined" warning for THIS run
+    # only: every global-window site in the registry is audited and
+    # bounded or spec-mandated — q26's NTILE is a global quartile by
+    # definition; the packing/shuffle-order hierarchical prefix sums
+    # window over ≤ n/4096 group rows and ≤ 256 hash buckets
+    # respectively; the bitset vocab index is gated to ≤ 1024 tokens.
+    # Unregistered code keeps the warning (this is not a session-wide
+    # config), so a future unintentional global window still surfaces
+    # in tests and ad-hoc runs.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 logging backends: warnings are cosmetic
+
     # warm up the JVM / parquet footer caches outside the timed region
     REGISTRY["q1"].spark(spark, sf_dir).collect()
 

@@ -87,14 +87,35 @@ def shuffle_order(
     draws depend on partition layout.  Changing ``seed`` yields an
     independent permutation (epoch reshuffling).
 
-    The rank itself is a global ordered ``row_number`` — at cluster scale
-    don't materialize it: ``df.repartitionByRange(n, hash).sortWithin
-    Partitions(hash)`` realizes the same order with a range shuffle and
-    no single-partition window.  The rank form exists for the oracle
-    surface and for bounded top-N curricula."""
+    The rank is computed HIERARCHICALLY, not as one global ordered
+    window (which Spark would execute in a single partition —
+    ``WindowExec: No Partition Defined``, fatal at scale): the first two
+    hex chars of the hash bucket every row (row-local expression, and a
+    hash PREFIX, so ordering by bucket-then-hash equals ordering by
+    hash); within-bucket ranks run partition-parallel; the only
+    sequential step is the cumulative bucket-count window over 256
+    bucket rows — constant-size, data-independent.  Same decomposition
+    as :func:`...operators.packing.exclusive_prefix_sum`.  When only the
+    ORDER is needed (streaming examples to a trainer, no rank column),
+    ``df.repartitionByRange(n, hash, id).sortWithinPartitions(hash,
+    id)`` realizes it with just the range shuffle."""
     h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
-    w = Window.orderBy(h, F.col(id_col))
-    return df.withColumn(out_col, F.row_number().over(w))
+    with_b = df.withColumn("_h", h).withColumn(
+        "_b", F.substring(F.col("_h"), 1, 2)
+    )
+    bcounts = with_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_bn"))
+    # ≤ 256 rows: the global window is bounded by the bucket alphabet,
+    # not the data
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bcounts.select(
+        "_b", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_boff")
+    )
+    win = Window.partitionBy("_b").orderBy("_h", F.col(id_col))
+    return (
+        with_b.join(F.broadcast(boff), "_b")
+        .withColumn(out_col, (F.col("_boff") + F.row_number().over(win)).cast("int"))
+        .drop("_h", "_b", "_boff")
+    )
 
 
 def cap_per_group(

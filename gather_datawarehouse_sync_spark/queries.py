@@ -383,6 +383,9 @@ _twin(
     "FROM events ORDER BY event_id",
     ("events",),
 )
+# q26's NTILE window is GLOBAL by the query's own definition (corpus-wide
+# price quartiles) — the single-partition WindowExec is spec, not a plan
+# defect; for an approximate variant that scales, see x_percentile
 _twin(
     "q26",
     "SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q "

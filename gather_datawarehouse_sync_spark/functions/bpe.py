@@ -77,12 +77,28 @@ def bpe_train(
     sample_fraction: float | None = None,
     id_col: str | None = None,
     checkpoint_every: int = 2,
+    vocab_collect_max: int = 1_000_000,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
     Returns the ordered merge table ``[(left, right, count), ...]`` —
     the full trained artifact (apply-side tokenization replays it in
     order).  Stops early when no pair reaches ``min_count``.
+
+    TWO strategies, identical merge tables:
+
+    * **word-count table** (the standard industrial layout — how real
+      tokenizer trainers work): ONE distributed
+      ``groupBy(word).count()`` pass, then the merge loop runs over the
+      collected (distinct word, frequency) table.  Pair counts weighted
+      by word frequency are exactly the corpus-wide pair counts, and
+      the table is VOCABULARY-bounded — it grows sublinearly with the
+      corpus (Heaps' law), so a 100 TB corpus still collects megabytes.
+      Gated at ``vocab_collect_max`` distinct words via ``limit()`` —
+      the same bounded-collect discipline as IVF's centroids.
+    * **distributed rounds** (over-cap fallback): pair-count shuffle +
+      single-row argmax collect + codegen'd merge rewrite per round,
+      ``localCheckpoint`` every ``checkpoint_every`` merges.
 
     ``checkpoint_every``: merge application is a narrow ``transform``,
     so lineage can carry a round or two before re-materializing — one
@@ -100,6 +116,20 @@ def bpe_train(
         buckets = 1 << 16
         keep = int(buckets * sample_fraction)
         df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)) < keep)
+
+    words_col = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
+    wc_rows = (
+        df.select(F.explode(words_col).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(vocab_collect_max + 1)
+        .collect()
+    )
+    if len(wc_rows) <= vocab_collect_max:
+        return _train_from_word_counts(
+            [(r["w"], int(r["c"])) for r in wc_rows], num_merges, min_count
+        )
+
     # spread before the symbol build: the checkpoint inherits the input
     # partitioning, so an under-partitioned scan would otherwise run
     # EVERY merge round's explode+count on one core
@@ -139,6 +169,59 @@ def bpe_train(
         )
         if len(merges) % checkpoint_every == 0:
             syms = syms.localCheckpoint(eager=True)
+    return merges
+
+
+def _train_from_word_counts(
+    word_counts: list[tuple[str, int]],
+    num_merges: int,
+    min_count: int,
+) -> list[tuple[str, str, int]]:
+    """The merge loop over a (distinct word, frequency) table — pure
+    Python, vocabulary-bounded.  Semantics identical to the distributed
+    rounds: pair counts are frequency-weighted, the argmax breaks ties
+    (count desc, left asc, right asc), and the rewrite is the same
+    greedy left-to-right merge ``_merge_word`` expresses (a freshly
+    merged symbol never re-merges as ``left`` in the same pass because
+    ``left||right != left``)."""
+    vocab: list[tuple[list[str], int]] = []
+    for w, c in word_counts:
+        if not w:
+            continue
+        syms = list(w)
+        syms[-1] = syms[-1] + "</w>"
+        vocab.append((syms, c))
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (left, right), top = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if top < min_count:
+            break
+        merges.append((left, right, top))
+        merged = left + right
+        next_vocab: list[tuple[list[str], int]] = []
+        for syms, c in vocab:
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            next_vocab.append((out, c))
+        vocab = next_vocab
     return merges
 
 

@@ -1061,6 +1061,26 @@ def test_bpe_train_min_count_stops_early(spark):
     assert bpe_train(df, num_merges=5, min_count=2) == []
 
 
+def test_bpe_train_word_count_path_matches_distributed_rounds(spark):
+    """The vocabulary-bounded word-count trainer and the distributed
+    per-round trainer are two strategies for the same algorithm; the
+    merge tables must be identical (``vocab_collect_max=0`` forces the
+    distributed fallback)."""
+    from gather_datawarehouse_sync_spark.functions.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat the cat ran",),
+            ("a cat and a rat sat on a mat",),
+            ("the rat sat where the cat sat",),
+        ],
+        "text string",
+    )
+    fast = bpe_train(df, num_merges=6, min_count=2)
+    slow = bpe_train(df, num_merges=6, min_count=2, vocab_collect_max=0)
+    assert fast == slow and len(fast) > 0
+
+
 def test_winnow_fingerprints_shared_passage_guarantee(spark):
     from gather_datawarehouse_sync_spark.functions.text import (
         winnow_fingerprint_table,

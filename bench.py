@@ -29,6 +29,30 @@ from gather_datawarehouse_sync_spark.queries import REGISTRY  # noqa: E402
 from gather_datawarehouse_sync_spark.session import get_spark  # noqa: E402
 
 
+def build_payload(
+    per_query: dict[str, float], sf: float, runs: int
+) -> dict:
+    """The one-line bench payload.  Shared with
+    ``tests/test_bench_contract.py`` so the 1800-char guard tests the
+    REAL payload shape — a hand-maintained copy would silently stop
+    guarding when this dict grows a field."""
+    headline = list(REGISTRY)[:50]
+    headline_set = set(headline)
+    ext_total = round(
+        sum(v for k, v in per_query.items() if k not in headline_set), 2
+    )
+    return {
+        "metric": "suite_seconds",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": {k: round(per_query[k], 2) for k in sorted(headline_set)},
+        "extensions_seconds": ext_total,
+        "n_queries": len(per_query),
+        "sf": sf,
+        "runs": runs,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -79,11 +103,6 @@ def main() -> None:
     # carries per-query timings for the driver's 50-query correctness
     # window (the headline queries, short keys) plus an aggregate for the
     # rest; full-precision per-query detail goes to BENCH_DETAIL.json.
-    headline = list(REGISTRY)[:50]
-    headline_set = set(headline)
-    ext_total = round(
-        sum(v for k, v in per_query.items() if k not in headline_set), 2
-    )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
         "w",
@@ -95,16 +114,7 @@ def main() -> None:
             sort_keys=True,
         )
 
-    payload = {
-        "metric": "suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(per_query[k], 2) for k in sorted(headline_set)},
-        "extensions_seconds": ext_total,
-        "n_queries": len(per_query),
-        "sf": sf,
-        "runs": runs,
-    }
+    payload = build_payload(per_query, sf, runs)
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1800:
         # degrade to the aggregate-only line rather than losing the whole

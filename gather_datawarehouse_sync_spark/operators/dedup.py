@@ -621,15 +621,24 @@ def minhash_dedup_against(
     candidate pairs — 67 % of ALL rep pairs — and scoring them with
     array ``zip_with`` (higher-order functions do not enter whole-stage
     codegen; they evaluate interpreted per row) costs 10-15 s.  The
-    kernel scores the full 0.8 M × 3 K rep grid as 64 vectorized numpy
-    lane-compares in 2.0 s (measured round 5), emitting only
-    above-threshold pairs.  At a real 100 TB increment the gate fails
-    and the banded join — whose candidate set is then a vanishing
-    fraction of the grid — takes over.
+    kernel scores the full 0.8 K × 3 K rep grid as 64 vectorized numpy
+    lane-compares instead — whole query 10.4 s → 1.9 s (BENCH_DETAIL,
+    round 5) — emitting only above-threshold pairs.  At a real 100 TB
+    increment the gate fails and the banded join — whose candidate set
+    is then a vanishing fraction of the grid — takes over.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    min_agree = int(math.ceil(threshold * num_hashes - 1e-9))
+    # smallest agreement count the banded path's `est >= threshold`
+    # double-compare accepts: a/num_hashes is the same IEEE-754 division
+    # there and here, so probing it directly is exact by construction —
+    # a ceil(threshold*num_hashes) with an epsilon can land one lane off
+    # in either direction and break the two strategies' identical-rows
+    # contract
+    min_agree = next(
+        (a for a in range(num_hashes + 1) if a / num_hashes >= threshold),
+        num_hashes + 1,
+    )
 
     def _side(df: DataFrame, side: str) -> DataFrame:
         # tag the id with its side so ONE signature pass can cover both
@@ -721,6 +730,13 @@ def minhash_dedup_against(
                 ]
             )
 
+            # bound the working grid: B (Arrow batch rows) × K (new reps)
+            # int16 cells.  At the broadcast gate's ceiling (100k reps ×
+            # 10k-row batches) an unchunked grid is 2 GB per task — chunk
+            # K so the grid stays ≤ ~64 M cells (128 MB) regardless of
+            # parameters
+            _GRID_CELLS = 64 * 1024 * 1024
+
             def _score(batches):
                 nk, ns = bc.value
                 lanes = ns.shape[1]
@@ -732,22 +748,25 @@ def minhash_dedup_against(
                         dtype=np.int64,
                     )
                     rid = pdf["rid"].to_numpy()
-                    # lane-by-lane accumulate: never materializes the
-                    # (B × K × lanes) boolean cube, only a (B × K) int16
-                    # agreement grid
-                    agree = np.zeros((len(rs), len(nk)), dtype=np.int16)
-                    for lane in range(lanes):
-                        agree += rs[:, lane : lane + 1] == ns[None, :, lane]
-                    ri, ni = np.nonzero(agree >= min_agree)
-                    if len(ri) == 0:
-                        continue
-                    yield pd.DataFrame(
-                        {
-                            "nkey": nk[ni],
-                            "rid": rid[ri],
-                            "est_jaccard": agree[ri, ni] / float(lanes),
-                        }
-                    )
+                    k_step = max(1, _GRID_CELLS // max(len(rs), 1))
+                    for k0 in range(0, len(nk), k_step):
+                        nchunk = ns[k0 : k0 + k_step]
+                        # lane-by-lane accumulate: never materializes the
+                        # (B × K × lanes) boolean cube, only the (B × K)
+                        # int16 agreement grid
+                        agree = np.zeros((len(rs), len(nchunk)), dtype=np.int16)
+                        for lane in range(lanes):
+                            agree += rs[:, lane : lane + 1] == nchunk[None, :, lane]
+                        ri, ni = np.nonzero(agree >= min_agree)
+                        if len(ri) == 0:
+                            continue
+                        yield pd.DataFrame(
+                            {
+                                "nkey": nk[k0 + ni],
+                                "rid": rid[ri],
+                                "est_jaccard": agree[ri, ni] / float(lanes),
+                            }
+                        )
 
             scored = reps_r.mapInPandas(_score, out_schema)
             kernel_used = True

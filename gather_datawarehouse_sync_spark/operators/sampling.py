@@ -100,21 +100,33 @@ def shuffle_order(
     ``df.repartitionByRange(n, hash, id).sortWithinPartitions(hash,
     id)`` realizes it with just the range shuffle."""
     h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
-    with_b = df.withColumn("_h", h).withColumn(
-        "_b", F.substring(F.col("_h"), 1, 2)
+    # lazy checkpoint: with_b feeds BOTH the bucket-count branch and the
+    # rank join, and Spark does not share common subtrees across plan
+    # branches — an expensive upstream (a curation chain) would compute
+    # twice otherwise.  Double-underscore internals per repo convention;
+    # refuse rather than silently overwrite a caller column.
+    for c in ("__so_h", "__so_b", "__so_off"):
+        if c in df.columns:
+            raise ValueError(f"shuffle_order: input already has column {c}")
+    with_b = (
+        df.withColumn("__so_h", h)
+        .withColumn("__so_b", F.substring(F.col("__so_h"), 1, 2))
+        .localCheckpoint(eager=False)
     )
-    bcounts = with_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_bn"))
+    bcounts = with_b.groupBy("__so_b").agg(F.count(F.lit(1)).alias("__so_n"))
     # ≤ 256 rows: the global window is bounded by the bucket alphabet,
     # not the data
-    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    wb = Window.orderBy("__so_b").rowsBetween(Window.unboundedPreceding, -1)
     boff = bcounts.select(
-        "_b", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_boff")
+        "__so_b", F.coalesce(F.sum("__so_n").over(wb), F.lit(0)).alias("__so_off")
     )
-    win = Window.partitionBy("_b").orderBy("_h", F.col(id_col))
+    win = Window.partitionBy("__so_b").orderBy("__so_h", F.col(id_col))
     return (
-        with_b.join(F.broadcast(boff), "_b")
-        .withColumn(out_col, (F.col("_boff") + F.row_number().over(win)).cast("int"))
-        .drop("_h", "_b", "_boff")
+        with_b.join(F.broadcast(boff), "__so_b")
+        .withColumn(
+            out_col, (F.col("__so_off") + F.row_number().over(win)).cast("int")
+        )
+        .drop("__so_h", "__so_b", "__so_off")
     )
 
 

@@ -111,6 +111,13 @@ def merge_jdbc(
     key-unique (standard MERGE precondition — both Derby and the SQL
     standard reject ambiguous source matches).
 
+    The staging table is DROPPED after the merge (it is a full copy of
+    the batch — leaving it behind leaks storage and shows stale rows to
+    other readers).  Concurrent merges into the same target must pass
+    distinct ``staging_table`` names: the default ``{target}_staging``
+    is per-target, and two overlapping calls would overwrite each
+    other's stage between write and MERGE.
+
     Works against any MERGE-capable target (Derby 10.11+, Postgres 15+,
     Oracle, SQL Server, ...); the test target is Derby embedded.
     """
@@ -138,6 +145,7 @@ def merge_jdbc(
         f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
     )
     _execute_statement(df.sparkSession, url, " ".join(clauses), props)
+    _execute_statement(df.sparkSession, url, f"DROP TABLE {staging}", props)
 
 
 def _execute_statement(

@@ -388,6 +388,219 @@ def jaccard_pairs_bitset(
     return pairs.select("a", "b", "shared", "na", "nb", "jaccard")
 
 
+def jaccard_pairs_between(
+    new: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 1,
+    bitset_vocab_limit: int = 1024,
+) -> DataFrame:
+    """EXACT cross-corpus token-set Jaccard pairs ≥ ``threshold``: one
+    row per (new doc, reference doc) match — the exact tier of
+    incremental "new crawl vs existing corpus" dedup (the sketch tier is
+    :func:`minhash_dedup_against`).
+
+    Same adaptive strategy pair as :func:`jaccard_pairs`, specialized to
+    score only the NEW × REFERENCE grid — computing the within-side
+    pairs and filtering them away would do ~3× the popcount work on a
+    60/40 split and shuffle rows that are discarded by construction:
+
+    - **tiny vocabulary**: bitmask encoding over the UNION vocabulary
+      (both sides must index tokens identically); the reference side
+      broadcasts and the new side streams through the codegen'd
+      AND+popcount cross join.
+    - **real vocabulary**: PPJoin prefix filtering with the a-side
+      prefixes drawn from ``new`` and the b-side from ``reference``;
+      the document-frequency ordering is computed over the union so
+      both sides share one total order (any consistent order is
+      correct; rarity maximizes pruning).
+
+    Returns (a, b, shared, na, nb, jaccard) with a = new id, b =
+    reference id (no a < b constraint — the sides orient the pair).
+    """
+    union_text = new.select(F.col(text_col)).unionByName(
+        reference.select(F.col(text_col))
+    )
+    probe = (
+        union_text.select(F.explode(shingles(F.col(text_col), ngram)).alias("tok"))
+        .agg(F.approx_count_distinct("tok").alias("v"))
+        .collect()[0]["v"]
+    )
+    if probe <= bitset_vocab_limit:
+        return _jaccard_between_bitset(
+            new, reference, id_col, text_col, threshold, ngram
+        )
+    return _jaccard_between_prefix(
+        new, reference, id_col, text_col, threshold, ngram
+    )
+
+
+def _jaccard_between_bitset(
+    new: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int,
+) -> DataFrame:
+    """Bitmask branch of :func:`jaccard_pairs_between` (tiny union
+    vocabulary): masks index the union vocab, the reference side
+    broadcasts, per-pair cost is the unrolled AND+popcount."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+
+    def _tok(df: DataFrame) -> DataFrame:
+        return (
+            spread(df)
+            .select(
+                F.col(id_col).alias("id"),
+                shingles(F.col(text_col), ngram).alias("toks"),
+            )
+            .filter(F.size("toks") > 0)
+            .select("id", F.explode("toks").alias("tok"))
+        )
+
+    ex_n, ex_r = _tok(new), _tok(reference)
+    vocab = (
+        ex_n.select("tok")
+        .union(ex_r.select("tok"))
+        .distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy("tok")) - 1)
+        # tiny by precondition; materialized because the width probe and
+        # both index joins re-execute the explodes otherwise
+        .localCheckpoint(eager=True)
+    )
+    width_row = vocab.agg(F.count(F.lit(1)).alias("v")).collect()[0]
+    width = max(1, (int(width_row["v"]) + 63) // 64)
+    mask = F.expr(
+        f"transform(sequence(0, {width - 1}), w -> "
+        "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
+        "(acc, i) -> acc | shiftleft(1L, int(i % 64))))"
+    )
+
+    def _masks(ex: DataFrame) -> DataFrame:
+        return (
+            ex.join(F.broadcast(vocab), "tok")
+            .groupBy("id")
+            .agg(F.collect_set("idx").alias("idxs"))
+            .select("id", mask.alias("mask"), F.size("idxs").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+
+    a = spread(_masks(ex_n)).select(
+        F.col("id").alias("a"), F.col("mask").alias("ma"), F.col("n").alias("na")
+    )
+    b = _masks(ex_r).select(
+        F.col("id").alias("b"), F.col("mask").alias("mb"), F.col("n").alias("nb")
+    )
+    shared = sum(
+        (
+            F.bit_count(F.col("ma").getItem(w).bitwiseAND(F.col("mb").getItem(w)))
+            for w in range(1, width)
+        ),
+        start=F.bit_count(F.col("ma").getItem(0).bitwiseAND(F.col("mb").getItem(0))),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.greatest("na", "nb") * num <= F.least("na", "nb") * den)
+        .withColumn("shared", shared)
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("shared"))
+        .filter(F.col("shared") * den >= F.col("union_n") * num)
+        .withColumn("jaccard", F.col("shared") / F.col("union_n"))
+    )
+    return pairs.select("a", "b", "shared", "na", "nb", "jaccard")
+
+
+def _jaccard_between_prefix(
+    new: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int,
+) -> DataFrame:
+    """PPJoin-prefix branch of :func:`jaccard_pairs_between`: the
+    document-frequency rarity order comes from the union corpus so both
+    sides explode prefixes under one consistent total order; candidate
+    generation joins new-side prefixes against reference-side prefixes
+    only."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+
+    def _tok(df: DataFrame, side: str) -> DataFrame:
+        return (
+            spread(df)
+            .select(
+                F.lit(side).alias("side"),
+                F.col(id_col).alias("id"),
+                shingles(F.col(text_col), ngram).alias("toks"),
+            )
+            .filter(F.size("toks") > 0)
+        )
+
+    tok = _tok(new, "n").unionByName(_tok(reference, "r"))
+    ex = tok.select("side", "id", F.explode("toks").alias("tok"))
+    docfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(docfreq, "tok")
+        .groupBy("side", "id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("df"), F.col("tok")))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .withColumn("n", F.size("toks"))
+        # feeds prefix explosion (both sides) and both verify attaches
+        .localCheckpoint(eager=True)
+    )
+    p = F.expr(f"n - ((n * {num} + {den} - 1) DIV {den}) + 1")
+    prefixes = ordered.select(
+        "side", "id", "n", F.posexplode(F.slice("toks", 1, p)).alias("pos", "tok")
+    )
+    a = prefixes.filter(F.col("side") == "n").select(
+        F.col("id").alias("a"), F.col("n").alias("na"), F.col("pos").alias("pa"), "tok"
+    )
+    b = prefixes.filter(F.col("side") == "r").select(
+        F.col("id").alias("b"), F.col("n").alias("nb"), F.col("pos").alias("pb"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.greatest("na", "nb") * num <= F.least("na", "nb") * den)
+            & (
+                F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+                * (num + den)
+                >= (F.col("na") + F.col("nb")) * num
+            )
+        )
+        .select("a", "b", "na", "nb")
+        .dropDuplicates(["a", "b"])
+    )
+    ta = ordered.filter(F.col("side") == "n").select(
+        F.col("id").alias("a"), F.col("toks").alias("ta")
+    )
+    tb = ordered.filter(F.col("side") == "r").select(
+        F.col("id").alias("b"), F.col("toks").alias("tb")
+    )
+    shared = F.size(F.array_intersect("ta", "tb"))
+    out = (
+        cand.join(ta, "a")
+        .join(tb, "b")
+        .withColumn("shared", shared)
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("shared"))
+        .filter(F.col("shared") * den >= F.col("union_n") * num)
+        .withColumn("jaccard", F.col("shared") / F.col("union_n"))
+    )
+    return out.select("a", "b", "shared", "na", "nb", "jaccard")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the 100 TB fuzzy-dedup path)
 # ---------------------------------------------------------------------------

@@ -1360,34 +1360,37 @@ _df(
 def _x_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup, exact tier: for each 'new' doc (doc_id % 5 ==
     0) the best token-set-Jaccard ≥ 0.8 match in the 'existing corpus'
-    (the rest).  Reuses the adaptive ``jaccard_pairs`` machinery
-    (bitset / PPJoin-prefix) and restricts to cross-partition pairs —
-    a naive token explode-join fans out quadratically on this
-    tiny-vocabulary corpus (timed out at sf0.1; the adaptive path runs
-    in seconds).  Oracle stays the naive declarative SQL."""
-    from gather_datawarehouse_sync_spark.operators.dedup import jaccard_pairs
+    (the rest).  Uses ``jaccard_pairs_between`` — the adaptive
+    bitset/PPJoin-prefix machinery specialized to score only the
+    NEW × REFERENCE grid (computing all within-side pairs and filtering
+    would do ~3× the work; a naive token explode-join fans out
+    quadratically on this tiny-vocabulary corpus and timed out at
+    sf0.1).  Oracle stays the naive declarative SQL."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        jaccard_pairs_between,
+    )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    pairs = jaccard_pairs(docs, threshold=0.8, ngram=1)
-    a_new = F.col("a") % 5 == 0
-    b_new = F.col("b") % 5 == 0
-    oriented = (
-        pairs.filter(a_new != b_new)
-        .select(
-            F.when(a_new, F.col("a")).otherwise(F.col("b")).alias("nid"),
-            F.when(a_new, F.col("b")).otherwise(F.col("a")).alias("rid"),
-            "shared",
-            "jaccard",
-        )
+    pairs = jaccard_pairs_between(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.8,
+        ngram=1,
     )
-    w = Window.partitionBy("nid").orderBy(F.col("jaccard").desc(), F.col("rid"))
+    # best match as one hash aggregate: min over (-jaccard, ref id) =
+    # max jaccard, ties to min reference id — no per-new-doc window
     return (
-        oriented.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        pairs.groupBy("a")
+        .agg(
+            F.min_by(
+                F.struct(F.col("b"), F.col("shared")),
+                F.struct((-F.col("jaccard")).alias("nj"), F.col("b")),
+            ).alias("best")
+        )
         .select(
-            F.col("nid").alias("doc_id"),
-            F.col("rid").alias("ref_match"),
-            F.col("shared").alias("shared_tok"),
+            F.col("a").alias("doc_id"),
+            F.col("best.b").alias("ref_match"),
+            F.col("best.shared").alias("shared_tok"),
         )
         .orderBy("doc_id")
     )

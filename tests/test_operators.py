@@ -1135,6 +1135,45 @@ def test_minhash_dedup_against_recalls_identical_and_stays_cross(spark):
     assert set(out) <= {10, 11} and 11 not in out
 
 
+def test_jaccard_pairs_between_matches_filtered_all_pairs(spark):
+    """Cross-corpus exact Jaccard must equal the within-corpus operator
+    restricted to cross-side pairs, on BOTH adaptive branches (the
+    vocab limit forces bitset vs prefix)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_between,
+    )
+
+    words = ("red blue green gold gray pink cyan teal lime navy "
+             "rust sand mint plum onyx pearl").split()
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[j % len(words)] for j in range(i, i + 7)))
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    for vocab_limit in (1024, 0):  # bitset branch, then prefix branch
+        between = jaccard_pairs_between(
+            new, ref, threshold=0.6, ngram=1, bitset_vocab_limit=vocab_limit
+        )
+        got = {
+            (r["a"], r["b"], r["shared"], round(r["jaccard"], 9))
+            for r in between.collect()
+        }
+        allp = jaccard_pairs(
+            docs, threshold=0.6, ngram=1, bitset_vocab_limit=vocab_limit
+        )
+        want = set()
+        for r in allp.collect():
+            a_new, b_new = r["a"] % 3 == 0, r["b"] % 3 == 0
+            if a_new == b_new:
+                continue
+            nid, rid = (r["a"], r["b"]) if a_new else (r["b"], r["a"])
+            want.add((nid, rid, r["shared"], round(r["jaccard"], 9)))
+        assert got == want and len(got) > 0
+
+
 def test_minhash_against_kernel_matches_banded_join(spark):
     """The broadcast numpy kernel and the banding-join fallback are two
     physical strategies for the same operator; under the kernel's

@@ -317,23 +317,18 @@ def jaccard_pairs_bitset(
     ).filter(F.size("toks") > 0)
     ex = tok.select("id", F.explode("toks").alias("tok"))
 
-    # vocabulary index: tiny by precondition → a single-partition window
-    # then a broadcast join is fine
-    vocab = (
-        ex.select("tok")
-        .distinct()
-        .withColumn(
-            "idx", F.row_number().over(Window.orderBy("tok")) - 1
-        )
-        # tiny by precondition; materialized because both the width probe
-        # below and the index join re-execute the explode otherwise
-        .localCheckpoint(eager=True)
+    # vocabulary index: tiny by precondition (≤ bitset_vocab_limit rows),
+    # so COLLECT it and inline token→index as a literal map expression —
+    # one job, and the index lookup becomes pure codegen instead of a
+    # checkpoint + broadcast join (each a job of its own at bench scale)
+    vocab_rows = ex.select("tok").distinct().collect()
+    tok2idx = {r["tok"]: i for i, r in enumerate(sorted(vocab_rows))}
+    width = max(1, (len(tok2idx) + 63) // 64)
+    idx_map = F.create_map(
+        *[F.lit(x) for kv in tok2idx.items() for x in kv]
     )
-    width_row = vocab.agg(F.count(F.lit(1)).alias("v")).collect()[0]
-    width = max(1, (int(width_row["v"]) + 63) // 64)
-
     idxed = (
-        ex.join(F.broadcast(vocab), "tok")
+        ex.select("id", idx_map[F.col("tok")].alias("idx"))
         .groupBy("id")
         .agg(F.collect_set("idx").alias("idxs"))
     )
@@ -465,17 +460,14 @@ def _jaccard_between_bitset(
         )
 
     ex_n, ex_r = _tok(new), _tok(reference)
-    vocab = (
-        ex_n.select("tok")
-        .union(ex_r.select("tok"))
-        .distinct()
-        .withColumn("idx", F.row_number().over(Window.orderBy("tok")) - 1)
-        # tiny by precondition; materialized because the width probe and
-        # both index joins re-execute the explodes otherwise
-        .localCheckpoint(eager=True)
-    )
-    width_row = vocab.agg(F.count(F.lit(1)).alias("v")).collect()[0]
-    width = max(1, (int(width_row["v"]) + 63) // 64)
+    # union vocabulary, collected and inlined as a literal map (tiny by
+    # precondition — same one-job trick as jaccard_pairs_bitset); BOTH
+    # sides must index tokens identically, which the shared map gives by
+    # construction
+    vocab_rows = ex_n.select("tok").union(ex_r.select("tok")).distinct().collect()
+    tok2idx = {r["tok"]: i for i, r in enumerate(sorted(vocab_rows))}
+    width = max(1, (len(tok2idx) + 63) // 64)
+    idx_map = F.create_map(*[F.lit(x) for kv in tok2idx.items() for x in kv])
     mask = F.expr(
         f"transform(sequence(0, {width - 1}), w -> "
         "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
@@ -484,7 +476,7 @@ def _jaccard_between_bitset(
 
     def _masks(ex: DataFrame) -> DataFrame:
         return (
-            ex.join(F.broadcast(vocab), "tok")
+            ex.select("id", idx_map[F.col("tok")].alias("idx"))
             .groupBy("id")
             .agg(F.collect_set("idx").alias("idxs"))
             .select("id", mask.alias("mask"), F.size("idxs").alias("n"))

@@ -602,6 +602,12 @@ def _jaccard_between_prefix(
 #: (overflow-checking since 4.0) never trips on the multiply.
 _MERSENNE_PRIME = (1 << 31) - 1
 
+#: Working-grid cell budget for the broadcast agreement kernel in
+#: :func:`minhash_dedup_against` — B×K int16 cells per chunk (≈128 MB at
+#: the default).  Module-level so tests can shrink it to exercise the
+#: chunked path on small corpora.
+_KERNEL_GRID_CELLS = 64 * 1024 * 1024
+
 
 def minhash_signatures(
     df: DataFrame,
@@ -940,7 +946,7 @@ def minhash_dedup_against(
             # 10k-row batches) an unchunked grid is 2 GB per task — chunk
             # K so the grid stays ≤ ~64 M cells (128 MB) regardless of
             # parameters
-            _GRID_CELLS = 64 * 1024 * 1024
+            grid_cells = _KERNEL_GRID_CELLS
 
             def _score(batches):
                 nk, ns = bc.value
@@ -953,7 +959,7 @@ def minhash_dedup_against(
                         dtype=np.int64,
                     )
                     rid = pdf["rid"].to_numpy()
-                    k_step = max(1, _GRID_CELLS // max(len(rs), 1))
+                    k_step = max(1, grid_cells // max(len(rs), 1))
                     for k0 in range(0, len(nk), k_step):
                         nchunk = ns[k0 : k0 + k_step]
                         # lane-by-lane accumulate: never materializes the

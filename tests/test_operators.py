@@ -1203,6 +1203,19 @@ def test_minhash_against_kernel_matches_banded_join(spark):
     assert banded.exceptAll(kernel).count() == 0
     assert kernel.count() > 0
 
+    # force the memory-bounding K-chunk path (grid budget of 8 cells ⇒
+    # several chunks per batch) and require identical output
+    from gather_datawarehouse_sync_spark.operators import dedup as dedup_mod
+
+    saved = dedup_mod._KERNEL_GRID_CELLS
+    dedup_mod._KERNEL_GRID_CELLS = 8
+    try:
+        chunked = minhash_dedup_against(new, ref, threshold=0.8, ngram=1)
+        assert chunked.exceptAll(banded).count() == 0
+        assert banded.exceptAll(chunked).count() == 0
+    finally:
+        dedup_mod._KERNEL_GRID_CELLS = saved
+
 
 # ---------------------------------------------------------------------------
 # packing / training-batch layout

@@ -980,7 +980,13 @@ def _x_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gather_datawarehouse_sync_spark.operators.dedup import hamming64, simhash
 
     t = load_tables(spark, sf_dir, ("documents",))
-    fp = simhash(t["documents"], id_col="doc_id", text_col="text")
+    # materialize the fingerprints once: they feed BOTH sides of the
+    # banding self-join, and Spark does not share common subtrees across
+    # join branches — without the checkpoint the 64-lane vote aggregate
+    # runs twice
+    fp = simhash(t["documents"], id_col="doc_id", text_col="text").localCheckpoint(
+        eager=True
+    )
     banded = fp.select(
         "id",
         "simhash",

@@ -319,3 +319,25 @@ def test_runtime_bloom_filter_injects(spark, sf_dir, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_minhash_kernel_path_is_map_heavy_no_sort_merge(spark, sf_dir):
+    """The broadcast-kernel branch of minhash_dedup_against must stay a
+    map-heavy plan: the grid scoring runs in one MapInPandas over the
+    reference reps and the member fan-out is a pinned broadcast join —
+    a SortMergeJoin anywhere means a verdict- or signature-sized shuffle
+    crept back in."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        minhash_dedup_against,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_dedup_against(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.8,
+        ngram=1,
+    )
+    p = plan_str(out, mode="simple").lower()
+    assert "mapinpandas" in p
+    assert "sortmergejoin" not in p

@@ -1131,16 +1131,16 @@ def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     >95% recall.
 
     Measured (median-of-3, warm, local[32], sf0.1 = 5 k vectors,
-    round 5): this sketch path runs 1.8 s vs the exact block-grid
-    tier's 1.3 s — at bench scale the EXACT tier wins, because its
-    per-cell numpy matmul scores the whole 12.5 M-pair grid in well
-    under a second and LSH's fixed costs (signature pass + 8 bucket-
-    table joins) exceed the scoring it avoids.  The ranking flips with
-    corpus size: exact scoring grows with the full n² grid while LSH
-    scores its ~3 % candidate set, so the ~1 s fixed-cost gap is
-    overtaken roughly when 0.97·(n²-pair scoring cost) > 1 s — around
-    3-4× this corpus on this box — and the margin then widens
-    quadratically (SCALE.md §Similarity)."""
+    BENCH_DETAIL round 5): this sketch path runs ≈1.5 s vs the exact
+    block-grid tier's ≈1.2 s — at bench scale the EXACT tier wins,
+    because its per-cell numpy matmul scores the whole 12.5 M-pair grid
+    in well under a second and LSH's fixed costs (signature pass + 8
+    bucket-table joins) exceed the scoring it avoids.  The ranking
+    flips with corpus size: exact scoring grows with the full n² grid
+    while LSH scores its ~3 % candidate set, so the fixed-cost gap is
+    overtaken once the grid costs a few seconds — order 3-4× this
+    corpus on this box — and the margin then widens quadratically
+    (SCALE.md §Similarity)."""
     from gather_datawarehouse_sync_spark.operators.similarity import (
         cosine_pairs_lsh,
     )

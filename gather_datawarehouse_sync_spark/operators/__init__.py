@@ -1,12 +1,29 @@
-"""Operator library: reference semantics re-expressed as Spark compositions."""
+"""Operator library: reference semantics re-expressed as Spark compositions.
+
+The reference-parity surface (cascading join, duplicate marking,
+path-hierarchy dimension, CDC reconcile) exports here alongside the
+LLM-pipeline extension families (exact + fuzzy dedup, incremental
+new-vs-corpus dedup, similarity search); rarely-composed internals stay
+in their modules.
+"""
 
 from gather_datawarehouse_sync_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    band_join,
     cascading_join,
+    one_to_one_assign,
     pick_one_per_group,
 )
 from gather_datawarehouse_sync_spark.operators.dedup import (  # noqa: F401
-    mark_duplicates,
+    connected_components,
     exact_dedup,
+    jaccard_dedup_clusters,
+    jaccard_pairs,
+    jaccard_pairs_between,
+    mark_duplicates,
+    minhash_dedup,
+    minhash_dedup_against,
+    simhash,
 )
 from gather_datawarehouse_sync_spark.operators.hierarchy import (  # noqa: F401
     path_categories,

@@ -169,16 +169,29 @@ def jaccard_pairs(
       whole-stage-codegen compute, no token-explosion shuffle.
     - **real vocabulary**: prefix filtering (PPJoin-family), below.
 
-    The vocabulary probe is one cheap ``approx_count_distinct`` job — an
-    AQE-style adaptive decision made from a corpus statistic.
+    The vocabulary probe is ONE bounded job: ``distinct().limit(V+1)``
+    over the exploded shingles — partial-distinct runs map-side and the
+    limit stops the job early on huge vocabularies, so the probe costs
+    about what an ``approx_count_distinct`` would.  When the gate
+    passes, the probe's rows ARE the vocabulary, so the bitset branch
+    skips its own collect — adaptive decision and index for the price
+    of one job.
     """
-    probe = (
+    vocab_rows = (
         df.select(F.explode(shingles(F.col(text_col), ngram)).alias("tok"))
-        .agg(F.approx_count_distinct("tok").alias("v"))
-        .collect()[0]["v"]
+        .distinct()
+        .limit(bitset_vocab_limit + 1)
+        .collect()
     )
-    if probe <= bitset_vocab_limit:
-        return jaccard_pairs_bitset(df, id_col, text_col, threshold, ngram)
+    if len(vocab_rows) <= bitset_vocab_limit:
+        return jaccard_pairs_bitset(
+            df,
+            id_col,
+            text_col,
+            threshold,
+            ngram,
+            _vocab=[r["tok"] for r in vocab_rows],
+        )
     return jaccard_pairs_prefix(df, id_col, text_col, threshold, ngram)
 
 
@@ -296,6 +309,7 @@ def jaccard_pairs_bitset(
     text_col: str = "text",
     threshold: float = 0.8,
     ngram: int = 1,
+    _vocab: list[str] | None = None,
 ) -> DataFrame:
     """EXACT Jaccard pairs for tiny vocabularies via bitmask intersection.
 
@@ -320,9 +334,15 @@ def jaccard_pairs_bitset(
     # vocabulary index: tiny by precondition (≤ bitset_vocab_limit rows),
     # so COLLECT it and inline token→index as a literal map expression —
     # one job, and the index lookup becomes pure codegen instead of a
-    # checkpoint + broadcast join (each a job of its own at bench scale)
-    vocab_rows = ex.select("tok").distinct().collect()
-    tok2idx = {r["tok"]: i for i, r in enumerate(sorted(vocab_rows))}
+    # checkpoint + broadcast join (each a job of its own at bench scale).
+    # ``_vocab`` is the adaptive dispatcher's probe result passed through
+    # so the dispatched path pays zero extra jobs.
+    vocab_list = (
+        _vocab
+        if _vocab is not None
+        else [r["tok"] for r in ex.select("tok").distinct().collect()]
+    )
+    tok2idx = {t: i for i, t in enumerate(sorted(vocab_list))}
     width = max(1, (len(tok2idx) + 63) // 64)
     idx_map = F.create_map(
         *[F.lit(x) for kv in tok2idx.items() for x in kv]
@@ -418,14 +438,23 @@ def jaccard_pairs_between(
     union_text = new.select(F.col(text_col)).unionByName(
         reference.select(F.col(text_col))
     )
-    probe = (
+    # one bounded job: the probe rows double as the union vocabulary
+    # when the gate passes (see jaccard_pairs)
+    vocab_rows = (
         union_text.select(F.explode(shingles(F.col(text_col), ngram)).alias("tok"))
-        .agg(F.approx_count_distinct("tok").alias("v"))
-        .collect()[0]["v"]
+        .distinct()
+        .limit(bitset_vocab_limit + 1)
+        .collect()
     )
-    if probe <= bitset_vocab_limit:
+    if len(vocab_rows) <= bitset_vocab_limit:
         return _jaccard_between_bitset(
-            new, reference, id_col, text_col, threshold, ngram
+            new,
+            reference,
+            id_col,
+            text_col,
+            threshold,
+            ngram,
+            [r["tok"] for r in vocab_rows],
         )
     return _jaccard_between_prefix(
         new, reference, id_col, text_col, threshold, ngram
@@ -439,6 +468,7 @@ def _jaccard_between_bitset(
     text_col: str,
     threshold: float,
     ngram: int,
+    _vocab: list[str] | None = None,
 ) -> DataFrame:
     """Bitmask branch of :func:`jaccard_pairs_between` (tiny union
     vocabulary): masks index the union vocab, the reference side
@@ -463,9 +493,16 @@ def _jaccard_between_bitset(
     # union vocabulary, collected and inlined as a literal map (tiny by
     # precondition — same one-job trick as jaccard_pairs_bitset); BOTH
     # sides must index tokens identically, which the shared map gives by
-    # construction
-    vocab_rows = ex_n.select("tok").union(ex_r.select("tok")).distinct().collect()
-    tok2idx = {r["tok"]: i for i, r in enumerate(sorted(vocab_rows))}
+    # construction.  ``_vocab`` is the dispatcher's probe result.
+    vocab_list = (
+        _vocab
+        if _vocab is not None
+        else [
+            r["tok"]
+            for r in ex_n.select("tok").union(ex_r.select("tok")).distinct().collect()
+        ]
+    )
+    tok2idx = {t: i for i, t in enumerate(sorted(vocab_list))}
     width = max(1, (len(tok2idx) + 63) // 64)
     idx_map = F.create_map(*[F.lit(x) for kv in tok2idx.items() for x in kv])
     mask = F.expr(

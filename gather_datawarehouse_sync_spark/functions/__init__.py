@@ -12,3 +12,8 @@ from gather_datawarehouse_sync_spark.functions.text import (  # noqa: F401
     language_guess,
     fingerprint,
 )
+from gather_datawarehouse_sync_spark.functions.classify import (  # noqa: F401
+    classify_documents,
+    classifier_score_milli,
+    classifier_score_join,
+)

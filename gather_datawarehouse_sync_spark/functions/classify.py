@@ -1,0 +1,166 @@
+"""Model-based quality classification (fastText-style linear text
+classifier) for the LLM-pipeline extension surface (SURVEY §2.14).
+
+Modern training-data pipelines follow the heuristic-rule stage
+(``quality_score`` / C4 rules) with a *model-based* filter: a cheap
+linear classifier over bag-of-words features scores every document and
+the pipeline keeps the top band.  This module provides that stage as a
+pure-expression Spark operator with EXACT integer arithmetic so the
+score is reproducible bit-for-bit across engines (the DuckDB oracle
+runs the same sum).
+
+No reference counterpart — the reference (``src/DataWarehouse.js``)
+does no text scoring; this is part of the training-data extension
+surface the build brief mandates.
+
+Two physical realizations of the same score, chosen by vocabulary
+size:
+
+* :func:`classifier_score_milli` — the weight table is inlined as a
+  LITERAL MAP expression; each document's tokens are looked up per
+  element and summed.  Zero shuffle, zero join, one narrow pass — the
+  right layout while the vocabulary fits comfortably in the plan
+  (≲ 10⁴ entries; the map literal travels inside the serialized plan
+  to every task).
+* :func:`classifier_score_join` — tokens explode to rows and
+  broadcast-hash-join the weight table, then re-aggregate per doc.
+  The fastText regime (10⁵-10⁶ vocabulary entries) wants this: the
+  weight table ships once per executor as a broadcast relation rather
+  than once per task inside the plan, and the per-doc sum is a
+  map-side-combinable aggregate.  Costs one shuffle (the groupBy on
+  doc id) — at 100 TB that shuffle carries only (id, partial-sum)
+  rows, not text.
+
+Both return BIGINT milli-scores; parity is pinned in
+``tests/test_text.py``.
+
+Weights are integer "milli" units (score = Σ weight_milli + bias) so
+the aggregate is exact under any summation order — float weights would
+make the score order-dependent and break cross-engine hash comparison
+(same reasoning as x_quality_int's basis points, ``queries.py``).
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gather_datawarehouse_sync_spark.functions.text import tokens
+
+#: Demo weight table: a tiny "educational value" lexicon in milli-units.
+#: A real deployment trains these (fastText / logistic regression) and
+#: loads them from a table; the operator contract is identical.
+DEMO_WEIGHTS_MILLI: dict[str, int] = {
+    "table": 40,
+    "sort": 35,
+    "merge": 30,
+    "window": 25,
+    "hash": 20,
+    "scan": 15,
+    "key": 10,
+    "value": 5,
+    "the": -5,
+    "a": -10,
+    "slow": -25,
+}
+
+DEMO_BIAS_MILLI = 100
+
+
+def classifier_score_milli(
+    text: Column,
+    weights_milli: dict[str, int] | None = None,
+    bias_milli: int = DEMO_BIAS_MILLI,
+) -> Column:
+    """Linear classifier score (BIGINT milli-units) of ``text`` under a
+    literal vocabulary→weight map: ``bias + Σ weight[token]`` with
+    unknown tokens contributing 0.
+
+    The map lookup (`element_at`) is a per-token hash probe evaluated
+    inside the tokens array transform — a narrow expression, no join,
+    no shuffle.  Higher-order functions evaluate interpreted (outside
+    whole-stage codegen), but the per-element work is one hash probe +
+    add; for bounded vocabularies this still beats shipping every token
+    through an exchange.  For fastText-sized vocabularies use
+    :func:`classifier_score_join`.
+    """
+    w = weights_milli if weights_milli is not None else DEMO_WEIGHTS_MILLI
+    wmap = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(w.items())]
+    )
+    per_token = F.transform(
+        tokens(text),
+        lambda t: F.coalesce(wmap[t], F.lit(0)).cast("long"),
+    )
+    return F.aggregate(
+        per_token,
+        F.lit(bias_milli).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def classify_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights_milli: dict[str, int] | None = None,
+    bias_milli: int = DEMO_BIAS_MILLI,
+    keep_threshold_milli: int = 0,
+) -> DataFrame:
+    """Per-document classifier verdicts via the map-literal realization:
+    (id, n_tokens, score_milli, keep) — the standard "score then gate"
+    quality-filter stage.  One narrow projection; composes with
+    ``pipelines.curate`` ahead of dedup."""
+    score = classifier_score_milli(F.col(text_col), weights_milli, bias_milli)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        score.alias("score_milli"),
+        (score >= F.lit(keep_threshold_milli)).alias("keep"),
+    )
+
+
+def classifier_score_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: DataFrame | None = None,
+    weights_milli: dict[str, int] | None = None,
+    bias_milli: int = DEMO_BIAS_MILLI,
+) -> DataFrame:
+    """Broadcast-join realization of the same score for large
+    vocabularies: explode tokens → broadcast-hash-join the weight
+    table → per-doc sum.
+
+    ``weights`` is a (token STRING, weight_milli BIGINT) DataFrame —
+    at 100 TB this is the trained-model table read from storage and
+    broadcast once per executor.  Docs with zero tokens still get a
+    row (bias only): the token side aggregates per doc and
+    right-joins back onto the corpus ids.
+
+    Returns (id, score_milli) — exactly :func:`classifier_score_milli`
+    under the same weights (parity-pinned in tests) because the sum is
+    integer arithmetic, associative under any shuffle order.
+    """
+    spark = df.sparkSession
+    if weights is None:
+        w = weights_milli if weights_milli is not None else DEMO_WEIGHTS_MILLI
+        weights = spark.createDataFrame(
+            [(k, v) for k, v in w.items()], "token string, weight_milli long"
+        )
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    sums = (
+        tok.join(F.broadcast(weights), "token")
+        .groupBy(id_col)
+        .agg(F.sum("weight_milli").alias("__wsum"))
+    )
+    return df.select(id_col).join(sums, id_col, "left").select(
+        F.col(id_col),
+        (F.coalesce(F.col("__wsum"), F.lit(0)) + F.lit(bias_milli))
+        .cast("long")
+        .alias("score_milli"),
+    )

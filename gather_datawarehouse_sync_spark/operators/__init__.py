@@ -25,6 +25,14 @@ from gather_datawarehouse_sync_spark.operators.dedup import (  # noqa: F401
     minhash_dedup_against,
     simhash,
 )
+from gather_datawarehouse_sync_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine_pairs,
+    cosine_pairs_lsh,
+    ivf_topk,
+    lsh_topk,
+    semantic_dedup,
+)
 from gather_datawarehouse_sync_spark.operators.hierarchy import (  # noqa: F401
     path_categories,
 )

@@ -428,6 +428,84 @@ def lsh_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, then within
+    each cluster drop every vector that has a smaller-id near-duplicate
+    at cosine ≥ ``threshold``.  Pairs in different clusters are never
+    compared — that is the pruning that makes the O(n²) semantic-dup
+    scan tractable: per-cluster work is |cell|², and ``nlist`` grows
+    with the corpus so cells stay task-sized.
+
+    Keep rule (deterministic): within a cell, order by id; a vector is
+    DROPPED iff some smaller-id vector in the same cell is ≥
+    ``threshold`` similar (greedy keep-first — the common deterministic
+    variant of the paper's keep-one-per-group; with ``nlist=1`` this is
+    exactly the clustering-free rule "drop b iff ∃ a<b with cos(a,b) ≥
+    τ", which is what the parity test pins against brute force).
+
+    100 TB shape: centroids are a bounded driver matrix (the IVF
+    quantizer contract, :func:`kmeans_centroids`); assignment is one
+    narrow Arrow pass; the only shuffle is the groupBy on cell id.  A
+    pathologically hot cell (≫ task memory) would need the block-grid
+    sub-tiling of :func:`cosine_pairs` inside the cell — at sane
+    ``nlist`` (≥ corpus/10⁴) cells are k ≈ 10⁴ rows and one numpy
+    k×k matmul per cell is the fast path.
+
+    Returns (id, cell, keep) for every non-zero vector.
+    """
+    thr = float(threshold)
+    nv = normalized(df, id_col, vec_col)
+    if centroids is None and nlist == 1:
+        # one cell = no prune (the brute-force oracle configuration;
+        # Spark ML's KMeans rejects k=1, and no quantizer is needed)
+        assigned = spread(nv).select(
+            "id", "v", F.lit(0).cast("int").alias("cell")
+        )
+    else:
+        if centroids is not None:
+            C = np.asarray(centroids, dtype=np.float64)
+        else:
+            # cluster the UNIT-NORM vectors (the paper's layout:
+            # spherical k-means ≈ k-means on the unit sphere) so cell
+            # geometry matches the cosine threshold geometry
+            C = kmeans_centroids(
+                nv, nlist, vec_col="v", seed=seed, max_iter=max_iter
+            )
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+        @F.pandas_udf(T.IntegerType())
+        def _cell(vecs: pd.Series) -> pd.Series:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            return pd.Series((X @ Cn.T).argmax(axis=1).astype("int32"))
+
+        assigned = spread(nv).select("id", "v", _cell(F.col("v")).alias("cell"))
+
+    def _keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        S = M @ M.T
+        # drop j iff any i<j has S[i,j] >= thr: strict upper triangle,
+        # column-wise any
+        dup = np.any(np.triu(S >= thr, k=1), axis=0)
+        return pd.DataFrame(
+            {"id": pdf["id"], "cell": pdf["cell"], "keep": ~dup}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _keep, "id long, cell int, keep boolean"
+    )
+
+
 def group_centroids(
     df: DataFrame,
     group_col: str = "label",

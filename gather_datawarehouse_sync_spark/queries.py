@@ -2789,6 +2789,89 @@ _twin(
 )
 
 
+def _x_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (fastText-style linear classifier,
+    integer milli-weights): per-doc token count, exact BIGINT score,
+    and the keep verdict at a fixed threshold — the "score then gate"
+    stage that follows heuristic rules in modern training-data
+    pipelines.  One narrow pass, no shuffle (map-literal realization;
+    the broadcast-join realization for fastText-sized vocabularies is
+    parity-pinned in tests/test_classify.py)."""
+    from gather_datawarehouse_sync_spark.functions.classify import (
+        classify_documents,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        classify_documents(docs, keep_threshold_milli=150)
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+def _classifier_oracle() -> str:
+    # weights inlined from the SAME dict the operator uses — no drift
+    from gather_datawarehouse_sync_spark.functions.classify import (
+        DEMO_BIAS_MILLI,
+        DEMO_WEIGHTS_MILLI,
+    )
+
+    values = ", ".join(f"('{k}', {v})" for k, v in DEMO_WEIGHTS_MILLI.items())
+    b = DEMO_BIAS_MILLI
+    return (
+        f"WITH w(token, wm) AS (VALUES {values}), "
+        "tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents), "
+        "s AS (SELECT doc_id, COUNT(*) AS n_tokens, "
+        "SUM(COALESCE(w.wm, 0)) AS wsum "
+        "FROM tok LEFT JOIN w USING (token) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        f"CAST({b} + COALESCE(s.wsum, 0) AS BIGINT) AS score_milli, "
+        f"({b} + COALESCE(s.wsum, 0)) >= 150 AS keep "
+        "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
+_df(
+    "x_classifier_gate",
+    _x_classifier_gate,
+    _classifier_oracle(),
+    ("documents",),
+    note="linear text classifier gate (integer milli-weights — exact "
+    "under any summation order; oracle = unnest + weight join)",
+)
+
+
+def _x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (k-means prune + within-cell cosine,
+    keep-first): per-vector keep verdict.  Spark-ML k-means is
+    engine-specific → rows-only here; the nlist=1 configuration is
+    pinned against the clustering-free brute-force rule and the
+    clustered run's drop-witness/subset invariants are asserted in
+    tests/test_classify.py."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return (
+        semantic_dedup(emb, threshold=0.45, nlist=4)
+        .select("id", "keep")
+        .orderBy("id")
+    )
+
+
+_df(
+    "x_semantic_dedup",
+    _x_semantic_dedup,
+    None,
+    ("embeddings",),
+    note="SemDeDup (k-means cells + within-cell cosine keep-first) — "
+    "trained quantizer is engine-specific → rows-only; brute-force "
+    "parity at nlist=1 tested",
+)
+
+
 # ---------------------------------------------------------------------------
 # registration order = the driver's correctness budget
 # ---------------------------------------------------------------------------

@@ -1,0 +1,142 @@
+"""Model-based curation stages: linear quality classifier
+(``functions/classify.py``) and SemDeDup semantic dedup
+(``operators/similarity.semantic_dedup``)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gather_datawarehouse_sync_spark.functions.classify import (
+    DEMO_BIAS_MILLI,
+    classifier_score_join,
+    classifier_score_milli,
+    classify_documents,
+)
+
+
+def test_classifier_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the table slow"),  # 100 - 5 + 40 - 25
+            (2, ""),  # bias only (no tokens)
+            (3, "zzz qqq"),  # unknown tokens -> bias
+            (4, "Table TABLE table"),  # lowercased: 3 * 40
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in classify_documents(df, keep_threshold_milli=150).collect()
+    }
+    assert rows[1]["score_milli"] == 110 and not rows[1]["keep"]
+    assert rows[2]["score_milli"] == DEMO_BIAS_MILLI
+    assert rows[3]["score_milli"] == DEMO_BIAS_MILLI
+    assert rows[4]["score_milli"] == 100 + 3 * 40 and rows[4]["keep"]
+    assert rows[4]["n_tokens"] == 3
+
+
+def test_classifier_map_and_join_realizations_agree(spark, sf_dir):
+    """The literal-map and broadcast-join layouts are the same integer
+    sum — exact parity on the real documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    via_map = docs.select(
+        "doc_id", classifier_score_milli(F.col("text")).alias("score_milli")
+    )
+    via_join = classifier_score_join(docs)
+    diff = (
+        via_map.alias("m")
+        .join(via_join.alias("j"), "doc_id")
+        .filter(F.col("m.score_milli") != F.col("j.score_milli"))
+        .count()
+    )
+    assert diff == 0
+    assert via_join.count() == docs.count()
+
+
+def test_classifier_join_keeps_tokenless_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "table"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["score_milli"] for r in classifier_score_join(df).collect()}
+    assert rows == {1: DEMO_BIAS_MILLI + 40, 2: DEMO_BIAS_MILLI}
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_drop_set(vecs: dict[int, np.ndarray], thr: float) -> set[int]:
+    """Clustering-free keep-first rule: drop b iff ∃ a<b cos(a,b) ≥ thr."""
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+    S = M @ M.T
+    dropped = set()
+    for j in range(len(ids)):
+        for i in range(j):
+            if S[i, j] >= thr:
+                dropped.add(ids[j])
+                break
+    return dropped
+
+
+def test_semantic_dedup_single_cell_matches_brute_force(spark, sf_dir):
+    """nlist=1 disables the cluster prune — the result must equal the
+    clustering-free greedy rule computed in numpy."""
+    from gather_datawarehouse_sync_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = semantic_dedup(emb, threshold=0.6, nlist=1).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    expect_dropped = _brute_force_drop_set(vecs, 0.6)
+    assert {r["id"] for r in got} == set(vecs)
+    assert {r["id"] for r in got if not r["keep"]} == expect_dropped
+
+
+def test_semantic_dedup_clustered_invariants(spark, sf_dir):
+    """With real clustering: total coverage, within-cell witness for
+    every drop, and the prune only ever RAISES keep rate vs nlist=1
+    (cross-cell pairs are never compared)."""
+    from gather_datawarehouse_sync_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    thr = 0.6
+    got = semantic_dedup(emb, threshold=thr, nlist=4).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    assert {r["id"] for r in got} == set(vecs)
+
+    cell_of = {r["id"]: r["cell"] for r in got}
+    unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+    for r in got:
+        if r["keep"]:
+            continue
+        j = r["id"]
+        witnesses = [
+            i
+            for i in vecs
+            if i < j
+            and cell_of[i] == cell_of[j]
+            and float(unit[i] @ unit[j]) >= thr
+        ]
+        assert witnesses, f"dropped {j} has no within-cell witness"
+
+    single = semantic_dedup(emb, threshold=thr, nlist=1).collect()
+    dropped_single = {r["id"] for r in single if not r["keep"]}
+    dropped_clustered = {r["id"] for r in got if not r["keep"]}
+    assert dropped_clustered <= dropped_single
+
+
+def test_semantic_dedup_deterministic(spark, sf_dir):
+    from gather_datawarehouse_sync_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, semantic_dedup(emb, threshold=0.7, nlist=4).collect()))
+    b = sorted(map(tuple, semantic_dedup(emb, threshold=0.7, nlist=4).collect()))
+    assert a == b

@@ -183,6 +183,26 @@ def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
     ).otherwise(0.0)
 
 
+def dedup_repeated_units(text: Column, sep: str = " ") -> Column:
+    """Intra-document repetition REMOVAL (the transform counterpart of
+    :func:`duplicate_ngram_fraction`'s signal): split on ``sep``, drop
+    every repeat of an earlier unit, reassemble in original order —
+    Gopher-style repeated-line/paragraph removal when ``sep`` is a
+    newline, demonstrated at token granularity on this corpus (which
+    has no line structure).
+
+    ``array_distinct`` keeps FIRST-occurrence order (the DuckDB oracle
+    needs an explicit min-position window for the same semantics —
+    ``list_distinct`` there is unordered).  Pure expression: zero
+    shuffle, applies at the scan.
+    """
+    import re as _re
+
+    return F.concat_ws(
+        sep, F.array_distinct(F.split(text, _re.escape(sep)))
+    )
+
+
 #: Redaction patterns, applied in order (email before phone so the
 #: digit-run in a mail host is not half-eaten by the phone pattern).
 #: RE2-compatible (no lookaround, no \d/\b) so the DuckDB oracle runs

@@ -2842,6 +2842,50 @@ _df(
 )
 
 
+def _x_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: drop repeated units within
+    each doc, preserving first-occurrence order, and report the
+    shrinkage — Gopher-style repeated-line removal, demonstrated at
+    token granularity (this corpus has no line structure).  Zero
+    shuffle: the whole transform is one scan-side projection."""
+    from gather_datawarehouse_sync_spark.functions.text import (
+        dedup_repeated_units,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_units"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+            dedup_repeated_units(F.col("text")).alias("dedup_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "x_self_dedup",
+    _x_self_dedup,
+    # order-preserving first-occurrence semantics need an explicit
+    # min-position reassembly in DuckDB (list_distinct is unordered);
+    # the two unnests zip element-wise
+    "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+    "unnest(generate_series(1, len(string_split(text, ' ')))) AS pos "
+    "FROM documents), "
+    "fo AS (SELECT doc_id, tok, MIN(pos) AS fp FROM t GROUP BY doc_id, tok) "
+    "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_units, "
+    "CAST(COUNT(*) AS BIGINT) AS n_unique, "
+    "string_agg(fo.tok, ' ' ORDER BY fo.fp) AS dedup_text "
+    "FROM documents d JOIN fo ON fo.doc_id = d.doc_id "
+    "GROUP BY d.doc_id, d.text ORDER BY d.doc_id",
+    ("documents",),
+    note="intra-doc repetition removal (order-preserving distinct + "
+    "reassembly); oracle = min-position window reassembly",
+)
+
+
 def _x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (k-means prune + within-cell cosine,
     keep-first): per-vector keep verdict.  Spark-ML k-means is

@@ -1626,3 +1626,37 @@ def test_strip_html_drops_boilerplate_decodes_entities(spark):
     assert out[1] == "Hello & welcome to the'site'"
     assert out[2] == "plain text, no markup"
     assert out[3] == "5 &lt; 6"
+
+
+def test_dedup_repeated_units_order_and_edges(spark):
+    from gather_datawarehouse_sync_spark.functions.text import (
+        dedup_repeated_units,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="b a b c a"),
+            Row(id=2, t=""),
+            Row(id=3, t="x"),
+            Row(id=4, t="line1\nline2\nline1"),
+        ]
+    )
+    tok = {
+        r.id: r.d
+        for r in df.select(
+            "id", dedup_repeated_units(F.col("t")).alias("d")
+        ).collect()
+    }
+    # first-occurrence order preserved; singletons and empties unchanged
+    assert tok[1] == "b a c"
+    assert tok[2] == ""
+    assert tok[3] == "x"
+    # newline separator: line-level removal (the real-corpus granularity)
+    lines = {
+        r.id: r.d
+        for r in df.select(
+            "id", dedup_repeated_units(F.col("t"), sep="\n").alias("d")
+        ).collect()
+    }
+    assert lines[4] == "line1\nline2"
+    assert lines[1] == "b a b c a"

@@ -31,7 +31,9 @@ from gather_datawarehouse_sync_spark.operators.similarity import (  # noqa: F401
     cosine_pairs_lsh,
     ivf_topk,
     lsh_topk,
+    pq_topk,
     semantic_dedup,
+    train_pq_codebooks,
 )
 from gather_datawarehouse_sync_spark.operators.hierarchy import (  # noqa: F401
     path_categories,

@@ -428,6 +428,160 @@ def lsh_topk(
     )
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    num_subspaces: int = 8,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    seed: int = 42,
+    iters: int = 10,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011 / FAISS PQ):
+    per-subspace k-means over a BOUNDED training sample.
+
+    Splits the dimension into ``num_subspaces`` contiguous blocks and
+    runs seeded Lloyd iterations independently per block.  The sample
+    collect is the same bounded-driver-transfer contract as the IVF
+    centroid matrix and the BPE training sample: cost is constant in
+    corpus size (``sample`` rows), which is exactly how production PQ
+    trainers work — codebooks are trained on a slice, applied to
+    everything.  Returns (num_subspaces, num_centroids, dim/num_subspaces).
+    """
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    n, dim = X.shape
+    assert dim % num_subspaces == 0, "dim must divide evenly into subspaces"
+    assert n >= num_centroids, "training sample smaller than codebook"
+    dsub = dim // num_subspaces
+    rng = np.random.default_rng(seed)
+    books = np.empty((num_subspaces, num_centroids, dsub))
+    for m in range(num_subspaces):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        C = S[rng.choice(n, size=num_centroids, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(num_centroids):
+                members = S[assign == c]
+                if len(members):  # empty cell keeps its centroid
+                    C[c] = members.mean(axis=0)
+        books[m] = C
+    return books
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 1,
+    num_subspaces: int = 8,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+    seed: int = 42,
+    broadcast_queries_max: int = 100_000,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: the memory-compression ANN tier next to
+    :func:`ivf_topk` (candidate pruning) and :func:`lsh_topk` (bucket
+    pruning).
+
+    Corpus vectors are ENCODED once to ``num_subspaces`` small codes
+    (nearest per-subspace centroid — at 100 TB the stored index is
+    M bytes/vector instead of dim floats, a 32× shrink at the
+    defaults); queries score against codes via **asymmetric distance
+    computation**: per query, one (num_subspaces × num_centroids)
+    inner-product lookup table ⟨q_m, c_{m,j}⟩, then each corpus score
+    is a table-lookup sum — no full-precision corpus read at query
+    time.  When every corpus subvector coincides with a codebook
+    centroid the reconstruction is exact and ADC equals the exact dot
+    product (pinned in tests); otherwise recall degrades with
+    quantization error, the PQ trade.
+
+    Plan shape: encode = one Arrow pass over the corpus; queries are a
+    bounded broadcast (the :func:`brute_force_topk` small-side
+    contract, enforced at ``broadcast_queries_max``); scoring is
+    ``mapInPandas`` over encoded batches emitting only each batch's
+    per-query top-k, so shuffle volume is |queries|·k per batch, never
+    |queries|·|corpus|.  Ties break to min neighbor id, matching the
+    exact tier.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, num_subspaces, num_centroids, vec_col, seed=seed
+        )
+    B = np.asarray(codebooks, dtype=np.float64)
+    M, K, dsub = B.shape
+
+    q_rows = queries.select(id_col, vec_col).limit(broadcast_queries_max + 1).collect()
+    if len(q_rows) > broadcast_queries_max:
+        raise ValueError(
+            "pq_topk queries side exceeds the broadcast budget "
+            f"({broadcast_queries_max}); swap sides or raise the budget"
+        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    # per-query ADC tables: adc[q, m, j] = <q_m, c_{m,j}>
+    adc = np.einsum("qmd,mjd->qmj", Q.reshape(len(Q), M, dsub), B)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((qids, adc))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((len(X), M), dtype=np.int32)
+        for m in range(M):
+            S = X[:, m * dsub : (m + 1) * dsub]
+            d2 = ((S[:, None, :] - B[None, m]) ** 2).sum(axis=2)
+            codes[:, m] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    _encode = _encode.asNondeterministic()
+    encoded = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _encode(F.col(vec_col)).alias("codes")
+    )
+
+    def _score(batches):
+        ids, tables = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack([np.asarray(c) for c in pdf["codes"]])
+            nid = pdf["neighbor_id"].to_numpy()
+            S = np.zeros((nq, len(codes)))
+            for m in range(M):
+                S += tables[:, m, codes[:, m]]
+            # self-pairs must not shadow a real neighbor in the batch
+            # top-k: mask them before ranking
+            S = np.where(ids[:, None] == nid[None, :], -np.inf, S)
+            kk = min(k, S.shape[1])
+            # per-batch per-query top-k (score desc, neighbor id asc)
+            order = np.lexsort((nid[None, :].repeat(nq, 0), -S), axis=1)[:, :kk]
+            qi = np.repeat(np.arange(nq), kk)
+            ni = order.ravel()
+            keep = np.isfinite(S[qi, ni])
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[qi][keep],
+                    "neighbor_id": nid[ni][keep],
+                    "score": S[qi, ni][keep],
+                }
+            )
+
+    partial = encoded.mapInPandas(
+        _score, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
@@ -464,7 +618,11 @@ def semantic_dedup(
     Returns (id, cell, keep) for every non-zero vector.
     """
     thr = float(threshold)
-    nv = normalized(df, id_col, vec_col)
+    # one materialization feeds both the k-means trainer (which iterates
+    # over its input max_iter times) and the assignment pass — without
+    # it the scan+normalize pipeline re-runs per consumer and Spark ML
+    # warns about uncached input
+    nv = normalized(df, id_col, vec_col).localCheckpoint(eager=True)
     if centroids is None and nlist == 1:
         # one cell = no prune (the brute-force oracle configuration;
         # Spark ML's KMeans rejects k=1, and no quantizer is needed)

@@ -2842,6 +2842,39 @@ _df(
 )
 
 
+def _x_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-1 (FAISS-style product quantization): the
+    memory-compression ANN tier — corpus stored as M small codes, query
+    scored via per-subspace lookup tables, never touching full-precision
+    vectors at query time.  Codebook k-means is engine- and
+    sample-specific → rows-only; ADC==exact-dot when subvectors coincide
+    with centroids is pinned in tests/test_classify.py."""
+    from gather_datawarehouse_sync_spark.operators.similarity import pq_topk
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return (
+        pq_topk(
+            emb.filter(F.col("vec_id") < 10), emb, k=1,
+            num_subspaces=32, num_centroids=64,
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
+_df(
+    "x_pq_ann",
+    _x_pq_ann,
+    None,
+    ("embeddings",),
+    note="PQ-ADC approximate top-1 (trained codebooks engine-specific → "
+    "rows-only; ADC exactness on codebook-aligned corpora tested)",
+)
+
+
 def _x_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal: drop repeated units within
     each doc, preserving first-occurrence order, and report the
@@ -2898,8 +2931,12 @@ def _x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # max_iter=5 halves the trainer's per-iteration jobs; cluster
+    # boundaries (and so a handful of verdicts) differ from max_iter=10
+    # — both are valid SemDeDup configurations, and the run is
+    # deterministic at any fixed iteration count
     return (
-        semantic_dedup(emb, threshold=0.45, nlist=4)
+        semantic_dedup(emb, threshold=0.45, nlist=4, max_iter=5)
         .select("id", "keep")
         .orderBy("id")
     )

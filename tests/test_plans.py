@@ -341,3 +341,41 @@ def test_minhash_kernel_path_is_map_heavy_no_sort_merge(spark, sf_dir):
     p = plan_str(out, mode="simple").lower()
     assert "mapinpandas" in p
     assert "sortmergejoin" not in p
+
+
+def test_classifier_map_realization_is_shuffle_free(spark, sf_dir):
+    """The literal-map classifier is a scan-side projection: zero
+    exchanges, and the scan reads only the columns it needs."""
+    from gather_datawarehouse_sync_spark.functions.classify import (
+        classify_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = classify_documents(docs)
+    assert shuffle_count(df) == 0
+    schemas = [set(s) for s in read_schemas(df)]
+    assert schemas and schemas[0] == {"doc_id", "text"}
+
+
+def test_self_dedup_transform_is_shuffle_free(spark, sf_dir):
+    from gather_datawarehouse_sync_spark.functions.text import (
+        dedup_repeated_units,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select(
+        "doc_id", dedup_repeated_units(F.col("text")).alias("t")
+    )
+    assert shuffle_count(df) == 0
+
+
+def test_semantic_dedup_single_shuffle_on_cell(spark, sf_dir):
+    """SemDeDup's only exchange is the groupBy on cell id (plus AQE's
+    optional coalesce) — assignment stays narrow."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = semantic_dedup(emb, threshold=0.6, nlist=2, max_iter=2)
+    assert shuffle_count(df) <= 2

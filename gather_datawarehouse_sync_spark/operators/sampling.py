@@ -130,6 +130,58 @@ def shuffle_order(
     )
 
 
+def weighted_interleave(
+    df: DataFrame,
+    source_col: str,
+    weights_milli: dict[str, int],
+    id_col: str,
+    default_weight_milli: int = 1000,
+    key_col: str = "mix_key",
+    rn_col: str = "src_rn",
+) -> DataFrame:
+    """Training-mix construction by stride scheduling: append a
+    deterministic interleave key so that ordering by (``key_col``,
+    source, id) yields a stream where each source appears in proportion
+    to its weight — the "sample source A at 3×" stage of building a
+    training mixture, independent of the sources' raw corpus shares
+    (until a source exhausts).
+
+    Classic virtual-time scheduling: the n-th row of source s gets key
+    ``⌊n·10⁶ / weight_s⌋`` — integer arithmetic only (``DIV``), so the
+    key is bit-identical across engines and reruns.  Per-source
+    positions are ordered by ``id_col``; for a *shuffled* mix feed the
+    output of :func:`shuffle_order` and pass its rank as ``id_col``.
+
+    One shuffle (the per-source window); the downstream ordering is a
+    sort (range exchange), NOT a global window — consumers
+    ``orderBy(key_col, source, id)`` or
+    ``repartitionByRange(...).sortWithinPartitions(...)`` to stream the
+    mix at scale.  A source absent from ``weights_milli`` weighs
+    ``default_weight_milli``.
+    """
+    if rn_col in df.columns or key_col in df.columns:
+        raise ValueError(f"weighted_interleave: column collision on {rn_col}/{key_col}")
+    from itertools import chain
+
+    wmap = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(weights_milli.items())]
+    )
+    w = Window.partitionBy(source_col).orderBy(F.col(id_col))
+    return (
+        df.withColumn(rn_col, F.row_number().over(w).cast("long"))
+        .withColumn(
+            "__wi_wm",
+            F.coalesce(wmap[F.col(source_col)], F.lit(default_weight_milli)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            key_col, F.expr(f"CAST(({rn_col} * 1000000) DIV __wi_wm AS BIGINT)")
+        )
+        .drop("__wi_wm")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

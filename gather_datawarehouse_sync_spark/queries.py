@@ -2842,6 +2842,44 @@ _df(
 )
 
 
+def _x_mix_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix interleave (stride scheduling): upweight sources
+    src0/src1 3×, every other source at the 1× default; the integer
+    interleave key makes the mixture order deterministic and
+    engine-exact.  Ordering downstream is a sort (range exchange),
+    never a global window."""
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        weighted_interleave,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        weighted_interleave(
+            docs.select("doc_id", "source"),
+            "source",
+            {"src0": 3000, "src1": 3000},
+            "doc_id",
+        )
+        .orderBy("mix_key", "source", "doc_id")
+    )
+
+
+_df(
+    "x_mix_order",
+    _x_mix_order,
+    "WITH w(source, wm) AS (VALUES ('src0', 3000), ('src1', 3000)), "
+    "r AS (SELECT doc_id, source, ROW_NUMBER() OVER "
+    "(PARTITION BY source ORDER BY doc_id) AS src_rn FROM documents) "
+    "SELECT r.doc_id, r.source, CAST(r.src_rn AS BIGINT) AS src_rn, "
+    "CAST((r.src_rn * 1000000) // COALESCE(w.wm, 1000) AS BIGINT) AS mix_key "
+    "FROM r LEFT JOIN w USING (source) "
+    "ORDER BY mix_key, source, doc_id",
+    ("documents",),
+    note="weighted training-mix interleave (stride scheduling, integer "
+    "virtual time); oracle = window + integer DIV",
+)
+
+
 def _x_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC approximate top-1 (FAISS-style product quantization): the
     memory-compression ANN tier — corpus stored as M small codes, query

@@ -1660,3 +1660,41 @@ def test_dedup_repeated_units_order_and_edges(spark):
     }
     assert lines[4] == "line1\nline2"
     assert lines[1] == "b a b c a"
+
+
+def test_weighted_interleave_proportions_and_guard(spark, sf_dir):
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        weighted_interleave,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = weighted_interleave(
+        docs, "source", {"src0": 3000}, "doc_id"
+    ).orderBy("mix_key", "source", "doc_id")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # stride semantics: the n-th row of a source has key n*1e6/weight
+    for r in rows[:50]:
+        w = 3000 if r["source"] == "src0" else 1000
+        assert r["mix_key"] == (r["src_rn"] * 1_000_000) // w
+    # in any prefix before src0 exhausts, src0 appears ~3x a 1x source:
+    # after k keys of a 1x source, src0 contributed ~3k rows
+    per_source = docs.groupBy("source").count().collect()
+    n_src0 = next(r["count"] for r in per_source if r["source"] == "src0")
+    # cutoff = key of src0's LAST row: up to there src0 is still
+    # contributing, so a 1x source has ~n_src0/3 rows in the prefix
+    prefix = [r for r in rows if r["mix_key"] <= (n_src0 * 1_000_000) // 3000]
+    by_src = {}
+    for r in prefix:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    others = [v for k, v in by_src.items() if k != "src0"]
+    if others and "src0" in by_src:
+        ratio = by_src["src0"] / max(others)
+        assert 2.5 <= ratio <= 3.5, f"mix ratio {ratio}"
+    # column-collision guard
+    with pytest.raises(ValueError, match="collision"):
+        weighted_interleave(
+            out, "source", {"src0": 3000}, "doc_id"
+        )

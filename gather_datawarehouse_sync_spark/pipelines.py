@@ -69,6 +69,72 @@ def exact_dedup_min_id(
     )
 
 
+def pretrain_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_chars: int = 0,
+    min_alpha_bp: int = 0,
+    classifier_threshold_milli: int | None = None,
+    self_dedup: bool = False,
+    mix_weights_milli: dict[str, int] | None = None,
+) -> DataFrame:
+    """Pretraining-mix construction as ONE lazy DAG, every stage
+    hash-verifiable: heuristic quality rules → model-based classifier
+    gate → intra-document repetition removal → corpus exact dedup →
+    weighted source interleave.
+
+    Unlike :func:`curate` (whose fuzzy/split stages are engine-hash
+    based), every stage here is exact integer/string arithmetic, so the
+    WHOLE pipeline is DuckDB-oracle-able end to end (x_pretrain_mix) —
+    the differential covers stage *interaction* (a doc must pass the
+    rules before the classifier sees it, dedup keys on the
+    repetition-stripped text, mix ranks count survivors only), which
+    per-stage tests cannot.
+
+    Plan shape at 100 TB: both filters and the self-dedup rewrite are
+    scan-side projections (zero shuffle, applied before anything
+    moves); exact dedup is one hash-partition window on the deduped
+    text; the interleave is one per-source window.  Catalyst sees the
+    whole chain and prunes columns end-to-end.
+
+    Returns (id, source, score_milli, src_rn, mix_key) — stream the mix
+    by sorting on (mix_key, source, id), a range exchange.
+    """
+    from gather_datawarehouse_sync_spark.functions.classify import (
+        classifier_score_milli,
+    )
+    from gather_datawarehouse_sync_spark.functions.text import (
+        dedup_repeated_units,
+    )
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        weighted_interleave,
+    )
+
+    out = df
+    if min_chars or min_alpha_bp:
+        out = quality_filter(out, text_col, min_chars, min_alpha_bp)
+    if classifier_threshold_milli is not None:
+        out = out.withColumn(
+            "score_milli", classifier_score_milli(F.col(text_col))
+        ).filter(F.col("score_milli") >= classifier_threshold_milli)
+    else:
+        out = out.withColumn("score_milli", F.lit(0).cast("long"))
+    dedup_text = (
+        dedup_repeated_units(F.col(text_col)) if self_dedup else F.col(text_col)
+    )
+    out = out.withColumn("__ptext", dedup_text)
+    out = exact_dedup_min_id(out, id_col, "__ptext")
+    out = weighted_interleave(
+        out.select(id_col, source_col, "score_milli"),
+        source_col,
+        mix_weights_milli or {},
+        id_col,
+    )
+    return out.select(id_col, source_col, "score_milli", "src_rn", "mix_key")
+
+
 def curate(
     df: DataFrame,
     id_col: str = "doc_id",

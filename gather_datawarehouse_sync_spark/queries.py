@@ -2842,6 +2842,87 @@ _df(
 )
 
 
+def _x_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-mix pipeline, fully hash-verified: quality
+    rules → classifier gate → intra-doc repetition removal → exact dedup
+    on the stripped text → weighted source interleave, as ONE lazy DAG
+    (pipelines.pretrain_mix).  The oracle replays every stage in SQL, so
+    the differential covers stage interaction, not just each stage."""
+    from gather_datawarehouse_sync_spark.pipelines import pretrain_mix
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        pretrain_mix(
+            docs,
+            min_chars=50,
+            min_alpha_bp=4000,
+            classifier_threshold_milli=150,
+            self_dedup=True,
+            mix_weights_milli={"src0": 3000, "src1": 3000},
+        )
+        .orderBy("mix_key", "source", "doc_id")
+    )
+
+
+def _pretrain_mix_oracle() -> str:
+    from gather_datawarehouse_sync_spark.functions.classify import (
+        DEMO_BIAS_MILLI,
+        DEMO_WEIGHTS_MILLI,
+    )
+
+    values = ", ".join(f"('{k}', {v})" for k, v in DEMO_WEIGHTS_MILLI.items())
+    b = DEMO_BIAS_MILLI
+    return (
+        f"WITH cw(token, twm) AS (VALUES {values}), "
+        # stage 1: quality rules (same integer basis points as x_curation)
+        "f AS (SELECT doc_id, source, text FROM documents "
+        "WHERE LENGTH(text) >= 50 AND LENGTH(text) > 0 "
+        "AND 10000 * LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) "
+        "// LENGTH(text) >= 4000), "
+        # stage 2: classifier gate
+        "tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM f), "
+        "cs AS (SELECT doc_id, SUM(COALESCE(cw.twm, 0)) AS wsum "
+        "FROM tok LEFT JOIN cw USING (token) GROUP BY doc_id), "
+        f"c AS (SELECT f.*, CAST({b} + COALESCE(cs.wsum, 0) AS BIGINT) "
+        "AS score_milli FROM f LEFT JOIN cs USING (doc_id) "
+        f"WHERE {b} + COALESCE(cs.wsum, 0) >= 150), "
+        # stage 3: intra-doc repetition removal (min-position reassembly)
+        "t2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk, "
+        "unnest(generate_series(1, len(string_split(text, ' ')))) AS pos "
+        "FROM c), "
+        "fo AS (SELECT doc_id, tk, MIN(pos) AS fp FROM t2 GROUP BY doc_id, tk), "
+        "dt AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY fp) AS ptext "
+        "FROM fo GROUP BY doc_id), "
+        # stage 4: exact dedup on the stripped text, keep min id
+        "e AS (SELECT c.doc_id, c.source, c.score_milli, ROW_NUMBER() OVER "
+        "(PARTITION BY dt.ptext ORDER BY c.doc_id) AS rn "
+        "FROM c JOIN dt USING (doc_id)), "
+        "k AS (SELECT doc_id, source, score_milli FROM e WHERE rn = 1), "
+        # stage 5: weighted interleave (stride scheduling)
+        "mw(source, swm) AS (VALUES ('src0', 3000), ('src1', 3000)), "
+        "r AS (SELECT doc_id, source, score_milli, ROW_NUMBER() OVER "
+        "(PARTITION BY source ORDER BY doc_id) AS src_rn FROM k) "
+        "SELECT r.doc_id, r.source, r.score_milli, "
+        "CAST(r.src_rn AS BIGINT) AS src_rn, "
+        "CAST((r.src_rn * 1000000) // COALESCE(mw.swm, 1000) AS BIGINT) "
+        "AS mix_key "
+        "FROM r LEFT JOIN mw USING (source) "
+        "ORDER BY mix_key, source, doc_id"
+    )
+
+
+_df(
+    "x_pretrain_mix",
+    _x_pretrain_mix,
+    _pretrain_mix_oracle(),
+    ("documents",),
+    note="end-to-end pretraining-mix pipeline (rules -> classifier -> "
+    "self-dedup -> exact dedup -> weighted interleave) vs a full SQL "
+    "replay of every stage",
+)
+
+
 def _x_mix_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix interleave (stride scheduling): upweight sources
     src0/src1 3×, every other source at the 1× default; the integer

@@ -17,6 +17,7 @@ the sum of per-query medians.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -89,6 +90,14 @@ def main() -> None:
             # serializing the whole result set back to Python
             df.count()
             samples[name].append(time.perf_counter() - t0)
+            # drop the Python references to this query's DataFrames so
+            # the ContextCleaner can evict its localCheckpoint blocks —
+            # 378 query executions in one JVM otherwise accumulate
+            # checkpoint RDDs in the block manager and the tail of the
+            # suite runs under memory pressure (outside the timed
+            # region: cleanup cost is not billed to the next query)
+            del df
+            gc.collect()
 
     per_query = {
         name: round(statistics.median(times), 4)

@@ -35,6 +35,9 @@ from gather_datawarehouse_sync_spark.operators.similarity import (  # noqa: F401
     semantic_dedup,
     train_pq_codebooks,
 )
+from gather_datawarehouse_sync_spark.operators.sketches import (  # noqa: F401
+    mg_heavy_hitters,
+)
 from gather_datawarehouse_sync_spark.operators.hierarchy import (  # noqa: F401
     path_categories,
 )

@@ -2842,6 +2842,45 @@ _df(
 )
 
 
+def _x_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy hitters (Misra-Gries candidates + exact
+    verify): tokens with share > 0.5 % of all token occurrences.  The
+    sketch caps per-task state at ⌈1/ε⌉ counters — the layout that
+    survives an unbounded item domain (URLs, n-grams) where a full
+    groupBy's one-row-per-distinct-item shuffle cannot — and the exact
+    second pass makes the answer identical to plain GROUP BY/HAVING,
+    which is the oracle."""
+    from gather_datawarehouse_sync_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        F.explode(
+            F.array_remove(F.split(F.lower("text"), r"[^a-z0-9]+"), "")
+        ).alias("tok")
+    )
+    return (
+        mg_heavy_hitters(toks, "tok", eps_milli=5)
+        .select("item", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy("item")
+    )
+
+
+_df(
+    "x_mg_heavy",
+    _x_mg_heavy,
+    "WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '')) AS item FROM documents) "
+    "SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY item "
+    "HAVING COUNT(*) * 1000 > (SELECT COUNT(*) FROM t) * 5 "
+    "ORDER BY item",
+    ("documents",),
+    note="Misra-Gries two-pass heavy hitters (bounded candidate state, "
+    "exact verify) vs GROUP BY/HAVING oracle",
+)
+
+
 def _x_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END pretraining-mix pipeline, fully hash-verified: quality
     rules → classifier gate → intra-doc repetition removal → exact dedup
@@ -3088,6 +3127,9 @@ _df(
 # and benchmark contamination.  Rotated-out queries stay green in the
 # local sf0.01 oracle suite (tests/test_queries_oracle.py covers every
 # registered query, in- or out-of-window).
+# Round-6 rotation candidates (oracled, no driver evidence yet): the
+# late-round-5 additions x_classifier_gate, x_self_dedup, x_mix_order,
+# x_pretrain_mix, x_mg_heavy.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
     "x_dedup_against",

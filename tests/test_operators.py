@@ -1698,3 +1698,66 @@ def test_weighted_interleave_proportions_and_guard(spark, sf_dir):
         weighted_interleave(
             out, "source", {"src0": 3000}, "doc_id"
         )
+
+
+def _mg_tokens(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.explode(
+            F.array_remove(F.split(F.lower("text"), r"[^a-z0-9]+"), "")
+        ).alias("tok")
+    )
+
+
+def test_mg_heavy_hitters_equals_exact_threshold(spark, sf_dir):
+    """Two-pass Misra-Gries output must equal the plain GROUP BY/HAVING
+    answer — the sketch only generates candidates; verification is
+    exact."""
+    from gather_datawarehouse_sync_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    toks = _mg_tokens(spark, sf_dir)
+    eps_milli = 5
+    got = {
+        (r["item"], r["cnt"])
+        for r in mg_heavy_hitters(toks, "tok", eps_milli).collect()
+    }
+    n = toks.count()
+    want = {
+        (r["tok"], r["c"])
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * 1000 > n * eps_milli)
+        .collect()
+    }
+    assert got == want and want, "expected non-empty heavy-hitter set"
+
+
+def test_mg_heavy_hitters_partition_invariant(spark, sf_dir):
+    from gather_datawarehouse_sync_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    toks = _mg_tokens(spark, sf_dir)
+    a = sorted(
+        map(tuple, mg_heavy_hitters(toks.repartition(3), "tok", 5).collect())
+    )
+    b = sorted(
+        map(tuple, mg_heavy_hitters(toks.repartition(17), "tok", 5).collect())
+    )
+    assert a == b
+
+
+def test_mg_heavy_hitters_tiny_k_still_exact(spark):
+    """Even with k so small the sketch prunes constantly, the exact
+    verification pass keeps the answer right (superset property)."""
+    from gather_datawarehouse_sync_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    rows = [("hot",)] * 600 + [(f"i{n}",) for n in range(300)] + [("warm",)] * 100
+    df = spark.createDataFrame(rows, "tok string").repartition(7)
+    # eps 20% of 1000 rows -> threshold 200: only 'hot' qualifies
+    got = {(r["item"], r["cnt"]) for r in mg_heavy_hitters(df, "tok", 200).collect()}
+    assert got == {("hot", 600)}

@@ -322,3 +322,36 @@ def test_epoch_sink_exactly_once_under_replay(spark, event_source, tmp_path):
         for r in spark.read.parquet(out).select("epoch").distinct().collect()
     }
     assert epochs_after == epochs_before
+
+
+def test_classifier_gate_composes_with_streaming(spark, tmp_path):
+    """Extension ops are plain column expressions, so they run unchanged
+    inside Structured Streaming: classifier gate over a file stream ==
+    the batch result on the same files (stateless projection — no
+    watermark needed)."""
+    from gather_datawarehouse_sync_spark.functions.classify import (
+        classify_documents,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [(i, "table sort merge" if i % 3 == 0 else "the a slow") for i in range(30)],
+        "doc_id long, text string",
+    )
+    batch.coalesce(2).write.parquet(str(src / "p1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    got = _run_stream(
+        spark,
+        tmp_path,
+        classify_documents(stream, keep_threshold_milli=150),
+        "t_classify",
+        "append",
+    )
+    want = classify_documents(batch, keep_threshold_milli=150)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.filter(F.col("keep")).count() == 10

@@ -4,6 +4,9 @@ from gather_datawarehouse_sync_spark.streaming.ingest import (
     snapshot_inventory,
     start_inventory_stream,
 )
+from gather_datawarehouse_sync_spark.streaming.incremental import (
+    start_incremental_dedup,
+)
 from gather_datawarehouse_sync_spark.streaming.windows import (
     interval_join,
     session_counts,
@@ -16,6 +19,7 @@ from gather_datawarehouse_sync_spark.streaming.windows import (
 __all__ = [
     "snapshot_inventory",
     "start_inventory_stream",
+    "start_incremental_dedup",
     "tumbling_counts",
     "sliding_counts",
     "session_counts",

@@ -1,0 +1,78 @@
+"""Streaming incremental dedup: each micro-batch of newly crawled
+documents is checked against a STATIC reference corpus sketch — the
+streaming form of ``operators/dedup.minhash_dedup_against`` (the "new
+crawl vs existing corpus" operation, reference semantics at
+SURVEY §2.14's incremental-dedup row).
+
+Layout: ``foreachBatch`` applies the batch operator per micro-batch and
+writes verdicts through the epoch-idempotent parquet sink
+(``streaming/sink.py``).  This is deliberately NOT a stateful
+stream-stream join:
+
+* per-batch semantics are EXACTLY the batch operator's (the parity test
+  pins stream output == batch output on the same files), including its
+  adaptive kernel/banding strategy choice — no second implementation to
+  drift;
+* the reference sketch is a static table, re-broadcast per batch by the
+  planner, matching the production shape where the corpus sketch is a
+  persisted artifact updated per corpus version, not per crawl batch;
+* zero streaming state: exactly-once comes from the epoch-overwrite
+  sink, so a replayed epoch rewrites identical verdicts instead of
+  growing join state forever (a watermarked stream-stream join would
+  hold every unexpired signature in the state store for no benefit —
+  the reference side never changes mid-run).
+
+Cross-BATCH duplicates (two near-identical docs arriving in different
+micro-batches, neither in the reference) are out of scope here by
+design — that is corpus-version compaction: periodically fold accepted
+docs into the reference sketch and bump the version, exactly like the
+batch operator's 100 TB contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from gather_datawarehouse_sync_spark.operators.dedup import (
+    minhash_dedup_against,
+)
+from gather_datawarehouse_sync_spark.streaming.sink import epoch_parquet_sink
+
+
+def start_incremental_dedup(
+    new_stream: DataFrame,
+    reference: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+):
+    """Drain ``new_stream`` (AvailableNow) through per-batch incremental
+    dedup against ``reference``; verdict rows (id, ref_match,
+    est_jaccard) land in ``out_path`` epoch-partitioned.  Returns the
+    started query (caller awaits)."""
+    sink = epoch_parquet_sink(out_path)
+
+    def _dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        verdicts = minhash_dedup_against(
+            batch_df,
+            reference,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            ngram=ngram,
+        )
+        sink(verdicts, epoch_id)
+
+    return (
+        new_stream.writeStream.foreachBatch(_dedup_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

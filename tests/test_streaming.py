@@ -355,3 +355,47 @@ def test_classifier_gate_composes_with_streaming(spark, tmp_path):
     want = classify_documents(batch, keep_threshold_milli=150)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.filter(F.col("keep")).count() == 10
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
+    """foreachBatch incremental dedup: the streamed verdicts equal the
+    batch operator's on the same files (per-batch semantics by
+    construction), and the epoch sink makes replays idempotent."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        minhash_dedup_against,
+    )
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+
+    src = tmp_path / "new_src"
+    new.coalesce(2).write.parquet(str(src / "p1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "verdicts")
+    q = start_incremental_dedup(
+        stream, ref, out, str(tmp_path / "ckpt_inc"), threshold=0.5
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("doc_id", "ref_match", "est_jaccard")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            minhash_dedup_against(new, ref, threshold=0.5).collect(),
+        )
+    )
+    assert got == want and got, "expected non-empty verdicts"

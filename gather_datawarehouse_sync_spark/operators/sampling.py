@@ -182,6 +182,42 @@ def weighted_interleave(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    id_col: str,
+    seed: str = "0",
+) -> DataFrame:
+    """Select documents until each group's TOKEN budget is spent — the
+    "build an N-token mix per source" stage (domain caps bound rows;
+    training budgets are token-denominated).
+
+    Docs are taken in deterministic ``md5(seed:id)`` hash order (the
+    same stable pseudo-random order as :func:`cap_per_group`); a doc is
+    kept while the running token total BEFORE it is still under budget,
+    so the budget may overshoot by at most one document (greedy
+    prefix — the standard corpus-assembly rule; a doc is never split).
+    One shuffle (the per-group window); exact integer arithmetic
+    end-to-end, so the selection is reproducible on any engine or
+    cluster layout.  Adds ``cum_tokens`` (running total INCLUDING the
+    row) to the kept rows.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(F.col(tokens_col)).over(w).cast("long"))
+        .filter(F.col("cum_tokens") - F.col(tokens_col) < budget_tokens)
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -2842,6 +2842,46 @@ _df(
 )
 
 
+def _x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus assembly: greedily take docs per source in
+    deterministic md5 hash order until 1000 tokens are spent (overshoot
+    at most one doc — docs are never split).  Budgets are what training
+    mixes are denominated in; row caps (x_domain_cap) are the weaker
+    proxy."""
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+    )
+    return (
+        token_budget_sample(with_toks, "source", "n_toks", 1000, "doc_id")
+        .select("doc_id", "source", "n_toks", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "x_token_budget",
+    _x_token_budget,
+    "WITH d AS (SELECT doc_id, source, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, "
+    "md5(concat('0:', CAST(doc_id AS VARCHAR))) AS h FROM documents), "
+    "c AS (SELECT doc_id, source, n_toks, SUM(n_toks) OVER "
+    "(PARTITION BY source ORDER BY h, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) "
+    "SELECT doc_id, source, n_toks, CAST(cum AS BIGINT) AS cum_tokens "
+    "FROM c WHERE cum - n_toks < 1000 ORDER BY doc_id",
+    ("documents",),
+    note="token-budget greedy corpus assembly per source (md5 order, "
+    "exact integer cumsum); oracle = identical window SQL",
+)
+
+
 def _x_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-memory heavy hitters (Misra-Gries candidates + exact
     verify): tokens with share > 0.5 % of all token occurrences.  The

@@ -1761,3 +1761,36 @@ def test_mg_heavy_hitters_tiny_k_still_exact(spark):
     # eps 20% of 1000 rows -> threshold 200: only 'hot' qualifies
     got = {(r["item"], r["cnt"]) for r in mg_heavy_hitters(df, "tok", 200).collect()}
     assert got == {("hot", 600)}
+
+
+def test_token_budget_sample_prefix_and_overshoot(spark, sf_dir):
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+    )
+    budget = 500
+    kept = token_budget_sample(docs, "source", "n_toks", budget, "doc_id")
+    rows = kept.collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        # every kept doc started under budget; at most ONE row overshoots
+        assert all(r["cum_tokens"] - r["n_toks"] < budget for r in rs)
+        over = [r for r in rs if r["cum_tokens"] >= budget]
+        assert len(over) <= 1, f"{src}: {len(over)} overshooting rows"
+    # partition invariance: same selection under a different layout
+    again = token_budget_sample(
+        docs.repartition(13), "source", "n_toks", budget, "doc_id"
+    )
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    with pytest.raises(ValueError, match="positive"):
+        token_budget_sample(docs, "source", "n_toks", 0, "doc_id")

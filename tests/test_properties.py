@@ -245,3 +245,73 @@ def test_edit_distance_pairs_matches_bruteforce(spark, names, d):
     df = spark.createDataFrame(rows, "id long, name string")
     got = {tuple(r) for r in edit_distance_pairs(df, "id", "name", d).collect()}
     assert got == want
+
+
+_mg_rows = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_mg_rows, st.integers(min_value=50, max_value=500), st.integers(min_value=1, max_value=6))
+@_SETTINGS
+def test_mg_heavy_hitters_matches_exact_for_any_input(spark, items, eps_milli, n):
+    """For ANY multiset, eps, and partitioning, the two-pass Misra-Gries
+    answer equals the exact GROUP BY/HAVING answer."""
+    from gather_datawarehouse_sync_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(n)
+    got = {
+        (r["item"], r["cnt"])
+        for r in mg_heavy_hitters(df, "item", eps_milli).collect()
+    }
+    total = len(items)
+    from collections import Counter
+
+    want = {
+        (k, c)
+        for k, c in Counter(items).items()
+        if c * 1000 > total * eps_milli
+    }
+    assert got == want
+
+
+_budget_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.integers(min_value=1, max_value=40),
+    ),
+    min_size=1,
+    max_size=20,
+).map(lambda rs: [(g, t, i) for i, (g, t) in enumerate(rs)])
+
+
+@given(_budget_rows, st.integers(min_value=1, max_value=80))
+@_SETTINGS
+def test_token_budget_sample_matches_serial_greedy(spark, rows, budget):
+    """The distributed window selection equals the serial greedy prefix
+    in the same md5 order, for any rows and budget."""
+    import hashlib
+
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(rows, "grp string, toks long, id long")
+    got = sorted(
+        r["id"] for r in token_budget_sample(df, "grp", "toks", budget, "id").collect()
+    )
+    want = []
+    for grp in {g for g, _, _ in rows}:
+        members = sorted(
+            ((hashlib.md5(f"0:{i}".encode()).hexdigest(), i, t) for g, t, i in rows if g == grp),
+        )
+        cum = 0
+        for _, i, t in members:
+            if cum < budget:
+                want.append(i)
+            cum += t
+    assert got == sorted(want)

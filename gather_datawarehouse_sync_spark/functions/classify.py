@@ -38,16 +38,33 @@ Weights are integer "milli" units (score = Σ weight_milli + bias) so
 the aggregate is exact under any summation order — float weights would
 make the score order-dependent and break cross-engine hash comparison
 (same reasoning as x_quality_int's basis points, ``queries.py``).
+
+Tokenization is pluggable: the default is the unicode-aware
+:func:`...text.tokens`; oracle-compared paths pass
+:func:`ascii_tokens`, whose split regex is byte-identical to the
+DuckDB oracle's — with any other tokenizer the cross-engine sum is
+only guaranteed on corpora where the tokenizations coincide.
 """
 
 from __future__ import annotations
 
-from itertools import chain
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gather_datawarehouse_sync_spark.functions.scalar import lit_map
 from gather_datawarehouse_sync_spark.functions.text import tokens
+
+
+def ascii_tokens(text: Column) -> Column:
+    """ASCII tokenization (`[^a-z0-9]+` split, lowercased) — the repo's
+    oracle-parity tokenizer: byte-identical to the DuckDB
+    `regexp_split_to_array` the registered oracles run.  The default
+    :func:`...text.tokens` additionally keeps unicode letters/digits
+    and apostrophes, which the SQL oracles do not — pass THIS tokenizer
+    whenever the score must hash-match an oracle."""
+    return F.array_remove(F.split(F.lower(text), r"[^a-z0-9]+"), "")
 
 #: Demo weight table: a tiny "educational value" lexicon in milli-units.
 #: A real deployment trains these (fastText / logistic regression) and
@@ -73,10 +90,12 @@ def classifier_score_milli(
     text: Column,
     weights_milli: dict[str, int] | None = None,
     bias_milli: int = DEMO_BIAS_MILLI,
+    tokenizer: Callable[[Column], Column] = tokens,
 ) -> Column:
     """Linear classifier score (BIGINT milli-units) of ``text`` under a
     literal vocabulary→weight map: ``bias + Σ weight[token]`` with
-    unknown tokens contributing 0.
+    unknown tokens contributing 0.  NULL text scores ``bias`` (no
+    tokens), matching the join realization's left-join semantics.
 
     The map lookup (`element_at`) is a per-token hash probe evaluated
     inside the tokens array transform — a narrow expression, no join,
@@ -85,13 +104,15 @@ def classifier_score_milli(
     add; for bounded vocabularies this still beats shipping every token
     through an exchange.  For fastText-sized vocabularies use
     :func:`classifier_score_join`.
+
+    ``tokenizer`` defaults to the unicode-aware :func:`...text.tokens`;
+    pass :func:`ascii_tokens` when the score must hash-match a DuckDB
+    oracle (the registered queries do).
     """
     w = weights_milli if weights_milli is not None else DEMO_WEIGHTS_MILLI
-    wmap = F.create_map(
-        *[F.lit(x) for x in chain.from_iterable(w.items())]
-    )
+    wmap = lit_map(w)
     per_token = F.transform(
-        tokens(text),
+        F.coalesce(tokenizer(text), F.array().cast("array<string>")),
         lambda t: F.coalesce(wmap[t], F.lit(0)).cast("long"),
     )
     return F.aggregate(
@@ -108,15 +129,20 @@ def classify_documents(
     weights_milli: dict[str, int] | None = None,
     bias_milli: int = DEMO_BIAS_MILLI,
     keep_threshold_milli: int = 0,
+    tokenizer: Callable[[Column], Column] = tokens,
 ) -> DataFrame:
     """Per-document classifier verdicts via the map-literal realization:
     (id, n_tokens, score_milli, keep) — the standard "score then gate"
     quality-filter stage.  One narrow projection; composes with
-    ``pipelines.curate`` ahead of dedup."""
-    score = classifier_score_milli(F.col(text_col), weights_milli, bias_milli)
+    ``pipelines.curate`` ahead of dedup.  NULL text behaves as an empty
+    document (0 tokens, bias score)."""
+    score = classifier_score_milli(
+        F.col(text_col), weights_milli, bias_milli, tokenizer
+    )
+    toks = F.coalesce(tokenizer(F.col(text_col)), F.array().cast("array<string>"))
     return df.select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.size(toks).alias("n_tokens"),
         score.alias("score_milli"),
         (score >= F.lit(keep_threshold_milli)).alias("keep"),
     )
@@ -129,6 +155,7 @@ def classifier_score_join(
     weights: DataFrame | None = None,
     weights_milli: dict[str, int] | None = None,
     bias_milli: int = DEMO_BIAS_MILLI,
+    tokenizer: Callable[[Column], Column] = tokens,
 ) -> DataFrame:
     """Broadcast-join realization of the same score for large
     vocabularies: explode tokens → broadcast-hash-join the weight
@@ -136,13 +163,20 @@ def classifier_score_join(
 
     ``weights`` is a (token STRING, weight_milli BIGINT) DataFrame —
     at 100 TB this is the trained-model table read from storage and
-    broadcast once per executor.  Docs with zero tokens still get a
-    row (bias only): the token side aggregates per doc and
-    right-joins back onto the corpus ids.
+    broadcast once per executor.  Docs with zero tokens (including
+    NULL text — explode emits nothing) still get a row: the token side
+    aggregates per doc and left-joins back onto the corpus ids, so
+    they score ``bias``, matching the map realization's NULL handling.
+
+    CONTRACT: ``id_col`` must uniquely identify rows — the per-doc
+    groupBy folds every row sharing an id into one sum and fans it
+    back to each, where the map realization scores rows independently.
+    (Same uniqueness contract as every dedup canonical pick.)
 
     Returns (id, score_milli) — exactly :func:`classifier_score_milli`
-    under the same weights (parity-pinned in tests) because the sum is
-    integer arithmetic, associative under any shuffle order.
+    under the same weights and tokenizer (parity-pinned in tests)
+    because the sum is integer arithmetic, associative under any
+    shuffle order.
     """
     spark = df.sparkSession
     if weights is None:
@@ -151,7 +185,7 @@ def classifier_score_join(
             [(k, v) for k, v in w.items()], "token string, weight_milli long"
         )
     tok = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        F.col(id_col), F.explode(tokenizer(F.col(text_col))).alias("token")
     )
     sums = (
         tok.join(F.broadcast(weights), "token")

@@ -39,3 +39,16 @@ def derived_title(path: Column) -> Column:
     """Project title = basename without extension
     (``src/DataWarehouse.js:364``)."""
     return strip_extension(basename(path))
+
+
+def lit_map(d: dict) -> Column:
+    """A literal MAP expression from a Python dict — the shared
+    constructor for inline lookup tables (classifier weights, interleave
+    weights, vocabulary indexes).  Keys/values become ``lit`` columns in
+    insertion order; an empty dict yields an empty map (lookups then
+    coalesce to their defaults)."""
+    from itertools import chain
+
+    if not d:
+        return F.map_from_arrays(F.array(), F.array())
+    return F.create_map(*[F.lit(x) for x in chain.from_iterable(d.items())])

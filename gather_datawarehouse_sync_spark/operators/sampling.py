@@ -159,13 +159,16 @@ def weighted_interleave(
     mix at scale.  A source absent from ``weights_milli`` weighs
     ``default_weight_milli``.
     """
-    if rn_col in df.columns or key_col in df.columns:
-        raise ValueError(f"weighted_interleave: column collision on {rn_col}/{key_col}")
-    from itertools import chain
+    for c in (rn_col, key_col, "__wi_wm"):
+        if c in df.columns:
+            raise ValueError(f"weighted_interleave: column collision on {c}")
+    if default_weight_milli <= 0 or any(v <= 0 for v in weights_milli.values()):
+        # a zero weight would DIV to NULL (non-ANSI) and silently sort
+        # the whole source to one end instead of erroring
+        raise ValueError("weighted_interleave: weights must be positive")
+    from gather_datawarehouse_sync_spark.functions.scalar import lit_map
 
-    wmap = F.create_map(
-        *[F.lit(x) for x in chain.from_iterable(weights_milli.items())]
-    )
+    wmap = lit_map(weights_milli)
     w = Window.partitionBy(source_col).orderBy(F.col(id_col))
     return (
         df.withColumn(rn_col, F.row_number().over(w).cast("long"))
@@ -206,6 +209,8 @@ def token_budget_sample(
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
+    if "cum_tokens" in df.columns:
+        raise ValueError("token_budget_sample: input already has cum_tokens")
     h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
     w = (
         Window.partitionBy(group_col)

@@ -451,8 +451,16 @@ def train_pq_codebooks(
     rows = corpus.select(vec_col).limit(sample).collect()
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     n, dim = X.shape
-    assert dim % num_subspaces == 0, "dim must divide evenly into subspaces"
-    assert n >= num_centroids, "training sample smaller than codebook"
+    # real errors, not asserts: under python -O a non-divisible dim
+    # would silently truncate the vector tail out of every subspace
+    if dim % num_subspaces != 0:
+        raise ValueError(
+            f"dim {dim} does not divide into {num_subspaces} subspaces"
+        )
+    if n < num_centroids:
+        raise ValueError(
+            f"training sample ({n}) smaller than codebook ({num_centroids})"
+        )
     dsub = dim // num_subspaces
     rng = np.random.default_rng(seed)
     books = np.empty((num_subspaces, num_centroids, dsub))
@@ -529,6 +537,13 @@ def pq_topk(
         raise ValueError(
             "pq_topk queries side exceeds the broadcast budget "
             f"({broadcast_queries_max}); swap sides or raise the budget"
+        )
+    if not q_rows:
+        # empty queries ⇒ empty result, matching brute_force_topk
+        # (np.stack on an empty list would raise)
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])

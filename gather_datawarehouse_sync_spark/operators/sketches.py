@@ -49,15 +49,31 @@ def mg_heavy_hitters(
     identical for any partitioning (property-tested) and equals the
     plain ``GROUP BY ... HAVING`` answer — which is the DuckDB oracle.
     Returns (item, cnt) for items strictly above the share threshold.
+
+    NULL items are excluded entirely — from the candidates AND from the
+    denominator (the SQL equivalent carries ``WHERE item IS NOT NULL``);
+    pandas ``value_counts`` never counts NULL and a null join key would
+    silently drop it from the verify pass, so an explicit contract
+    beats a silent half-answer.
+
+    Exactly TWO scans of the input: the sketch pass also carries each
+    partition's row count (one sentinel row per summary — items are
+    non-null after the filter, so a null item marks the sentinel
+    unambiguously), which gives N for the share threshold without a
+    third ``count()`` pass.
     """
     if eps_milli <= 0:
         raise ValueError("eps_milli must be positive")
     k = math.ceil(1000 / eps_milli)
-    items = df.select(F.col(item_col).alias("item"))
+    items = df.select(F.col(item_col).alias("item")).filter(
+        F.col(item_col).isNotNull()
+    )
 
     def _mg_partial(batches):
         counts: dict = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             vc = pdf["item"].value_counts()
             for it, c in vc.items():
                 counts[it] = counts.get(it, 0) + int(c)
@@ -65,19 +81,24 @@ def mg_heavy_hitters(
                 vals = sorted(counts.values(), reverse=True)
                 m = vals[k]  # (k+1)-th largest
                 counts = {i: c - m for i, c in counts.items() if c > m}
-        if counts:
-            yield pd.DataFrame(
-                {"item": list(counts.keys()), "mg": list(counts.values())}
-            )
-
-    cand = (
-        items.mapInPandas(
-            _mg_partial, f"item {df.schema[item_col].dataType.simpleString()}, mg long"
+        yield pd.DataFrame(
+            {
+                "item": list(counts.keys()) + [None],
+                "mg": list(counts.values()) + [n_part],
+            }
         )
-        .select("item")
-        .distinct()
+
+    # tiny (≤ partitions·(k+1) rows); materialize once — it feeds both
+    # the candidate set and the total, and the sketch pass would
+    # otherwise re-scan the input per consumer
+    summaries = items.mapInPandas(
+        _mg_partial, f"item {df.schema[item_col].dataType.simpleString()}, mg long"
+    ).localCheckpoint(eager=True)
+    n_total = (
+        summaries.filter(F.col("item").isNull()).agg(F.sum("mg")).collect()[0][0]
+        or 0
     )
-    n_total = items.count()
+    cand = summaries.filter(F.col("item").isNotNull()).select("item").distinct()
     return (
         items.join(F.broadcast(cand), "item")
         .groupBy("item")

@@ -79,6 +79,7 @@ def pretrain_mix(
     classifier_threshold_milli: int | None = None,
     self_dedup: bool = False,
     mix_weights_milli: dict[str, int] | None = None,
+    classifier_tokenizer=None,
 ) -> DataFrame:
     """Pretraining-mix construction as ONE lazy DAG, every stage
     hash-verifiable: heuristic quality rules → model-based classifier
@@ -116,8 +117,12 @@ def pretrain_mix(
     if min_chars or min_alpha_bp:
         out = quality_filter(out, text_col, min_chars, min_alpha_bp)
     if classifier_threshold_milli is not None:
+        from gather_datawarehouse_sync_spark.functions.text import tokens
+
+        tokenizer = classifier_tokenizer or tokens
         out = out.withColumn(
-            "score_milli", classifier_score_milli(F.col(text_col))
+            "score_milli",
+            classifier_score_milli(F.col(text_col), tokenizer=tokenizer),
         ).filter(F.col("score_milli") >= classifier_threshold_milli)
     else:
         out = out.withColumn("score_milli", F.lit(0).cast("long"))

@@ -2798,12 +2798,16 @@ def _x_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast-join realization for fastText-sized vocabularies is
     parity-pinned in tests/test_classify.py)."""
     from gather_datawarehouse_sync_spark.functions.classify import (
+        ascii_tokens,
         classify_documents,
     )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # ascii_tokens: byte-identical split to the oracle's
+    # regexp_split_to_array (the default unicode tokenizer would
+    # diverge on apostrophes / non-ASCII letters)
     return (
-        classify_documents(docs, keep_threshold_milli=150)
+        classify_documents(docs, keep_threshold_milli=150, tokenizer=ascii_tokens)
         .withColumn("n_tokens", F.col("n_tokens").cast("long"))
         .orderBy("doc_id")
     )
@@ -2927,6 +2931,7 @@ def _x_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the stripped text → weighted source interleave, as ONE lazy DAG
     (pipelines.pretrain_mix).  The oracle replays every stage in SQL, so
     the differential covers stage interaction, not just each stage."""
+    from gather_datawarehouse_sync_spark.functions.classify import ascii_tokens
     from gather_datawarehouse_sync_spark.pipelines import pretrain_mix
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -2938,6 +2943,7 @@ def _x_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             classifier_threshold_milli=150,
             self_dedup=True,
             mix_weights_milli={"src0": 3000, "src1": 3000},
+            classifier_tokenizer=ascii_tokens,
         )
         .orderBy("mix_key", "source", "doc_id")
     )

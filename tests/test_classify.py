@@ -230,3 +230,43 @@ def test_pq_topk_query_budget_guard(spark):
     with pytest.raises(ValueError, match="broadcast budget"):
         pq_topk(df, df, k=1, num_subspaces=1, num_centroids=4,
                 broadcast_queries_max=5)
+
+
+def test_classifier_realizations_agree_on_null_text(spark):
+    """NULL text scores bias in BOTH realizations (review fix)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "table")], "doc_id long, text string"
+    )
+    m = {r["doc_id"]: r for r in classify_documents(df).collect()}
+    assert m[1]["score_milli"] == DEMO_BIAS_MILLI and m[1]["n_tokens"] == 0
+    j = {r["doc_id"]: r["score_milli"] for r in classifier_score_join(df).collect()}
+    assert j[1] == DEMO_BIAS_MILLI and j[2] == DEMO_BIAS_MILLI + 40
+
+
+def test_pq_topk_empty_queries_returns_empty(spark):
+    from gather_datawarehouse_sync_spark.operators.similarity import pq_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pq_topk(
+        df.filter(F.col("vec_id") < 0), df, k=1, num_subspaces=1, num_centroids=4
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+
+
+def test_pq_trainer_rejects_bad_shapes(spark):
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 5) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="divide"):
+        train_pq_codebooks(df, num_subspaces=2, num_centroids=2)
+    with pytest.raises(ValueError, match="smaller"):
+        train_pq_codebooks(df, num_subspaces=5, num_centroids=64)

@@ -1794,3 +1794,34 @@ def test_token_budget_sample_prefix_and_overshoot(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="positive"):
         token_budget_sample(docs, "source", "n_toks", 0, "doc_id")
+
+
+def test_mg_heavy_hitters_null_contract_and_two_scans(spark):
+    """NULL items are excluded from candidates AND the denominator
+    (review fix): 6 nulls + 4 'a' -> 'a' has 100% share of the 4
+    non-null rows."""
+    from gather_datawarehouse_sync_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(None,)] * 6 + [("a",)] * 4, "tok string"
+    ).repartition(3)
+    got = {(r["item"], r["cnt"]) for r in mg_heavy_hitters(df, "tok", 500).collect()}
+    assert got == {("a", 4)}
+
+
+def test_weighted_interleave_rejects_nonpositive_weights(spark, sf_dir):
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        weighted_interleave,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        weighted_interleave(docs, "source", {"src0": 0}, "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        weighted_interleave(
+            docs, "source", {"src0": 10}, "doc_id", default_weight_milli=-1
+        )

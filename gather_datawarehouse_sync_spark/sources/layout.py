@@ -40,6 +40,34 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+) -> None:
+    """Partition-scoped backfill: overwrite ONLY the partitions present
+    in ``df``, leaving every other partition untouched — the standard
+    reprocess-one-day / reprocess-one-source operation on a
+    hive-partitioned lake.
+
+    Uses Spark's dynamic partition-overwrite mode (scoped to this write
+    via the DataFrameWriter option, not a session-wide conf): with the
+    default STATIC mode, ``mode("overwrite")`` would first delete the
+    ENTIRE root path — the classic accidental-table-wipe — whereas
+    dynamic mode deletes exactly the directories the incoming data
+    maps to.  At 100 TB this is what makes corrections affordable: a
+    one-day backfill rewrites one day's directories, not the table.
+    Survival of untouched partitions is pinned in
+    ``tests/test_sources.py``.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

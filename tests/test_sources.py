@@ -305,3 +305,33 @@ def test_compact_files_sorted_restores_clustering(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "range-compacted files must own disjoint key ranges"
     assert spark.read.parquet(path).count() == 80
+
+
+def test_backfill_partitions_touches_only_incoming(spark, tmp_path):
+    """Dynamic partition overwrite: re-writing one partition's data must
+    leave the others byte-identical (static mode would wipe the root),
+    and the rewritten partition must fully replace its old content."""
+    from gather_datawarehouse_sync_spark.sources.layout import (
+        backfill_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(d, i, f"v{d}{i}") for d in ("d1", "d2", "d3") for i in range(4)],
+        "day string, k int, v string",
+    )
+    write_partitioned(base, path, ["day"])
+
+    fix = spark.createDataFrame(
+        [("d2", 99, "fixed")], "day string, k int, v string"
+    )
+    backfill_partitions(fix, path, ["day"])
+
+    out = spark.read.parquet(path)
+    # d2 fully replaced (old 4 rows gone), d1/d3 untouched
+    assert out.filter("day = 'd2'").count() == 1
+    assert out.filter("day = 'd2' AND v = 'fixed'").count() == 1
+    assert out.filter("day = 'd1'").count() == 4
+    assert out.filter("day = 'd3'").count() == 4
+    assert out.count() == 9

@@ -2846,6 +2846,49 @@ _df(
 )
 
 
+def _x_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the per-status order rollup is
+    kept as a mergeable state; here the corpus is split into an "old"
+    partition and a "delta" partition, aggregated SEPARATELY, merged,
+    and finalized — the oracle recomputes from scratch over everything,
+    so the hash match proves state(old ∪ delta) == merge(states).
+    Metric is exact integer cents (ROUND(price*100)) so the merged sums
+    are bit-identical under any split."""
+    from gather_datawarehouse_sync_spark.operators.incremental_agg import (
+        agg_state,
+        finalize_agg,
+        merge_agg_states,
+    )
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select("o_orderstatus", cents.alias("cents"))
+    old = base.filter(F.col("cents") % 4 != 0)
+    delta = base.filter(F.col("cents") % 4 == 0)
+    merged = merge_agg_states(
+        [
+            agg_state(old, ["o_orderstatus"], "cents"),
+            agg_state(delta, ["o_orderstatus"], "cents"),
+        ],
+        ["o_orderstatus"],
+    )
+    return finalize_agg(merged).orderBy("o_orderstatus")
+
+
+_df(
+    "x_agg_merge",
+    _x_agg_merge,
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(c) AS BIGINT) AS s, CAST(MIN(c) AS BIGINT) AS mn, "
+    "CAST(MAX(c) AS BIGINT) AS mx, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg "
+    "FROM (SELECT o_orderstatus, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c "
+    "FROM orders) GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ("orders",),
+    note="incremental aggregate maintenance: split -> per-side states -> "
+    "merge -> finalize vs from-scratch recompute oracle",
+)
+
+
 def _x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus assembly: greedily take docs per source in
     deterministic md5 hash order until 1000 tokens are spent (overshoot

@@ -1825,3 +1825,35 @@ def test_weighted_interleave_rejects_nonpositive_weights(spark, sf_dir):
         weighted_interleave(
             docs, "source", {"src0": 10}, "doc_id", default_weight_milli=-1
         )
+
+
+def test_agg_state_merge_equals_direct_any_split(spark, sf_dir):
+    """Monoid law on real data: merging the states of ANY 3-way split
+    equals the from-scratch state, bit for bit (integer metric)."""
+    from gather_datawarehouse_sync_spark.operators.incremental_agg import (
+        agg_state,
+        finalize_agg,
+        merge_agg_states,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    parts = [li.filter(F.pmod(F.xxhash64("q"), F.lit(3)) == i) for i in range(3)]
+    merged = merge_agg_states(
+        [agg_state(p, ["l_returnflag"], "q") for p in parts], ["l_returnflag"]
+    )
+    direct = agg_state(li, ["l_returnflag"], "q")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    fin = {r["l_returnflag"]: r["avg"] for r in finalize_agg(direct).collect()}
+    direct_avg = {
+        r["l_returnflag"]: r["a"]
+        for r in li.groupBy("l_returnflag")
+        .agg((F.sum("q").cast("double") / F.count(F.lit(1))).alias("a"))
+        .collect()
+    }
+    assert fin == direct_avg
+    with pytest.raises(ValueError, match="at least one"):
+        merge_agg_states([], ["l_returnflag"])

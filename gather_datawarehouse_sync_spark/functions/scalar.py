@@ -41,14 +41,25 @@ def derived_title(path: Column) -> Column:
     return strip_extension(basename(path))
 
 
-def lit_map(d: dict) -> Column:
+def lit_map(
+    d: dict, key_type: str = "string", value_type: str = "long"
+) -> Column:
     """A literal MAP expression from a Python dict — the shared
     constructor for inline lookup tables (classifier weights, interleave
     weights, vocabulary indexes).  Keys/values become ``lit`` columns in
-    insertion order; an empty dict yields an empty map (lookups then
-    coalesce to their defaults)."""
+    insertion order.
+
+    An empty dict yields an empty map of ``map<key_type, value_type>``
+    (the explicit types matter: an untyped empty array would make the
+    map ``map<void, void>`` and any lookup would fail ANALYSIS with a
+    type mismatch rather than returning NULL — so lookups on an empty
+    lit_map coalesce to their defaults like any other missing key).
+    """
     from itertools import chain
 
     if not d:
-        return F.map_from_arrays(F.array(), F.array())
+        return F.map_from_arrays(
+            F.array().cast(f"array<{key_type}>"),
+            F.array().cast(f"array<{value_type}>"),
+        )
     return F.create_map(*[F.lit(x) for x in chain.from_iterable(d.items())])

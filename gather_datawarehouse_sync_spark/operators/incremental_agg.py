@@ -33,10 +33,6 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: state columns appended to the key columns
-_STATE = ("n", "s", "mn", "mx")
-
-
 def agg_state(
     df: DataFrame, keys: Sequence[str], metric_col: str
 ) -> DataFrame:

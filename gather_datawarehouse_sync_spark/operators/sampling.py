@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
+def _stable_order_hash(seed: str, id_col: str) -> Column:
+    """The shared stable pseudo-random ordering key,
+    ``md5(seed:id)`` — ONE definition so :func:`shuffle_order`,
+    :func:`cap_per_group`, and :func:`token_budget_sample` provably
+    order rows identically (their cross-operator determinism claims
+    depend on this expression staying byte-identical)."""
+    return F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+
+
 def _hash_bucket(id_col: str, salt: str = "") -> Column:
     """Uniform bucket ∈ [0, 1e6) from the row id (optionally salted so
     independent samples decorrelate)."""
@@ -99,7 +108,7 @@ def shuffle_order(
     ORDER is needed (streaming examples to a trainer, no rank column),
     ``df.repartitionByRange(n, hash, id).sortWithinPartitions(hash,
     id)`` realizes it with just the range shuffle."""
-    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    h = _stable_order_hash(seed, id_col)
     # lazy checkpoint: with_b feeds BOTH the bucket-count branch and the
     # rank join, and Spark does not share common subtrees across plan
     # branches — an expensive upstream (a curation chain) would compute
@@ -211,7 +220,7 @@ def token_budget_sample(
         raise ValueError("budget_tokens must be positive")
     if "cum_tokens" in df.columns:
         raise ValueError("token_budget_sample: input already has cum_tokens")
-    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    h = _stable_order_hash(seed, id_col)
     w = (
         Window.partitionBy(group_col)
         .orderBy(h, F.col(id_col))
@@ -240,7 +249,7 @@ def cap_per_group(
     ``deterministic_sample`` before the exact cap."""
     if cap <= 0:
         raise ValueError("cap must be positive")
-    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    h = _stable_order_hash(seed, id_col)
     w = Window.partitionBy(*group_cols).orderBy(h, F.col(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))

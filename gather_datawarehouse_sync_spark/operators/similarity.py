@@ -449,6 +449,8 @@ def train_pq_codebooks(
     everything.  Returns (num_subspaces, num_centroids, dim/num_subspaces).
     """
     rows = corpus.select(vec_col).limit(sample).collect()
+    if not rows:
+        raise ValueError("train_pq_codebooks: empty training sample")
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     n, dim = X.shape
     # real errors, not asserts: under python -O a non-divisible dim
@@ -525,13 +527,10 @@ def pq_topk(
     |queries|·|corpus|.  Ties break to min neighbor id, matching the
     exact tier.
     """
-    if codebooks is None:
-        codebooks = train_pq_codebooks(
-            corpus, num_subspaces, num_centroids, vec_col, seed=seed
-        )
-    B = np.asarray(codebooks, dtype=np.float64)
-    M, K, dsub = B.shape
-
+    # queries first: an empty query side must return empty (matching
+    # brute_force_topk) BEFORE any codebook training runs — training on
+    # a small corpus can legitimately raise, and a driver-side k-means
+    # for zero queries is wasted work either way
     q_rows = queries.select(id_col, vec_col).limit(broadcast_queries_max + 1).collect()
     if len(q_rows) > broadcast_queries_max:
         raise ValueError(
@@ -539,12 +538,17 @@ def pq_topk(
             f"({broadcast_queries_max}); swap sides or raise the budget"
         )
     if not q_rows:
-        # empty queries ⇒ empty result, matching brute_force_topk
-        # (np.stack on an empty list would raise)
         spark = queries.sparkSession
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, score double, rank int"
         )
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, num_subspaces, num_centroids, vec_col, seed=seed
+        )
+    B = np.asarray(codebooks, dtype=np.float64)
+    M, K, dsub = B.shape
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     # per-query ADC tables: adc[q, m, j] = <q_m, c_{m,j}>

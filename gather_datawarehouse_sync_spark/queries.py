@@ -2863,8 +2863,11 @@ def _x_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     base = orders.select("o_orderstatus", cents.alias("cents"))
-    old = base.filter(F.col("cents") % 4 != 0)
-    delta = base.filter(F.col("cents") % 4 == 0)
+    # TOTAL split: a NULL metric must land in exactly one side (the
+    # oracle's COUNT(*) counts it), not vanish through a NULL predicate
+    split = F.coalesce(F.col("cents") % 4, F.lit(0))
+    old = base.filter(split != 0)
+    delta = base.filter(split == 0)
     merged = merge_agg_states(
         [
             agg_state(old, ["o_orderstatus"], "cents"),

@@ -270,3 +270,17 @@ def test_pq_trainer_rejects_bad_shapes(spark):
         train_pq_codebooks(df, num_subspaces=2, num_centroids=2)
     with pytest.raises(ValueError, match="smaller"):
         train_pq_codebooks(df, num_subspaces=5, num_centroids=64)
+
+
+def test_pretrain_mix_default_weights_empty_map(spark, sf_dir):
+    """mix_weights_milli=None -> lit_map({}) must be a TYPED empty map
+    (an untyped one fails analysis on the first lookup — review fix);
+    every source then gets the default weight."""
+    from gather_datawarehouse_sync_spark.pipelines import pretrain_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pretrain_mix(docs, classifier_threshold_milli=0)
+    rows = out.limit(5).collect()
+    assert rows and set(out.columns) == {
+        "doc_id", "source", "score_milli", "src_rn", "mix_key"
+    }

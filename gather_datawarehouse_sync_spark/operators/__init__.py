@@ -38,6 +38,19 @@ from gather_datawarehouse_sync_spark.operators.similarity import (  # noqa: F401
 from gather_datawarehouse_sync_spark.operators.sketches import (  # noqa: F401
     mg_heavy_hitters,
 )
+from gather_datawarehouse_sync_spark.operators.incremental_agg import (  # noqa: F401
+    agg_state,
+    finalize_agg,
+    merge_agg_states,
+)
+from gather_datawarehouse_sync_spark.operators.sampling import (  # noqa: F401
+    cap_per_group,
+    deterministic_sample,
+    shuffle_order,
+    token_budget_sample,
+    train_test_split,
+    weighted_interleave,
+)
 from gather_datawarehouse_sync_spark.operators.hierarchy import (  # noqa: F401
     path_categories,
 )

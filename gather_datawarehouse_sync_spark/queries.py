@@ -3221,7 +3221,7 @@ _df(
 # registered query, in- or out-of-window).
 # Round-6 rotation candidates (oracled, no driver evidence yet): the
 # late-round-5 additions x_classifier_gate, x_self_dedup, x_mix_order,
-# x_pretrain_mix, x_mg_heavy.
+# x_pretrain_mix, x_mg_heavy, x_token_budget, x_agg_merge.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
     "x_dedup_against",

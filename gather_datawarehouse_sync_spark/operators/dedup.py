@@ -344,9 +344,9 @@ def jaccard_pairs_bitset(
     )
     tok2idx = {t: i for i, t in enumerate(sorted(vocab_list))}
     width = max(1, (len(tok2idx) + 63) // 64)
-    idx_map = F.create_map(
-        *[F.lit(x) for kv in tok2idx.items() for x in kv]
-    )
+    from gather_datawarehouse_sync_spark.functions.scalar import lit_map
+
+    idx_map = lit_map(tok2idx)
     idxed = (
         ex.select("id", idx_map[F.col("tok")].alias("idx"))
         .groupBy("id")

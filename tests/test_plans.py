@@ -379,3 +379,41 @@ def test_semantic_dedup_single_shuffle_on_cell(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df = semantic_dedup(emb, threshold=0.6, nlist=2, max_iter=2)
     assert shuffle_count(df) <= 2
+
+
+def test_token_budget_single_window_shuffle(spark, sf_dir):
+    """token_budget_sample is one per-group window: exactly one
+    exchange, and the cumulative-sum filter stays inside it."""
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("t")
+    )
+    df = token_budget_sample(docs, "source", "t", 500, "doc_id")
+    assert shuffle_count(df) == 1
+
+
+def test_agg_state_merge_two_phase_no_extra_exchange(spark, sf_dir):
+    """The state merge is union + ONE re-aggregate: two partial/final
+    aggregate pairs (per-side states) feed a single merge exchange —
+    no join operator anywhere."""
+    from gather_datawarehouse_sync_spark.operators.incremental_agg import (
+        agg_state,
+        merge_agg_states,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    merged = merge_agg_states(
+        [
+            agg_state(li.filter("q < 25"), ["l_returnflag"], "q"),
+            agg_state(li.filter("q >= 25"), ["l_returnflag"], "q"),
+        ],
+        ["l_returnflag"],
+    )
+    plan = plan_str(merged)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per level

@@ -46,6 +46,7 @@ from gather_datawarehouse_sync_spark.operators.incremental_agg import (  # noqa:
 from gather_datawarehouse_sync_spark.operators.sampling import (  # noqa: F401
     cap_per_group,
     deterministic_sample,
+    leakage_safe_split,
     shuffle_order,
     token_budget_sample,
     train_test_split,

@@ -139,6 +139,59 @@ def shuffle_order(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.1,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test split at NEAR-DUP-CLUSTER granularity: a plain
+    per-document split puts near-duplicates on opposite sides, leaking
+    eval content into training — the standard fix is to split whole
+    duplicate clusters, not documents.
+
+    ``pairs`` is any near-dup edge list (a, b) — exact Jaccard,
+    MinHash-LSH, embedding cosine; connected components collapse it to
+    clusters, every document keys its split hash on its CLUSTER id
+    (component minimum; un-paired documents key on themselves), so all
+    members inherit one side.  Same hash-based determinism contract as
+    :func:`train_test_split`: reproducible, partition-invariant, and
+    stable as the corpus grows — a cluster keeps its side across
+    dataset versions unless new edges merge it into another cluster
+    (which genuinely changes its identity).
+
+    Cost: the components rounds over the (sparse) edge list + one
+    broadcast-sized join of the cluster map back onto the corpus — the
+    corpus itself shuffles only if the planner declines the broadcast.
+    """
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        connected_components,
+    )
+
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError("test_fraction must be in [0, 1]")
+    comp = connected_components(pairs.select("a", "b")).select(
+        F.col("id").alias("__ls_id"), F.col("component").alias("__ls_comp")
+    )
+    joined = df.join(
+        comp, df[id_col] == comp["__ls_id"], "left"
+    ).withColumn("__ls_key", F.coalesce(F.col("__ls_comp"), df[id_col]))
+    is_test = (
+        F.pmod(
+            F.xxhash64(F.col("__ls_key"), F.lit(salt))
+            if salt
+            else F.xxhash64(F.col("__ls_key")),
+            F.lit(_BUCKETS),
+        )
+        < int(test_fraction * _BUCKETS)
+    )
+    return joined.withColumn(
+        split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    ).drop("__ls_id", "__ls_comp", "__ls_key")
+
+
 def weighted_interleave(
     df: DataFrame,
     source_col: str,

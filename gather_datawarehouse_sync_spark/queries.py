@@ -2846,6 +2846,41 @@ _df(
 )
 
 
+def _x_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: near-dup clusters (exact Jaccard
+    ≥ 0.8 → connected components) split as UNITS, so no near-duplicate
+    pair straddles train/test — the eval-contamination fix a plain
+    per-doc split misses.  Threshold 0.8 because this corpus is highly
+    self-similar: at 0.6 the whole corpus is ONE component and a
+    cluster split is correctly all-or-nothing (a degenerate demo).
+    Engine-specific hash + iterative CC → rows-only; the no-straddle
+    invariant and determinism are pinned in tests/test_operators.py."""
+    from gather_datawarehouse_sync_spark.operators.dedup import jaccard_pairs
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = jaccard_pairs(docs, threshold=0.8).select("a", "b")
+    return (
+        leakage_safe_split(docs, pairs, "doc_id", test_fraction=0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+    )
+
+
+_df(
+    "x_cluster_split",
+    _x_cluster_split,
+    None,
+    ("documents",),
+    note="leakage-safe split (near-dup clusters split as units) — "
+    "engine hash + iterative CC -> rows-only; no-straddle invariant "
+    "tested",
+)
+
+
 def _x_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view maintenance: the per-status order rollup is
     kept as a mergeable state; here the corpus is split into an "old"

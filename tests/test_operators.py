@@ -1857,3 +1857,31 @@ def test_agg_state_merge_equals_direct_any_split(spark, sf_dir):
     assert fin == direct_avg
     with pytest.raises(ValueError, match="at least one"):
         merge_agg_states([], ["l_returnflag"])
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
+    """Every near-dup pair lands on ONE side of the split (the whole
+    point); singletons still split ~proportionally; deterministic."""
+    from gather_datawarehouse_sync_spark.operators.dedup import jaccard_pairs
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("a", "b")
+    assert pairs.count() > 0, "fixture needs near-dup pairs"
+    out = leakage_safe_split(docs, pairs, "doc_id", test_fraction=0.3)
+    side = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    for r in pairs.collect():
+        assert side[r["a"]] == side[r["b"]], f"pair {r} straddles the split"
+    n_test = sum(1 for v in side.values() if v == "test")
+    assert 0 < n_test < len(side)
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, pairs, "doc_id", test_fraction=0.3)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert side == again
+    with pytest.raises(ValueError, match="\\[0, 1\\]"):
+        leakage_safe_split(docs, pairs, "doc_id", test_fraction=1.5)

@@ -810,7 +810,7 @@ def minhash_lsh_pairs(
 
 def minhash_dedup_against(
     new: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
@@ -818,6 +818,7 @@ def minhash_dedup_against(
     bands: int = 16,
     ngram: int = 3,
     broadcast_new_max: int = 100_000,
+    reference_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL fuzzy dedup: flag rows of ``new`` that near-duplicate
     any ``reference`` document — the "new crawl vs existing corpus"
@@ -828,7 +829,15 @@ def minhash_dedup_against(
     either side); at 100 TB the reference side's signatures/bands are a
     persisted table computed once per corpus version, so each crawl
     increment costs one signature pass over the increment plus a
-    band-bucket equi-join against the persisted sketch.
+    band-bucket equi-join against the persisted sketch.  That persisted
+    path is the ``reference_signatures`` parameter: pass a
+    (``id_col``, signature) table produced by
+    :func:`minhash_signatures` **with the same num_hashes/ngram/seed**
+    and the reference text is never read — only the increment is
+    sketched.  Identical verdicts to the recompute path by
+    construction (signatures are deterministic; parity-pinned in
+    tests).  Exactly one of ``reference`` / ``reference_signatures``
+    may be omitted.
 
     Returns (``id_col``, ``ref_match``, ``est_jaccard``): one row per
     NEW doc with at least one match ≥ ``threshold``; best match wins
@@ -925,38 +934,69 @@ def minhash_dedup_against(
             ).alias("band", "bucket"),
         )
 
-    # ONE signature pass over new ∪ reference: the Arrow UDF pipeline
-    # (worker spin-up, batch transfer, checkpoint materialization) is a
-    # fixed cost, and two separate passes pay it twice.  Every consumer
-    # below (rep collapse on both sides, member fan-out) re-reads the
-    # single checkpoint with a cheap filter+aggregate, never the UDF.
-    sig_all = (
-        minhash_signatures(
-            _side(new, "n").unionByName(_side(reference, "r")),
-            "__tid",
-            "__ttext",
-            num_hashes,
-            ngram,
+    if reference is None and reference_signatures is None:
+        raise ValueError(
+            "minhash_dedup_against: pass reference or reference_signatures"
         )
-        .filter(F.col("signature").isNotNull())
-        .withColumn("skey", F.xxhash64("signature"))
-        .localCheckpoint(eager=True)
-    )
-    sig_n = sig_all.filter(F.col("id.side") == "n").select(
-        F.col("id.orig").alias("id"), "signature", "skey"
-    )
+    if reference_signatures is None:
+        # ONE signature pass over new ∪ reference: the Arrow UDF pipeline
+        # (worker spin-up, batch transfer, checkpoint materialization) is
+        # a fixed cost, and two separate passes pay it twice.  Every
+        # consumer below (rep collapse on both sides, member fan-out)
+        # re-reads the single checkpoint with a cheap filter+aggregate,
+        # never the UDF.
+        sig_all = (
+            minhash_signatures(
+                _side(new, "n").unionByName(_side(reference, "r")),
+                "__tid",
+                "__ttext",
+                num_hashes,
+                ngram,
+            )
+            .filter(F.col("signature").isNotNull())
+            .withColumn("skey", F.xxhash64("signature"))
+            .localCheckpoint(eager=True)
+        )
+        sig_n = sig_all.filter(F.col("id.side") == "n").select(
+            F.col("id.orig").alias("id"), "signature", "skey"
+        )
+        # per ref signature group only the min id can ever be the answer
+        # (equal signatures ⇒ equal agreement), so fold the tie-break
+        # into the collapse
+        reps_r = (
+            sig_all.filter(F.col("id.side") == "r")
+            .groupBy("skey")
+            .agg(
+                F.first("signature").alias("signature"),
+                F.min(F.col("id.orig")).alias("rid"),
+            )
+        )
+        rid_dtype = reference.schema[id_col].dataType
+    else:
+        # persisted-sketch path: only the increment is sketched; the
+        # reference side is the stored signature table (its text is
+        # never read).  sig_n feeds reps_n AND the member fan-out, so
+        # it gets the checkpoint the union otherwise carries.
+        sig_n = (
+            minhash_signatures(new, id_col, text_col, num_hashes, ngram)
+            .filter(F.col("signature").isNotNull())
+            .withColumn("skey", F.xxhash64("signature"))
+            .localCheckpoint(eager=True)
+        )
+        reps_r = (
+            reference_signatures.select(
+                F.col(id_col).alias("__rid"), F.col("signature")
+            )
+            .filter(F.col("signature").isNotNull())
+            .withColumn("skey", F.xxhash64("signature"))
+            .groupBy("skey")
+            .agg(
+                F.first("signature").alias("signature"),
+                F.min("__rid").alias("rid"),
+            )
+        )
+        rid_dtype = reference_signatures.schema[id_col].dataType
     reps_n = sig_n.groupBy("skey").agg(F.first("signature").alias("signature"))
-    # per ref signature group only the min id can ever be the answer
-    # (equal signatures ⇒ equal agreement), so fold the tie-break into
-    # the collapse
-    reps_r = (
-        sig_all.filter(F.col("id.side") == "r")
-        .groupBy("skey")
-        .agg(
-            F.first("signature").alias("signature"),
-            F.min(F.col("id.orig")).alias("rid"),
-        )
-    )
 
     kernel_used = False
     if num_hashes - min_agree < bands:
@@ -971,7 +1011,7 @@ def minhash_dedup_against(
                 [r["signature"] for r in rep_rows], dtype=np.int64
             )
             bc = new.sparkSession.sparkContext.broadcast((nkeys, nsigs))
-            rid_type = reference.schema[id_col].dataType
+            rid_type = rid_dtype
             out_schema = T.StructType(
                 [
                     T.StructField("nkey", T.LongType()),
@@ -1024,7 +1064,7 @@ def minhash_dedup_against(
             # empty new side ⇒ empty result, skip all remaining jobs
             return sig_n.select(
                 F.col("id").alias(id_col),
-                F.lit(None).cast(reference.schema[id_col].dataType).alias(
+                F.lit(None).cast(rid_dtype).alias(
                     "ref_match"
                 ),
                 F.lit(None).cast("double").alias("est_jaccard"),

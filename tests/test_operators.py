@@ -1885,3 +1885,33 @@ def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
     assert side == again
     with pytest.raises(ValueError, match="\\[0, 1\\]"):
         leakage_safe_split(docs, pairs, "doc_id", test_fraction=1.5)
+
+
+def test_minhash_against_persisted_sketch_parity(spark, sf_dir):
+    """The persisted-sketch path (reference_signatures=...) must return
+    byte-identical verdicts to the recompute path — signatures are
+    deterministic, so the only difference is WHERE the reference sketch
+    comes from."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        minhash_dedup_against,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    direct = sorted(
+        map(tuple, minhash_dedup_against(new, ref, threshold=0.5).collect())
+    )
+    sketch = minhash_signatures(ref).withColumnRenamed("id", "doc_id")
+    via_sketch = sorted(
+        map(
+            tuple,
+            minhash_dedup_against(
+                new, threshold=0.5, reference_signatures=sketch
+            ).collect(),
+        )
+    )
+    assert direct == via_sketch and direct, "expected non-empty verdicts"
+    with pytest.raises(ValueError, match="reference"):
+        minhash_dedup_against(new)

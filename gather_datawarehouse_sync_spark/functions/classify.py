@@ -32,7 +32,7 @@ size:
   rows, not text.
 
 Both return BIGINT milli-scores; parity is pinned in
-``tests/test_text.py``.
+``tests/test_classify.py``.
 
 Weights are integer "milli" units (score = Σ weight_milli + bias) so
 the aggregate is exact under any summation order — float weights would

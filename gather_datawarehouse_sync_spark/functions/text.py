@@ -79,6 +79,63 @@ def quality_score(text: Column) -> Column:
     return F.round(alpha_ratio * 0.4 + word_ok * 0.3 + len_ok * 0.3, 4)
 
 
+def quality_score_bp(text: Column) -> Column:
+    """:func:`quality_score` re-expressed in exact integer BASIS POINTS
+    (0-10000) — same blend (alpha ratio 40%, mean-word-length sanity
+    30%, length 30%), but every term is integer arithmetic so the score
+    is bit-identical across engines and summation orders (the
+    x_quality_int pattern), making the operator fully
+    oracle-comparable:
+
+    - ``alpha_bp  = 4000·n_alpha DIV n_chars`` (0 for empty text); the
+      letter class is ASCII ``[A-Za-z]`` so the regex is byte-identical
+      in Java and RE2/DuckDB (the float variant's ``\\p{L}`` has no
+      portable RE2 twin).
+    - ``word_bp   = 3000`` when ``3 ≤ n_chars/n_tokens ≤ 12`` — in
+      integer form ``3·n_tokens ≤ n_chars ≤ 12·n_tokens`` with
+      ``n_tokens > 0`` — else ``1500`` (exactly the float variant's
+      1.0/0.5 word_ok).
+    - ``len_bp    = 3000`` at ``n_chars ≥ 200``, else ``15·n_chars``
+      (3000·n/200 is exact: 3000/200 = 15).
+
+    Integer division is realized as ``(a − a mod b)/b``: the numerator
+    is an exact multiple of b, so the double division is exact for any
+    count < 2⁵³ — no DIV-operator dependency, no float rounding."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_tokens = token_count(text)
+
+    def _idiv(a: Column, b: Column) -> Column:
+        return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+    alpha_bp = F.when(n_chars > 0, _idiv(n_alpha * 4000, n_chars)).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    word_ok = (n_tokens > 0) & (n_chars >= 3 * n_tokens) & (n_chars <= 12 * n_tokens)
+    word_bp = F.when(word_ok, 3000).otherwise(1500).cast("bigint")
+    len_bp = (
+        F.when(n_chars >= 200, 3000).otherwise(15 * n_chars).cast("bigint")
+    )
+    return (alpha_bp + word_bp + len_bp).cast("bigint")
+
+
+def repetition_bp(text: Column, n: int = 3) -> Column:
+    """Gopher-style duplicated-``n``-gram fraction in exact integer
+    basis points: ``10000·(total_grams − distinct_grams) DIV
+    total_grams`` (0 for docs shorter than ``n`` tokens).  Complements
+    the top-gram share (x_top_ngram) as the second standard repetition
+    quality rule; zero shuffle — one scan-side projection — and exact
+    integers, so it hash-compares against a DuckDB oracle."""
+    g = word_ngrams(text, n)
+    total = F.size(g)
+    rep = total - F.size(F.array_distinct(g))
+    return (
+        F.when(total > 0, ((rep * 10000 - F.pmod(rep * 10000, total)) / total))
+        .otherwise(0)
+        .cast("bigint")
+    )
+
+
 def language_guess(text: Column) -> Column:
     """n-gram/stopword language heuristic: score each candidate language
     by marker-token hits; highest count wins, 'und' (undetermined) when

@@ -834,7 +834,13 @@ def minhash_dedup_against(
     (``id_col``, signature) table produced by
     :func:`minhash_signatures` **with the same num_hashes/ngram/seed**
     and the reference text is never read — only the increment is
-    sketched.  Identical verdicts to the recompute path by
+    sketched.  :func:`minhash_signatures` names its id column ``id``;
+    that name is accepted as-is when ``id_col`` is absent from the
+    table, so its output needs no rename.  A sketch built with a
+    different ``num_hashes`` is rejected at entry (signature length is
+    probed on one row) — a silent mismatch would either null-pad the
+    agreement count on the banding path or crash inside the broadcast
+    kernel.  Identical verdicts to the recompute path by
     construction (signatures are deterministic; parity-pinned in
     tests).  Exactly one of ``reference`` / ``reference_signatures``
     may be omitted.
@@ -977,6 +983,31 @@ def minhash_dedup_against(
         # reference side is the stored signature table (its text is
         # never read).  sig_n feeds reps_n AND the member fan-out, so
         # it gets the checkpoint the union otherwise carries.
+        if id_col not in reference_signatures.columns:
+            # minhash_signatures names its id column "id" — accept it
+            # directly instead of forcing callers to rename
+            if "id" not in reference_signatures.columns:
+                raise ValueError(
+                    "minhash_dedup_against: reference_signatures has "
+                    f"neither {id_col!r} nor 'id' column"
+                )
+            reference_signatures = reference_signatures.withColumnRenamed(
+                "id", id_col
+            )
+        # probe ONE row's signature length: a sketch built with a
+        # different num_hashes must fail loudly here, not null-pad the
+        # zip_with agreement count or IndexError in the kernel
+        probe = (
+            reference_signatures.filter(F.col("signature").isNotNull())
+            .select(F.size("signature").alias("n"))
+            .limit(1)
+            .collect()
+        )
+        if probe and probe[0]["n"] != num_hashes:
+            raise ValueError(
+                "minhash_dedup_against: reference_signatures was built "
+                f"with num_hashes={probe[0]['n']}, expected {num_hashes}"
+            )
         sig_n = (
             minhash_signatures(new, id_col, text_col, num_hashes, ngram)
             .filter(F.col("signature").isNotNull())
@@ -1434,4 +1465,143 @@ def edit_distance_pairs(
         cand.withColumn("dist", F.levenshtein(F.col("sa"), F.col("sb"), max_dist))
         .filter(F.col("dist") >= 0)
         .select("a", "b", "dist")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated SUBSTRING spans — the token-level
+    analogue of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find,
+    for every document, the maximal token ranges whose every ``n``-gram
+    also appears in at least ``min_docs`` documents.  Whole-doc dedup
+    (exact/MinHash) misses boilerplate shared across otherwise-distinct
+    documents; this finds the shared passages themselves, positioned,
+    so a curation pass can cut the span rather than drop the doc.
+
+    Algorithm (all relational, no suffix array needed):
+
+    1. explode positioned word ``n``-grams (ascii tokenization, the
+       dedup-surface standard);
+    2. count DISTINCT documents per gram, keep grams in ≥ ``min_docs``
+       docs — the shuffle key is ``md5(gram)`` (128-bit, cross-engine
+       deterministic), so long gram strings never shuffle;
+    3. semi-join flagged grams back to their positions;
+    4. merge overlapping/adjacent hits per document (gaps-and-islands:
+       a hit starting ≤ ``n`` tokens after the previous extends the
+       island) into maximal spans ``[span_start, span_end]`` (0-based
+       token indexes, inclusive).
+
+    At 100 TB: one gram-count shuffle (md5 keys), one join of hits
+    against the duplicated-gram set (AQE broadcasts it when small), and
+    a per-document window — no all-pairs stage anywhere.  The md5
+    collision budget is the usual 2⁻⁶⁴-per-pair sketch budget; the
+    DuckDB oracle groups on the raw gram string and hash-matches, which
+    doubles as the collision check at test scale.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
+    base = spread(df.select(F.col(id_col).alias("id"), toks.alias("__toks"))).filter(
+        F.size("__toks") >= n
+    )
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))),
+            )
+        ).alias("pos", "gkey"),
+    )
+    dup = (
+        grams.groupBy("gkey")
+        .agg(F.countDistinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gkey")
+    )
+    hits = grams.join(dup, "gkey", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "__brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= n, 0).otherwise(1),
+        )
+        .withColumn("span", F.sum("__brk").over(w))
+        .groupBy("id", "span")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+        )
+    )
+    return spans.select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+    )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Remove the cross-document duplicated spans :func:`duplicate_spans`
+    finds — the CUT half of substring-level dedup (Lee et al. 2022 cut
+    duplicated substrings instead of dropping whole documents, keeping
+    the unique remainder in the corpus).
+
+    Every document keeps its tokens whose position falls OUTSIDE all of
+    its duplicated spans, rejoined with single spaces (the dedup
+    surface's canonical whitespace; docs with no spans pass through
+    re-tokenized the same way, so the output column is uniformly
+    normalized).  Returns (``id_col``, ``out_col``, ``tokens_removed``,
+    ``tokens_kept``).
+
+    Plan shape: :func:`duplicate_spans` does the heavy lifting (one gram
+    shuffle + per-doc window); the cut itself is a per-doc span-array
+    aggregate (spans per doc are few — bounded by tokens/``n``) joined
+    back and applied as ONE array-expression projection — no
+    per-token explode/re-aggregate round trip.
+
+    Pass ``spans=`` to cut against a PRECOMPUTED span table (the
+    :func:`duplicate_spans` output, typically a persisted
+    per-corpus-version artifact shared with span reporting) — ``n`` must
+    match the value the spans were computed with, since it bounds the
+    island-merge gap they encode.
+    """
+    if spans is None:
+        spans = duplicate_spans(df, id_col, text_col, n, min_docs)
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
+    base = df.select(id_col, toks.alias("__toks")).join(
+        span_lists, id_col, "left"
+    )
+    # position i (0-based) survives unless some span covers it
+    covered = lambda i: F.exists(  # noqa: E731
+        F.coalesce(F.col("__spans"), F.array().cast(
+            "array<struct<span_start:bigint,span_end:bigint>>"
+        )),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.filter(
+        F.col("__toks"), lambda t, i: ~covered(i.cast("long"))
+    )
+    return base.select(
+        id_col,
+        F.concat_ws(" ", kept).alias(out_col),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("tokens_removed"),
+        F.size(kept).cast("long").alias("tokens_kept"),
     )

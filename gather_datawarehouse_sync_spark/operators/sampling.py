@@ -88,7 +88,11 @@ def stratified_deterministic_sample(
 
 
 def shuffle_order(
-    df: DataFrame, id_col: str, seed: str = "0", out_col: str = "train_rank"
+    df: DataFrame,
+    id_col: str,
+    seed: str = "0",
+    out_col: str = "train_rank",
+    prefix_chars: int = 2,
 ) -> DataFrame:
     """Deterministic global shuffle for training-example order: rank rows
     by ``md5(seed:id)``.  Reproducible across runs, engines, cluster
@@ -98,16 +102,29 @@ def shuffle_order(
 
     The rank is computed HIERARCHICALLY, not as one global ordered
     window (which Spark would execute in a single partition —
-    ``WindowExec: No Partition Defined``, fatal at scale): the first two
-    hex chars of the hash bucket every row (row-local expression, and a
-    hash PREFIX, so ordering by bucket-then-hash equals ordering by
-    hash); within-bucket ranks run partition-parallel; the only
-    sequential step is the cumulative bucket-count window over 256
-    bucket rows — constant-size, data-independent.  Same decomposition
-    as :func:`...operators.packing.exclusive_prefix_sum`.  When only the
-    ORDER is needed (streaming examples to a trainer, no rank column),
+    ``WindowExec: No Partition Defined``, fatal at scale): the first
+    ``prefix_chars`` hex chars of the hash bucket every row (row-local
+    expression, and a hash PREFIX, so ordering by bucket-then-hash
+    equals ordering by hash); within-bucket ranks run
+    partition-parallel; the only sequential step is the cumulative
+    bucket-count window over the 16^``prefix_chars`` bucket rows —
+    constant-size, data-independent.  Same decomposition as
+    :func:`...operators.packing.exclusive_prefix_sum`.
+
+    **Sizing ``prefix_chars``**: each bucket's per-row window is one
+    task holding ~n/16^p rows, while the offset window holds 16^p
+    bucket rows on one task — pick p so BOTH stay bounded.  p=2 (256
+    buckets) covers ~10⁹ rows at ~4M rows/task; 10¹¹-row corpora want
+    p=3 (4096 buckets, ~24M rows/task); p=4 (65536) still keeps the
+    offset window trivially small.  md5's hex alphabet is uniform, so
+    buckets are balanced at any width.  The rank is IDENTICAL at every
+    width (a prefix refines, never reorders — pinned as a property
+    test), so the knob is purely physical.  When only the ORDER is
+    needed (streaming examples to a trainer, no rank column),
     ``df.repartitionByRange(n, hash, id).sortWithinPartitions(hash,
     id)`` realizes it with just the range shuffle."""
+    if not 1 <= prefix_chars <= 8:
+        raise ValueError("prefix_chars must be in [1, 8]")
     h = _stable_order_hash(seed, id_col)
     # lazy checkpoint: with_b feeds BOTH the bucket-count branch and the
     # rank join, and Spark does not share common subtrees across plan
@@ -119,12 +136,12 @@ def shuffle_order(
             raise ValueError(f"shuffle_order: input already has column {c}")
     with_b = (
         df.withColumn("__so_h", h)
-        .withColumn("__so_b", F.substring(F.col("__so_h"), 1, 2))
+        .withColumn("__so_b", F.substring(F.col("__so_h"), 1, prefix_chars))
         .localCheckpoint(eager=False)
     )
     bcounts = with_b.groupBy("__so_b").agg(F.count(F.lit(1)).alias("__so_n"))
-    # ≤ 256 rows: the global window is bounded by the bucket alphabet,
-    # not the data
+    # ≤ 16^prefix_chars rows: the global window is bounded by the bucket
+    # alphabet, not the data
     wb = Window.orderBy("__so_b").rowsBetween(Window.unboundedPreceding, -1)
     boff = bcounts.select(
         "__so_b", F.coalesce(F.sum("__so_n").over(wb), F.lit(0)).alias("__so_off")
@@ -141,11 +158,12 @@ def shuffle_order(
 
 def leakage_safe_split(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     id_col: str,
     test_fraction: float = 0.1,
     salt: str = "",
     split_col: str = "split",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Train/test split at NEAR-DUP-CLUSTER granularity: a plain
     per-document split puts near-duplicates on opposite sides, leaking
@@ -165,6 +183,15 @@ def leakage_safe_split(
     Cost: the components rounds over the (sparse) edge list + one
     broadcast-sized join of the cluster map back onto the corpus — the
     corpus itself shuffles only if the planner declines the broadcast.
+
+    At scale, pass ``components=`` — a PRECOMPUTED (id, component)
+    cluster map (exactly what :func:`...dedup.connected_components`
+    emits, typically a persisted per-corpus-version artifact): the
+    iterative CC rounds are the expensive stage and belong to corpus
+    curation, not to every split call.  With ``components`` given,
+    ``pairs`` may be None and no CC runs here; the two paths are
+    identical by construction (the map IS the CC output —
+    parity-pinned in tests).
     """
     from gather_datawarehouse_sync_spark.operators.dedup import (
         connected_components,
@@ -172,7 +199,11 @@ def leakage_safe_split(
 
     if not 0.0 <= test_fraction <= 1.0:
         raise ValueError("test_fraction must be in [0, 1]")
-    comp = connected_components(pairs.select("a", "b")).select(
+    if components is None:
+        if pairs is None:
+            raise ValueError("leakage_safe_split: pass pairs or components")
+        components = connected_components(pairs.select("a", "b"))
+    comp = components.select(
         F.col("id").alias("__ls_id"), F.col("component").alias("__ls_comp")
     )
     joined = df.join(

@@ -436,6 +436,7 @@ def train_pq_codebooks(
     sample: int = 4096,
     seed: int = 42,
     iters: int = 10,
+    order_col: str | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks (Jégou et al. 2011 / FAISS PQ):
     per-subspace k-means over a BOUNDED training sample.
@@ -447,8 +448,18 @@ def train_pq_codebooks(
     corpus size (``sample`` rows), which is exactly how production PQ
     trainers work — codebooks are trained on a slice, applied to
     everything.  Returns (num_subspaces, num_centroids, dim/num_subspaces).
+
+    The sample is DETERMINISTIC: rows are ordered (by ``order_col`` when
+    given, else by the vector column itself — arrays are orderable in
+    Spark) before the limit, so the trained codebooks — and every ANN
+    verdict derived from them — are reproducible across file/partition
+    layouts, not just within one.  orderBy+limit plans as
+    TakeOrderedAndProject (per-partition top-n, then a bounded merge),
+    so determinism costs no full sort at 100 TB.
     """
-    rows = corpus.select(vec_col).limit(sample).collect()
+    sort_key = order_col if order_col is not None else vec_col
+    cols = [vec_col] if sort_key == vec_col else [vec_col, sort_key]
+    rows = corpus.select(*cols).orderBy(sort_key).limit(sample).collect()
     if not rows:
         raise ValueError("train_pq_codebooks: empty training sample")
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
@@ -545,7 +556,8 @@ def pq_topk(
 
     if codebooks is None:
         codebooks = train_pq_codebooks(
-            corpus, num_subspaces, num_centroids, vec_col, seed=seed
+            corpus, num_subspaces, num_centroids, vec_col, seed=seed,
+            order_col=id_col,
         )
     B = np.asarray(codebooks, dtype=np.float64)
     M, K, dsub = B.shape

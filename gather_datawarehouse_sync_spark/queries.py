@@ -45,10 +45,7 @@ from gather_datawarehouse_sync_spark.operators.dedup import (
     mark_duplicates,
 )
 from gather_datawarehouse_sync_spark.operators.similarity import brute_force_topk
-from gather_datawarehouse_sync_spark.functions.text import (
-    quality_score,
-    token_count_udf,
-)
+from gather_datawarehouse_sync_spark.functions.text import token_count_udf
 
 SparkFn = Callable[[SparkSession, str], DataFrame]
 
@@ -894,10 +891,18 @@ _pair(
 
 
 def _x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic quality score, exact-integer basis points —
+    the same blend as the float :func:`quality_score` (alpha ratio /
+    mean-word-length sanity / length), re-expressed so every term is
+    integer arithmetic and the whole operator hash-compares against a
+    DuckDB oracle (the x_quality_int pattern applied to the full
+    blend)."""
+    from gather_datawarehouse_sync_spark.functions.text import quality_score_bp
+
     t = load_tables(spark, sf_dir, ("documents",))
     return (
         t["documents"]
-        .select("doc_id", quality_score(F.col("text")).alias("q"))
+        .select("doc_id", quality_score_bp(F.col("text")).alias("q_bp"))
         .orderBy("doc_id")
     )
 
@@ -905,9 +910,20 @@ def _x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df(
     "x_text_quality",
     _x_text_quality,
-    None,
+    "WITH m AS (SELECT doc_id, LENGTH(text) AS n_chars, "
+    "LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+    "LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> '')) "
+    "AS n_tokens FROM documents) "
+    "SELECT doc_id, CAST("
+    "(CASE WHEN n_chars > 0 THEN (4000 * n_alpha) // n_chars ELSE 0 END) + "
+    "(CASE WHEN n_tokens > 0 AND n_chars >= 3 * n_tokens "
+    "AND n_chars <= 12 * n_tokens THEN 3000 ELSE 1500 END) + "
+    "(CASE WHEN n_chars >= 200 THEN 3000 ELSE 15 * n_chars END) "
+    "AS BIGINT) AS q_bp FROM m ORDER BY doc_id",
     ("documents",),
-    note="heuristic quality score (float heuristic → rows-only check)",
+    note="heuristic quality score in exact integer basis points "
+    "(full blend oracled; float variant quality_score retained in "
+    "functions/text.py for API parity)",
 )
 
 
@@ -1011,8 +1027,13 @@ def _x_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", hamming64(F.col("fa"), F.col("fb")).alias("hd"))
-        .dropDuplicates(["a", "b"])
+        # row-local Hamming filter BEFORE the pair-dedup shuffle: a pair
+        # colliding in k bands appears k times, but every copy carries the
+        # same hd, so filtering first drops below-threshold candidates
+        # from the dropDuplicates exchange (strictly less shuffle volume,
+        # identical rows — pinned in tests/test_operators.py)
         .filter(F.col("hd") <= 8)
+        .dropDuplicates(["a", "b"])
         .orderBy("a", "b")
     )
 
@@ -1288,6 +1309,147 @@ _df(
     "CAST(cnt AS DOUBLE) / total AS frac FROM r WHERE rn = 1 ORDER BY doc_id",
     ("documents",),
     note="per-doc top word-2-gram share (repetition/boilerplate signal)",
+)
+
+
+def _x_rep_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicated-3-gram fraction per document, exact integer
+    basis points — the second standard repetition rule next to
+    x_top_ngram's top-gram share.  Zero shuffle (scan-side
+    projection)."""
+    from gather_datawarehouse_sync_spark.functions.text import repetition_bp
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select("doc_id", repetition_bp(F.col("text"), 3).alias("rep_bp"))
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "x_rep_frac",
+    _x_rep_frac,
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "g AS (SELECT doc_id, list_transform(generate_series(1, "
+    "greatest(len(toks)-2, 0)), i -> concat_ws(' ', toks[i], toks[i+1], "
+    "toks[i+2])) AS grams FROM tok) "
+    "SELECT doc_id, CAST(CASE WHEN len(grams) > 0 THEN "
+    "((len(grams) - len(list_distinct(grams))) * 10000) // len(grams) "
+    "ELSE 0 END AS BIGINT) AS rep_bp FROM g ORDER BY doc_id",
+    ("documents",),
+    note="Gopher duplicated-3-gram fraction in exact basis points "
+    "(zero-shuffle projection; full oracle)",
+)
+
+
+def _x_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated substring spans (token-level
+    suffix-array-dedup analogue): maximal token ranges whose every
+    10-gram appears in ≥ 2 documents — finds shared boilerplate
+    passages whole-doc dedup misses, positioned for span-level cuts.
+    The span table is a persisted artifact shared with x_cut_spans
+    (compute once per corpus version, every consumer reads it)."""
+    return _cached_dup_spans(spark, sf_dir).orderBy("doc_id", "span_start")
+
+
+def _cached_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist-once duplicated-span table (n=10, min_docs=2) shared by
+    x_dup_spans (reporting) and x_cut_spans (cutting) — the expensive
+    gram shuffle runs once per corpus version."""
+    from gather_datawarehouse_sync_spark.operators.dedup import duplicate_spans
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return cached_parquet(
+        spark,
+        artifact_path(sf_dir, "dup_spans_n10_m2_v1"),
+        lambda: duplicate_spans(docs, n=10, min_docs=2),
+    )
+
+
+_df(
+    "x_dup_spans",
+    _x_dup_spans,
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "g AS (SELECT doc_id, "
+    "unnest(generate_series(1, greatest(len(toks)-9, 0))) - 1 AS pos, "
+    "unnest(list_transform(generate_series(1, greatest(len(toks)-9, 0)), "
+    "i -> array_to_string(toks[i:i+9], ' '))) AS gram FROM tok), "
+    "dup AS (SELECT gram FROM g GROUP BY gram "
+    "HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)), "
+    "isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) <= 10 THEN 0 ELSE 1 END AS brk "
+    "FROM hits), "
+    "sp AS (SELECT doc_id, pos, SUM(brk) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS span FROM isl) "
+    "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, "
+    "CAST(MAX(pos) + 9 AS BIGINT) AS span_end, "
+    "CAST(MAX(pos) + 9 - MIN(pos) + 1 AS BIGINT) AS span_tokens "
+    "FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start",
+    ("documents",),
+    note="duplicated-passage span extraction (positioned boilerplate "
+    "detection); md5 gram keys internally, raw-gram oracle doubles as "
+    "the collision check",
+)
+
+
+def _x_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup CUT: remove every cross-document duplicated
+    10-gram span, keep the unique remainder (Lee et al. 2022's
+    cut-not-drop policy).  One array-expression projection applies the
+    per-doc span list — no per-token shuffle; the span table is the
+    persisted artifact shared with x_dup_spans."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        cut_duplicate_spans,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        cut_duplicate_spans(docs, n=10, spans=_cached_dup_spans(spark, sf_dir))
+        .select("doc_id", "clean_text", "tokens_removed", "tokens_kept")
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "x_cut_spans",
+    _x_cut_spans,
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos, "
+    "unnest(toks) AS tok FROM tok), "
+    "g AS (SELECT doc_id, "
+    "unnest(generate_series(1, greatest(len(toks)-9, 0))) - 1 AS pos, "
+    "unnest(list_transform(generate_series(1, greatest(len(toks)-9, 0)), "
+    "i -> array_to_string(toks[i:i+9], ' '))) AS gram FROM tok), "
+    "dup AS (SELECT gram FROM g GROUP BY gram "
+    "HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)), "
+    "isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) <= 10 THEN 0 ELSE 1 END AS brk "
+    "FROM hits), "
+    "sp AS (SELECT doc_id, pos, SUM(brk) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS span FROM isl), "
+    "spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 9 AS e "
+    "FROM sp GROUP BY doc_id, span), "
+    "keep AS (SELECT p.doc_id, p.pos, p.tok FROM pos p WHERE NOT EXISTS "
+    "(SELECT 1 FROM spans s WHERE s.doc_id = p.doc_id "
+    "AND p.pos BETWEEN s.s AND s.e)), "
+    "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text, "
+    "COUNT(*) AS kept FROM keep GROUP BY doc_id) "
+    "SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text, "
+    "CAST(len(t.toks) - COALESCE(a.kept, 0) AS BIGINT) AS tokens_removed, "
+    "CAST(COALESCE(a.kept, 0) AS BIGINT) AS tokens_kept "
+    "FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id",
+    ("documents",),
+    note="span-level dedup cut (keep unique remainder); full oracle incl. "
+    "reconstructed text",
 )
 
 
@@ -1593,15 +1755,39 @@ _df(
 def _x_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-1 (FAISS-style inverted lists): the second ANN
     scale path next to hyperplane LSH.  Probing all cells equals brute
-    force exactly (asserted in tests); here nprobe=4 of nlist=16."""
-    from gather_datawarehouse_sync_spark.operators.similarity import ivf_topk
+    force exactly (asserted in tests); here nprobe=4 of nlist=16.
+
+    Queries run against a PERSISTED coarse quantizer: the k-means
+    training pass happens once per corpus version, the centroid matrix
+    is stored as parquet, and every query load is a bounded (nlist-row)
+    read — the index-serving pattern a real 100 TB retrieval stack uses
+    (training is the expensive pass; queries are many).  Reload ≡
+    retrain top-k parity is pinned in tests/test_operators.py."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
+    idx = artifact_path(sf_dir, "ivf_centroids_n16_seed42_v1")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        save_ivf_centroids(spark, kmeans_centroids(emb, nlist=16), idx)
+    C = load_ivf_centroids(spark, idx)
     return (
-        ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=1, nlist=16, nprobe=4)
+        ivf_topk(
+            emb.filter(F.col("vec_id") < 10), emb, k=1, nlist=16, nprobe=4,
+            centroids=C,
+        )
         .select("query_id", "neighbor_id")
         .orderBy("query_id")
     )
@@ -2854,16 +3040,40 @@ def _x_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-similar: at 0.6 the whole corpus is ONE component and a
     cluster split is correctly all-or-nothing (a degenerate demo).
     Engine-specific hash + iterative CC → rows-only; the no-straddle
-    invariant and determinism are pinned in tests/test_operators.py."""
-    from gather_datawarehouse_sync_spark.operators.dedup import jaccard_pairs
+    invariant and determinism are pinned in tests/test_operators.py.
+
+    PERSISTED-CLUSTER-MAP form: the near-dup pair generation AND the
+    iterative connected-components rounds are the expensive stages, and
+    they belong to corpus curation, not to every split call — at 100 TB
+    you compute the cluster map once per corpus version and every
+    downstream consumer (split, cluster dedup, contamination audit)
+    reads the stored (id, component) table.  Same contract as
+    ``minhash_dedup_against(reference_signatures=...)``: first call
+    builds + persists (atomic rename), later calls are a parquet scan
+    feeding one hash join.  The chain is deterministic, so the split is
+    identical either way (components ≡ pairs path pinned in tests)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
     from gather_datawarehouse_sync_spark.operators.sampling import (
         leakage_safe_split,
     )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+    )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    pairs = jaccard_pairs(docs, threshold=0.8).select("a", "b")
+    comp = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "jaccard_components_t080_ng1_v1"),
+        lambda: connected_components(
+            jaccard_pairs(docs, threshold=0.8).select("a", "b")
+        ),
+    )
     return (
-        leakage_safe_split(docs, pairs, "doc_id", test_fraction=0.1)
+        leakage_safe_split(docs, None, "doc_id", test_fraction=0.1, components=comp)
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("split")
@@ -3133,17 +3343,42 @@ def _x_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored via per-subspace lookup tables, never touching full-precision
     vectors at query time.  Codebook k-means is engine- and
     sample-specific → rows-only; ADC==exact-dot when subvectors coincide
-    with centroids is pinned in tests/test_classify.py."""
-    from gather_datawarehouse_sync_spark.operators.similarity import pq_topk
+    with centroids is pinned in tests/test_classify.py.
+
+    Queries run against PERSISTED codebooks (train once per corpus
+    version, store as parquet, every query loads M·K rows) — the same
+    stored-index contract as x_ivf_ann; reload ≡ retrain parity is
+    pinned in tests/test_operators.py."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        load_pq_codebooks,
+        save_pq_codebooks,
+    )
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
+    idx = artifact_path(sf_dir, "pq_codebooks_m32_k64_seed42_v1")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        save_pq_codebooks(
+            spark,
+            train_pq_codebooks(
+                emb, num_subspaces=32, num_centroids=64, order_col="vec_id"
+            ),
+            idx,
+        )
+    B = load_pq_codebooks(spark, idx)
     return (
         pq_topk(
             emb.filter(F.col("vec_id") < 10), emb, k=1,
-            num_subspaces=32, num_centroids=64,
+            num_subspaces=32, num_centroids=64, codebooks=B,
         )
         .select("query_id", "neighbor_id")
         .orderBy("query_id")
@@ -3249,22 +3484,25 @@ _df(
 # accumulates across the whole oracled surface: rounds ≤ 4 ran
 # fuzzy-dedup clusters / embedding near-dup / as-of join / band join /
 # sessionization / curation (all driver-green in CORRECTNESS_r04); round
-# 5 swaps in the next six oracled flagships — incremental dedup, TF-IDF
-# top-k, entity-resolution clusters, rare-ngram rarity, winnowing pairs,
-# and benchmark contamination.  Rotated-out queries stay green in the
-# local sf0.01 oracle suite (tests/test_queries_oracle.py covers every
-# registered query, in- or out-of-window).
-# Round-6 rotation candidates (oracled, no driver evidence yet): the
-# late-round-5 additions x_classifier_gate, x_self_dedup, x_mix_order,
-# x_pretrain_mix, x_mg_heavy, x_token_budget, x_agg_merge.
+# 5 ran incremental dedup / TF-IDF top-k / entity-resolution clusters /
+# rare-ngram rarity / winnowing pairs / benchmark contamination (all
+# driver-green in CORRECTNESS_r05); round 6 swaps in the six late-round-5
+# flagships — the 5-stage pretrain mix, the fastText-style classifier
+# gate, Misra-Gries heavy hitters, mergeable-agg maintenance, token-budget
+# assembly, and the stride-scheduled training mix.  Rotated-out queries
+# stay green in the local sf0.01 oracle suite (tests/test_queries_oracle.py
+# covers every registered query, in- or out-of-window).
+# Round-7 rotation candidates (oracled, no driver evidence yet):
+# x_self_dedup, x_json_struct, x_path_categories, x_one_to_one,
+# x_reconcile, x_embed_centroid, x_dq_profile, x_text_quality.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    "x_dedup_against",
-    "x_tfidf_topk",
-    "x_edit_clusters",
-    "x_lm_rarity",
-    "x_winnow_pairs",
-    "x_contamination",
+    "x_pretrain_mix",
+    "x_classifier_gate",
+    "x_mg_heavy",
+    "x_agg_merge",
+    "x_token_budget",
+    "x_mix_order",
 )
 
 

@@ -1,0 +1,148 @@
+"""Persisted derived artifacts: trained ANN indexes and cached edge lists.
+
+A 100 TB corpus is not re-sketched per query: production retrieval stacks
+train an index once (IVF coarse quantizer, PQ codebooks, MinHash corpus
+sketch, near-dup pair list) and serve many queries against the stored
+artifact.  ``minhash_dedup_against(reference_signatures=...)``
+(operators/dedup.py) realizes that contract for MinHash sketches; this
+module realizes it for the remaining trained structures:
+
+- :func:`save_ivf_centroids` / :func:`load_ivf_centroids` — the IVF
+  coarse quantizer (``kmeans_centroids``) as a parquet table
+  ``(cell, centroid)``.
+- :func:`save_pq_codebooks` / :func:`load_pq_codebooks` — PQ codebooks
+  (``train_pq_codebooks``) as ``(subspace, code, centroid)``.
+- :func:`cached_parquet` — a persist-once parquet cache for any derived
+  DataFrame (near-dup pair lists, cluster maps): build on first call,
+  read-only parquet scan afterwards, atomic directory swap so an
+  interrupted build never leaves a half-written artifact readable.
+
+Round-trips are exact: float64 centroids survive parquet bit-for-bit
+(IEEE 754 doubles, no decimal re-rendering), so an ANN query against a
+loaded index returns byte-identical top-k to the in-memory matrix
+(pinned in tests/test_operators.py).
+
+Storage layout is plain parquet on purpose — readable by any engine,
+partition-friendly, and the same medium the corpus itself lives in; no
+pickle (unsafe across versions) and no driver-local .npy (invisible to
+a cluster's shared filesystem).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+
+def artifact_root() -> str:
+    """Artifact directory: $SPARK_GRAFT_ARTIFACTS, else <repo>/.artifacts."""
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+    )
+    return os.environ.get("SPARK_GRAFT_ARTIFACTS", default)
+
+
+def artifact_path(sf_dir: str, key: str) -> str:
+    """Canonical location for a per-scale-factor artifact.
+
+    Keyed by the sf directory's basename so sf0.01 correctness runs and
+    sf0.1 bench runs never share (or clobber) each other's artifacts.
+    ``key`` must encode every parameter the artifact depends on
+    (threshold, num_hashes, nlist, ...) plus a format version suffix —
+    bump the version when the producing operator changes semantics, or a
+    stale cache silently serves old results.
+    """
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    return os.path.join(artifact_root(), sf_tag, key)
+
+
+def cached_parquet(
+    spark: SparkSession, path: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Persist-once parquet cache: ``build()`` runs only if ``path`` has
+    no complete artifact; afterwards every caller gets a plain parquet
+    scan (predicate pushdown, column pruning, zero recompute).
+
+    Completeness is the parquet ``_SUCCESS`` marker; the build writes to
+    a sibling temp dir and atomically renames into place, so a killed
+    build leaves nothing a later reader would mistake for the artifact.
+    """
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".__building__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build().write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def save_ivf_centroids(spark: SparkSession, centroids: np.ndarray, path: str) -> None:
+    """Store an (nlist × dim) centroid matrix as parquet (cell, centroid)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2:
+        raise ValueError(f"centroids must be 2-D, got shape {C.shape}")
+    rows = [(int(i), [float(v) for v in C[i]]) for i in range(C.shape[0])]
+    df = spark.createDataFrame(rows, "cell int, centroid array<double>")
+    # one file: the quantizer is nlist×dim doubles (KBs), and a single
+    # footer keeps the load a one-task scan
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    """Load a stored coarse quantizer back into the (nlist × dim) matrix
+    ``ivf_topk(centroids=...)`` consumes.  Bounded driver transfer: nlist
+    rows by construction."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    if not rows:
+        raise ValueError(f"empty IVF centroid artifact at {path}")
+    cells = [r["cell"] for r in rows]
+    if cells != list(range(len(cells))):
+        raise ValueError(f"IVF centroid artifact has gaps/dups in cell ids: {path}")
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
+# ---------------------------------------------------------------------------
+# PQ codebooks
+# ---------------------------------------------------------------------------
+
+
+def save_pq_codebooks(spark: SparkSession, books: np.ndarray, path: str) -> None:
+    """Store (num_subspaces × num_centroids × dsub) PQ codebooks as
+    parquet (subspace, code, centroid)."""
+    B = np.asarray(books, dtype=np.float64)
+    if B.ndim != 3:
+        raise ValueError(f"codebooks must be 3-D, got shape {B.shape}")
+    rows = [
+        (int(m), int(j), [float(v) for v in B[m, j]])
+        for m in range(B.shape[0])
+        for j in range(B.shape[1])
+    ]
+    df = spark.createDataFrame(rows, "subspace int, code int, centroid array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark: SparkSession, path: str) -> np.ndarray:
+    """Load stored codebooks back into the ndarray ``pq_topk(codebooks=...)``
+    consumes.  Bounded driver transfer: M·K rows by construction."""
+    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    if not rows:
+        raise ValueError(f"empty PQ codebook artifact at {path}")
+    n_sub = rows[-1]["subspace"] + 1
+    n_code = rows[-1]["code"] + 1
+    if len(rows) != n_sub * n_code:
+        raise ValueError(f"PQ codebook artifact has gaps/dups: {path}")
+    dsub = len(rows[0]["centroid"])
+    B = np.empty((n_sub, n_code, dsub), dtype=np.float64)
+    for r in rows:
+        B[r["subspace"], r["code"]] = np.asarray(r["centroid"], dtype=np.float64)
+    return B

@@ -1915,3 +1915,354 @@ def test_minhash_against_persisted_sketch_parity(spark, sf_dir):
     assert direct == via_sketch and direct, "expected non-empty verdicts"
     with pytest.raises(ValueError, match="reference"):
         minhash_dedup_against(new)
+
+
+def test_minhash_against_sketch_validation(spark, sf_dir):
+    """minhash_signatures output ('id' column) is accepted without a
+    rename, and a sketch built with a different num_hashes is rejected
+    at entry instead of silently mis-scoring."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        minhash_dedup_against,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    sketch = minhash_signatures(ref)  # id column stays named 'id'
+    renamed = sketch.withColumnRenamed("id", "doc_id")
+    as_is = sorted(
+        map(
+            tuple,
+            minhash_dedup_against(
+                new, threshold=0.5, reference_signatures=sketch
+            ).collect(),
+        )
+    )
+    via_rename = sorted(
+        map(
+            tuple,
+            minhash_dedup_against(
+                new, threshold=0.5, reference_signatures=renamed
+            ).collect(),
+        )
+    )
+    assert as_is == via_rename and as_is
+    wrong_width = minhash_signatures(ref, num_hashes=32)
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_dedup_against(
+            new, threshold=0.5, reference_signatures=wrong_width
+        )
+    bad_cols = sketch.withColumnRenamed("id", "some_other_id")
+    with pytest.raises(ValueError, match="column"):
+        minhash_dedup_against(
+            new, threshold=0.5, reference_signatures=bad_cols
+        )
+
+
+def test_simhash_filter_before_dedup_identical_rows(spark):
+    """x_simhash_neighbors' plan order (row-local Hamming filter BEFORE
+    the pair-dedup shuffle) returns exactly the rows of the
+    dedup-first order: every banding copy of a pair carries the same
+    hd, so the filter can never disagree across copies."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "alpha beta gamma delta zeta"),
+            (4, "one two three four five six"),
+            (5, "totally different content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = simhash(df, id_col="doc_id", text_col="text")
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.select(
+        F.col("id").alias("a"), F.col("simhash").alias("fa"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("b"), F.col("simhash").alias("fb"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming64(F.col("fa"), F.col("fb")).alias("hd"))
+    )
+    filter_first = sorted(
+        map(tuple, cand.filter(F.col("hd") <= 8).dropDuplicates(["a", "b"]).collect())
+    )
+    dedup_first = sorted(
+        map(tuple, cand.dropDuplicates(["a", "b"]).filter(F.col("hd") <= 8).collect())
+    )
+    assert filter_first == dedup_first
+    assert (1, 2, 0) in filter_first  # identical docs collide at hd 0
+
+
+def test_ivf_centroids_roundtrip_identical_topk(spark, sf_dir, tmp_path):
+    """Stored-index contract: IVF top-k against reloaded centroids is
+    byte-identical to the in-memory matrix (float64 survives parquet
+    bit-for-bit)."""
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    C = kmeans_centroids(emb, nlist=4)
+    path = str(tmp_path / "ivf")
+    save_ivf_centroids(spark, C, path)
+    C2 = load_ivf_centroids(spark, path)
+    assert C2.shape == C.shape and np.array_equal(C, C2)
+    q = emb.filter(F.col("vec_id") < 5)
+    got_mem = sorted(map(tuple, ivf_topk(q, emb, k=1, nlist=4, nprobe=2, centroids=C).collect()))
+    got_disk = sorted(map(tuple, ivf_topk(q, emb, k=1, nlist=4, nprobe=2, centroids=C2).collect()))
+    assert got_mem == got_disk and got_mem
+
+
+def test_pq_codebooks_roundtrip_identical_topk(spark, sf_dir, tmp_path):
+    """Stored-index contract for PQ: reload ≡ retrain codebooks, and the
+    ADC top-k against the loaded books matches exactly."""
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        load_pq_codebooks,
+        save_pq_codebooks,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    B = train_pq_codebooks(
+        emb, num_subspaces=8, num_centroids=8, order_col="vec_id"
+    )
+    path = str(tmp_path / "pq")
+    save_pq_codebooks(spark, B, path)
+    B2 = load_pq_codebooks(spark, path)
+    assert B2.shape == B.shape and np.array_equal(B, B2)
+    q = emb.filter(F.col("vec_id") < 5)
+    got_mem = sorted(
+        map(tuple, pq_topk(q, emb, k=1, num_subspaces=8, num_centroids=8, codebooks=B).collect())
+    )
+    got_disk = sorted(
+        map(tuple, pq_topk(q, emb, k=1, num_subspaces=8, num_centroids=8, codebooks=B2).collect())
+    )
+    assert got_mem == got_disk and got_mem
+
+
+def test_train_pq_codebooks_partition_invariant(spark, sf_dir):
+    """The training sample is ordered before the limit, so codebooks are
+    identical across partition layouts — the determinism the stored
+    index relies on."""
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    b1 = train_pq_codebooks(emb, num_subspaces=8, num_centroids=8, order_col="vec_id")
+    b2 = train_pq_codebooks(
+        emb.repartition(7), num_subspaces=8, num_centroids=8, order_col="vec_id"
+    )
+    assert np.array_equal(b1, b2)
+
+
+def test_cached_parquet_builds_once_then_rereads(spark, tmp_path):
+    """Persist-once semantics: the build closure runs on the first call
+    only; later calls are pure parquet scans returning the same rows."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import cached_parquet
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    path = str(tmp_path / "edges")
+    r1 = sorted(map(tuple, cached_parquet(spark, path, build).collect()))
+    r2 = sorted(map(tuple, cached_parquet(spark, path, build).collect()))
+    assert calls["n"] == 1
+    assert r1 == r2 == [(1, "a"), (2, "b")]
+
+
+def test_cluster_split_cached_pairs_match_recompute(spark, sf_dir, tmp_path):
+    """The persisted-pairs form of the leakage-safe split: the cached
+    edge list is row-identical to a fresh jaccard_pairs run, so the
+    split (a pure function of the edges) is identical either way."""
+    from gather_datawarehouse_sync_spark.operators.dedup import jaccard_pairs
+    from gather_datawarehouse_sync_spark.sources.artifacts import cached_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fresh = sorted(
+        map(tuple, jaccard_pairs(docs, threshold=0.8).select("a", "b").collect())
+    )
+    cached = sorted(
+        map(
+            tuple,
+            cached_parquet(
+                spark,
+                str(tmp_path / "pairs"),
+                lambda: jaccard_pairs(docs, threshold=0.8).select("a", "b"),
+            ).collect(),
+        )
+    )
+    assert fresh == cached
+
+
+def test_shuffle_order_rank_invariant_to_prefix_width(spark):
+    """The hierarchical rank is a pure refinement of the md5 order: any
+    prefix width produces the identical permutation (the width is a
+    physical knob, not a semantic one)."""
+    from gather_datawarehouse_sync_spark.operators.sampling import shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    ranks = {}
+    for width in (1, 2, 3):
+        out = shuffle_order(df, "doc_id", seed="7", prefix_chars=width)
+        ranks[width] = dict(
+            (r["doc_id"], r["train_rank"]) for r in out.collect()
+        )
+    assert ranks[1] == ranks[2] == ranks[3]
+    assert sorted(ranks[2].values()) == list(range(1, 501))
+    with pytest.raises(ValueError, match="prefix_chars"):
+        shuffle_order(df, "doc_id", prefix_chars=0)
+
+
+def test_duplicate_spans_known_passages_and_edges(spark):
+    """duplicate_spans finds exactly the shared passage, merges
+    overlapping n-gram hits into one maximal span, and ignores
+    content unique to one document (and docs shorter than n)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc dd"),
+            (2, f"xx yy zz {shared} qq"),
+            (3, "totally unrelated words only here"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(df, n=3, min_docs=2).collect()
+    }
+    # doc 1: tokens aa bb one two three four five cc dd → shared 3-grams
+    # start at pos 2,3,4 → one merged span [2, 6] (5 tokens)
+    # doc 2: xx yy zz one two three four five qq → span [3, 7]
+    assert out == {(1, 2, 6, 5), (2, 3, 7, 5)}
+    with pytest.raises(ValueError, match="n must be"):
+        duplicate_spans(df, n=0)
+
+
+def test_repetition_bp_exact_counts(spark):
+    """repetition_bp = 10000·(total−distinct) DIV total over word
+    n-grams; 0 for docs shorter than n tokens."""
+    from gather_datawarehouse_sync_spark.functions.text import repetition_bp
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+            (2, "w x y z"),        # all distinct → 0
+            (3, "q"),              # shorter than n → 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bp"]
+        for r in df.select(
+            "doc_id", repetition_bp(F.col("text"), 2).alias("bp")
+        ).collect()
+    }
+    assert got == {1: 6000, 2: 0, 3: 0}
+
+
+def test_leakage_safe_split_components_path_matches_pairs(spark, sf_dir):
+    """leakage_safe_split(components=) — the persisted-cluster-map form
+    — assigns the identical split as the pairs form (the map IS the CC
+    output), and refuses to run with neither input."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_pairs(docs, threshold=0.8).select("a", "b")
+    comp = connected_components(pairs)
+    via_pairs = sorted(
+        (r["doc_id"], r["split"])
+        for r in leakage_safe_split(docs, pairs, "doc_id", 0.1).collect()
+    )
+    via_comp = sorted(
+        (r["doc_id"], r["split"])
+        for r in leakage_safe_split(
+            docs, None, "doc_id", 0.1, components=comp
+        ).collect()
+    )
+    assert via_pairs == via_comp and via_pairs
+    with pytest.raises(ValueError, match="pairs or components"):
+        leakage_safe_split(docs, None, "doc_id", 0.1)
+
+
+def test_cut_duplicate_spans_precomputed_spans_parity(spark):
+    """cut_duplicate_spans(spans=) — the persisted-span-table form —
+    produces the identical cut as the internal recompute."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_spans,
+    )
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc dd"),
+            (2, f"xx yy zz {shared} qq"),
+            (3, "totally unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    direct = sorted(map(tuple, cut_duplicate_spans(df, n=3).collect()))
+    via_spans = sorted(
+        map(
+            tuple,
+            cut_duplicate_spans(df, n=3, spans=duplicate_spans(df, n=3)).collect(),
+        )
+    )
+    assert direct == via_spans
+    by_id = {t[0]: t for t in direct}
+    assert by_id[1] == (1, "aa bb cc dd", 5, 4)
+    assert by_id[3][2] == 0  # nothing removed from the unique doc

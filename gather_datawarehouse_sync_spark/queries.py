@@ -1188,30 +1188,66 @@ _df(
 
 
 def _x_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-analysis profile: language guess + quality + fingerprint per
-    document in one pass (all JVM-side expressions)."""
+    """Text-analysis profile per document in ONE pass (all JVM-side
+    expressions, zero shuffle): marker-token language guess, exact
+    integer basis-point quality, and a deterministic document
+    fingerprint (lexicographic minimum word 8-gram — the winnowing
+    selection rule with a cross-engine-comparable key, same convention
+    as x_winnow_pairs).  Every column is engine-exact, so the whole
+    profile hash-compares against DuckDB; the xxhash64-based
+    :func:`functions.text.fingerprint` variant stays available for
+    compactness when cross-engine parity is not needed."""
     from gather_datawarehouse_sync_spark.functions.text import (
-        fingerprint,
         language_guess,
-        quality_score,
+        quality_score_bp,
+        word_ngrams,
     )
 
     t = load_tables(spark, sf_dir, ("documents",))
     return t["documents"].select(
         "doc_id",
         language_guess(F.col("text")).alias("lang_guess"),
-        quality_score(F.col("text")).alias("quality"),
-        fingerprint(F.col("text")).alias("fp"),
+        quality_score_bp(F.col("text")).alias("quality_bp"),
+        F.array_min(word_ngrams(F.col("text"), 8)).alias("fp_gram"),
     ).orderBy("doc_id")
 
 
 _df(
     "x_doc_profile",
     _x_doc_profile,
-    None,
+    "WITH m AS (SELECT doc_id, LENGTH(text) AS n_chars, "
+    "LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+    "LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> '')) "
+    "AS n_ws, "
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), "
+    "x -> x <> '') AS ltoks, "
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '') AS atoks FROM documents), "
+    "s AS (SELECT doc_id, n_chars, n_alpha, n_ws, atoks, "
+    "len(list_filter(ltoks, t -> list_contains(['the','and','of','to','is',"
+    "'in','that','it'], t))) AS se, "
+    "len(list_filter(ltoks, t -> list_contains(['der','die','das','und',"
+    "'ist','nicht','ein','zu'], t))) AS sd, "
+    "len(list_filter(ltoks, t -> list_contains(['le','la','les','et','est',"
+    "'une','que','pour'], t))) AS sf, "
+    "len(list_filter(ltoks, t -> list_contains(['el','la','los','que','es',"
+    "'una','para','con'], t))) AS ss FROM m) "
+    "SELECT doc_id, "
+    "CASE WHEN greatest(se, sd, sf, ss) = 0 THEN 'und' "
+    "WHEN se = greatest(se, sd, sf, ss) THEN 'en' "
+    "WHEN sd = greatest(se, sd, sf, ss) THEN 'de' "
+    "WHEN sf = greatest(se, sd, sf, ss) THEN 'fr' ELSE 'es' END "
+    "AS lang_guess, "
+    "CAST((CASE WHEN n_chars > 0 THEN (4000 * n_alpha) // n_chars ELSE 0 END)"
+    " + (CASE WHEN n_ws > 0 AND n_chars >= 3 * n_ws AND n_chars <= 12 * n_ws "
+    "THEN 3000 ELSE 1500 END) + (CASE WHEN n_chars >= 200 THEN 3000 "
+    "ELSE 15 * n_chars END) AS BIGINT) AS quality_bp, "
+    "list_min(list_transform(generate_series(1, greatest(len(atoks)-7, 0)), "
+    "i -> array_to_string(atoks[i:i+7], ' '))) AS fp_gram "
+    "FROM s ORDER BY doc_id",
     ("documents",),
-    note="language-ID + quality + winnowing fingerprint (heuristic/hash → "
-    "rows-only check)",
+    note="one-pass doc profile (lang guess + integer-bp quality + "
+    "lexicographic min-8-gram fingerprint) — fully oracled",
 )
 
 
@@ -1525,6 +1561,49 @@ _df(
 )
 
 
+def _x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide tokenization with a PERSISTED trained tokenizer: the
+    BPE merge table is trained once on the bounded slice, stored as a
+    parquet artifact (the tokenizer every LLM pipeline ships), and
+    replayed over the whole corpus as codegen'd array expressions —
+    per-doc piece counts out.  Stored ≡ in-memory merge replay is
+    pinned in tests; iterative merge application has no SQL form →
+    rows-only."""
+    import os
+
+    from gather_datawarehouse_sync_spark.functions.bpe import bpe_apply, bpe_train
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    path = artifact_path(sf_dir, "bpe_merges_n8_mc2_v1")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        save_bpe_merges(
+            spark,
+            bpe_train(
+                docs.filter(F.col("doc_id") < 300), num_merges=8, min_count=2
+            ),
+            path,
+        )
+    merges = load_bpe_merges(spark, path)
+    return docs.select(
+        "doc_id", F.size(bpe_apply(F.col("text"), merges)).alias("n_pieces")
+    ).orderBy("doc_id")
+
+
+_df(
+    "x_bpe_apply",
+    _x_bpe_apply,
+    None,
+    ("documents",),
+    note="stored-tokenizer application (persisted merge table replayed "
+    "corpus-wide; rows-only — iterative merges have no SQL form)",
+)
+
+
 def _x_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup, exact tier: for each 'new' doc (doc_id % 5 ==
     0) the best token-set-Jaccard ≥ 0.8 match in the 'existing corpus'
@@ -1586,17 +1665,34 @@ _df(
 
 
 def _x_minhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup, scale tier: MinHash-banding join of the 'new'
-    slice against the persisted-corpus side only (no self-pairs) —
-    sketch-based, so rows-only; recall properties pinned in unit tests."""
+    """Incremental dedup, scale tier: MinHash match of the 'new' slice
+    against a PERSISTED reference sketch — the full per-corpus-version
+    contract: the reference signature table is a stored parquet artifact
+    (built once, atomic rename), so each increment costs one signature
+    pass over the increment plus the match against the stored sketch;
+    the reference TEXT is never re-read.  Sketch-based → rows-only;
+    sketch-path ≡ recompute-path parity is pinned in
+    tests/test_operators.py."""
     from gather_datawarehouse_sync_spark.operators.dedup import (
         minhash_dedup_against,
+        minhash_signatures,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
     )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ref_sigs = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "minhash_sigs_mod5ref_h64_ng1_v1"),
+        lambda: minhash_signatures(
+            docs.filter(F.col("doc_id") % 5 != 0), num_hashes=64, ngram=1
+        ),
+    )
     out = minhash_dedup_against(
         docs.filter(F.col("doc_id") % 5 == 0),
-        docs.filter(F.col("doc_id") % 5 != 0),
+        reference_signatures=ref_sigs,
         threshold=0.8,
         ngram=1,
     )
@@ -1608,8 +1704,9 @@ _df(
     _x_minhash_against,
     None,
     ("documents",),
-    note="incremental fuzzy dedup via banding join against the reference "
-    "sketch (rows-only; exact-tier cross-validation above)",
+    note="incremental fuzzy dedup against the PERSISTED reference sketch "
+    "artifact (rows-only; sketch==recompute parity and exact-tier "
+    "cross-validation in tests)",
 )
 
 
@@ -3494,7 +3591,9 @@ _df(
 # covers every registered query, in- or out-of-window).
 # Round-7 rotation candidates (oracled, no driver evidence yet):
 # x_self_dedup, x_json_struct, x_path_categories, x_one_to_one,
-# x_reconcile, x_embed_centroid, x_dq_profile, x_text_quality.
+# x_reconcile, x_embed_centroid, x_dq_profile, and the round-6
+# additions x_text_quality, x_doc_profile, x_rep_frac, x_dup_spans,
+# x_cut_spans.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
     "x_pretrain_mix",

@@ -146,3 +146,33 @@ def load_pq_codebooks(spark: SparkSession, path: str) -> np.ndarray:
     for r in rows:
         B[r["subspace"], r["code"]] = np.asarray(r["centroid"], dtype=np.float64)
     return B
+
+
+# ---------------------------------------------------------------------------
+# BPE merge table
+# ---------------------------------------------------------------------------
+
+
+def save_bpe_merges(
+    spark: SparkSession, merges: list[tuple[str, str, int]], path: str
+) -> None:
+    """Store an ordered BPE merge table (``bpe_train`` output) as parquet
+    (rank, left, right, cnt) — the trained-tokenizer artifact every LLM
+    pipeline ships: train once on a bounded sample, apply corpus-wide
+    forever (a tokenizer that changes between runs silently re-tokenizes
+    the whole corpus differently)."""
+    rows = [(i + 1, l, r, int(c)) for i, (l, r, c) in enumerate(merges)]
+    df = spark.createDataFrame(rows, "rank int, left string, right string, cnt long")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark: SparkSession, path: str) -> list[tuple[str, str, int]]:
+    """Load a stored merge table back into the ordered list
+    ``bpe_apply`` replays.  Rank contiguity is validated — merge ORDER
+    is the tokenizer; a gap means a corrupt artifact."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    if not rows:
+        raise ValueError(f"empty BPE merge artifact at {path}")
+    if [r["rank"] for r in rows] != list(range(1, len(rows) + 1)):
+        raise ValueError(f"BPE merge artifact has rank gaps/dups: {path}")
+    return [(r["left"], r["right"], r["cnt"]) for r in rows]

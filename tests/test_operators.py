@@ -2266,3 +2266,65 @@ def test_cut_duplicate_spans_precomputed_spans_parity(spark):
     by_id = {t[0]: t for t in direct}
     assert by_id[1] == (1, "aa bb cc dd", 5, 4)
     assert by_id[3][2] == 0  # nothing removed from the unique doc
+
+
+def test_artifact_loaders_reject_corrupt_tables(spark, tmp_path):
+    """Index loaders fail loudly on empty or gap-ridden artifacts —
+    a silently mis-shaped quantizer would mis-route every query."""
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        load_ivf_centroids,
+        load_pq_codebooks,
+        save_ivf_centroids,
+        save_pq_codebooks,
+    )
+
+    with pytest.raises(ValueError, match="2-D"):
+        save_ivf_centroids(spark, np.zeros((2, 2, 2)), str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="3-D"):
+        save_pq_codebooks(spark, np.zeros((2, 2)), str(tmp_path / "bad2"))
+
+    # gap in cell ids → reject
+    gap = spark.createDataFrame(
+        [(0, [1.0]), (2, [2.0])], "cell int, centroid array<double>"
+    )
+    gap.write.parquet(str(tmp_path / "gap"))
+    with pytest.raises(ValueError, match="gaps"):
+        load_ivf_centroids(spark, str(tmp_path / "gap"))
+
+    empty = spark.createDataFrame(
+        [], "subspace int, code int, centroid array<double>"
+    )
+    empty.write.parquet(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="empty"):
+        load_pq_codebooks(spark, str(tmp_path / "empty"))
+
+
+def test_bpe_merge_table_roundtrip_and_apply_parity(spark, tmp_path):
+    """Stored-tokenizer contract: the reloaded merge table is the
+    trained one, and bpe_apply over the loaded table tokenizes
+    identically to the in-memory list."""
+    from gather_datawarehouse_sync_spark.functions.bpe import bpe_apply, bpe_train
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "low lower lowest low low newer new") for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(corpus, num_merges=4, min_count=2)
+    assert merges
+    path = str(tmp_path / "bpe")
+    save_bpe_merges(spark, merges, path)
+    loaded = load_bpe_merges(spark, path)
+    assert loaded == merges
+    direct = corpus.select(
+        "doc_id", bpe_apply(F.col("text"), merges).alias("p")
+    ).collect()
+    via_store = corpus.select(
+        "doc_id", bpe_apply(F.col("text"), loaded).alias("p")
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_store))

@@ -417,3 +417,43 @@ def test_agg_state_merge_two_phase_no_extra_exchange(spark, sf_dir):
     plan = plan_str(merged)
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final per level
+
+
+def test_rep_frac_is_shuffle_free(spark, sf_dir):
+    """The Gopher duplicated-gram fraction is a pure scan-side
+    projection — both gram counts evaluate inside the scan stage, no
+    Exchange anywhere (the ORDER BY is the only allowed exchange and
+    exists solely for deterministic driver comparison)."""
+    from gather_datawarehouse_sync_spark.functions.text import repetition_bp
+
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", repetition_bp(F.col("text"), 3).alias("rep_bp")
+    )
+    assert shuffle_count(df) == 0
+
+
+def test_cluster_split_serves_from_stored_map(spark, sf_dir, tmp_path, monkeypatch):
+    """The persisted-cluster-map split: after the artifact exists, the
+    query plan is scan + join + agg — the iterative CC (its localCheckpoint
+    scans) is GONE, and the stored map is read from the artifact
+    directory."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "arts"))
+    df = REGISTRY["x_cluster_split"].spark(spark, sf_dir)  # builds artifact
+    df.collect()
+    warm = REGISTRY["x_cluster_split"].spark(spark, sf_dir)
+    plan = plan_str(warm)
+    assert "jaccard_components" in plan  # FileScan on the stored map
+    # CC's per-round localCheckpoint materializes as ExistingRDD scans;
+    # a served split must have none
+    assert "ExistingRDD" not in plan
+
+
+def test_duplicate_spans_no_nested_loop(spark, sf_dir):
+    """Span detection is gram-count + semi-join + window — never a
+    cartesian/broadcast-nested-loop pair enumeration."""
+    from gather_datawarehouse_sync_spark.operators.dedup import duplicate_spans
+
+    df = duplicate_spans(load_table(spark, sf_dir, "documents"), n=10)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

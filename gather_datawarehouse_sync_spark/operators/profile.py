@@ -54,3 +54,64 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+def distribution_drift(
+    ref: DataFrame,
+    new: DataFrame,
+    score_col: str,
+    bin_width: int = 1000,
+) -> DataFrame:
+    """Binned distribution-drift report between two corpus versions —
+    the quality-monitoring gate a crawl pipeline runs before accepting
+    a new batch (a PSI-style check, kept in exact integers so it
+    hash-compares across engines; consumers needing the PSI scalar
+    apply ln() to the share columns, the one genuinely float step).
+
+    ``score_col`` must be an integer metric (e.g. quality basis points);
+    rows bin at ``bin_width`` (integer DIV — fixed bins, no quantile
+    pass, no global window).  Output: one row per bin present on either
+    side, with counts and per-side shares in basis points (integer DIV
+    of each side's total) plus the share delta.
+
+    Scale shape: one groupBy per side over (bin), a broadcast-sized
+    full-outer join of the two bin tables, and two scalar totals
+    carried via window-free cross-join of 1-row aggregates — the corpus
+    shuffles only the (bin, count) pairs.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def _bins(df: DataFrame, side: str) -> DataFrame:
+        b = (F.col(score_col) - F.pmod(F.col(score_col), F.lit(bin_width))) / F.lit(
+            bin_width
+        )
+        return (
+            df.select(b.cast("long").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(f"{side}_n"))
+        )
+
+    r = _bins(ref, "ref")
+    n = _bins(new, "new")
+    joined = r.join(n, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("new_n", F.lit(0)).alias("new_n"),
+    )
+    totals = joined.agg(
+        F.sum("ref_n").alias("__rt"), F.sum("new_n").alias("__nt")
+    )
+    out = joined.crossJoin(F.broadcast(totals))
+    share = lambda c, t: F.when(  # noqa: E731
+        F.col(t) > 0,
+        (F.col(c) * 10000 - F.pmod(F.col(c) * 10000, F.col(t))) / F.col(t),
+    ).otherwise(0).cast("long")
+    return out.select(
+        "bin",
+        "ref_n",
+        "new_n",
+        share("ref_n", "__rt").alias("ref_share_bp"),
+        share("new_n", "__nt").alias("new_share_bp"),
+        (share("new_n", "__nt") - share("ref_n", "__rt")).alias("delta_bp"),
+    )

@@ -1230,6 +1230,172 @@ _df(
 )
 
 
+def _x_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CORPUS-RELEASE pipeline — the second capstone next to
+    x_pretrain_mix, exercising the round-6 surface as one lazy DAG:
+
+    1. substring-dedup CUT (persisted span artifact shared with
+       x_dup_spans/x_cut_spans);
+    2. quality gate on the CUT text (integer basis points ≥ 8000,
+       ≥ 5 surviving tokens) — gating after the cut matters: shared
+       boilerplate inflates pre-cut quality;
+    3. exact dedup on the cut text (min-id canonical) — cutting creates
+       NEW exact duplicates out of formerly-distinct docs, so dedup
+       must rerun post-cut (the stage-interaction the differential
+       covers);
+    4. per-source 500-token budget in md5 order (greedy prefix);
+    5. deterministic global shuffle rank over the released docs.
+
+    Every stage is exact arithmetic, so the full chain replays in SQL —
+    the oracle covers stage interaction, not just stages."""
+    from gather_datawarehouse_sync_spark.functions.text import quality_score_bp
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        cut_duplicate_spans,
+    )
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        shuffle_order,
+        token_budget_sample,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    cut = cut_duplicate_spans(
+        docs, n=10, spans=_cached_dup_spans(spark, sf_dir)
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    gated = cut.filter(
+        (quality_score_bp(F.col("clean_text")) >= 8000)
+        & (F.col("tokens_kept") >= 5)
+    )
+    w = Window.partitionBy("clean_text").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id", "source", F.col("tokens_kept").cast("long").alias("n_toks")
+        )
+    )
+    take = token_budget_sample(deduped, "source", "n_toks", 500, "doc_id")
+    return (
+        shuffle_order(take, "doc_id", seed="0")
+        .select("doc_id", "source", "n_toks", "cum_tokens", "train_rank")
+        .orderBy("train_rank")
+    )
+
+
+_df(
+    "x_corpus_release",
+    _x_corpus_release,
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos, "
+    "unnest(toks) AS tok FROM tok), "
+    "g AS (SELECT doc_id, "
+    "unnest(generate_series(1, greatest(len(toks)-9, 0))) - 1 AS pos, "
+    "unnest(list_transform(generate_series(1, greatest(len(toks)-9, 0)), "
+    "i -> array_to_string(toks[i:i+9], ' '))) AS gram FROM tok), "
+    "dup AS (SELECT gram FROM g GROUP BY gram "
+    "HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)), "
+    "isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) <= 10 THEN 0 ELSE 1 END AS brk "
+    "FROM hits), "
+    "sp AS (SELECT doc_id, pos, SUM(brk) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS span FROM isl), "
+    "spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 9 AS e "
+    "FROM sp GROUP BY doc_id, span), "
+    "keep AS (SELECT p.doc_id, p.pos, p.tok FROM pos p WHERE NOT EXISTS "
+    "(SELECT 1 FROM spans s WHERE s.doc_id = p.doc_id "
+    "AND p.pos BETWEEN s.s AND s.e)), "
+    "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text, "
+    "COUNT(*) AS kept FROM keep GROUP BY doc_id), "
+    "cut AS (SELECT t.doc_id, d.source, COALESCE(a.clean_text, '') AS ct, "
+    "COALESCE(a.kept, 0) AS kept FROM tok t "
+    "JOIN documents d USING (doc_id) LEFT JOIN agg a USING (doc_id)), "
+    "m AS (SELECT doc_id, source, ct, kept, LENGTH(ct) AS nc, "
+    "LENGTH(REGEXP_REPLACE(ct, '[^A-Za-z]', '', 'g')) AS na, "
+    "LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(ct, '\\s+'), x -> x <> '')) "
+    "AS nw FROM cut), "
+    "gated AS (SELECT doc_id, source, ct, kept FROM m WHERE kept >= 5 AND "
+    "(CASE WHEN nc > 0 THEN (4000 * na) // nc ELSE 0 END) + "
+    "(CASE WHEN nw > 0 AND nc >= 3 * nw AND nc <= 12 * nw "
+    "THEN 3000 ELSE 1500 END) + "
+    "(CASE WHEN nc >= 200 THEN 3000 ELSE 15 * nc END) >= 8000), "
+    "ded AS (SELECT doc_id, source, CAST(kept AS BIGINT) AS n_toks, "
+    "row_number() OVER (PARTITION BY ct ORDER BY doc_id) AS rn FROM gated), "
+    "bud AS (SELECT doc_id, source, n_toks, SUM(n_toks) OVER "
+    "(PARTITION BY source ORDER BY md5(concat('0:', "
+    "CAST(doc_id AS VARCHAR))), doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+    "FROM ded WHERE rn = 1), "
+    "rel AS (SELECT doc_id, source, n_toks, CAST(cum AS BIGINT) AS "
+    "cum_tokens FROM bud WHERE cum - n_toks < 500) "
+    "SELECT doc_id, source, n_toks, cum_tokens, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('0:', "
+    "CAST(doc_id AS VARCHAR))), doc_id) AS INT) AS train_rank "
+    "FROM rel ORDER BY train_rank",
+    ("documents",),
+    note="corpus-release capstone: span-cut → post-cut quality gate → "
+    "post-cut exact dedup → per-source token budget → shuffle rank, "
+    "replayed end-to-end in SQL (stage-interaction differential)",
+)
+
+
+def _x_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-distribution drift between corpus versions: binned
+    integer-bp quality shares of the 'new crawl' (doc_id % 5 == 0) vs
+    the reference corpus — the PSI-style acceptance gate, exact
+    integers end-to-end."""
+    from gather_datawarehouse_sync_spark.functions.text import quality_score_bp
+    from gather_datawarehouse_sync_spark.operators.profile import (
+        distribution_drift,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = docs.select(
+        "doc_id", quality_score_bp(F.col("text")).alias("q_bp")
+    )
+    return distribution_drift(
+        scored.filter(F.col("doc_id") % 5 != 0),
+        scored.filter(F.col("doc_id") % 5 == 0),
+        "q_bp",
+        bin_width=500,
+    ).orderBy("bin")
+
+
+_df(
+    "x_quality_drift",
+    _x_quality_drift,
+    "WITH m AS (SELECT doc_id, LENGTH(text) AS nc, "
+    "LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS na, "
+    "LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> '')) "
+    "AS nw FROM documents), "
+    "q AS (SELECT doc_id, "
+    "(CASE WHEN nc > 0 THEN (4000 * na) // nc ELSE 0 END) + "
+    "(CASE WHEN nw > 0 AND nc >= 3 * nw AND nc <= 12 * nw "
+    "THEN 3000 ELSE 1500 END) + "
+    "(CASE WHEN nc >= 200 THEN 3000 ELSE 15 * nc END) AS q_bp FROM m), "
+    "r AS (SELECT q_bp // 500 AS bin, COUNT(*) AS ref_n FROM q "
+    "WHERE doc_id % 5 <> 0 GROUP BY 1), "
+    "n AS (SELECT q_bp // 500 AS bin, COUNT(*) AS new_n FROM q "
+    "WHERE doc_id % 5 = 0 GROUP BY 1), "
+    "j AS (SELECT COALESCE(r.bin, n.bin) AS bin, "
+    "COALESCE(ref_n, 0) AS ref_n, COALESCE(new_n, 0) AS new_n "
+    "FROM r FULL OUTER JOIN n ON r.bin = n.bin), "
+    "t AS (SELECT SUM(ref_n) AS rt, SUM(new_n) AS nt FROM j) "
+    "SELECT CAST(bin AS BIGINT) AS bin, CAST(ref_n AS BIGINT) AS ref_n, "
+    "CAST(new_n AS BIGINT) AS new_n, "
+    "CAST(CASE WHEN rt > 0 THEN (ref_n * 10000) // rt ELSE 0 END AS BIGINT) "
+    "AS ref_share_bp, "
+    "CAST(CASE WHEN nt > 0 THEN (new_n * 10000) // nt ELSE 0 END AS BIGINT) "
+    "AS new_share_bp, "
+    "CAST((CASE WHEN nt > 0 THEN (new_n * 10000) // nt ELSE 0 END) - "
+    "(CASE WHEN rt > 0 THEN (ref_n * 10000) // rt ELSE 0 END) AS BIGINT) "
+    "AS delta_bp FROM j, t ORDER BY bin",
+    ("documents",),
+    note="binned quality-drift report (PSI-style acceptance gate) in "
+    "exact integer basis points; full oracle",
+)
+
+
 def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for embedding near-dup: hyperplane-LSH candidates
     + exact cosine verify (sketch-based, so rows-only here; subset-of-

@@ -50,15 +50,31 @@ def artifact_root() -> str:
 def artifact_path(sf_dir: str, key: str) -> str:
     """Canonical location for a per-scale-factor artifact.
 
-    Keyed by the sf directory's basename so sf0.01 correctness runs and
-    sf0.1 bench runs never share (or clobber) each other's artifacts.
+    Keyed by the sf directory's basename PLUS a fingerprint of its
+    parquet files (names, sizes, mtimes): an artifact derives from the
+    corpus, so a regenerated corpus — same path, different bytes — must
+    MISS the cache and rebuild rather than silently serve a cluster
+    map/sketch of data that no longer exists.  The fingerprint is a
+    directory listing (no data read), the same freshness signal
+    ``compact_files`` sizes from.
+
     ``key`` must encode every parameter the artifact depends on
     (threshold, num_hashes, nlist, ...) plus a format version suffix —
     bump the version when the producing operator changes semantics, or a
     stale cache silently serves old results.
     """
+    import hashlib
+
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    return os.path.join(artifact_root(), sf_tag, key)
+    h = hashlib.md5()
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, name))
+                h.update(f"{name}:{st.st_size}:{int(st.st_mtime)};".encode())
+    except OSError:
+        pass  # non-local sf_dir (e.g. object store): fall back to tag-only
+    return os.path.join(artifact_root(), f"{sf_tag}-{h.hexdigest()[:8]}", key)
 
 
 def cached_parquet(

@@ -41,7 +41,7 @@ from gather_datawarehouse_sync_spark.streaming.sink import epoch_parquet_sink
 
 def start_incremental_dedup(
     new_stream: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None,
     out_path: str,
     checkpoint: str,
     id_col: str = "doc_id",
@@ -50,11 +50,19 @@ def start_incremental_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     ngram: int = 3,
+    reference_signatures: DataFrame | None = None,
 ):
     """Drain ``new_stream`` (AvailableNow) through per-batch incremental
     dedup against ``reference``; verdict rows (id, ref_match,
     est_jaccard) land in ``out_path`` epoch-partitioned.  Returns the
-    started query (caller awaits)."""
+    started query (caller awaits).
+
+    Pass ``reference_signatures`` (a stored :func:`minhash_signatures`
+    table — e.g. loaded from the per-corpus-version parquet artifact)
+    instead of ``reference`` to skip re-sketching the corpus text every
+    micro-batch: only each batch's increment is sketched, the exact
+    contract the batch operator realizes (same parameter, same
+    validation, same parity guarantee)."""
     sink = epoch_parquet_sink(out_path)
 
     def _dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -67,6 +75,7 @@ def start_incremental_dedup(
             num_hashes=num_hashes,
             bands=bands,
             ngram=ngram,
+            reference_signatures=reference_signatures,
         )
         sink(verdicts, epoch_id)
 

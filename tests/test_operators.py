@@ -2353,3 +2353,52 @@ def test_bucketed_negatives_invariants(spark):
     assert rows == again
     with pytest.raises(ValueError, match="k must be"):
         bucketed_negatives(df, "doc_id", k=0)
+
+
+def test_artifact_path_tracks_corpus_fingerprint(tmp_path):
+    """A regenerated corpus (same path, different bytes) must change the
+    artifact location — stale cluster maps/sketches silently serving
+    old data is the one failure mode a persist-once cache must not
+    have."""
+    import os
+    import time
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import artifact_path
+
+    sf = tmp_path / "sfx"
+    sf.mkdir()
+    (sf / "documents.parquet").write_bytes(b"aaaa")
+    p1 = artifact_path(str(sf), "k_v1")
+    assert artifact_path(str(sf), "k_v1") == p1  # stable for same bytes
+    # regenerate with different size -> different location
+    (sf / "documents.parquet").write_bytes(b"bbbbbbbb")
+    p2 = artifact_path(str(sf), "k_v1")
+    assert p2 != p1
+    # same size, newer mtime -> also different (cheap listing signal)
+    time.sleep(1.1)
+    (sf / "documents.parquet").write_bytes(b"cccccccc")
+    os.utime(sf / "documents.parquet")
+    p3 = artifact_path(str(sf), "k_v1")
+    assert p3 != p2
+
+
+def test_distribution_drift_counts_and_empty_side(spark):
+    """Drift report: shares are integer bp of each side's total; an
+    empty side yields zero shares rather than a division error."""
+    from gather_datawarehouse_sync_spark.operators.profile import (
+        distribution_drift,
+    )
+
+    ref = spark.createDataFrame([(100,), (100,), (900,), (1500,)], "s long")
+    new = spark.createDataFrame([(100,), (1500,), (1500,), (1500,)], "s long")
+    got = {
+        r["bin"]: (r["ref_n"], r["new_n"], r["ref_share_bp"], r["new_share_bp"], r["delta_bp"])
+        for r in distribution_drift(ref, new, "s", bin_width=1000).collect()
+    }
+    assert got[0] == (3, 1, 7500, 2500, -5000)
+    assert got[1] == (1, 3, 2500, 7500, 5000)
+    empty = spark.createDataFrame([], "s long")
+    out = distribution_drift(ref, empty, "s", bin_width=1000).collect()
+    assert all(r["new_share_bp"] == 0 for r in out)
+    with pytest.raises(ValueError, match="bin_width"):
+        distribution_drift(ref, new, "s", bin_width=0)

@@ -399,3 +399,56 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
         )
     )
     assert got == want and got, "expected non-empty verdicts"
+
+
+def test_incremental_dedup_stream_serves_stored_sketch(spark, tmp_path, sf_dir):
+    """Streaming incremental dedup against a STORED signature artifact:
+    the reference text is never read by the stream — verdicts still
+    equal the batch recompute on the same files."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        minhash_dedup_against,
+        minhash_signatures,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import cached_parquet
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    sketch = cached_parquet(
+        spark,
+        str(tmp_path / "ref_sketch"),
+        lambda: minhash_signatures(ref),
+    )
+
+    src = tmp_path / "new_src2"
+    new.coalesce(2).write.parquet(str(src / "p1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "verdicts2")
+    q = start_incremental_dedup(
+        stream,
+        None,
+        out,
+        str(tmp_path / "ckpt_inc2"),
+        threshold=0.5,
+        reference_signatures=sketch,
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("doc_id", "ref_match", "est_jaccard")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, minhash_dedup_against(new, ref, threshold=0.5).collect())
+    )
+    assert got == want and got, "expected non-empty verdicts"

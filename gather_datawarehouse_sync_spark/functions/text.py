@@ -100,10 +100,20 @@ def quality_score_bp(text: Column) -> Column:
 
     Integer division is realized as ``(a − a mod b)/b``: the numerator
     is an exact multiple of b, so the double division is exact for any
-    count < 2⁵³ — no DIV-operator dependency, no float rounding."""
-    n_chars = F.length(text)
-    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    n_tokens = token_count(text)
+    count < 2⁵³ — no DIV-operator dependency, no float rounding.
+    Counts are widened to BIGINT before any multiply: ``length`` is
+    INT, and ``n_alpha·4000`` overflows int32 at ~0.5 MB of text —
+    routine web-document size; under Spark 4's default ANSI mode that
+    is a query-killing ArithmeticException, not a wrap.
+
+    Cross-engine caveat (documented, same class as the ascii letter
+    set): the token count splits on ``\\s+`` — Java's ``\\s`` and
+    RE2's differ on exotic whitespace (``\\x0B``, unicode spaces), so
+    the oracle identity is byte-exact on ASCII-space corpora and
+    approximate off it."""
+    n_chars = F.length(text).cast("bigint")
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("bigint")
+    n_tokens = token_count(text).cast("bigint")
 
     def _idiv(a: Column, b: Column) -> Column:
         return ((a - F.pmod(a, b)) / b).cast("bigint")
@@ -127,8 +137,10 @@ def repetition_bp(text: Column, n: int = 3) -> Column:
     quality rule; zero shuffle — one scan-side projection — and exact
     integers, so it hash-compares against a DuckDB oracle."""
     g = word_ngrams(text, n)
-    total = F.size(g)
-    rep = total - F.size(F.array_distinct(g))
+    # widen to BIGINT before the ×10000: size() is INT and a ~215k-gram
+    # doc overflows int32 (ANSI crash on Spark 4 defaults)
+    total = F.size(g).cast("bigint")
+    rep = total - F.size(F.array_distinct(g)).cast("bigint")
     return (
         F.when(total > 0, ((rep * 10000 - F.pmod(rep * 10000, total)) / total))
         .otherwise(0)
@@ -136,11 +148,23 @@ def repetition_bp(text: Column, n: int = 3) -> Column:
     )
 
 
-def language_guess(text: Column) -> Column:
+def language_guess(text: Column, ascii_only: bool = False) -> Column:
     """n-gram/stopword language heuristic: score each candidate language
     by marker-token hits; highest count wins, 'und' (undetermined) when
-    nothing matches.  Pure expression — one pass, no shuffle, no UDF."""
-    toks = tokens(text)
+    nothing matches.  Pure expression — one pass, no shuffle, no UDF.
+
+    ``ascii_only=True`` tokenizes on the RE2-portable ``[^a-z0-9']+``
+    class instead of the unicode ``\\p{L}\\p{N}`` default — required
+    when the result must hash-compare against a DuckDB oracle (the
+    x_doc_profile contract): the unicode class has no byte-identical
+    RE2 twin, so on non-ASCII text the engines would tokenize (and so
+    score) differently.  The marker vocabularies are ASCII, so on ASCII
+    corpora both modes agree."""
+    toks = (
+        F.array_remove(F.split(F.lower(text), r"[^a-z0-9']+"), "")
+        if ascii_only
+        else tokens(text)
+    )
 
     # closure factory, not a default-arg lambda: a 2-parameter lambda is
     # interpreted by F.filter as (element, index) and the marker list

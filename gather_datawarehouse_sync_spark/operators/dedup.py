@@ -819,6 +819,7 @@ def minhash_dedup_against(
     ngram: int = 3,
     broadcast_new_max: int = 100_000,
     reference_signatures: DataFrame | None = None,
+    validate_signatures: bool = True,
 ) -> DataFrame:
     """INCREMENTAL fuzzy dedup: flag rows of ``new`` that near-duplicate
     any ``reference`` document — the "new crawl vs existing corpus"
@@ -996,18 +997,23 @@ def minhash_dedup_against(
             )
         # probe ONE row's signature length: a sketch built with a
         # different num_hashes must fail loudly here, not null-pad the
-        # zip_with agreement count or IndexError in the kernel
-        probe = (
-            reference_signatures.filter(F.col("signature").isNotNull())
-            .select(F.size("signature").alias("n"))
-            .limit(1)
-            .collect()
-        )
-        if probe and probe[0]["n"] != num_hashes:
-            raise ValueError(
-                "minhash_dedup_against: reference_signatures was built "
-                f"with num_hashes={probe[0]['n']}, expected {num_hashes}"
+        # zip_with agreement count or IndexError in the kernel.
+        # validate_signatures=False skips the (driver-blocking) probe
+        # job for callers that validated once already — e.g. the
+        # streaming path, which would otherwise pay it per micro-batch
+        # for a property that cannot change between batches.
+        if validate_signatures:
+            probe = (
+                reference_signatures.filter(F.col("signature").isNotNull())
+                .select(F.size("signature").alias("n"))
+                .limit(1)
+                .collect()
             )
+            if probe and probe[0]["n"] != num_hashes:
+                raise ValueError(
+                    "minhash_dedup_against: reference_signatures was built "
+                    f"with num_hashes={probe[0]['n']}, expected {num_hashes}"
+                )
         sig_n = (
             minhash_signatures(new, id_col, text_col, num_hashes, ngram)
             .filter(F.col("signature").isNotNull())
@@ -1506,8 +1512,11 @@ def duplicate_spans(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
-    base = spread(df.select(F.col(id_col).alias("id"), toks.alias("__toks"))).filter(
+    # the module's shared dedup-surface tokenization — span/cut/Jaccard
+    # consistency depends on all three using the SAME expression
+    base = spread(
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    ).filter(
         F.size("__toks") >= n
     )
     grams = base.select(
@@ -1585,8 +1594,7 @@ def cut_duplicate_spans(
     span_lists = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
-    base = df.select(id_col, toks.alias("__toks")).join(
+    base = df.select(id_col, tokens(F.col(text_col)).alias("__toks")).join(
         span_lists, id_col, "left"
     )
     # position i (0-based) survives unless some span covers it

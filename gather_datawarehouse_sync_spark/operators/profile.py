@@ -94,10 +94,18 @@ def distribution_drift(
 
     r = _bins(ref, "ref")
     n = _bins(new, "new")
-    joined = r.join(n, "bin", "full_outer").select(
-        "bin",
-        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
-        F.coalesce("new_n", F.lit(0)).alias("new_n"),
+    # lazy checkpoint: `joined` feeds BOTH the totals aggregate and the
+    # output projection, and Spark does not share common subtrees
+    # across plan branches — without it both per-side scans and the
+    # full-outer join execute twice (the shuffle_order pattern)
+    joined = (
+        r.join(n, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("new_n", F.lit(0)).alias("new_n"),
+        )
+        .localCheckpoint(eager=False)
     )
     totals = joined.agg(
         F.sum("ref_n").alias("__rt"), F.sum("new_n").alias("__nt")

@@ -361,11 +361,11 @@ def bucketed_negatives(
     ``md5(seed:id)`` (uniform — md5's hex alphabet is unbiased);
     within a shard, rows rank by the same hash, and row r's j-th
     negative is the row at rank ``((r−1+j) mod cnt)+1`` — the j-th
-    successor on the shard's hash ring, so negatives are
-    pseudo-random, self-excluding (rings of size 1 yield none; wrapped
-    self-hits are filtered), and every row is sampled AS a negative
-    approximately equally often (each rank is hit by exactly k
-    predecessors on the ring).
+    successor on the shard's hash ring.  ``j`` is capped at ``cnt−1``
+    (a full ring lap would revisit rows), so every row gets
+    ``min(k, cnt−1)`` DISTINCT negatives — never itself, never a
+    duplicate — and every row is sampled AS a negative equally often
+    (each rank is hit by exactly min(k, cnt−1) predecessors).
 
     Cost: one shuffle on the shard key + a shard-local rank join —
     no global window, no RNG state; shards are hash-balanced so the
@@ -397,15 +397,21 @@ def bucketed_negatives(
         )
         .localCheckpoint(eager=False)
     )
-    probes = ranked.select(
-        F.col(id_col),
-        "__bn_b",
-        "__bn_cnt",
-        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("__bn_j"),
-        F.col("__bn_rn"),
-    ).withColumn(
-        "__bn_tgt",
-        (F.pmod(F.col("__bn_rn") - 1 + F.col("__bn_j"), F.col("__bn_cnt")) + 1),
+    probes = (
+        ranked.select(
+            F.col(id_col),
+            "__bn_b",
+            "__bn_cnt",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("__bn_j"),
+            F.col("__bn_rn"),
+        )
+        # j ≤ cnt−1: a full ring lap would revisit rows — this is what
+        # makes the k negatives DISTINCT (and drops singleton shards)
+        .filter(F.col("__bn_j") <= F.col("__bn_cnt") - 1)
+        .withColumn(
+            "__bn_tgt",
+            (F.pmod(F.col("__bn_rn") - 1 + F.col("__bn_j"), F.col("__bn_cnt")) + 1),
+        )
     )
     ring = ranked.select(
         F.col("__bn_b").alias("__bn_b2"),

@@ -1152,17 +1152,21 @@ def _x_twotier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"].withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        tokens as _dedup_tokens,
+    )
+
     cand = cosine_pairs(emb, threshold=0.45).select("a", "b")
     toks = t["documents"].select(
         F.col("doc_id"),
-        F.array_distinct(
-            F.array_remove(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), "")
-        ).alias("ts"),
+        F.array_distinct(_dedup_tokens(F.col("text"))).alias("ts"),
     )
     ta = toks.select(F.col("doc_id").alias("a"), F.col("ts").alias("ta"))
     tb = toks.select(F.col("doc_id").alias("b"), F.col("ts").alias("tb"))
-    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
-    uni = F.size("ta") + F.size("tb") - inter
+    # BIGINT before the ×10000: array sizes are INT, and near-dup long
+    # docs overflow int32 exactly where the verify tier matters
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("bigint")
+    uni = F.size("ta").cast("bigint") + F.size("tb").cast("bigint") - inter
     jac_bp = ((inter * 10000 - F.pmod(inter * 10000, uni)) / uni).cast("bigint")
     return (
         cand.join(ta, "a")
@@ -1223,7 +1227,8 @@ _df(
     "SELECT e.doc_id, CAST(e.j AS BIGINT) AS j, r2.doc_id AS neg_id "
     "FROM e JOIN r r2 ON r2.bk = e.bk "
     "AND r2.rn = ((e.rn - 1 + e.j) % e.cnt) + 1 "
-    "WHERE r2.doc_id <> e.doc_id ORDER BY e.doc_id, j",
+    "WHERE e.j <= e.cnt - 1 AND r2.doc_id <> e.doc_id "
+    "ORDER BY e.doc_id, j",
     ("documents",),
     note="in-shard contrastive negative sampling (md5 hash-ring "
     "successors); full window-SQL oracle",
@@ -1463,9 +1468,13 @@ def _x_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir, ("documents",))
+    # ascii_only: the oracle's RE2 marker tokenization must be
+    # byte-identical to Spark's, which the unicode default can't
+    # guarantee off-ASCII (same reasoning as x_classifier_gate's
+    # ascii_tokens)
     return t["documents"].select(
         "doc_id",
-        language_guess(F.col("text")).alias("lang_guess"),
+        language_guess(F.col("text"), ascii_only=True).alias("lang_guess"),
         quality_score_bp(F.col("text")).alias("quality_bp"),
         F.array_min(word_ngrams(F.col("text"), 8)).alias("fp_gram"),
     ).orderBy("doc_id")

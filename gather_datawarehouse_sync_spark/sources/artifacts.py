@@ -37,6 +37,8 @@ from collections.abc import Callable
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
+_BUILD_SEQ = 0  # per-process staging-dir counter (see cached_parquet)
+
 
 def artifact_root() -> str:
     """Artifact directory: $SPARK_GRAFT_ARTIFACTS, else <repo>/.artifacts."""
@@ -85,21 +87,29 @@ def cached_parquet(
     scan (predicate pushdown, column pruning, zero recompute).
 
     Completeness is the parquet ``_SUCCESS`` marker; the build writes to
-    a sibling temp dir and atomically renames into place, so a killed
+    a PER-BUILDER temp dir (pid + counter — two racing builders never
+    share a staging directory, so neither can install the other's
+    half-written files) and atomically renames into place, so a killed
     build leaves nothing a later reader would mistake for the artifact.
+    If the rename loses a race to a completed sibling build, that
+    sibling's artifact is served (identical by determinism) and ours is
+    dropped.
     """
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = path + ".__building__"
+        global _BUILD_SEQ
+        _BUILD_SEQ += 1
+        tmp = f"{path}.__building__{os.getpid()}_{_BUILD_SEQ}"
         shutil.rmtree(tmp, ignore_errors=True)
         build().write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
-        try:
-            os.replace(tmp, path)
-        except OSError:
-            # two builders raced; if the other one completed, serve its
-            # artifact (identical by determinism) and drop ours
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.replace(tmp, path)
+            except OSError:
+                if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
+        else:  # a racing builder finished first — serve its artifact
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
@@ -162,7 +172,11 @@ def load_pq_codebooks(spark: SparkSession, path: str) -> np.ndarray:
         raise ValueError(f"empty PQ codebook artifact at {path}")
     n_sub = rows[-1]["subspace"] + 1
     n_code = rows[-1]["code"] + 1
-    if len(rows) != n_sub * n_code:
+    # exact-sequence check, not just a count: a duplicate plus a
+    # compensating gap passes len == n_sub*n_code but would leave an
+    # np.empty cell uninitialized — garbage served as a codebook
+    want = [(m, j) for m in range(n_sub) for j in range(n_code)]
+    if [(r["subspace"], r["code"]) for r in rows] != want:
         raise ValueError(f"PQ codebook artifact has gaps/dups: {path}")
     dsub = len(rows[0]["centroid"])
     B = np.empty((n_sub, n_code, dsub), dtype=np.float64)

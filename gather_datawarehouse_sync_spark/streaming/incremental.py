@@ -61,9 +61,26 @@ def start_incremental_dedup(
     table — e.g. loaded from the per-corpus-version parquet artifact)
     instead of ``reference`` to skip re-sketching the corpus text every
     micro-batch: only each batch's increment is sketched, the exact
-    contract the batch operator realizes (same parameter, same
-    validation, same parity guarantee)."""
+    contract the batch operator realizes (same parameter, same parity
+    guarantee).  The sketch's num_hashes is validated ONCE here at
+    stream start — per-batch re-validation would be a blocking driver
+    job per micro-batch for a property that cannot change mid-run."""
     sink = epoch_parquet_sink(out_path)
+
+    if reference_signatures is not None:
+        probe = (
+            reference_signatures.filter(
+                reference_signatures["signature"].isNotNull()
+            )
+            .selectExpr("size(signature) AS n")
+            .limit(1)
+            .collect()
+        )
+        if probe and probe[0]["n"] != num_hashes:
+            raise ValueError(
+                "start_incremental_dedup: reference_signatures was built "
+                f"with num_hashes={probe[0]['n']}, expected {num_hashes}"
+            )
 
     def _dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
         verdicts = minhash_dedup_against(
@@ -76,6 +93,7 @@ def start_incremental_dedup(
             bands=bands,
             ngram=ngram,
             reference_signatures=reference_signatures,
+            validate_signatures=False,
         )
         sink(verdicts, epoch_id)
 

@@ -2346,6 +2346,10 @@ def test_bucketed_negatives_invariants(spark):
 
     per_row = Counter(d for d, _, _ in rows)
     assert max(per_row.values()) <= 2
+    # negatives are DISTINCT per row (j is capped at shard size - 1,
+    # so a ring lap can never serve the same neg twice)
+    pair_counts = Counter((d, n) for d, _, n in rows)
+    assert max(pair_counts.values()) == 1
     again = sorted(
         (r["doc_id"], r["j"], r["neg_id"])
         for r in bucketed_negatives(df.repartition(7), "doc_id", k=2, seed="s").collect()

@@ -742,3 +742,86 @@ def group_centroids(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s_milli"))
         .withColumn("centroid_milli", F.col("s_milli").cast("double") / F.col("n"))
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    vecs: DataFrame,
+    query_terms: list[str],
+    query_vec: "np.ndarray | list[float]",
+    k: int = 10,
+    candidates: int = 100,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """HYBRID retrieval: keyword and vector candidate lists fused by
+    Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    two-tower serving layout (BM25-side ∪ ANN-side → RRF) expressed
+    relationally.
+
+    - **Keyword side**: per-doc query-term occurrence count (tf) over
+      the shared ascii tokenization; top ``candidates`` by (tf desc,
+      id).
+    - **Vector side**: dot product against the broadcast query vector,
+      FLOOR-quantized to integer micros (the ``group_centroids``
+      convention — hash-exact across engines); top ``candidates`` by
+      (qdot_micro desc, id).
+    - **Fusion**: rank within each candidate list, then
+      ``score = Σ 10⁶ DIV (rrf_k + rank)`` in exact integer arithmetic
+      (a doc absent from one list contributes nothing for it); final
+      top ``k`` by (score desc, id).
+
+    Scale shape: each candidate list is ``orderBy().limit()`` — Spark
+    plans TakeOrderedAndProject (per-partition top-n + bounded merge,
+    NO global window over the corpus); the only windows run over the
+    ≤ ``candidates``-row lists.  The query vector is a literal array —
+    one row-local expression, no join, no collect of the corpus.
+    """
+    q = [float(x) for x in query_vec]
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = F.array_remove(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), ""
+    )
+    tf = F.size(F.filter(toks, lambda x: F.array_contains(terms, x)))
+    t_cand = (
+        docs.select(F.col(id_col).alias("id"), tf.alias("tf"))
+        .filter(F.col("tf") > 0)
+        .orderBy(F.col("tf").desc(), "id")
+        .limit(candidates)
+    )
+    qlit = F.array(*[F.lit(x) for x in q])
+    qdot = F.floor(
+        dot(F.transform(F.col(vec_col), lambda x: x.cast("double")), qlit)
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    v_cand = (
+        vecs.select(F.col(vec_id_col).alias("id"), qdot.alias("qd"))
+        .orderBy(F.col("qd").desc(), "id")
+        .limit(candidates)
+    )
+    wt = Window.orderBy(F.col("tf").desc(), "id")
+    wv = Window.orderBy(F.col("qd").desc(), "id")
+    rt = t_cand.select("id", F.row_number().over(wt).alias("rt"))
+    rv = v_cand.select("id", F.row_number().over(wv).alias("rv"))
+
+    def _rrf(rank_col: str) -> Column:
+        d = F.lit(rrf_k) + F.col(rank_col)
+        num = F.lit(1_000_000)
+        return F.when(
+            F.col(rank_col).isNotNull(),
+            ((num - F.pmod(num, d)) / d).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    fused = (
+        rt.join(rv, "id", "full_outer")
+        .select(
+            "id",
+            (_rrf("rt") + _rrf("rv")).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "id")
+        .limit(k)
+    )
+    return fused.select(F.col("id").alias(id_col), "rrf_score")

@@ -1401,6 +1401,103 @@ _df(
 )
 
 
+def _x_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: keyword-tf and vector candidate lists fused by
+    Reciprocal Rank Fusion in exact integer arithmetic.  Candidate
+    selection is orderBy+limit (TakeOrderedAndProject — per-partition
+    top-n, NO corpus-wide window); the query vector is corpus row 0
+    (one bounded 1-row collect); dot products are FLOOR-quantized to
+    integer micros (the group_centroids hash-exact convention), so the
+    whole pipeline oracles."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        hybrid_rrf_topk,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    qv = (
+        t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()
+    )["embedding"]
+    return hybrid_rrf_topk(
+        t["documents"],
+        t["embeddings"],
+        ["spark", "merge", "window"],
+        qv,
+        k=10,
+        candidates=100,
+    ).orderBy(F.col("rrf_score").desc(), "doc_id")
+
+
+_df(
+    "x_hybrid_search",
+    _x_hybrid_search,
+    "WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings "
+    "WHERE vec_id = 0), "
+    "tc AS (SELECT doc_id AS id, len(list_filter(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), "
+    "x -> x IN ('spark', 'merge', 'window'))) AS tf FROM documents), "
+    "t_cand AS (SELECT id, tf FROM tc WHERE tf > 0 "
+    "ORDER BY tf DESC, id LIMIT 100), "
+    "rt AS (SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS rt "
+    "FROM t_cand), "
+    "vc AS (SELECT vec_id AS id, CAST(FLOOR(list_dot_product("
+    "CAST(embedding AS DOUBLE[]), (SELECT q FROM qv)) * 1000000) AS BIGINT) "
+    "AS qd FROM embeddings), "
+    "v_cand AS (SELECT id, qd FROM vc ORDER BY qd DESC, id LIMIT 100), "
+    "rv AS (SELECT id, row_number() OVER (ORDER BY qd DESC, id) AS rv "
+    "FROM v_cand), "
+    "fused AS (SELECT COALESCE(rt.id, rv.id) AS doc_id, "
+    "CAST((CASE WHEN rt.rt IS NOT NULL THEN 1000000 // (60 + rt.rt) "
+    "ELSE 0 END) + (CASE WHEN rv.rv IS NOT NULL THEN "
+    "1000000 // (60 + rv.rv) ELSE 0 END) AS BIGINT) AS rrf_score "
+    "FROM rt FULL OUTER JOIN rv ON rt.id = rv.id) "
+    "SELECT doc_id, rrf_score FROM fused "
+    "ORDER BY rrf_score DESC, doc_id LIMIT 10",
+    ("documents", "embeddings"),
+    note="hybrid keyword+vector retrieval fused by integer RRF "
+    "(TakeOrdered candidate lists, micro-quantized dots); full oracle",
+)
+
+
+def _x_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED nearest neighbor: top-1 by dot product among
+    corpus vectors with label = 2 only — the "vector search + WHERE
+    clause" every retrieval API exposes.  Relationally the filter
+    simply composes under the search (predicate pushdown into the
+    corpus scan; at IVF scale the same composition filters the
+    inverted lists), which engines with bolted-on vector indexes
+    struggle to express."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    topk = brute_force_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("label") == 2),
+        k=1,
+        metric="dot",
+    )
+    return topk.select("query_id", "neighbor_id").orderBy("query_id")
+
+
+_df(
+    "x_filtered_ann",
+    _x_filtered_ann,
+    "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+    "WHERE vec_id < 10), "
+    "scored AS (SELECT q.qid, e.vec_id AS nid, "
+    "list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) "
+    "AS score FROM q CROSS JOIN embeddings e "
+    "WHERE e.label = 2 AND e.vec_id <> q.qid), "
+    "ranked AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid "
+    "ORDER BY score DESC, nid) AS rn FROM scored) "
+    "SELECT qid AS query_id, nid AS neighbor_id FROM ranked WHERE rn = 1 "
+    "ORDER BY query_id",
+    ("embeddings",),
+    note="metadata-filtered nearest neighbor (vector search + WHERE); "
+    "ids compared, floats never hashed",
+)
+
+
 def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for embedding near-dup: hyperplane-LSH candidates
     + exact cosine verify (sketch-based, so rows-only here; subset-of-
@@ -3881,7 +3978,8 @@ _df(
 # x_self_dedup, x_json_struct, x_path_categories, x_one_to_one,
 # x_reconcile, x_embed_centroid, x_dq_profile, and the round-6
 # additions x_text_quality, x_doc_profile, x_rep_frac, x_dup_spans,
-# x_cut_spans.
+# x_cut_spans, x_twotier_dedup, x_neg_samples, x_corpus_release,
+# x_quality_drift, x_hybrid_search, x_filtered_ann.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
     "x_pretrain_mix",

@@ -1613,3 +1613,100 @@ def cut_duplicate_spans(
         (F.size("__toks") - F.size(kept)).cast("long").alias("tokens_removed"),
         F.size(kept).cast("long").alias("tokens_kept"),
     )
+
+
+def reference_gram_keys(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+) -> DataFrame:
+    """The persisted-reference half of :func:`duplicate_spans_against`:
+    DISTINCT ``md5`` keys of every word ``n``-gram in the reference
+    corpus — computed once per corpus version and stored (the
+    substring-dedup analogue of the MinHash signature artifact).  One
+    column (``gkey``), already deduped, so the stored table is bounded
+    by the corpus's distinct-gram count, not its length."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    base = spread(
+        reference.select(tokens(F.col(text_col)).alias("__toks"))
+    ).filter(F.size("__toks") >= n)
+    return base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))),
+            )
+        ).alias("gkey")
+    ).distinct()
+
+
+def duplicate_spans_against(
+    new: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    reference_keys: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL substring dedup: maximal token spans of ``new``
+    documents whose every ``n``-gram already exists in the REFERENCE
+    corpus — "which passages of this crawl are copies of what we
+    already have", the cross-corpus form of :func:`duplicate_spans`
+    (which finds passages shared *within* one corpus).
+
+    The reference side is the ``reference_keys`` artifact
+    (:func:`reference_gram_keys`, persisted per corpus version — same
+    contract as ``minhash_dedup_against(reference_signatures=)``):
+    pass it and the reference TEXT is never read; each crawl increment
+    costs one gram pass over the increment plus a semi-join against
+    the stored key set.  Exactly one of ``reference`` /
+    ``reference_keys`` may be omitted.
+
+    Returns (``id_col``, span_start, span_end, span_tokens) — 0-based
+    inclusive token indexes, islands merged like
+    :func:`duplicate_spans`.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if reference_keys is None:
+        if reference is None:
+            raise ValueError(
+                "duplicate_spans_against: pass reference or reference_keys"
+            )
+        reference_keys = reference_gram_keys(reference, id_col, text_col, n)
+    base = spread(
+        new.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    ).filter(F.size("__toks") >= n)
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))),
+            )
+        ).alias("pos", "gkey"),
+    )
+    hits = grams.join(
+        reference_keys.select("gkey"), "gkey", "left_semi"
+    ).select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        hits.withColumn(
+            "__brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= n, 0).otherwise(1),
+        )
+        .withColumn("span", F.sum("__brk").over(w))
+        .groupBy("id", "span")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

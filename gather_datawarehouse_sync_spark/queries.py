@@ -1498,6 +1498,63 @@ _df(
 )
 
 
+def _x_spans_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup: spans of the 'new crawl' (doc_id %
+    5 == 0) whose every 8-gram already exists in the reference corpus
+    (the rest) — served from the PERSISTED reference gram-key artifact
+    (the reference text is never read at query time)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        duplicate_spans_against,
+        reference_gram_keys,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    keys = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "ref_gram_keys_mod5_n8_v1"),
+        lambda: reference_gram_keys(
+            docs.filter(F.col("doc_id") % 5 != 0), n=8
+        ),
+    )
+    return duplicate_spans_against(
+        docs.filter(F.col("doc_id") % 5 == 0), n=8, reference_keys=keys
+    ).orderBy("doc_id", "span_start")
+
+
+_df(
+    "x_spans_against",
+    _x_spans_against,
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "refk AS (SELECT DISTINCT unnest(list_transform(generate_series(1, "
+    "greatest(len(toks)-7, 0)), i -> array_to_string(toks[i:i+7], ' '))) "
+    "AS gram FROM tok WHERE doc_id % 5 <> 0), "
+    "g AS (SELECT doc_id, "
+    "unnest(generate_series(1, greatest(len(toks)-7, 0))) - 1 AS pos, "
+    "unnest(list_transform(generate_series(1, greatest(len(toks)-7, 0)), "
+    "i -> array_to_string(toks[i:i+7], ' '))) AS gram FROM tok "
+    "WHERE doc_id % 5 = 0), "
+    "hits AS (SELECT g.doc_id, g.pos FROM g JOIN refk USING (gram)), "
+    "isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk "
+    "FROM hits), "
+    "sp AS (SELECT doc_id, pos, SUM(brk) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS span FROM isl) "
+    "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, "
+    "CAST(MAX(pos) + 7 AS BIGINT) AS span_end, "
+    "CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens "
+    "FROM sp GROUP BY doc_id, span ORDER BY doc_id, span_start",
+    ("documents",),
+    note="incremental substring dedup vs the persisted reference "
+    "gram-key artifact; raw-gram oracle (doubles as md5-collision "
+    "check)",
+)
+
+
 def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for embedding near-dup: hyperplane-LSH candidates
     + exact cosine verify (sketch-based, so rows-only here; subset-of-
@@ -2413,6 +2470,24 @@ _twin(
 
 # Correlated-subquery surface: Catalyst decorrelation
 # (RewriteCorrelatedScalarSubquery — SURVEY §4.2) turns these into joins.
+
+_twin(
+    "x_tpch_q10",
+    "SELECT c_custkey, c_name, n_name, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    "AND o_orderdate >= TIMESTAMP '1996-10-01' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    ("customer", "orders", "lineitem", "nation"),
+    note="TPC-H Q10 shape: returned-item revenue per customer — "
+    "fact-fact join, date-range scan pruning, grouped top-k",
+)
 
 _twin(
     "x_exists_subq",

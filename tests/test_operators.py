@@ -2406,3 +2406,41 @@ def test_distribution_drift_counts_and_empty_side(spark):
     assert all(r["new_share_bp"] == 0 for r in out)
     with pytest.raises(ValueError, match="bin_width"):
         distribution_drift(ref, new, "s", bin_width=0)
+
+
+def test_duplicate_spans_against_reference_and_stored_keys(spark):
+    """Cross-corpus span detection: only passages present in the
+    reference are flagged; the stored-key path equals the
+    reference-text path; neither input -> loud error."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        duplicate_spans_against,
+        reference_gram_keys,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma delta yy"),      # 2 ref 3-gram hits -> one span
+            (2, "totally novel words only here now"), # no hits
+        ],
+        "doc_id long, text string",
+    )
+    direct = sorted(
+        map(tuple, duplicate_spans_against(new, ref, n=3).collect())
+    )
+    keys = reference_gram_keys(ref, n=3)
+    via_keys = sorted(
+        map(
+            tuple,
+            duplicate_spans_against(new, n=3, reference_keys=keys).collect(),
+        )
+    )
+    assert direct == via_keys
+    # doc 1 tokens: xx alpha beta gamma delta yy -> ref 3-grams start at
+    # pos 1 (alpha beta gamma) and 2 (beta gamma delta) -> span [1, 4]
+    assert direct == [(1, 1, 4, 4)]
+    with pytest.raises(ValueError, match="reference"):
+        duplicate_spans_against(new, n=3)

@@ -1474,6 +1474,55 @@ def edit_distance_pairs(
     )
 
 
+
+def _positioned_md5_grams(n: int) -> "Column":
+    """The ONE positioned-md5-n-gram expression every span operator
+    shares (detect, reference keys, cross-corpus): 0-based positions
+    zip with md5 keys via posexplode.  Stored-artifact parity
+    (reference_gram_keys ≡ the probe side of duplicate_spans_against)
+    holds because both sides use THIS expression, not hand-synced
+    copies.  Input column: ``__toks``."""
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))),
+        )
+    )
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, __toks) rows with ≥ n tokens — the shared span-operator base."""
+    return spread(
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    ).filter(F.size("__toks") >= n)
+
+
+def _merge_islands(hits: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of (id, pos) n-gram hits into maximal
+    spans [span_start, span_end] (0-based inclusive): a hit ≤ n after
+    the previous extends the island.  Shared by duplicate_spans and
+    duplicate_spans_against so both merge identically."""
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        hits.withColumn(
+            "__brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= n, 0).otherwise(1),
+        )
+        .withColumn("span", F.sum("__brk").over(w))
+        .groupBy("id", "span")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1512,21 +1561,8 @@ def duplicate_spans(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    # the module's shared dedup-surface tokenization — span/cut/Jaccard
-    # consistency depends on all three using the SAME expression
-    base = spread(
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
-    ).filter(
-        F.size("__toks") >= n
-    )
-    grams = base.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))),
-            )
-        ).alias("pos", "gkey"),
+    grams = _tokenized(df, id_col, text_col, n).select(
+        "id", _positioned_md5_grams(n).alias("pos", "gkey")
     )
     dup = (
         grams.groupBy("gkey")
@@ -1535,25 +1571,7 @@ def duplicate_spans(
         .select("gkey")
     )
     hits = grams.join(dup, "gkey", "left_semi").select("id", "pos")
-    w = Window.partitionBy("id").orderBy("pos")
-    spans = (
-        hits.withColumn(
-            "__brk",
-            F.when(F.col("pos") - F.lag("pos").over(w) <= n, 0).otherwise(1),
-        )
-        .withColumn("span", F.sum("__brk").over(w))
-        .groupBy("id", "span")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
-        )
-    )
-    return spans.select(
-        F.col("id").alias(id_col),
-        "span_start",
-        "span_end",
-        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-    )
+    return _merge_islands(hits, n, id_col)
 
 
 def cut_duplicate_spans(
@@ -1617,7 +1635,6 @@ def cut_duplicate_spans(
 
 def reference_gram_keys(
     reference: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 10,
 ) -> DataFrame:
@@ -1626,20 +1643,20 @@ def reference_gram_keys(
     corpus — computed once per corpus version and stored (the
     substring-dedup analogue of the MinHash signature artifact).  One
     column (``gkey``), already deduped, so the stored table is bounded
-    by the corpus's distinct-gram count, not its length."""
+    by the corpus's distinct-gram count, not its length.  (No id
+    parameter on purpose: the key set is id-free.)"""
     if n < 1:
         raise ValueError("n must be >= 1")
     base = spread(
         reference.select(tokens(F.col(text_col)).alias("__toks"))
     ).filter(F.size("__toks") >= n)
-    return base.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))),
-            )
-        ).alias("gkey")
-    ).distinct()
+    # the SAME positioned-gram expression the probe side uses (position
+    # dropped): stored keys and probe keys cannot drift
+    return (
+        base.select(_positioned_md5_grams(n).alias("pos", "gkey"))
+        .select("gkey")
+        .distinct()
+    )
 
 
 def duplicate_spans_against(
@@ -1666,47 +1683,30 @@ def duplicate_spans_against(
 
     Returns (``id_col``, span_start, span_end, span_tokens) — 0-based
     inclusive token indexes, islands merged like
-    :func:`duplicate_spans`.
+    :func:`duplicate_spans` (literally: both call the shared
+    ``_merge_islands`` / ``_positioned_md5_grams`` helpers, so the
+    stored-artifact parity cannot drift).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    if reference is not None and reference_keys is not None:
+        # accepting both would silently prefer one — and a stale key
+        # artifact paired with a fresh reference table is exactly the
+        # mistake that must fail loudly
+        raise ValueError(
+            "duplicate_spans_against: pass reference OR reference_keys, "
+            "not both"
+        )
     if reference_keys is None:
         if reference is None:
             raise ValueError(
                 "duplicate_spans_against: pass reference or reference_keys"
             )
-        reference_keys = reference_gram_keys(reference, id_col, text_col, n)
-    base = spread(
-        new.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
-    ).filter(F.size("__toks") >= n)
-    grams = base.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))),
-            )
-        ).alias("pos", "gkey"),
+        reference_keys = reference_gram_keys(reference, text_col, n)
+    grams = _tokenized(new, id_col, text_col, n).select(
+        "id", _positioned_md5_grams(n).alias("pos", "gkey")
     )
     hits = grams.join(
         reference_keys.select("gkey"), "gkey", "left_semi"
     ).select("id", "pos")
-    w = Window.partitionBy("id").orderBy("pos")
-    return (
-        hits.withColumn(
-            "__brk",
-            F.when(F.col("pos") - F.lag("pos").over(w) <= n, 0).otherwise(1),
-        )
-        .withColumn("span", F.sum("__brk").over(w))
-        .groupBy("id", "span")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
-        )
-        .select(
-            F.col("id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-        )
-    )
+    return _merge_islands(hits, n, id_col)

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gather_datawarehouse_sync_spark.operators.dedup import spread
+from gather_datawarehouse_sync_spark.operators.dedup import spread, tokens
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -782,10 +782,11 @@ def hybrid_rrf_topk(
     """
     q = [float(x) for x in query_vec]
     terms = F.array(*[F.lit(t) for t in query_terms])
-    toks = F.array_remove(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), ""
+    # the dedup-surface's shared tokenization — keyword retrieval must
+    # see the same tokens the dedup/quality operators see
+    tf = F.size(
+        F.filter(tokens(F.col(text_col)), lambda x: F.array_contains(terms, x))
     )
-    tf = F.size(F.filter(toks, lambda x: F.array_contains(terms, x)))
     t_cand = (
         docs.select(F.col(id_col).alias("id"), tf.alias("tf"))
         .filter(F.col("tf") > 0)

@@ -1414,9 +1414,13 @@ def _x_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir, ("documents", "embeddings"))
-    qv = (
-        t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()
-    )["embedding"]
+    row = t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()
+    if row is None:
+        raise ValueError(
+            "x_hybrid_search: embeddings table has no vec_id = 0 row to "
+            "use as the query vector"
+        )
+    qv = row["embedding"]
     return hybrid_rrf_topk(
         t["documents"],
         t["embeddings"],
@@ -4054,7 +4058,8 @@ _df(
 # x_reconcile, x_embed_centroid, x_dq_profile, and the round-6
 # additions x_text_quality, x_doc_profile, x_rep_frac, x_dup_spans,
 # x_cut_spans, x_twotier_dedup, x_neg_samples, x_corpus_release,
-# x_quality_drift, x_hybrid_search, x_filtered_ann.
+# x_quality_drift, x_hybrid_search, x_filtered_ann, x_spans_against,
+# x_tpch_q10.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
     "x_pretrain_mix",

@@ -2444,3 +2444,5 @@ def test_duplicate_spans_against_reference_and_stored_keys(spark):
     assert direct == [(1, 1, 4, 4)]
     with pytest.raises(ValueError, match="reference"):
         duplicate_spans_against(new, n=3)
+    with pytest.raises(ValueError, match="not both"):
+        duplicate_spans_against(new, ref, n=3, reference_keys=keys)

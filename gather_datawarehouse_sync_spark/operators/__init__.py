@@ -16,6 +16,9 @@ from gather_datawarehouse_sync_spark.operators.joins import (  # noqa: F401
 )
 from gather_datawarehouse_sync_spark.operators.dedup import (  # noqa: F401
     connected_components,
+    cut_duplicate_spans,
+    duplicate_spans,
+    duplicate_spans_against,
     exact_dedup,
     jaccard_dedup_clusters,
     jaccard_pairs,
@@ -23,13 +26,16 @@ from gather_datawarehouse_sync_spark.operators.dedup import (  # noqa: F401
     mark_duplicates,
     minhash_dedup,
     minhash_dedup_against,
+    reference_gram_keys,
     simhash,
 )
 from gather_datawarehouse_sync_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     cosine_pairs,
     cosine_pairs_lsh,
+    hybrid_rrf_topk,
     ivf_topk,
+    kmeans_centroids,
     lsh_topk,
     pq_topk,
     semantic_dedup,
@@ -44,6 +50,7 @@ from gather_datawarehouse_sync_spark.operators.incremental_agg import (  # noqa:
     merge_agg_states,
 )
 from gather_datawarehouse_sync_spark.operators.sampling import (  # noqa: F401
+    bucketed_negatives,
     cap_per_group,
     deterministic_sample,
     leakage_safe_split,
@@ -57,4 +64,8 @@ from gather_datawarehouse_sync_spark.operators.hierarchy import (  # noqa: F401
 )
 from gather_datawarehouse_sync_spark.operators.reconcile import (  # noqa: F401
     reconcile,
+)
+from gather_datawarehouse_sync_spark.operators.profile import (  # noqa: F401
+    distribution_drift,
+    profile,
 )

@@ -1,6 +1,17 @@
-"""Sources & sinks: filesystem inventory scans, REST-shaped connectors."""
+"""Sources & sinks: filesystem inventory scans, REST-shaped connectors,
+persisted derived-artifact storage."""
 
 from gather_datawarehouse_sync_spark.sources.filescan import (  # noqa: F401
     scan_files,
     scan_files_stream,
+)
+from gather_datawarehouse_sync_spark.sources.artifacts import (  # noqa: F401
+    artifact_path,
+    cached_parquet,
+    load_bpe_merges,
+    load_ivf_centroids,
+    load_pq_codebooks,
+    save_bpe_merges,
+    save_ivf_centroids,
+    save_pq_codebooks,
 )

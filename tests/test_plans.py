@@ -457,3 +457,28 @@ def test_duplicate_spans_no_nested_loop(spark, sf_dir):
     plan = plan_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hybrid_search_candidates_take_ordered_not_global_window(spark, sf_dir):
+    """hybrid_rrf_topk's candidate lists must plan as
+    TakeOrderedAndProject (per-partition top-n + bounded merge); the
+    only windows may run over the ≤candidates-row lists, never the
+    corpus."""
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        hybrid_rrf_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in np.ones(64)]
+    df = hybrid_rrf_topk(docs, vecs, ["spark"], qv, k=5, candidates=50)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan
+    # rank windows exist, but only downstream of the limited candidate
+    # lists — the corpus-side scans must be under a TakeOrdered, not a
+    # Window; cheap structural proxy: every Window node appears after
+    # the first TakeOrderedAndProject in the plan tree text
+    first_take = plan.index("TakeOrderedAndProject")
+    assert "Window" not in plan[:first_take]

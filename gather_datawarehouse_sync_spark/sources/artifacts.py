@@ -213,3 +213,32 @@ def load_bpe_merges(spark: SparkSession, path: str) -> list[tuple[str, str, int]
     if [r["rank"] for r in rows] != list(range(1, len(rows) + 1)):
         raise ValueError(f"BPE merge artifact has rank gaps/dups: {path}")
     return [(r["left"], r["right"], r["cnt"]) for r in rows]
+
+
+def prune_stale_artifacts(sf_dir: str) -> list[str]:
+    """Delete artifact directories for OLD fingerprints of ``sf_dir``:
+    when a corpus is regenerated, its artifact path changes (the
+    fingerprint in :func:`artifact_path`), and the previous
+    fingerprint's directory becomes unreachable dead weight.  Explicit
+    call, not automatic — a path helper that deletes as a side effect
+    would be a trap; run it from the same maintenance job that rebuilds
+    artifacts after a corpus version bump.
+
+    Returns the pruned directory paths (empty when nothing was stale).
+    """
+    current = os.path.dirname(artifact_path(sf_dir, "_"))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    root = artifact_root()
+    pruned = []
+    if not os.path.isdir(root):
+        return pruned
+    for name in sorted(os.listdir(root)):
+        full = os.path.join(root, name)
+        if (
+            os.path.isdir(full)
+            and name.startswith(f"{sf_tag}-")
+            and full != current
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+            pruned.append(full)
+    return pruned

@@ -2446,3 +2446,29 @@ def test_duplicate_spans_against_reference_and_stored_keys(spark):
         duplicate_spans_against(new, n=3)
     with pytest.raises(ValueError, match="not both"):
         duplicate_spans_against(new, ref, n=3, reference_keys=keys)
+
+
+def test_prune_stale_artifacts_keeps_current_fingerprint(tmp_path, monkeypatch):
+    """GC removes only OLD-fingerprint directories of the same corpus
+    tag; the current fingerprint's artifacts and other corpora survive."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        prune_stale_artifacts,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "arts"))
+    sf = tmp_path / "sfy"
+    sf.mkdir()
+    (sf / "documents.parquet").write_bytes(b"v1")
+    cur = os.path.dirname(artifact_path(str(sf), "k"))
+    os.makedirs(os.path.join(cur, "k"))
+    stale = str(tmp_path / "arts" / "sfy-deadbeef")
+    os.makedirs(stale)
+    other = str(tmp_path / "arts" / "sfz-cafecafe")
+    os.makedirs(other)
+    pruned = prune_stale_artifacts(str(sf))
+    assert pruned == [stale]
+    assert os.path.isdir(cur) and os.path.isdir(other)
+    assert not os.path.isdir(stale)

@@ -2275,6 +2275,95 @@ _df(
 )
 
 
+def _x_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per source (pre-tokenizer pieces per
+    whitespace word, exact integer basis points): the standard
+    tokenizer-efficiency signal that drives mix decisions — a domain
+    whose text fragments into many pieces per word costs
+    proportionally more of the training token budget than its word
+    count suggests.  Pure aggregates over the two pinned tokenizations
+    (the RE2-safe BPE pre-tokenizer regex and the whitespace split);
+    integer DIV so the ratio hash-compares."""
+    from gather_datawarehouse_sync_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    agg = docs.groupBy("source").agg(
+        F.sum(bpe_token_count(F.col("text")).cast("bigint")).alias("pieces"),
+        F.sum(token_count(F.col("text")).cast("bigint")).alias("words"),
+    )
+    fert = F.when(
+        F.col("words") > 0,
+        (
+            (F.col("pieces") * 10000 - F.pmod(F.col("pieces") * 10000, F.col("words")))
+            / F.col("words")
+        ),
+    ).otherwise(0)
+    return agg.select(
+        "source", "pieces", "words", fert.cast("bigint").alias("fertility_bp")
+    ).orderBy("source")
+
+
+_df(
+    "x_fertility",
+    _x_fertility,
+    "WITH m AS (SELECT source, "
+    "CAST(len(regexp_extract_all(text, "
+    "'''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+')) AS BIGINT) "
+    "AS pieces, "
+    "CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), "
+    "x -> x <> '')) AS BIGINT) AS words FROM documents) "
+    "SELECT source, CAST(SUM(pieces) AS BIGINT) AS pieces, "
+    "CAST(SUM(words) AS BIGINT) AS words, "
+    "CAST(CASE WHEN SUM(words) > 0 THEN "
+    "(SUM(pieces) * 10000) // SUM(words) ELSE 0 END AS BIGINT) "
+    "AS fertility_bp FROM m GROUP BY source ORDER BY source",
+    ("documents",),
+    note="tokenizer fertility per source (pieces per word, integer bp) — "
+    "the token-budget planning signal; full oracle on the pinned regexes",
+)
+
+
+def _x_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document (distinct tokens / tokens, exact
+    integer basis points): the lexical-diversity quality rule next to
+    the duplicated-gram fraction (x_rep_frac) — low TTR flags
+    keyword-stuffed or template text.  Zero shuffle (scan-side
+    projection); BIGINT widening before the ×10000 per the bp
+    convention."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        tokens as _dedup_tokens,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = _dedup_tokens(F.col("text"))
+    total = F.size(toks).cast("bigint")
+    distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    ttr = F.when(
+        total > 0,
+        ((distinct * 10000 - F.pmod(distinct * 10000, total)) / total),
+    ).otherwise(0)
+    return docs.select(
+        "doc_id", ttr.cast("bigint").alias("ttr_bp")
+    ).orderBy("doc_id")
+
+
+_df(
+    "x_ttr",
+    _x_ttr,
+    "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents) "
+    "SELECT doc_id, CAST(CASE WHEN len(toks) > 0 THEN "
+    "(len(list_distinct(toks)) * 10000) // len(toks) ELSE 0 END AS BIGINT) "
+    "AS ttr_bp FROM t ORDER BY doc_id",
+    ("documents",),
+    note="type-token ratio per doc (lexical diversity, integer bp; "
+    "zero-shuffle projection); full oracle",
+)
+
+
 def _x_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-1 (FAISS-style inverted lists): the second ANN
     scale path next to hyperplane LSH.  Probing all cells equals brute
@@ -4059,7 +4148,7 @@ _df(
 # additions x_text_quality, x_doc_profile, x_rep_frac, x_dup_spans,
 # x_cut_spans, x_twotier_dedup, x_neg_samples, x_corpus_release,
 # x_quality_drift, x_hybrid_search, x_filtered_ann, x_spans_against,
-# x_tpch_q10.
+# x_tpch_q10, x_fertility, x_ttr.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
     "x_pretrain_mix",

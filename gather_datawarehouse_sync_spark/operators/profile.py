@@ -56,50 +56,52 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     return wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
 
 
-def distribution_drift(
-    ref: DataFrame,
+def score_histogram(
+    df: DataFrame,
+    score_col: str,
+    bin_width: int = 1000,
+    count_col: str = "ref_n",
+) -> DataFrame:
+    """Fixed-width integer histogram (bin, count) of ``score_col`` —
+    the persistable half of the drift gate: store the REFERENCE
+    corpus's histogram once per version (a few-row parquet artifact)
+    and every acceptance check joins against it instead of re-scanning
+    the reference."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    b = (F.col(score_col) - F.pmod(F.col(score_col), F.lit(bin_width))) / F.lit(
+        bin_width
+    )
+    return (
+        df.select(b.cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+
+
+def drift_against_profile(
+    profile_hist: DataFrame,
     new: DataFrame,
     score_col: str,
     bin_width: int = 1000,
 ) -> DataFrame:
-    """Binned distribution-drift report between two corpus versions —
-    the quality-monitoring gate a crawl pipeline runs before accepting
-    a new batch (a PSI-style check, kept in exact integers so it
-    hash-compares across engines; consumers needing the PSI scalar
-    apply ln() to the share columns, the one genuinely float step).
-
-    ``score_col`` must be an integer metric (e.g. quality basis points);
-    rows bin at ``bin_width`` (integer DIV — fixed bins, no quantile
-    pass, no global window).  Output: one row per bin present on either
-    side, with counts and per-side shares in basis points (integer DIV
-    of each side's total) plus the share delta.
-
-    Scale shape: one groupBy per side over (bin), a broadcast-sized
-    full-outer join of the two bin tables, and two scalar totals
-    carried via window-free cross-join of 1-row aggregates — the corpus
-    shuffles only the (bin, count) pairs.
-    """
+    """Drift report of ``new`` against a PRECOMPUTED reference
+    histogram (:func:`score_histogram` output, typically a persisted
+    per-corpus-version artifact): only the new side is scanned — the
+    incremental form :func:`distribution_drift` delegates to, and the
+    per-micro-batch shape the streaming monitor uses.  Output columns
+    and exact-integer share arithmetic identical to
+    :func:`distribution_drift`."""
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
-
-    def _bins(df: DataFrame, side: str) -> DataFrame:
-        b = (F.col(score_col) - F.pmod(F.col(score_col), F.lit(bin_width))) / F.lit(
-            bin_width
-        )
-        return (
-            df.select(b.cast("long").alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(f"{side}_n"))
-        )
-
-    r = _bins(ref, "ref")
-    n = _bins(new, "new")
+    n = score_histogram(new, score_col, bin_width, count_col="new_n")
     # lazy checkpoint: `joined` feeds BOTH the totals aggregate and the
     # output projection, and Spark does not share common subtrees
-    # across plan branches — without it both per-side scans and the
+    # across plan branches — without it both bin aggregations and the
     # full-outer join execute twice (the shuffle_order pattern)
     joined = (
-        r.join(n, "bin", "full_outer")
+        profile_hist.select("bin", "ref_n")
+        .join(n, "bin", "full_outer")
         .select(
             "bin",
             F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
@@ -122,4 +124,34 @@ def distribution_drift(
         share("ref_n", "__rt").alias("ref_share_bp"),
         share("new_n", "__nt").alias("new_share_bp"),
         (share("new_n", "__nt") - share("ref_n", "__rt")).alias("delta_bp"),
+    )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    new: DataFrame,
+    score_col: str,
+    bin_width: int = 1000,
+) -> DataFrame:
+    """Binned distribution-drift report between two corpus versions —
+    the quality-monitoring gate a crawl pipeline runs before accepting
+    a new batch (a PSI-style check, kept in exact integers so it
+    hash-compares across engines; consumers needing the PSI scalar
+    apply ln() to the share columns, the one genuinely float step).
+
+    ``score_col`` must be an integer metric (e.g. quality basis points);
+    rows bin at ``bin_width`` (integer DIV — fixed bins, no quantile
+    pass, no global window).  Output: one row per bin present on either
+    side, with counts and per-side shares in basis points (integer DIV
+    of each side's total) plus the share delta.
+
+    Scale shape: one groupBy per side over (bin), a broadcast-sized
+    full-outer join of the two bin tables, and two scalar totals
+    carried via window-free cross-join of 1-row aggregates — the corpus
+    shuffles only the (bin, count) pairs.  Delegates to
+    :func:`score_histogram` + :func:`drift_against_profile`, so the
+    incremental (stored-histogram) form is the SAME code path.
+    """
+    return drift_against_profile(
+        score_histogram(ref, score_col, bin_width), new, score_col, bin_width
     )

@@ -452,3 +452,66 @@ def test_incremental_dedup_stream_serves_stored_sketch(spark, tmp_path, sf_dir):
         map(tuple, minhash_dedup_against(new, ref, threshold=0.5).collect())
     )
     assert got == want and got, "expected non-empty verdicts"
+
+
+def test_quality_monitor_stream_matches_batch_drift(spark, tmp_path, sf_dir):
+    """Streaming drift monitor: per-batch reports against the stored
+    reference histogram equal the batch operator on the same files."""
+    from gather_datawarehouse_sync_spark.functions.text import quality_score_bp
+    from gather_datawarehouse_sync_spark.operators.profile import (
+        drift_against_profile,
+        score_histogram,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import cached_parquet
+    from gather_datawarehouse_sync_spark.streaming.monitor import (
+        start_quality_monitor,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    hist = cached_parquet(
+        spark,
+        str(tmp_path / "ref_hist"),
+        lambda: score_histogram(
+            ref.select(quality_score_bp(F.col("text")).alias("q")), "q", 500
+        ),
+    )
+
+    src = tmp_path / "mon_src"
+    new.coalesce(1).write.parquet(str(src / "p1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "drift_out")
+    q = start_quality_monitor(
+        stream,
+        hist,
+        quality_score_bp(F.col("text")),
+        out,
+        str(tmp_path / "ckpt_mon"),
+        bin_width=500,
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("bin", "ref_n", "new_n", "ref_share_bp", "new_share_bp", "delta_bp")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            drift_against_profile(
+                hist,
+                new.select(quality_score_bp(F.col("text")).alias("q")),
+                "q",
+                500,
+            ).collect(),
+        )
+    )
+    assert got == want and got, "expected non-empty drift report"

@@ -34,10 +34,13 @@ from gather_datawarehouse_sync_spark.operators.similarity import (  # noqa: F401
     cosine_pairs,
     cosine_pairs_lsh,
     hybrid_rrf_topk,
+    ivf_invert,
     ivf_topk,
     kmeans_centroids,
     lsh_topk,
+    pq_encode,
     pq_topk,
+    semantic_cells,
     semantic_dedup,
     train_pq_codebooks,
 )

@@ -945,6 +945,14 @@ def minhash_dedup_against(
         raise ValueError(
             "minhash_dedup_against: pass reference or reference_signatures"
         )
+    if reference is not None and reference_signatures is not None:
+        # a stale sketch silently shadowing a fresh reference table is
+        # the exact trap duplicate_spans_against rejects — fail loudly
+        # here too instead of quietly preferring one side
+        raise ValueError(
+            "minhash_dedup_against: pass reference OR reference_signatures, "
+            "not both (ambiguous which corpus version wins)"
+        )
     if reference_signatures is None:
         # ONE signature pass over new ∪ reference: the Arrow UDF pipeline
         # (worker spin-up, batch transfer, checkpoint materialization) is

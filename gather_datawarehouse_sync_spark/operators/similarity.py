@@ -295,15 +295,61 @@ def kmeans_centroids(
     return np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
 
 
+def _normalize_rows(C: np.ndarray) -> np.ndarray:
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
+def _cell_udf(Cn: np.ndarray):
+    """Vectorized nearest-centroid assignment (one matmul per Arrow
+    batch) against a broadcast-by-closure normalized centroid matrix."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Xn = _normalize_rows(X)
+        return pd.Series((Xn @ Cn.T).argmax(axis=1).astype("int32"))
+
+    return _cell
+
+
+def ivf_invert(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF **inverted lists** — the data half of the index that
+    :func:`kmeans_centroids` (the trained half) leaves to query time.
+
+    Returns (cell, ``id_col``, ``vec_col``): every corpus vector tagged
+    with its nearest-centroid cell, vectors kept at full precision
+    (IVF-flat, the FAISS `IndexIVFFlat` layout).  Persist this table once
+    per corpus version (``sources/artifacts.cached_parquet``, partitioned
+    by cell) and serve queries via ``ivf_topk(lists=...)``: the per-query
+    cost drops from a full-corpus assignment matmul to a parquet scan of
+    the ``nprobe`` probed cells — with cell as a partition column the
+    scan prunes to nprobe/nlist of the files, which is the entire point
+    of an inverted file at 100 TB.
+    """
+    Cn = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    cell = _cell_udf(Cn)
+    return spread(corpus).select(
+        cell(F.col(vec_col)).alias("cell"),
+        F.col(id_col),
+        F.col(vec_col),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     k: int = 1,
     nlist: int = 32,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second scale path next
     to :func:`lsh_topk`, mirroring FAISS's IVF-flat design.
@@ -325,9 +371,25 @@ def ivf_topk(
     :func:`brute_force_topk` exactly (asserted in tests); smaller
     ``nprobe`` trades recall for a 1/``nlist``-scale candidate set.
     Ties broken by minimum neighbor id, matching the exact tier.
+
+    **Serving path**: pass ``lists=`` a persisted :func:`ivf_invert`
+    table (cell, ``id_col``, ``vec_col``) to skip the per-query corpus
+    assignment pass entirely — the query plan is then (probe cells →
+    equi-join the stored lists → exact dot rank), and the corpus
+    argument is ignored (pass ``None``).  Identical results to the
+    recompute path by construction (assignment is deterministic;
+    parity-pinned in tests).
     """
+    if lists is None and corpus is None:
+        raise ValueError("ivf_topk: pass corpus or lists")
     if centroids is not None:
         C = np.asarray(centroids, dtype=np.float64)
+    elif lists is not None:
+        raise ValueError(
+            "ivf_topk: lists= requires centroids= (the stored lists were "
+            "assigned under a specific quantizer; probing with a "
+            "different one would silently miss cells)"
+        )
     else:
         cent_rows = (
             corpus.orderBy(id_col)
@@ -336,29 +398,31 @@ def ivf_topk(
             .collect()
         )
         C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cent_rows])
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    Cn = _normalize_rows(C)
     n_cells = len(C)
     n_probe = min(nprobe, n_cells)
-
-    @F.pandas_udf(T.IntegerType())
-    def _cell(vecs: pd.Series) -> pd.Series:
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        return pd.Series((Xn @ Cn.T).argmax(axis=1).astype("int32"))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _probe_cells(vecs: pd.Series) -> pd.Series:
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Xn = _normalize_rows(X)
         S = Xn @ Cn.T
         order = np.argsort(-S, axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
-    c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        _cell(F.col(vec_col)).alias("cell"),
-    )
+    if lists is not None:
+        c = lists.select(
+            F.col("cell"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+        )
+    else:
+        cell = _cell_udf(Cn)
+        c = spread(corpus).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            cell(F.col(vec_col)).alias("cell"),
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -502,9 +566,48 @@ def train_pq_codebooks(
     return books
 
 
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus to its PQ **code table** — the data half of the
+    PQ index (the codebooks are the trained half).
+
+    Returns (``id_col``, codes array<int>): each vector reduced to
+    ``num_subspaces`` nearest-centroid codes, M bytes of index per
+    vector instead of dim floats.  Persist this once per corpus version
+    (``sources/artifacts.cached_parquet``) and serve queries via
+    ``pq_topk(codes=...)``: the per-query cost drops from a full-corpus
+    encode matmul (32 subspaces × every vector, the pass PQ exists to
+    avoid) to a scan of the compact code table.  Encoding is
+    deterministic given the codebooks, so stored ≡ recomputed codes
+    bit-for-bit (parity-pinned in tests).
+    """
+    B = np.asarray(codebooks, dtype=np.float64)
+    M, K, dsub = B.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((len(X), M), dtype=np.int32)
+        for m in range(M):
+            S = X[:, m * dsub : (m + 1) * dsub]
+            # same matmul trick as the trainer: no (B × K × dsub) temp
+            d = (B[m] ** 2).sum(1)[None, :] - 2.0 * (S @ B[m].T)
+            codes[:, m] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    _encode = _encode.asNondeterministic()
+    return spread(corpus).select(
+        F.col(id_col), _encode(F.col(vec_col)).alias("codes")
+    )
+
+
 def pq_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     k: int = 1,
     num_subspaces: int = 8,
     num_centroids: int = 16,
@@ -513,6 +616,7 @@ def pq_topk(
     codebooks: np.ndarray | None = None,
     seed: int = 42,
     broadcast_queries_max: int = 100_000,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k: the memory-compression ANN tier next to
     :func:`ivf_topk` (candidate pruning) and :func:`lsh_topk` (bucket
@@ -537,7 +641,23 @@ def pq_topk(
     per-query top-k, so shuffle volume is |queries|·k per batch, never
     |queries|·|corpus|.  Ties break to min neighbor id, matching the
     exact tier.
+
+    **Serving path**: pass ``codes=`` a persisted :func:`pq_encode`
+    table (``id_col``, codes) to skip the per-query corpus encode pass
+    — the query then never touches a full-precision corpus vector at
+    all, which is the deployment PQ was invented for; ``codebooks=`` is
+    required alongside (the ADC tables come from them) and ``corpus``
+    is ignored (pass ``None``).  The stored codes' width is probed on
+    one row and must equal ``num_subspaces`` — a code table built under
+    different codebooks would silently score garbage.
     """
+    if codes is None and corpus is None:
+        raise ValueError("pq_topk: pass corpus or codes")
+    if codes is not None and codebooks is None:
+        raise ValueError(
+            "pq_topk: codes= requires codebooks= (ADC lookup tables are "
+            "built from the codebooks the codes were encoded under)"
+        )
     # queries first: an empty query side must return empty (matching
     # brute_force_topk) BEFORE any codebook training runs — training on
     # a small corpus can legitimately raise, and a driver-side k-means
@@ -565,24 +685,23 @@ def pq_topk(
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     # per-query ADC tables: adc[q, m, j] = <q_m, c_{m,j}>
     adc = np.einsum("qmd,mjd->qmj", Q.reshape(len(Q), M, dsub), B)
-    sc = corpus.sparkSession.sparkContext
+    sc = queries.sparkSession.sparkContext
     bc = sc.broadcast((qids, adc))
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def _encode(vecs: pd.Series) -> pd.Series:
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        codes = np.empty((len(X), M), dtype=np.int32)
-        for m in range(M):
-            S = X[:, m * dsub : (m + 1) * dsub]
-            # same matmul trick as the trainer: no (B × K × dsub) temp
-            d = (B[m] ** 2).sum(1)[None, :] - 2.0 * (S @ B[m].T)
-            codes[:, m] = d.argmin(axis=1)
-        return pd.Series(list(codes))
-
-    _encode = _encode.asNondeterministic()
-    encoded = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), _encode(F.col(vec_col)).alias("codes")
-    )
+    if codes is not None:
+        probe = (
+            codes.select(F.size("codes").alias("m")).limit(1).collect()
+        )
+        if probe and probe[0]["m"] != M:
+            raise ValueError(
+                f"pq_topk: stored codes have {probe[0]['m']} subspaces, "
+                f"codebooks have {M} — mismatched index artifacts"
+            )
+        encoded = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    else:
+        encoded = pq_encode(corpus, B, id_col, vec_col).withColumnRenamed(
+            id_col, "neighbor_id"
+        )
 
     def _score(batches):
         ids, tables = bc.value
@@ -625,6 +744,40 @@ def pq_topk(
     )
 
 
+def _assign_spherical_cells(nv: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(id, v, cell) for already-unit-norm ``nv`` rows: argmax dot
+    against the normalized centroid matrix — the ONE assignment kernel
+    :func:`semantic_dedup` and :func:`semantic_cells` both use, so the
+    persisted membership cannot drift from the recompute path."""
+    Cn = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series((X @ Cn.T).argmax(axis=1).astype("int32"))
+
+    return spread(nv).select("id", "v", _cell(F.col("v")).alias("cell"))
+
+
+def semantic_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the (id, cell) membership table — the persistable data half
+    of :func:`semantic_dedup` (the spherical quantizer is the trained
+    half).  Cache it once per corpus version
+    (``sources/artifacts.cached_parquet``) and pass it back via
+    ``semantic_dedup(cells=...)``: every subsequent dedup pass skips the
+    assignment matmul and goes straight to the per-cell keep scan.
+    Assignment is the same kernel the recompute path runs (shared
+    helper), so stored ≡ recomputed verdicts exactly."""
+    return _assign_spherical_cells(
+        normalized(df, id_col, vec_col), centroids
+    ).select("id", "cell")
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
@@ -634,6 +787,7 @@ def semantic_dedup(
     centroids: np.ndarray | None = None,
     seed: int = 42,
     max_iter: int = 10,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embedding space, then within
@@ -658,6 +812,13 @@ def semantic_dedup(
     ``nlist`` (≥ corpus/10⁴) cells are k ≈ 10⁴ rows and one numpy
     k×k matmul per cell is the fast path.
 
+    **Serving path**: pass ``cells=`` a persisted (id, cell) membership
+    table (built once per corpus version from this function's own
+    output, or any assignment) to skip the per-call quantizer training
+    AND the per-call assignment matmul — membership joins in by id and
+    the only remaining work is the per-cell keep scan.  Stored ≡
+    recomputed verdicts by determinism (parity-pinned in tests).
+
     Returns (id, cell, keep) for every non-zero vector.
     """
     thr = float(threshold)
@@ -666,7 +827,12 @@ def semantic_dedup(
     # it the scan+normalize pipeline re-runs per consumer and Spark ML
     # warns about uncached input
     nv = normalized(df, id_col, vec_col).localCheckpoint(eager=True)
-    if centroids is None and nlist == 1:
+    if cells is not None:
+        assigned = spread(nv).join(
+            cells.select("id", F.col("cell").cast("int").alias("cell")),
+            "id",
+        )
+    elif centroids is None and nlist == 1:
         # one cell = no prune (the brute-force oracle configuration;
         # Spark ML's KMeans rejects k=1, and no quantizer is needed)
         assigned = spread(nv).select(
@@ -682,14 +848,7 @@ def semantic_dedup(
             C = kmeans_centroids(
                 nv, nlist, vec_col="v", seed=seed, max_iter=max_iter
             )
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-
-        @F.pandas_udf(T.IntegerType())
-        def _cell(vecs: pd.Series) -> pd.Series:
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            return pd.Series((X @ Cn.T).argmax(axis=1).astype("int32"))
-
-        assigned = spread(nv).select("id", "v", _cell(F.col("v")).alias("cell"))
+        assigned = _assign_spherical_cells(nv, C)
 
     def _keep(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)

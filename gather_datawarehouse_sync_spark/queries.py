@@ -2369,20 +2369,25 @@ def _x_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path next to hyperplane LSH.  Probing all cells equals brute
     force exactly (asserted in tests); here nprobe=4 of nlist=16.
 
-    Queries run against a PERSISTED coarse quantizer: the k-means
-    training pass happens once per corpus version, the centroid matrix
-    is stored as parquet, and every query load is a bounded (nlist-row)
-    read — the index-serving pattern a real 100 TB retrieval stack uses
-    (training is the expensive pass; queries are many).  Reload ≡
-    retrain top-k parity is pinned in tests/test_operators.py."""
+    Queries run against a FULLY PERSISTED index — both halves: the
+    trained half (k-means centroid matrix, bounded nlist-row load) and
+    the DATA half (the inverted lists themselves, an ``ivf_invert``
+    (cell, id, vector) table cached as parquet).  Training and corpus
+    assignment each happen once per corpus version; a query's plan is
+    probe-cells → equi-join the stored lists → exact dot rank — it
+    never runs the full-corpus assignment matmul, which is the pass an
+    inverted file exists to avoid at 100 TB.  Stored-lists ≡ recompute
+    top-k parity is pinned in tests/test_operators.py."""
     import os
 
     from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
         ivf_topk,
         kmeans_centroids,
     )
     from gather_datawarehouse_sync_spark.sources.artifacts import (
         artifact_path,
+        cached_parquet,
         load_ivf_centroids,
         save_ivf_centroids,
     )
@@ -2395,10 +2400,15 @@ def _x_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         save_ivf_centroids(spark, kmeans_centroids(emb, nlist=16), idx)
     C = load_ivf_centroids(spark, idx)
+    lists = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "ivf_lists_n16_seed42_v1"),
+        lambda: ivf_invert(emb, C),
+    )
     return (
         ivf_topk(
-            emb.filter(F.col("vec_id") < 10), emb, k=1, nlist=16, nprobe=4,
-            centroids=C,
+            emb.filter(F.col("vec_id") < 10), None, k=1, nlist=16, nprobe=4,
+            centroids=C, lists=lists,
         )
         .select("query_id", "neighbor_id")
         .orderBy("query_id")
@@ -2410,8 +2420,9 @@ _df(
     _x_ivf_ann,
     None,
     ("embeddings",),
-    note="IVF approximate top-1 (probe-subset recall → rows-only check; "
-    "full-probe==brute-force equality asserted in tests)",
+    note="IVF approximate top-1 served from PERSISTED inverted lists "
+    "(probe-subset recall → rows-only check; full-probe==brute-force "
+    "equality and stored-lists==recompute parity asserted in tests)",
 )
 
 
@@ -3975,18 +3986,24 @@ def _x_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample-specific → rows-only; ADC==exact-dot when subvectors coincide
     with centroids is pinned in tests/test_classify.py.
 
-    Queries run against PERSISTED codebooks (train once per corpus
-    version, store as parquet, every query loads M·K rows) — the same
-    stored-index contract as x_ivf_ann; reload ≡ retrain parity is
-    pinned in tests/test_operators.py."""
+    Queries run against a FULLY PERSISTED index — both halves: the
+    trained half (codebooks, M·K-row load) and the DATA half (the
+    ``pq_encode`` (id, codes) table, cached as parquet — 32 bytes of
+    index per vector).  A query's plan reads ONLY the compact code
+    table: no full-precision corpus vector is touched and no per-call
+    encode pass runs, which is the deployment PQ was invented for.
+    Stored-codes ≡ recompute parity is pinned in
+    tests/test_operators.py."""
     import os
 
     from gather_datawarehouse_sync_spark.operators.similarity import (
+        pq_encode,
         pq_topk,
         train_pq_codebooks,
     )
     from gather_datawarehouse_sync_spark.sources.artifacts import (
         artifact_path,
+        cached_parquet,
         load_pq_codebooks,
         save_pq_codebooks,
     )
@@ -4005,10 +4022,15 @@ def _x_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx,
         )
     B = load_pq_codebooks(spark, idx)
+    codes = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "pq_codes_m32_k64_seed42_v1"),
+        lambda: pq_encode(emb, B),
+    )
     return (
         pq_topk(
-            emb.filter(F.col("vec_id") < 10), emb, k=1,
-            num_subspaces=32, num_centroids=64, codebooks=B,
+            emb.filter(F.col("vec_id") < 10), None, k=1,
+            num_subspaces=32, num_centroids=64, codebooks=B, codes=codes,
         )
         .select("query_id", "neighbor_id")
         .orderBy("query_id")
@@ -4020,8 +4042,9 @@ _df(
     _x_pq_ann,
     None,
     ("embeddings",),
-    note="PQ-ADC approximate top-1 (trained codebooks engine-specific → "
-    "rows-only; ADC exactness on codebook-aligned corpora tested)",
+    note="PQ-ADC approximate top-1 served from the PERSISTED code table "
+    "(trained codebooks engine-specific → rows-only; ADC exactness on "
+    "codebook-aligned corpora and stored-codes==recompute parity tested)",
 )
 
 
@@ -4081,10 +4104,12 @@ def _x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gather_datawarehouse_sync_spark.operators.similarity import (
         kmeans_centroids,
         normalized,
+        semantic_cells,
         semantic_dedup,
     )
     from gather_datawarehouse_sync_spark.sources.artifacts import (
         artifact_path,
+        cached_parquet,
         load_ivf_centroids,
         save_ivf_centroids,
     )
@@ -4093,10 +4118,11 @@ def _x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_iter=5 halves the trainer's per-iteration jobs; cluster
     # boundaries (and so a handful of verdicts) differ from max_iter=10
     # — both are valid SemDeDup configurations, and the run is
-    # deterministic at any fixed iteration count.  The spherical
-    # quantizer (k-means over unit-norm vectors, the operator's internal
-    # layout) persists like every other trained index: train once per
-    # corpus version, serve every dedup pass from the stored matrix.
+    # deterministic at any fixed iteration count.  Both index halves
+    # persist: the spherical quantizer (k-means over unit-norm vectors)
+    # as the trained half, and the (id, cell) membership table as the
+    # data half — per-dedup-pass work is then just the per-cell keep
+    # scan, no assignment matmul.
     idx = artifact_path(sf_dir, "semdedup_centroids_n4_seed42_it5_v1")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         save_ivf_centroids(
@@ -4105,8 +4131,13 @@ def _x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx,
         )
     C = load_ivf_centroids(spark, idx)
+    cells = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "semdedup_cells_n4_seed42_it5_v1"),
+        lambda: semantic_cells(emb, C),
+    )
     return (
-        semantic_dedup(emb, threshold=0.45, nlist=4, centroids=C)
+        semantic_dedup(emb, threshold=0.45, nlist=4, centroids=C, cells=cells)
         .select("id", "keep")
         .orderBy("id")
     )
@@ -4117,9 +4148,10 @@ _df(
     _x_semantic_dedup,
     None,
     ("embeddings",),
-    note="SemDeDup (k-means cells + within-cell cosine keep-first) — "
-    "trained quantizer is engine-specific → rows-only; brute-force "
-    "parity at nlist=1 tested",
+    note="SemDeDup (k-means cells + within-cell cosine keep-first) served "
+    "from the PERSISTED (id, cell) membership — trained quantizer is "
+    "engine-specific → rows-only; brute-force parity at nlist=1 and "
+    "stored-cells==recompute parity tested",
 )
 
 
@@ -4139,24 +4171,26 @@ _df(
 # driver-green in CORRECTNESS_r05); round 6 swaps in the six late-round-5
 # flagships — the 5-stage pretrain mix, the fastText-style classifier
 # gate, Misra-Gries heavy hitters, mergeable-agg maintenance, token-budget
-# assembly, and the stride-scheduled training mix.  Rotated-out queries
-# stay green in the local sf0.01 oracle suite (tests/test_queries_oracle.py
-# covers every registered query, in- or out-of-window).
-# Round-7 rotation candidates (oracled, no driver evidence yet):
+# assembly, and the stride-scheduled training mix (all driver-green in
+# CORRECTNESS_r06); round 7 swaps in the six round-6 flagships — substring
+# span detect / cut / incremental, the 5-stage corpus-release capstone,
+# hybrid RRF retrieval, and the distribution-drift gate.  Rotated-out
+# queries stay green in the local sf0.01 oracle suite
+# (tests/test_queries_oracle.py covers every registered query, in- or
+# out-of-window).
+# Round-8 rotation candidates (oracled, no driver evidence yet):
 # x_self_dedup, x_json_struct, x_path_categories, x_one_to_one,
-# x_reconcile, x_embed_centroid, x_dq_profile, and the round-6
-# additions x_text_quality, x_doc_profile, x_rep_frac, x_dup_spans,
-# x_cut_spans, x_twotier_dedup, x_neg_samples, x_corpus_release,
-# x_quality_drift, x_hybrid_search, x_filtered_ann, x_spans_against,
-# x_tpch_q10, x_fertility, x_ttr.
+# x_reconcile, x_embed_centroid, x_dq_profile, x_text_quality,
+# x_doc_profile, x_rep_frac, x_twotier_dedup, x_neg_samples,
+# x_filtered_ann, x_tpch_q10, x_fertility, x_ttr.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    "x_pretrain_mix",
-    "x_classifier_gate",
-    "x_mg_heavy",
-    "x_agg_merge",
-    "x_token_budget",
-    "x_mix_order",
+    "x_dup_spans",
+    "x_cut_spans",
+    "x_spans_against",
+    "x_corpus_release",
+    "x_hybrid_search",
+    "x_quality_drift",
 )
 
 

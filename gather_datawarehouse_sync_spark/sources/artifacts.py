@@ -69,11 +69,24 @@ def artifact_path(sf_dir: str, key: str) -> str:
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
     h = hashlib.md5()
+    n = 0
     try:
+        # walk one level into directory-style parquet tables too: a table
+        # rewritten in place (same top-level dir name) must change the
+        # fingerprint; nanosecond mtimes so a regenerate-within-the-same-
+        # second (same sizes) still misses the cache
         for name in sorted(os.listdir(sf_dir)):
-            if name.endswith(".parquet"):
-                st = os.stat(os.path.join(sf_dir, name))
-                h.update(f"{name}:{st.st_size}:{int(st.st_mtime)};".encode())
+            full = os.path.join(sf_dir, name)
+            if name.endswith(".parquet") and os.path.isfile(full):
+                st = os.stat(full)
+                h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+                n += 1
+            elif name.endswith(".parquet") and os.path.isdir(full):
+                for part in sorted(os.listdir(full)):
+                    st = os.stat(os.path.join(full, part))
+                    h.update(f"{name}/{part}:{st.st_size}:{st.st_mtime_ns};".encode())
+                    n += 1
+        h.update(f"#files={n}".encode())
     except OSError:
         pass  # non-local sf_dir (e.g. object store): fall back to tag-only
     return os.path.join(artifact_root(), f"{sf_tag}-{h.hexdigest()[:8]}", key)
@@ -96,22 +109,35 @@ def cached_parquet(
     dropped.
     """
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        global _BUILD_SEQ
-        _BUILD_SEQ += 1
-        tmp = f"{path}.__building__{os.getpid()}_{_BUILD_SEQ}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        build().write.mode("overwrite").parquet(tmp)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            shutil.rmtree(path, ignore_errors=True)
-            try:
-                os.replace(tmp, path)
-            except OSError:
-                if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                    raise
-                shutil.rmtree(tmp, ignore_errors=True)
-        else:  # a racing builder finished first — serve its artifact
-            shutil.rmtree(tmp, ignore_errors=True)
+        _install_atomic(build(), path)
     return spark.read.parquet(path)
+
+
+def _install_atomic(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Write ``df`` to a PER-BUILDER staging dir (pid + counter — two
+    racing builders never share one, so neither can install the other's
+    half-written files) and atomically rename into ``path``.  If the
+    rename loses a race to a completed sibling build, the sibling's
+    artifact is served (identical by determinism) and ours is dropped.
+    Every artifact writer routes through here — a direct
+    ``mode("overwrite")`` to the final path would expose a torn artifact
+    under a stale ``_SUCCESS`` to concurrent readers."""
+    global _BUILD_SEQ
+    _BUILD_SEQ += 1
+    tmp = f"{path}.__building__{os.getpid()}_{_BUILD_SEQ}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = (df.coalesce(1) if single_file else df).write.mode("overwrite")
+    writer.parquet(tmp)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:  # a racing builder finished first — serve its artifact
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -128,7 +154,7 @@ def save_ivf_centroids(spark: SparkSession, centroids: np.ndarray, path: str) ->
     df = spark.createDataFrame(rows, "cell int, centroid array<double>")
     # one file: the quantizer is nlist×dim doubles (KBs), and a single
     # footer keeps the load a one-task scan
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    _install_atomic(df, path, single_file=True)
 
 
 def load_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
@@ -161,7 +187,7 @@ def save_pq_codebooks(spark: SparkSession, books: np.ndarray, path: str) -> None
         for j in range(B.shape[1])
     ]
     df = spark.createDataFrame(rows, "subspace int, code int, centroid array<double>")
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    _install_atomic(df, path, single_file=True)
 
 
 def load_pq_codebooks(spark: SparkSession, path: str) -> np.ndarray:
@@ -200,7 +226,7 @@ def save_bpe_merges(
     the whole corpus differently)."""
     rows = [(i + 1, l, r, int(c)) for i, (l, r, c) in enumerate(merges)]
     df = spark.createDataFrame(rows, "rank int, left string, right string, cnt long")
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    _install_atomic(df, path, single_file=True)
 
 
 def load_bpe_merges(spark: SparkSession, path: str) -> list[tuple[str, str, int]]:

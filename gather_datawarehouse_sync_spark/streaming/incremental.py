@@ -67,6 +67,14 @@ def start_incremental_dedup(
     job per micro-batch for a property that cannot change mid-run."""
     sink = epoch_parquet_sink(out_path)
 
+    if reference is not None and reference_signatures is not None:
+        # fail at stream START, not inside the first micro-batch (the
+        # batch operator raises the same error per batch — surfacing it
+        # here gives the caller a stack that points at the stream setup)
+        raise ValueError(
+            "start_incremental_dedup: pass reference OR "
+            "reference_signatures, not both"
+        )
     if reference_signatures is not None:
         probe = (
             reference_signatures.filter(

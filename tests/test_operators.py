@@ -2076,6 +2076,132 @@ def test_pq_codebooks_roundtrip_identical_topk(spark, sf_dir, tmp_path):
     assert got_mem == got_disk and got_mem
 
 
+def test_ivf_stored_lists_identical_topk(spark, sf_dir, tmp_path):
+    """Data-half contract: IVF served from persisted inverted lists
+    (cell, id, vector) returns exactly the recompute path's top-k —
+    assignment is deterministic, and parquet round-trips the float64
+    vectors bit-for-bit.  Also pins the guard rails: lists without
+    centroids, and neither corpus nor lists, both fail loudly."""
+    import pytest
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    C = kmeans_centroids(emb, nlist=4)
+    path = str(tmp_path / "ivf_lists")
+    ivf_invert(emb, C).write.partitionBy("cell").parquet(path)
+    lists = spark.read.parquet(path)
+    q = emb.filter(F.col("vec_id") < 5)
+    recompute = sorted(
+        map(tuple, ivf_topk(q, emb, k=2, nlist=4, nprobe=2, centroids=C).collect())
+    )
+    stored = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                q, None, k=2, nlist=4, nprobe=2, centroids=C, lists=lists
+            ).collect(),
+        )
+    )
+    assert stored == recompute and stored
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_topk(q, None, lists=lists)
+    with pytest.raises(ValueError, match="corpus or lists"):
+        ivf_topk(q, None, centroids=C)
+
+
+def test_pq_stored_codes_identical_topk(spark, sf_dir, tmp_path):
+    """Data-half contract for PQ: serving from the persisted (id, codes)
+    table returns exactly the recompute path's top-k, and a code table
+    whose width disagrees with the codebooks is rejected at entry."""
+    import pytest
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    B = train_pq_codebooks(
+        emb, num_subspaces=8, num_centroids=8, order_col="vec_id"
+    )
+    path = str(tmp_path / "pq_codes")
+    pq_encode(emb, B).write.parquet(path)
+    codes = spark.read.parquet(path)
+    q = emb.filter(F.col("vec_id") < 5)
+    recompute = sorted(
+        map(
+            tuple,
+            pq_topk(
+                q, emb, k=2, num_subspaces=8, num_centroids=8, codebooks=B
+            ).collect(),
+        )
+    )
+    stored = sorted(
+        map(
+            tuple,
+            pq_topk(
+                q, None, k=2, num_subspaces=8, num_centroids=8,
+                codebooks=B, codes=codes,
+            ).collect(),
+        )
+    )
+    assert stored == recompute and stored
+    with pytest.raises(ValueError, match="codebooks"):
+        pq_topk(q, None, codes=codes)
+    with pytest.raises(ValueError, match="corpus or codes"):
+        pq_topk(q, None, codebooks=B)
+    B4 = train_pq_codebooks(
+        emb, num_subspaces=4, num_centroids=8, order_col="vec_id"
+    )
+    with pytest.raises(ValueError, match="subspaces"):
+        pq_topk(q, None, num_subspaces=4, codebooks=B4, codes=codes).collect()
+
+
+def test_semantic_dedup_stored_cells_identical(spark, sf_dir, tmp_path):
+    """Data-half contract for SemDeDup: verdicts served from the
+    persisted (id, cell) membership equal the recompute path's exactly
+    (shared assignment kernel, deterministic keep rule)."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        kmeans_centroids,
+        normalized,
+        semantic_cells,
+        semantic_dedup,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    C = kmeans_centroids(normalized(emb), 4, vec_col="v", max_iter=5)
+    path = str(tmp_path / "semdedup_cells")
+    semantic_cells(emb, C).write.parquet(path)
+    cells = spark.read.parquet(path)
+    recompute = sorted(
+        map(tuple, semantic_dedup(emb, threshold=0.45, centroids=C).collect())
+    )
+    stored = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                emb, threshold=0.45, centroids=C, cells=cells
+            ).collect(),
+        )
+    )
+    assert stored == recompute and stored
+
+
 def test_train_pq_codebooks_partition_invariant(spark, sf_dir):
     """The training sample is ordered before the limit, so codebooks are
     identical across partition layouts — the determinism the stored

@@ -428,6 +428,14 @@ def ivf_topk(
         F.col(vec_col).alias("__qv"),
         F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
     )
+    if lists is not None:
+        # serving path: the query batch is small by assumption (that is
+        # what "serving" means); broadcasting it makes the lists side
+        # the streamed side of a BroadcastHashJoin, which lets dynamic
+        # partition pruning push the probed cell set into the stored
+        # lists' PartitionFilters — the scan then reads only the
+        # nprobe/nlist probed partitions (plan-pinned in tests).
+        q = F.broadcast(q)
     cand = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

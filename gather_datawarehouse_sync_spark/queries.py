@@ -2400,10 +2400,16 @@ def _x_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         save_ivf_centroids(spark, kmeans_centroids(emb, nlist=16), idx)
     C = load_ivf_centroids(spark, idx)
+    # partition_by=("cell",): the serving join probes nprobe of nlist
+    # cells, and with cell as a hive partition column the parquet scan
+    # PRUNES to those directories (DPP from the broadcast probe side) —
+    # at 100 TB this pruning is the entire point of an inverted file.
+    # v2: layout changed from unpartitioned v1.
     lists = cached_parquet(
         spark,
-        artifact_path(sf_dir, "ivf_lists_n16_seed42_v1"),
+        artifact_path(sf_dir, "ivf_lists_n16_seed42_v2"),
         lambda: ivf_invert(emb, C),
+        partition_by=("cell",),
     )
     return (
         ivf_topk(

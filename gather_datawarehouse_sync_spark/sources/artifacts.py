@@ -71,21 +71,32 @@ def artifact_path(sf_dir: str, key: str) -> str:
     h = hashlib.md5()
     n = 0
     try:
-        # walk one level into directory-style parquet tables too: a table
-        # rewritten in place (same top-level dir name) must change the
-        # fingerprint; nanosecond mtimes so a regenerate-within-the-same-
-        # second (same sizes) still misses the cache
+        # recurse into directory-style parquet tables (including
+        # PARTITIONED layouts like cell=0/part-*.parquet): only LEAF
+        # FILE stats are hashed — a subdirectory's own mtime is useless
+        # (rewriting a file in place does not touch the parent dir's
+        # mtime), so hashing it could serve a stale artifact for a
+        # regenerated partitioned source.  Nanosecond mtimes so a
+        # regenerate-within-the-same-second (same sizes) still misses.
         for name in sorted(os.listdir(sf_dir)):
             full = os.path.join(sf_dir, name)
-            if name.endswith(".parquet") and os.path.isfile(full):
+            if not name.endswith(".parquet"):
+                continue
+            if os.path.isfile(full):
                 st = os.stat(full)
                 h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
                 n += 1
-            elif name.endswith(".parquet") and os.path.isdir(full):
-                for part in sorted(os.listdir(full)):
-                    st = os.stat(os.path.join(full, part))
-                    h.update(f"{name}/{part}:{st.st_size}:{st.st_mtime_ns};".encode())
-                    n += 1
+            elif os.path.isdir(full):
+                for dirpath, dirnames, filenames in os.walk(full):
+                    dirnames.sort()
+                    rel_dir = os.path.relpath(dirpath, sf_dir)
+                    for part in sorted(filenames):
+                        st = os.stat(os.path.join(dirpath, part))
+                        h.update(
+                            f"{rel_dir}/{part}:{st.st_size}:"
+                            f"{st.st_mtime_ns};".encode()
+                        )
+                        n += 1
         h.update(f"#files={n}".encode())
     except OSError:
         pass  # non-local sf_dir (e.g. object store): fall back to tag-only
@@ -93,11 +104,22 @@ def artifact_path(sf_dir: str, key: str) -> str:
 
 
 def cached_parquet(
-    spark: SparkSession, path: str, build: Callable[[], DataFrame]
+    spark: SparkSession,
+    path: str,
+    build: Callable[[], DataFrame],
+    partition_by: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Persist-once parquet cache: ``build()`` runs only if ``path`` has
     no complete artifact; afterwards every caller gets a plain parquet
     scan (predicate pushdown, column pruning, zero recompute).
+
+    ``partition_by`` lays the artifact out hive-partitioned on those
+    columns — pass it when the serving read path filters/joins on them
+    (e.g. IVF inverted lists partitioned by ``cell``: a probe query's
+    scan then prunes to nprobe/nlist of the files instead of reading
+    the corpus-sized table).  At 100 TB the partition layout IS the
+    index; an unpartitioned lists table degenerates every query to a
+    full-corpus scan.
 
     Completeness is the parquet ``_SUCCESS`` marker; the build writes to
     a PER-BUILDER temp dir (pid + counter — two racing builders never
@@ -109,25 +131,55 @@ def cached_parquet(
     dropped.
     """
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _install_atomic(build(), path)
+        _install_atomic(build(), path, partition_by=partition_by)
     return spark.read.parquet(path)
 
 
-def _install_atomic(df: DataFrame, path: str, single_file: bool = False) -> None:
+def _install_atomic(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    partition_by: tuple[str, ...] | None = None,
+    overwrite: bool = False,
+) -> None:
     """Write ``df`` to a PER-BUILDER staging dir (pid + counter — two
     racing builders never share one, so neither can install the other's
-    half-written files) and atomically rename into ``path``.  If the
-    rename loses a race to a completed sibling build, the sibling's
-    artifact is served (identical by determinism) and ours is dropped.
-    Every artifact writer routes through here — a direct
-    ``mode("overwrite")`` to the final path would expose a torn artifact
-    under a stale ``_SUCCESS`` to concurrent readers."""
+    half-written files) and atomically rename into ``path``.
+
+    Default semantics are WRITE-IF-ABSENT: if the rename loses a race to
+    a completed sibling build, the sibling's artifact is served
+    (identical by determinism — the :func:`cached_parquet` contract) and
+    ours is dropped.  ``overwrite=True`` is for explicit ``save_*``
+    calls (a RETRAINED index saved to the same path must replace the old
+    artifact, not be silently discarded in its favor): the existing
+    artifact is removed and the fresh one installed unconditionally.
+
+    ``partition_by`` hive-partitions the artifact on those columns (the
+    ``_SUCCESS`` marker still lands at the top level, so completeness
+    detection is unchanged).  Every artifact writer routes through here
+    — a direct ``mode("overwrite")`` to the final path would expose a
+    torn artifact under a stale ``_SUCCESS`` to concurrent readers."""
     global _BUILD_SEQ
     _BUILD_SEQ += 1
     tmp = f"{path}.__building__{os.getpid()}_{_BUILD_SEQ}"
     shutil.rmtree(tmp, ignore_errors=True)
     writer = (df.coalesce(1) if single_file else df).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    if overwrite:
+        # explicit save of (re)trained data: the fresh artifact wins.
+        # Retry the rmtree+replace once — a reader racing us cannot see
+        # a torn state (os.replace is atomic), only old-then-new.
+        for attempt in (0, 1):
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.replace(tmp, path)
+                return
+            except OSError:
+                if attempt:
+                    raise
+        return
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         shutil.rmtree(path, ignore_errors=True)
         try:
@@ -153,8 +205,9 @@ def save_ivf_centroids(spark: SparkSession, centroids: np.ndarray, path: str) ->
     rows = [(int(i), [float(v) for v in C[i]]) for i in range(C.shape[0])]
     df = spark.createDataFrame(rows, "cell int, centroid array<double>")
     # one file: the quantizer is nlist×dim doubles (KBs), and a single
-    # footer keeps the load a one-task scan
-    _install_atomic(df, path, single_file=True)
+    # footer keeps the load a one-task scan.  overwrite: an explicit
+    # save of a retrained quantizer must replace the stored one.
+    _install_atomic(df, path, single_file=True, overwrite=True)
 
 
 def load_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
@@ -187,7 +240,8 @@ def save_pq_codebooks(spark: SparkSession, books: np.ndarray, path: str) -> None
         for j in range(B.shape[1])
     ]
     df = spark.createDataFrame(rows, "subspace int, code int, centroid array<double>")
-    _install_atomic(df, path, single_file=True)
+    # overwrite: retrained codebooks replace the stored artifact
+    _install_atomic(df, path, single_file=True, overwrite=True)
 
 
 def load_pq_codebooks(spark: SparkSession, path: str) -> np.ndarray:
@@ -226,7 +280,8 @@ def save_bpe_merges(
     the whole corpus differently)."""
     rows = [(i + 1, l, r, int(c)) for i, (l, r, c) in enumerate(merges)]
     df = spark.createDataFrame(rows, "rank int, left string, right string, cnt long")
-    _install_atomic(df, path, single_file=True)
+    # overwrite: a retrained merge table replaces the stored tokenizer
+    _install_atomic(df, path, single_file=True, overwrite=True)
 
 
 def load_bpe_merges(spark: SparkSession, path: str) -> list[tuple[str, str, int]]:
@@ -242,13 +297,17 @@ def load_bpe_merges(spark: SparkSession, path: str) -> list[tuple[str, str, int]
 
 
 def prune_stale_artifacts(sf_dir: str) -> list[str]:
-    """Delete artifact directories for OLD fingerprints of ``sf_dir``:
-    when a corpus is regenerated, its artifact path changes (the
-    fingerprint in :func:`artifact_path`), and the previous
-    fingerprint's directory becomes unreachable dead weight.  Explicit
-    call, not automatic — a path helper that deletes as a side effect
-    would be a trap; run it from the same maintenance job that rebuilds
-    artifacts after a corpus version bump.
+    """Delete artifact directories for OLD fingerprints of ``sf_dir``
+    AND orphaned ``__building__`` staging dirs: when a corpus is
+    regenerated, its artifact path changes (the fingerprint in
+    :func:`artifact_path`) and the previous fingerprint's directory
+    becomes unreachable dead weight; a killed build leaves a
+    ``<artifact>.__building__<pid>_<n>`` staging dir behind — never
+    readable (no install ever references it) but corpus-sized for
+    lists/codes artifacts, so it must be swept or it accumulates
+    forever.  Explicit call, not automatic — a path helper that deletes
+    as a side effect would be a trap; run it from the same maintenance
+    job that rebuilds artifacts after a corpus version bump.
 
     Returns the pruned directory paths (empty when nothing was stale).
     """
@@ -260,11 +319,20 @@ def prune_stale_artifacts(sf_dir: str) -> list[str]:
         return pruned
     for name in sorted(os.listdir(root)):
         full = os.path.join(root, name)
-        if (
-            os.path.isdir(full)
-            and name.startswith(f"{sf_tag}-")
-            and full != current
-        ):
+        if not (os.path.isdir(full) and name.startswith(f"{sf_tag}-")):
+            continue
+        if full != current:
             shutil.rmtree(full, ignore_errors=True)
             pruned.append(full)
+            continue
+        # current fingerprint: sweep builder corpses only.  A LIVE
+        # racing builder in this process cannot be swept (its staging
+        # dir appears only between its write and its os.replace, and
+        # this maintenance entry point is not called concurrently with
+        # builds by contract — documented above as an explicit job).
+        for sub in sorted(os.listdir(full)):
+            if "__building__" in sub:
+                corpse = os.path.join(full, sub)
+                shutil.rmtree(corpse, ignore_errors=True)
+                pruned.append(corpse)
     return pruned

@@ -2598,3 +2598,101 @@ def test_prune_stale_artifacts_keeps_current_fingerprint(tmp_path, monkeypatch):
     assert pruned == [stale]
     assert os.path.isdir(cur) and os.path.isdir(other)
     assert not os.path.isdir(stale)
+
+
+def test_prune_sweeps_orphaned_building_dirs(tmp_path, monkeypatch):
+    """A killed build leaves <artifact>.__building__<pid>_<n> behind —
+    corpus-sized for lists/codes artifacts and never readable.  The GC
+    pass must sweep these corpses inside the CURRENT fingerprint dir
+    (old fingerprints are removed wholesale already)."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        prune_stale_artifacts,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "arts"))
+    sf = tmp_path / "sfo"
+    sf.mkdir()
+    (sf / "documents.parquet").write_bytes(b"v1")
+    cur = os.path.dirname(artifact_path(str(sf), "k"))
+    live = os.path.join(cur, "k_v1")
+    os.makedirs(live)
+    open(os.path.join(live, "_SUCCESS"), "w").close()
+    corpse = os.path.join(cur, "k_v1.__building__12345_7")
+    os.makedirs(corpse)
+    pruned = prune_stale_artifacts(str(sf))
+    assert pruned == [corpse]
+    assert not os.path.isdir(corpse)
+    assert os.path.isdir(live)  # installed artifact untouched
+
+
+def test_save_overwrites_stale_artifact(spark, tmp_path):
+    """Explicit save_* of a RETRAINED structure must replace the stored
+    artifact — write-if-absent semantics here would silently serve the
+    old index forever (the cached_parquet contract does not apply: a
+    retrain is not 'identical by determinism')."""
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    path = str(tmp_path / "cent")
+    save_ivf_centroids(spark, np.ones((2, 3)), path)
+    save_ivf_centroids(spark, np.full((2, 3), 7.0), path)  # retrain
+    C = load_ivf_centroids(spark, path)
+    assert C.tolist() == [[7.0, 7.0, 7.0], [7.0, 7.0, 7.0]]
+
+
+def test_fingerprint_sees_partitioned_table_rewrite(tmp_path):
+    """artifact_path must miss the cache when a file DEEP inside a
+    hive-partitioned table (cell=0/part-*.parquet) is rewritten in
+    place: the parent directory's mtime does not change, so only a
+    recursive leaf-file walk catches it."""
+    import os
+    import time
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import artifact_path
+
+    sf = tmp_path / "sfp"
+    part = sf / "events.parquet" / "cell=0"
+    part.mkdir(parents=True)
+    leaf = part / "part-0000.parquet"
+    leaf.write_bytes(b"aaaa")
+    p1 = artifact_path(str(sf), "k_v1")
+    assert artifact_path(str(sf), "k_v1") == p1
+    time.sleep(1.1)
+    leaf.write_bytes(b"bbbb")  # same size would also differ via mtime_ns
+    os.utime(leaf)
+    assert artifact_path(str(sf), "k_v1") != p1
+
+
+def test_cached_parquet_partition_by_roundtrip(spark, tmp_path):
+    """partition_by lays the artifact out hive-partitioned (directory
+    per key) and the read-back DataFrame carries the same rows; a
+    second call serves the stored artifact without rebuilding."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import cached_parquet
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.createDataFrame(
+            [(0, 10), (0, 11), (1, 20)], "cell int, v int"
+        )
+
+    path = str(tmp_path / "lists")
+    df1 = cached_parquet(spark, path, build, partition_by=("cell",))
+    assert sorted(map(tuple, df1.select("cell", "v").collect())) == [
+        (0, 10), (0, 11), (1, 20),
+    ]
+    assert os.path.isdir(os.path.join(path, "cell=0"))
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    df2 = cached_parquet(spark, path, build, partition_by=("cell",))
+    assert df2.count() == 3
+    assert calls == [1]  # built exactly once

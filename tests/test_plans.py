@@ -482,3 +482,44 @@ def test_hybrid_search_candidates_take_ordered_not_global_window(spark, sf_dir):
     # the first TakeOrderedAndProject in the plan tree text
     first_take = plan.index("TakeOrderedAndProject")
     assert "Window" not in plan[:first_take]
+
+
+def test_ivf_stored_lists_scan_prunes_to_probed_cells(spark, sf_dir, tmp_path):
+    """Serving an IVF query from cell-PARTITIONED stored lists must
+    prune the lists scan to the probed partitions: the broadcast probe
+    side feeds a dynamicpruningexpression into the lists scan's
+    PartitionFilters (DPP).  Without this the probe-cells → equi-join
+    plan reads every (cell, id, vector) row — at 100 TB that is the
+    full-corpus pass an inverted file exists to avoid."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    C = kmeans_centroids(emb, nlist=4)
+    lists = cached_parquet(
+        spark,
+        str(tmp_path / "ivf_lists"),
+        lambda: ivf_invert(emb, C),
+        partition_by=("cell",),
+    )
+    df = ivf_topk(
+        emb.filter(F.col("vec_id") < 5), None, k=1, nlist=4, nprobe=2,
+        centroids=C, lists=lists,
+    )
+    plan = plan_str(df)
+    # the lists scan's PartitionFilters must carry the dynamic pruning
+    # subquery on cell — directory-level skipping, not a post-scan filter
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "dynamicpruning" in pf and "cell" in pf
+    # and the registered serving query (x_ivf_ann) builds its artifact
+    # through the same partition_by path — results unchanged vs v1
+    assert df.count() > 0

@@ -4180,23 +4180,24 @@ _df(
 # assembly, and the stride-scheduled training mix (all driver-green in
 # CORRECTNESS_r06); round 7 swaps in the six round-6 flagships — substring
 # span detect / cut / incremental, the 5-stage corpus-release capstone,
-# hybrid RRF retrieval, and the distribution-drift gate.  Rotated-out
-# queries stay green in the local sf0.01 oracle suite
-# (tests/test_queries_oracle.py covers every registered query, in- or
-# out-of-window).
-# Round-8 rotation candidates (oracled, no driver evidence yet):
+# hybrid RRF retrieval, and the distribution-drift gate (all
+# driver-green in CORRECTNESS_r07); round 8 rotates in two-tier dedup,
+# contrastive negative sampling, metadata-filtered ANN, TPC-H Q10,
+# tokenizer fertility, and type-token ratio.  Rotated-out queries stay
+# green in the local sf0.01 oracle suite (tests/test_queries_oracle.py
+# covers every registered query, in- or out-of-window).
+# Round-9 rotation candidates (oracled, no driver evidence yet):
 # x_self_dedup, x_json_struct, x_path_categories, x_one_to_one,
 # x_reconcile, x_embed_centroid, x_dq_profile, x_text_quality,
-# x_doc_profile, x_rep_frac, x_twotier_dedup, x_neg_samples,
-# x_filtered_ann, x_tpch_q10, x_fertility, x_ttr.
+# x_doc_profile, x_rep_frac.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    "x_dup_spans",
-    "x_cut_spans",
-    "x_spans_against",
-    "x_corpus_release",
-    "x_hybrid_search",
-    "x_quality_drift",
+    "x_twotier_dedup",
+    "x_neg_samples",
+    "x_filtered_ann",
+    "x_tpch_q10",
+    "x_fertility",
+    "x_ttr",
 )
 
 

@@ -1569,8 +1569,14 @@ def duplicate_spans(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    grams = _tokenized(df, id_col, text_col, n).select(
-        "id", _positioned_md5_grams(n).alias("pos", "gkey")
+    # the gram frame feeds BOTH the distinct-doc count and the semi-join
+    # probe; localCheckpoint so tokenize+posexplode+md5 — the expensive
+    # subtree — runs once per call, not once per consumer (the repo's
+    # shared-subtree pattern, e.g. shuffle_order / distribution_drift)
+    grams = (
+        _tokenized(df, id_col, text_col, n)
+        .select("id", _positioned_md5_grams(n).alias("pos", "gkey"))
+        .localCheckpoint(eager=True)
     )
     dup = (
         grams.groupBy("gkey")

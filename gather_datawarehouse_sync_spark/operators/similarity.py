@@ -836,9 +836,33 @@ def semantic_dedup(
     # warns about uncached input
     nv = normalized(df, id_col, vec_col).localCheckpoint(eager=True)
     if cells is not None:
+        # LEFT join + loud failure: an inner join would silently DROP
+        # any vector missing from a stale/partial membership table,
+        # violating the "every non-zero vector" contract.  raise_error
+        # fails the job at execution time with zero extra passes; a
+        # duplicated id inside a cell is caught in the keep kernel.
         assigned = spread(nv).join(
             cells.select("id", F.col("cell").cast("int").alias("cell")),
             "id",
+            "left",
+        ).withColumn(
+            "cell",
+            F.when(
+                F.col("cell").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "semantic_dedup: cells= membership has no row "
+                            "for id "
+                        ),
+                        F.col("id").cast("string"),
+                        F.lit(
+                            " — stale or partial artifact; rebuild with "
+                            "semantic_cells"
+                        ),
+                    )
+                ).cast("int"),
+            ).otherwise(F.col("cell")),
         )
     elif centroids is None and nlist == 1:
         # one cell = no prune (the brute-force oracle configuration;
@@ -860,6 +884,13 @@ def semantic_dedup(
 
     def _keep(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
+        if pdf["id"].duplicated().any():
+            dup_id = pdf["id"][pdf["id"].duplicated()].iloc[0]
+            raise ValueError(
+                f"semantic_dedup: duplicate id {dup_id} in cell "
+                f"{pdf['cell'].iloc[0]} — corrupt cells= membership "
+                "(semantic_cells output is unique by construction)"
+            )
         M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         S = M @ M.T
         # drop j iff any i<j has S[i,j] >= thr: strict upper triangle,
@@ -933,9 +964,12 @@ def hybrid_rrf_topk(
       the shared ascii tokenization; top ``candidates`` by (tf desc,
       id).
     - **Vector side**: dot product against the broadcast query vector,
-      FLOOR-quantized to integer micros (the ``group_centroids``
-      convention — hash-exact across engines); top ``candidates`` by
-      (qdot_micro desc, id).
+      FLOOR-quantized to integer micros PER ELEMENT before summing (the
+      true ``group_centroids`` convention: each term is an exact
+      integer, so the sum is order-invariant and genuinely hash-exact
+      across engines — quantizing after a float summation would rest on
+      both engines accumulating doubles in the same order); top
+      ``candidates`` by (qdot_micro desc, id).
     - **Fusion**: rank within each candidate list, then
       ``score = Σ 10⁶ DIV (rrf_k + rank)`` in exact integer arithmetic
       (a doc absent from one list contributes nothing for it); final
@@ -961,10 +995,17 @@ def hybrid_rrf_topk(
         .limit(candidates)
     )
     qlit = F.array(*[F.lit(x) for x in q])
-    qdot = F.floor(
-        dot(F.transform(F.col(vec_col), lambda x: x.cast("double")), qlit)
-        * F.lit(1_000_000.0)
-    ).cast("bigint")
+    # per-element quantization: floor(vᵢ·qᵢ·10⁶) is one IEEE multiply +
+    # one floor per term — exact integers, order-invariant bigint sum
+    qdot = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            qlit,
+            lambda x, y: F.floor(x * y * F.lit(1_000_000.0)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
     v_cand = (
         vecs.select(F.col(vec_id_col).alias("id"), qdot.alias("qd"))
         .orderBy(F.col("qd").desc(), "id")

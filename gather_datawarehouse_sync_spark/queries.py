@@ -1407,7 +1407,8 @@ def _x_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection is orderBy+limit (TakeOrderedAndProject — per-partition
     top-n, NO corpus-wide window); the query vector is corpus row 0
     (one bounded 1-row collect); dot products are FLOOR-quantized to
-    integer micros (the group_centroids hash-exact convention), so the
+    integer micros PER ELEMENT before summing (the group_centroids
+    hash-exact convention — order-invariant integer sums), so the
     whole pipeline oracles."""
     from gather_datawarehouse_sync_spark.operators.similarity import (
         hybrid_rrf_topk,
@@ -1443,8 +1444,9 @@ _df(
     "ORDER BY tf DESC, id LIMIT 100), "
     "rt AS (SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS rt "
     "FROM t_cand), "
-    "vc AS (SELECT vec_id AS id, CAST(FLOOR(list_dot_product("
-    "CAST(embedding AS DOUBLE[]), (SELECT q FROM qv)) * 1000000) AS BIGINT) "
+    "vc AS (SELECT vec_id AS id, CAST(list_sum(list_transform(list_zip("
+    "CAST(embedding AS DOUBLE[]), (SELECT q FROM qv)), "
+    "x -> CAST(FLOOR(x[1] * x[2] * 1000000) AS BIGINT))) AS BIGINT) "
     "AS qd FROM embeddings), "
     "v_cand AS (SELECT id, qd FROM vc ORDER BY qd DESC, id LIMIT 100), "
     "rv AS (SELECT id, row_number() OVER (ORDER BY qd DESC, id) AS rv "

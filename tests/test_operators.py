@@ -2696,3 +2696,32 @@ def test_cached_parquet_partition_by_roundtrip(spark, tmp_path):
     df2 = cached_parquet(spark, path, build, partition_by=("cell",))
     assert df2.count() == 3
     assert calls == [1]  # built exactly once
+
+
+def test_semantic_dedup_rejects_partial_or_corrupt_cells(spark, sf_dir, tmp_path):
+    """A stale/partial cells= membership must fail LOUDLY, not silently
+    drop the unmapped vectors (the documented contract is a verdict for
+    every non-zero vector); a duplicated id must also fail, not emit
+    duplicate verdict rows."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        kmeans_centroids,
+        normalized,
+        semantic_cells,
+        semantic_dedup,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    C = kmeans_centroids(normalized(emb), 4, vec_col="v", max_iter=5)
+    full = semantic_cells(emb, C)
+    partial = full.filter(F.col("id") % 2 == 0)  # half the corpus missing
+    with pytest.raises(Exception, match="no row for id"):
+        semantic_dedup(emb, threshold=0.45, centroids=C, cells=partial).collect()
+    dup = full.union(full.limit(1))  # one id mapped twice
+    with pytest.raises((Py4JJavaError, Exception), match="duplicate id"):
+        semantic_dedup(emb, threshold=0.45, centroids=C, cells=dup).collect()

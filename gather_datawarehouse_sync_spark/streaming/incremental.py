@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from gather_datawarehouse_sync_spark.operators.dedup import (
+    duplicate_spans_against,
     minhash_dedup_against,
 )
 from gather_datawarehouse_sync_spark.streaming.sink import epoch_parquet_sink
@@ -107,6 +108,68 @@ def start_incremental_dedup(
 
     return (
         new_stream.writeStream.foreachBatch(_dedup_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_incremental_span_dedup(
+    new_stream: DataFrame,
+    reference: DataFrame | None,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    reference_keys: DataFrame | None = None,
+):
+    """Streaming SUBSTRING-span dedup: each micro-batch of crawled
+    documents gets positioned span verdicts against a static reference
+    corpus — the streaming form of
+    ``operators/dedup.duplicate_spans_against``, completing the crawl
+    ingest picture next to :func:`start_incremental_dedup` (which gives
+    whole-doc MinHash verdicts; this gives the copied PASSAGES, so a
+    downstream curation pass can cut spans instead of dropping docs).
+
+    Same layout and for the same reasons: ``foreachBatch`` applies the
+    batch operator per micro-batch (stream ≡ batch parity by
+    construction — no second span implementation to drift), the epoch
+    sink makes replays idempotent, and zero streaming state (the
+    reference gram-key set never changes mid-run; cross-batch
+    self-duplication is corpus-version compaction's job).
+
+    Pass ``reference_keys`` (a stored :func:`reference_gram_keys` table
+    — the per-corpus-version parquet artifact) instead of ``reference``
+    to never read the reference TEXT: each batch costs one gram pass
+    over the increment plus a semi-join against the stored key set.
+    Exactly one of the two must be provided — validated at stream
+    START, so a bad setup fails with a stack pointing here, not inside
+    the first micro-batch.  Output rows: (``id_col``, span_start,
+    span_end, span_tokens), epoch-partitioned under ``out_path``.
+    """
+    if (reference is None) == (reference_keys is None):
+        # the batch operator raises the same errors per batch; stream
+        # setup must fail at START (see start_incremental_dedup)
+        raise ValueError(
+            "start_incremental_span_dedup: pass reference OR "
+            "reference_keys, not both / neither"
+        )
+    sink = epoch_parquet_sink(out_path)
+
+    def _spans_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spans = duplicate_spans_against(
+            batch_df,
+            reference,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            reference_keys=reference_keys,
+        )
+        sink(spans, epoch_id)
+
+    return (
+        new_stream.writeStream.foreachBatch(_spans_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

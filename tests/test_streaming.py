@@ -515,3 +515,67 @@ def test_quality_monitor_stream_matches_batch_drift(spark, tmp_path, sf_dir):
         )
     )
     assert got == want and got, "expected non-empty drift report"
+
+
+def test_incremental_span_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
+    """foreachBatch span dedup against a STORED gram-key artifact: the
+    streamed span verdicts equal the batch operator's on the same files
+    (per-batch semantics by construction), the reference text is never
+    read by the stream, and a bad setup fails at stream START."""
+    import pytest
+
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        duplicate_spans_against,
+        reference_gram_keys,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import cached_parquet
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_incremental_span_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    keys = cached_parquet(
+        spark,
+        str(tmp_path / "ref_gram_keys"),
+        lambda: reference_gram_keys(ref, n=8),
+    )
+
+    src = tmp_path / "span_src"
+    new.coalesce(2).write.parquet(str(src / "p1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "span_verdicts")
+    q = start_incremental_span_dedup(
+        stream, None, out, str(tmp_path / "ckpt_spans"), n=8,
+        reference_keys=keys,
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("doc_id", "span_start", "span_end", "span_tokens")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duplicate_spans_against(new, n=8, reference_keys=keys).collect(),
+        )
+    )
+    assert got == want and got, "expected non-empty span verdicts"
+    # setup errors surface at stream start, not inside the first batch
+    with pytest.raises(ValueError, match="not both"):
+        start_incremental_span_dedup(
+            stream, ref, out, str(tmp_path / "ckpt_bad"), reference_keys=keys
+        )
+    with pytest.raises(ValueError, match="not both"):
+        start_incremental_span_dedup(
+            stream, None, out, str(tmp_path / "ckpt_bad2")
+        )

@@ -2434,6 +2434,68 @@ _df(
 )
 
 
+def _x_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized top-1 (FAISS SQ8): the compressed SCAN
+    tier next to PQ-ADC — 4× smaller than float32 storage, one encode
+    pass, and ENTIRELY integer scoring, so unlike every other ANN tier
+    this one carries a full value-hash oracle.  Served from the
+    persisted (id, codes, scale_micro) table (``sq_encode`` cached via
+    ``cached_parquet`` — the data-half artifact contract; SQ has no
+    trained half)."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        sq_encode,
+        sq_topk,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    codes = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "sq_codes_v1"),
+        lambda: sq_encode(emb),
+    )
+    return (
+        sq_topk(emb.filter(F.col("vec_id") < 10), None, k=1, codes=codes)
+        .select("query_id", "neighbor_id", "score")
+        .orderBy("query_id")
+    )
+
+
+_df(
+    "x_sq_ann",
+    _x_sq_ann,
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings), "
+    "enc AS (SELECT vec_id, e, "
+    "list_max(list_transform(e, x -> abs(x))) AS ma FROM v), "
+    "codes AS (SELECT vec_id, "
+    "CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT)) "
+    "ELSE list_transform(e, x -> CAST(floor(x / ma * 127 + 0.5) "
+    "AS BIGINT)) END AS c, "
+    "CASE WHEN ma = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(floor(ma / 127 * 1000000) AS BIGINT) END AS sm "
+    "FROM enc), "
+    "q AS (SELECT vec_id AS qid, c AS qc, sm AS qs FROM codes "
+    "WHERE vec_id < 10), "
+    "scored AS (SELECT q.qid, c2.vec_id AS nid, "
+    "CAST(list_sum(list_transform(list_zip(q.qc, c2.c), "
+    "x -> x[1] * x[2])) AS BIGINT) * q.qs * c2.sm AS score "
+    "FROM q CROSS JOIN codes c2 WHERE c2.vec_id <> q.qid), "
+    "ranked AS (SELECT qid, nid, score, ROW_NUMBER() OVER ("
+    "PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM scored) "
+    "SELECT qid AS query_id, nid AS neighbor_id, score FROM ranked "
+    "WHERE rn = 1 ORDER BY query_id",
+    ("embeddings",),
+    note="int8 scalar-quantized ANN served from the persisted code "
+    "table — integer scoring end-to-end, the one ANN tier with a full "
+    "value-hash oracle",
+)
+
+
 def _x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact COUNT(DISTINCT) via two-stage value-hash salting —
     same result as Q19's plain distinct-agg (the oracle), different

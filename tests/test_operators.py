@@ -2725,3 +2725,55 @@ def test_semantic_dedup_rejects_partial_or_corrupt_cells(spark, sf_dir, tmp_path
     dup = full.union(full.limit(1))  # one id mapped twice
     with pytest.raises((Py4JJavaError, Exception), match="duplicate id"):
         semantic_dedup(emb, threshold=0.45, centroids=C, cells=dup).collect()
+
+
+def test_sq_encode_and_topk(spark, sf_dir, tmp_path):
+    """Int8 scalar quantization: codes stay in int8 range, a zero
+    vector encodes as all-zero codes with scale 0, serving from the
+    persisted code table equals the recompute path exactly (both are
+    the same deterministic integer pipeline), and top-1 recall vs
+    brute force is high on this corpus (quantization, not garbage)."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        sq_encode,
+        sq_topk,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    enc = sq_encode(emb)
+    rng = enc.selectExpr(
+        "max(array_max(codes)) AS hi", "min(array_min(codes)) AS lo"
+    ).first()
+    assert -127 <= rng["lo"] and rng["hi"] <= 127
+
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -2.0])], "vec_id long, embedding array<double>"
+    )
+    zenc = {r["vec_id"]: (r["codes"], r["scale_micro"]) for r in sq_encode(zero).collect()}
+    assert zenc[1] == ([0, 0], 0)
+    assert zenc[2][0] == [64, -127] and zenc[2][1] > 0  # floor(.5*127+.5)=64
+
+    q = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "sq_codes")
+    enc.write.parquet(path)
+    stored = sorted(
+        map(tuple, sq_topk(q, None, k=1, codes=spark.read.parquet(path)).collect())
+    )
+    recompute = sorted(map(tuple, sq_topk(q, emb, k=1).collect()))
+    assert stored == recompute and stored
+
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(q, emb, k=1, metric="dot").collect()
+    }
+    got = {r[0]: r[1] for r in stored}
+    recall = sum(got[k] == v for k, v in exact.items()) / len(exact)
+    assert recall >= 0.8, f"SQ8 top-1 recall {recall} vs exact"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="corpus or codes"):
+        sq_topk(q, None)

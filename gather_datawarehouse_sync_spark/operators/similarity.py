@@ -861,6 +861,124 @@ def sq_topk(
     )
 
 
+def _floored_dot_micro(a: Column, b: Column) -> Column:
+    """Σᵢ floor(aᵢ·bᵢ·10⁶) as bigint — the per-element-quantized integer
+    dot (each term is one IEEE multiply + one floor → exact integers,
+    order-invariant sum: the hash-exact convention shared with
+    hybrid_rrf_topk's vector side and mmr_rerank's similarity grid)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.floor(x * y * F.lit(1_000_000.0)).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    candidates: int = 20,
+    lam_milli: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): pick ``k`` results per query that are RELEVANT but mutually
+    DIVERSE — the standard fix for retrieval returning ``k`` near-
+    duplicates of the same passage, which in a dedup-imperfect corpus
+    is the common failure of plain top-k.
+
+    Greedy selection over a bounded candidate list: first pick the
+    max-relevance candidate, then repeatedly pick
+    ``argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)``.
+    All scoring is exact integer arithmetic — relevance and pairwise
+    similarity are per-element-floored micro dots
+    (:func:`_floored_dot_micro`), λ is ``lam_milli``/1000, and the MMR
+    objective is ``lam_milli·rel − (1000−lam_milli)·maxsim`` in bigint —
+    so the greedy trace is deterministic and cross-engine hash-exact
+    (the registered query carries a FULL oracle: the k-step greedy
+    unrolled as k SQL CTE blocks).
+
+    Scale shape: candidate generation is the documented all-pairs scan
+    tier (same as :func:`brute_force_topk` — swap in :func:`ivf_topk` /
+    :func:`sq_topk` candidates at 100 TB); the greedy runs per query in
+    ONE Arrow kernel over its ≤ ``candidates`` rows (an O(k·c²·dim)
+    numpy loop on bounded data — never over the corpus), parallel
+    across queries.  Ties break by minimum candidate id at every step.
+
+    Returns (query_id, neighbor_id, ord) — ord = 1-based selection
+    order (ord 1 is the plain top-1; the rest trade relevance for
+    diversity).
+    """
+    if not 0 <= lam_milli <= 1000:
+        raise ValueError("lam_milli must be in [0, 1000]")
+    if k < 1 or candidates < k:
+        raise ValueError("need k >= 1 and candidates >= k")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rel", _floored_dot_micro(F.col("__qv"), F.col("__cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= candidates)
+        .select("query_id", "neighbor_id", "rel", "__cv")
+    )
+    lam = int(lam_milli)
+    take = int(k)
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        n = len(pdf)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
+        # pairwise per-element-floored micro sims — the same expression
+        # the SQL oracle computes with list_zip + floor
+        S = (
+            np.floor(V[:, None, :] * V[None, :, :] * 1_000_000.0)
+            .sum(axis=2)
+            .astype(np.int64)
+        )
+        rel = pdf["rel"].to_numpy(dtype=np.int64)
+        nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        selected: list[int] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < take:
+            if not selected:
+                # canonical MMR: the first pick is the most relevant
+                # candidate regardless of λ (matches the oracle's pick1)
+                score = rel[remaining]
+            else:
+                maxsim = S[np.ix_(remaining, selected)].max(axis=1)
+                score = lam * rel[remaining] - (1000 - lam) * maxsim
+            # argmax, ties by min neighbor id: lexsort on (-score, nid)
+            order = np.lexsort((nid[remaining], -score))
+            pick = remaining[order[0]]
+            selected.append(pick)
+            remaining.remove(pick)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[:1].repeat(len(selected)).to_numpy(),
+                "neighbor_id": nid[selected],
+                "ord": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        _mmr, "query_id long, neighbor_id long, ord int"
+    )
+
+
 def _assign_spherical_cells(nv: DataFrame, centroids: np.ndarray) -> DataFrame:
     """(id, v, cell) for already-unit-norm ``nv`` rows: argmax dot
     against the normalized centroid matrix — the ONE assignment kernel

@@ -2496,6 +2496,91 @@ _df(
 )
 
 
+def _x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking: top-20 dot-product candidates per
+    query, greedily re-ranked to 5 relevant-but-diverse picks
+    (λ=0.7).  Everything is integer arithmetic (per-element-floored
+    micro dots, milli-λ objective), so the greedy trace is hash-exact
+    — the oracle unrolls the 5 selection steps as SQL CTE blocks."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, candidates=20,
+        lam_milli=700,
+    ).orderBy("query_id", "ord")
+
+
+def _mmr_oracle_sql(k: int, candidates: int, lam_milli: int, nq: int) -> str:
+    """The k-step greedy MMR trace unrolled as SQL: pick1 is plain
+    max-relevance; each later step scores the remaining candidates as
+    ``lam·rel − (1000−lam)·max sim to the selected set`` and takes the
+    row_number-1 row (ties by candidate id) — exactly the operator's
+    integer objective, so the comparison is a value-hash differential
+    of the full greedy trace, not just the final set."""
+    pre = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings), "
+        f"q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {nq}), "
+        "scored AS (SELECT q.qid, c.vec_id AS cid, c.e AS ce, "
+        "CAST(list_sum(list_transform(list_zip(q.qe, c.e), "
+        "x -> CAST(floor(x[1] * x[2] * 1000000) AS BIGINT))) AS BIGINT) "
+        "AS rel FROM q, v c WHERE c.vec_id <> q.qid), "
+        "cand AS (SELECT qid, cid, ce, rel FROM (SELECT *, ROW_NUMBER() "
+        "OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn FROM scored) "
+        f"WHERE rn <= {candidates}), "
+        "sims AS (SELECT a.qid, a.cid AS i, b.cid AS j, "
+        "CAST(list_sum(list_transform(list_zip(a.ce, b.ce), "
+        "x -> CAST(floor(x[1] * x[2] * 1000000) AS BIGINT))) AS BIGINT) "
+        "AS s FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid), "
+        "pick1 AS (SELECT qid, cid, 1 AS ord FROM (SELECT qid, cid, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn "
+        "FROM cand) WHERE rn = 1), "
+        "sel1 AS (SELECT qid, cid FROM pick1)"
+    )
+    blocks = []
+    for step in range(2, k + 1):
+        p = step - 1
+        blocks.append(
+            f", sc{step} AS (SELECT c.qid, c.cid, "
+            f"{lam_milli} * c.rel - {1000 - lam_milli} * "
+            "COALESCE(MAX(CASE WHEN t.cid IS NOT NULL THEN s.s END), 0) "
+            "AS m FROM cand c "
+            "LEFT JOIN sims s ON s.qid = c.qid AND s.i = c.cid "
+            f"LEFT JOIN sel{p} t ON t.qid = s.qid AND t.cid = s.j "
+            f"WHERE NOT EXISTS (SELECT 1 FROM sel{p} x WHERE "
+            "x.qid = c.qid AND x.cid = c.cid) "
+            "GROUP BY c.qid, c.cid, c.rel), "
+            f"pick{step} AS (SELECT qid, cid, {step} AS ord FROM "
+            "(SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid "
+            f"ORDER BY m DESC, cid) AS rn FROM sc{step}) WHERE rn = 1), "
+            f"sel{step} AS (SELECT qid, cid FROM sel{p} "
+            f"UNION ALL SELECT qid, cid FROM pick{step})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT qid, cid, ord FROM pick{i}" for i in range(1, k + 1)
+    )
+    return (
+        pre
+        + "".join(blocks)
+        + f" SELECT qid AS query_id, cid AS neighbor_id, ord FROM ({union})"
+        " ORDER BY query_id, ord"
+    )
+
+
+_df(
+    "x_mmr_rerank",
+    _x_mmr_rerank,
+    _mmr_oracle_sql(k=5, candidates=20, lam_milli=700, nq=5),
+    ("embeddings",),
+    note="MMR diversity re-ranking (λ=0.7, 20→5) — integer greedy "
+    "trace, full oracle via the unrolled k-step SQL",
+)
+
+
 def _x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact COUNT(DISTINCT) via two-stage value-hash salting —
     same result as Q19's plain distinct-agg (the oracle), different

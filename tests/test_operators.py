@@ -2777,3 +2777,44 @@ def test_sq_encode_and_topk(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="corpus or codes"):
         sq_topk(q, None)
+
+
+def test_mmr_rerank_diversity_and_lambda_extremes(spark):
+    """MMR semantics on a constructed corpus: two near-identical
+    high-relevance vectors + one diverse mid-relevance vector.  Plain
+    relevance order is (a1, a2, b); MMR at λ=0.5 promotes the diverse b
+    over the near-duplicate a2; λ=1000 degenerates to plain top-k
+    order; invalid parameters fail loudly."""
+    import pytest
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),        # query
+        (1, [1.0, 1.0]),        # a1: most relevant (rel 1.0)
+        (2, [0.99, 1.0]),       # a2: near-dup of a1 (sim 1.99 >> rel .99)
+        (3, [0.8, -0.8]),       # b: diverse (sim to a1 = 0), rel 0.8
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+
+    diverse = [
+        (r["ord"], r["neighbor_id"])
+        for r in mmr_rerank(q, emb, k=3, candidates=3, lam_milli=500)
+        .orderBy("ord").collect()
+    ]
+    assert diverse == [(1, 1), (2, 3), (3, 2)], diverse
+
+    plain = [
+        (r["ord"], r["neighbor_id"])
+        for r in mmr_rerank(q, emb, k=3, candidates=3, lam_milli=1000)
+        .orderBy("ord").collect()
+    ]
+    assert plain == [(1, 1), (2, 2), (3, 3)], plain
+
+    with pytest.raises(ValueError, match="lam_milli"):
+        mmr_rerank(q, emb, lam_milli=1001)
+    with pytest.raises(ValueError, match="candidates"):
+        mmr_rerank(q, emb, k=5, candidates=3)

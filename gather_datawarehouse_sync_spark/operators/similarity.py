@@ -75,6 +75,13 @@ def brute_force_topk(
     score = {
         "dot": dot(F.col("__qv"), F.col("__cv")),
         "cosine": cosine(F.col("__qv"), F.col("__cv")),
+        # per-element-floored integer micro dot — rank-stable across
+        # engines (no float accumulation order in the comparator), the
+        # reference tier recall_report oracles against
+        "int_micro": _floored_dot_micro(
+            F.transform(F.col("__qv"), lambda x: x.cast("double")),
+            F.transform(F.col("__cv"), lambda x: x.cast("double")),
+        ),
     }[metric]
     scored = (
         q.crossJoin(c)
@@ -979,6 +986,58 @@ def mmr_rerank(
     )
 
 
+def recall_report(
+    approx: DataFrame,
+    exact: DataFrame,
+    ks: tuple[int, ...] = (1, 5, 10),
+) -> DataFrame:
+    """Recall@k of an approximate ANN tier against a reference tier —
+    the evaluation harness every index deployment needs before trading
+    exactness for speed (FAISS's own benchmark protocol): for each
+    ``k``, the fraction of (query, neighbor) pairs in the reference
+    top-k that the approximate top-k recovered.
+
+    Both inputs are (query_id, neighbor_id, rank) tables — the shared
+    output shape of every tier here (:func:`brute_force_topk`,
+    :func:`sq_topk`, :func:`ivf_topk`, :func:`lsh_topk`,
+    :func:`pq_topk`) — so any pair of tiers composes.  Exact integer
+    output: (k, n_queries, hits, total, recall_bp) with
+    ``recall_bp = (10⁴·hits) DIV total`` where total counts the
+    reference pairs at that k (handles queries with < k reference
+    neighbors without float division).
+
+    Scale shape: per ``k`` one (query_id, neighbor_id) equi-join of two
+    top-k tables (each ≤ |Q|·k rows — bounded by construction, never
+    corpus-sized) plus one global count; the ks loop unions a handful
+    of such aggregates.
+    """
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError("ks must be non-empty positive ints")
+    out = None
+    for k in ks:
+        ref = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+        got = approx.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id"
+        )
+        hits = ref.join(got, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            ref.agg(
+                F.countDistinct("query_id").alias("n_queries"),
+                F.count(F.lit(1)).alias("total"),
+            )
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("hits")))
+            .select(
+                F.lit(k).alias("k"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("total").cast("long").alias("total"),
+                F.expr("10000 * hits DIV total").cast("long").alias("recall_bp"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 def _assign_spherical_cells(nv: DataFrame, centroids: np.ndarray) -> DataFrame:
     """(id, v, cell) for already-unit-norm ``nv`` rows: argmax dot
     against the normalized centroid matrix — the ONE assignment kernel
@@ -1224,14 +1283,9 @@ def hybrid_rrf_topk(
     qlit = F.array(*[F.lit(x) for x in q])
     # per-element quantization: floor(vᵢ·qᵢ·10⁶) is one IEEE multiply +
     # one floor per term — exact integers, order-invariant bigint sum
-    qdot = F.aggregate(
-        F.zip_with(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
-            qlit,
-            lambda x, y: F.floor(x * y * F.lit(1_000_000.0)).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+    # (the shared convention, see _floored_dot_micro)
+    qdot = _floored_dot_micro(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), qlit
     )
     v_cand = (
         vecs.select(F.col(vec_id_col).alias("id"), qdot.alias("qd"))

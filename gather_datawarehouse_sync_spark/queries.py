@@ -2581,6 +2581,73 @@ _df(
 )
 
 
+def _x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN deployment evaluation: recall@{1,5,10} of the int8 SQ tier
+    against the integer-dot exact tier — both tiers are integer-scored,
+    so the whole report (tiers included) carries a full value oracle.
+    The report itself is two bounded top-k tables joined per k — never
+    a corpus-sized input."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        recall_report,
+        sq_topk,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = sq_topk(q, emb, k=10)
+    exact = brute_force_topk(q, emb, k=10, metric="int_micro")
+    return recall_report(approx, exact, ks=(1, 5, 10)).orderBy("k")
+
+
+_df(
+    "x_ann_recall",
+    _x_ann_recall,
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings), "
+    "q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10), "
+    "exs AS (SELECT q.qid, c.vec_id AS nid, "
+    "CAST(list_sum(list_transform(list_zip(q.qe, c.e), "
+    "x -> CAST(floor(x[1] * x[2] * 1000000) AS BIGINT))) AS BIGINT) AS s "
+    "FROM q, v c WHERE c.vec_id <> q.qid), "
+    "ex AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid "
+    "ORDER BY s DESC, nid) AS rn FROM exs), "
+    "enc AS (SELECT vec_id, e, "
+    "list_max(list_transform(e, x -> abs(x))) AS ma FROM v), "
+    "codes AS (SELECT vec_id, "
+    "CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT)) "
+    "ELSE list_transform(e, x -> CAST(floor(x / ma * 127 + 0.5) "
+    "AS BIGINT)) END AS c, "
+    "CASE WHEN ma = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(floor(ma / 127 * 1000000) AS BIGINT) END AS sm "
+    "FROM enc), "
+    "sqq AS (SELECT vec_id AS qid, c AS qc, sm AS qs FROM codes "
+    "WHERE vec_id < 10), "
+    "sqs AS (SELECT sqq.qid, c2.vec_id AS nid, "
+    "CAST(list_sum(list_transform(list_zip(sqq.qc, c2.c), "
+    "x -> x[1] * x[2])) AS BIGINT) * sqq.qs * c2.sm AS s "
+    "FROM sqq, codes c2 WHERE c2.vec_id <> sqq.qid), "
+    "ap AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid "
+    "ORDER BY s DESC, nid) AS rn FROM sqs), "
+    "ks AS (SELECT unnest([1, 5, 10]) AS k), "
+    "ref AS (SELECT ks.k, ex.qid, ex.nid FROM ks JOIN ex "
+    "ON ex.rn <= ks.k), "
+    "got AS (SELECT ks.k, ap.qid, ap.nid FROM ks JOIN ap "
+    "ON ap.rn <= ks.k), "
+    "hit AS (SELECT r.k, COUNT(*) AS hits FROM ref r JOIN got g "
+    "ON g.k = r.k AND g.qid = r.qid AND g.nid = r.nid GROUP BY r.k), "
+    "tot AS (SELECT k, COUNT(DISTINCT qid) AS n_queries, "
+    "COUNT(*) AS total FROM ref GROUP BY k) "
+    "SELECT t.k, t.n_queries, COALESCE(h.hits, 0) AS hits, t.total, "
+    "(10000 * COALESCE(h.hits, 0)) // t.total AS recall_bp "
+    "FROM tot t LEFT JOIN hit h ON h.k = t.k ORDER BY t.k",
+    ("embeddings",),
+    note="recall@k report of the SQ tier vs the integer-dot exact tier "
+    "— both tiers integer-scored, full oracle end-to-end",
+)
+
+
 def _x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact COUNT(DISTINCT) via two-stage value-hash salting —
     same result as Q19's plain distinct-agg (the oracle), different

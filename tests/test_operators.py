@@ -2818,3 +2818,31 @@ def test_mmr_rerank_diversity_and_lambda_extremes(spark):
         mmr_rerank(q, emb, lam_milli=1001)
     with pytest.raises(ValueError, match="candidates"):
         mmr_rerank(q, emb, k=5, candidates=3)
+
+
+def test_recall_report_counts(spark):
+    """recall_report on hand-built tier outputs: hits/total/recall_bp
+    per k, integer DIV semantics, and queries with fewer than k
+    reference neighbors counted by actual pair count."""
+    import pytest
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        recall_report,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)],  # query 2 has only 1 ref
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (2, 20, 1)],  # misses 11 at k=2
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {
+        r["k"]: (r["n_queries"], r["hits"], r["total"], r["recall_bp"])
+        for r in recall_report(approx, exact, ks=(1, 2)).collect()
+    }
+    assert got[1] == (2, 2, 2, 10000)
+    assert got[2] == (2, 2, 3, 6666)  # 10000*2 DIV 3
+    with pytest.raises(ValueError, match="ks"):
+        recall_report(approx, exact, ks=())

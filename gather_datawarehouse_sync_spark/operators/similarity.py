@@ -1006,36 +1006,41 @@ def recall_report(
     reference pairs at that k (handles queries with < k reference
     neighbors without float division).
 
-    Scale shape: per ``k`` one (query_id, neighbor_id) equi-join of two
-    top-k tables (each ≤ |Q|·k rows — bounded by construction, never
-    corpus-sized) plus one global count; the ks loop unions a handful
-    of such aggregates.
+    Scale shape: ONE pass — the two tier tables (each ≤ |Q|·k_max rows,
+    bounded by construction, never corpus-sized) are rank-joined once
+    on (query_id, neighbor_id), each row fans out to the |ks| report
+    rows it contributes to, and a single groupBy(k) aggregates
+    conditional counts.  No per-k re-execution of the tier pipelines.
     """
     if not ks or any(k < 1 for k in ks):
         raise ValueError("ks must be non-empty positive ints")
-    out = None
-    for k in ks:
-        ref = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
-        got = approx.filter(F.col("rank") <= k).select(
-            "query_id", "neighbor_id"
+    kmax = max(ks)
+    ref = exact.filter(F.col("rank") <= kmax).select(
+        "query_id", "neighbor_id", F.col("rank").alias("__er")
+    )
+    got = approx.filter(F.col("rank") <= kmax).select(
+        "query_id", "neighbor_id", F.col("rank").alias("__ar")
+    )
+    ks_col = F.explode(
+        F.array(*[F.lit(int(k)) for k in sorted(set(ks))])
+    ).alias("k")
+    return (
+        ref.join(got, ["query_id", "neighbor_id"], "left")
+        .select("query_id", "__er", "__ar", ks_col)
+        .filter(F.col("__er") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count(
+                F.when(F.col("__ar") <= F.col("k"), F.lit(1))
+            ).cast("long").alias("hits"),
+            F.count(F.lit(1)).cast("long").alias("total"),
         )
-        hits = ref.join(got, ["query_id", "neighbor_id"], "left_semi")
-        row = (
-            ref.agg(
-                F.countDistinct("query_id").alias("n_queries"),
-                F.count(F.lit(1)).alias("total"),
-            )
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("hits")))
-            .select(
-                F.lit(k).alias("k"),
-                F.col("n_queries").cast("long").alias("n_queries"),
-                F.col("hits").cast("long").alias("hits"),
-                F.col("total").cast("long").alias("total"),
-                F.expr("10000 * hits DIV total").cast("long").alias("recall_bp"),
-            )
+        .withColumn(
+            "recall_bp", F.expr("10000 * hits DIV total").cast("long")
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+        .select("k", "n_queries", "hits", "total", "recall_bp")
+    )
 
 
 def _assign_spherical_cells(nv: DataFrame, centroids: np.ndarray) -> DataFrame:

@@ -986,6 +986,119 @@ def mmr_rerank(
     )
 
 
+def ivf_sq_invert(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build IVF inverted lists over int8 SQ codes — the COMPOSED
+    serving layout (FAISS `IndexIVFScalarQuantizer`) and the shape a
+    100 TB deployment actually stores: the cell partition column prunes
+    the scan to nprobe/nlist of the files (the IVF half) AND each
+    stored row is the 4-8×-smaller (codes, scale_micro) pair instead of
+    the full-precision vector (the SQ half).
+
+    One scan pass: nearest-centroid assignment (vectorized Arrow
+    matmul, the same kernel :func:`ivf_invert` uses) zipped with the
+    codegen'd :func:`sq_encode` projection.  Returns (cell, ``id_col``,
+    codes, scale_micro); persist via ``cached_parquet(...,
+    partition_by=("cell",))`` and serve with :func:`ivf_sq_topk`.
+    """
+    Cn = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    cell = _cell_udf(Cn)
+    enc = sq_encode(spread(corpus), id_col, vec_col)
+    assigned = spread(corpus).select(
+        F.col(id_col), cell(F.col(vec_col)).alias("cell")
+    )
+    return assigned.join(enc, id_col).select(
+        "cell", id_col, "codes", "scale_micro"
+    )
+
+
+def ivf_sq_topk(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    lists: DataFrame,
+    k: int = 1,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over the composed IVF×SQ index: probe the
+    ``nprobe`` nearest cells (same probe kernel as :func:`ivf_topk`),
+    equi-join the PARTITIONED stored code lists (the broadcast query
+    side feeds dynamic partition pruning, so the scan reads only the
+    probed cells' files), and rank candidates by the same integer SQ
+    score :func:`sq_topk` computes — so with ``nprobe == nlist`` the
+    result EQUALS ``sq_topk`` exactly (integer scores, same tie-break;
+    parity-pinned in tests), and smaller ``nprobe`` trades recall for
+    reading 1/``nlist``-scale data per query.
+
+    The full-precision corpus is never touched at query time — that is
+    the whole point: per-query cost is (probed-partition scan of int8
+    codes) + (bounded integer dot per candidate).
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = _normalize_rows(C)
+    n_probe = min(nprobe, len(C))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probe_cells(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Xn = _normalize_rows(X)
+        S = Xn @ Cn.T
+        order = np.argsort(-S, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    q = F.broadcast(
+        sq_encode(queries, id_col, vec_col)
+        .join(
+            queries.select(
+                F.col(id_col),
+                F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("codes").alias("__qc"),
+            F.col("scale_micro").alias("__qs"),
+            "cell",
+        )
+    )
+    c = lists.select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        F.col("codes").alias("__cc"),
+        F.col("scale_micro").alias("__cs"),
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("__qc"), F.col("__cc"), lambda a, b: (a * b).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # no pair-dedup needed: each corpus vector lives in exactly ONE
+        # cell and a query's probed cells are distinct, so (query_id,
+        # neighbor_id) is already unique — a dropDuplicates here would
+        # be a gratuitous shuffle
+        .withColumn("score", idot * F.col("__qs") * F.col("__cs"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def recall_report(
     approx: DataFrame,
     exact: DataFrame,

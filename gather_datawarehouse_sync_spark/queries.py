@@ -2648,6 +2648,60 @@ _df(
 )
 
 
+def _x_ivfsq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB serving tier (FAISS IndexIVFScalarQuantizer):
+    IVF cell-partitioned inverted lists storing int8 SQ codes — the
+    scan prunes to nprobe/nlist of the files (DPP from the broadcast
+    probe side) AND each stored row is 4-8× smaller than the raw
+    vector; the full-precision corpus is never read at query time.
+    Probe-subset recall → rows-only; full-probe ≡ sq_topk exact
+    equality and stored ≡ recompute parity are pinned in tests."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_invert,
+        ivf_sq_topk,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    idx = artifact_path(sf_dir, "ivf_centroids_n16_seed42_v1")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        save_ivf_centroids(spark, kmeans_centroids(emb, nlist=16), idx)
+    C = load_ivf_centroids(spark, idx)
+    lists = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "ivfsq_lists_n16_seed42_v1"),
+        lambda: ivf_sq_invert(emb, C),
+        partition_by=("cell",),
+    )
+    return (
+        ivf_sq_topk(emb.filter(F.col("vec_id") < 10), C, lists, k=1, nprobe=4)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
+_df(
+    "x_ivfsq_ann",
+    _x_ivfsq_ann,
+    None,
+    ("embeddings",),
+    note="composed IVF×SQ tier: cell-partitioned int8 code lists, "
+    "DPP-pruned scan, integer scoring (probe-subset recall → rows-only; "
+    "full-probe==sq_topk equality + stored==recompute parity in tests)",
+)
+
+
 def _x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact COUNT(DISTINCT) via two-stage value-hash salting —
     same result as Q19's plain distinct-agg (the oracle), different

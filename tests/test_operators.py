@@ -2846,3 +2846,56 @@ def test_recall_report_counts(spark):
     assert got[2] == (2, 2, 3, 6666)  # 10000*2 DIV 3
     with pytest.raises(ValueError, match="ks"):
         recall_report(approx, exact, ks=())
+
+
+def test_ivf_sq_full_probe_equals_sq_topk(spark, sf_dir, tmp_path):
+    """Composed IVF×SQ tier: probing every cell must equal the plain SQ
+    scan tier EXACTLY (same integer scores, same tie-break) — the IVF
+    half only partitions the candidate set, the SQ half defines the
+    scores; and serving from the persisted partitioned lists equals the
+    recompute path."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_invert,
+        ivf_sq_topk,
+        kmeans_centroids,
+        sq_topk,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    C = kmeans_centroids(emb, nlist=4)
+    q = emb.filter(F.col("vec_id") < 8)
+
+    lists = ivf_sq_invert(emb, C)
+    full_probe = sorted(
+        map(tuple, ivf_sq_topk(q, C, lists, k=2, nprobe=4).collect())
+    )
+    plain_sq = sorted(map(tuple, sq_topk(q, emb, k=2).collect()))
+    assert full_probe == plain_sq and full_probe
+
+    stored = cached_parquet(
+        spark,
+        str(tmp_path / "ivfsq_lists"),
+        lambda: ivf_sq_invert(emb, C),
+        partition_by=("cell",),
+    )
+    from_store = sorted(
+        map(tuple, ivf_sq_topk(q, C, stored, k=2, nprobe=4).collect())
+    )
+    assert from_store == full_probe
+
+    # subset probe: results are a (query-wise) valid top-k over FEWER
+    # candidates — every returned neighbor must exist and recall@1 vs
+    # the full probe should be positive on this corpus
+    sub = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_sq_topk(q, C, stored, k=1, nprobe=2).collect()
+    }
+    top1 = {r[0]: r[1] for r in full_probe if r[3] == 1}
+    hits = sum(sub.get(k) == v for k, v in top1.items())
+    assert hits >= len(top1) // 2

@@ -523,3 +523,40 @@ def test_ivf_stored_lists_scan_prunes_to_probed_cells(spark, sf_dir, tmp_path):
     # and the registered serving query (x_ivf_ann) builds its artifact
     # through the same partition_by path — results unchanged vs v1
     assert df.count() > 0
+
+
+def test_ivf_sq_stored_lists_scan_prunes_and_reads_no_vectors(
+    spark, sf_dir, tmp_path
+):
+    """The composed IVF×SQ serving scan must (a) carry the dynamic
+    partition pruning subquery on cell and (b) read ONLY the code
+    columns — the full-precision vector never appears in the lists
+    schema, so a query cannot touch it by construction."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_invert,
+        ivf_sq_topk,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    C = kmeans_centroids(emb, nlist=4)
+    lists = cached_parquet(
+        spark,
+        str(tmp_path / "ivfsq_lists"),
+        lambda: ivf_sq_invert(emb, C),
+        partition_by=("cell",),
+    )
+    assert set(lists.columns) == {"cell", "vec_id", "codes", "scale_micro"}
+    df = ivf_sq_topk(
+        emb.filter(F.col("vec_id") < 5), C, lists, k=1, nprobe=2
+    )
+    plan = plan_str(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "dynamicpruning" in pf and "cell" in pf
+    assert df.count() > 0

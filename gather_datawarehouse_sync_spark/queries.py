@@ -4451,23 +4451,29 @@ _df(
 # CORRECTNESS_r06); round 7 swaps in the six round-6 flagships — substring
 # span detect / cut / incremental, the 5-stage corpus-release capstone,
 # hybrid RRF retrieval, and the distribution-drift gate (all
-# driver-green in CORRECTNESS_r07); round 8 rotates in two-tier dedup,
+# driver-green in CORRECTNESS_r07); round 8 rotated in two-tier dedup,
 # contrastive negative sampling, metadata-filtered ANN, TPC-H Q10,
-# tokenizer fertility, and type-token ratio.  Rotated-out queries stay
-# green in the local sf0.01 oracle suite (tests/test_queries_oracle.py
-# covers every registered query, in- or out-of-window).
-# Round-9 rotation candidates (oracled, no driver evidence yet):
-# x_self_dedup, x_json_struct, x_path_categories, x_one_to_one,
-# x_reconcile, x_embed_centroid, x_dq_profile, x_text_quality,
-# x_doc_profile, x_rep_frac.
+# tokenizer fertility, and type-token ratio (all driver-green in
+# CORRECTNESS_r08); round 9 rotates in the three round-8 flagships —
+# int8 SQ ANN, MMR diversity re-ranking, and the ANN recall harness
+# (each carries an integer-exact full value oracle, the strongest
+# evidence class in the repo) — plus intra-doc self-dedup, embedding
+# group centroids, and the single-scan data-quality profile.
+# Rotated-out queries stay green in the local sf0.01 oracle suite
+# (tests/test_queries_oracle.py covers every registered query, in- or
+# out-of-window).
+# Round-10 rotation candidates (oracled, no driver evidence yet):
+# x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
+# x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
+# x_length_buckets, x_interpolate.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    "x_twotier_dedup",
-    "x_neg_samples",
-    "x_filtered_ann",
-    "x_tpch_q10",
-    "x_fertility",
-    "x_ttr",
+    "x_sq_ann",
+    "x_mmr_rerank",
+    "x_ann_recall",
+    "x_self_dedup",
+    "x_embed_centroid",
+    "x_dq_profile",
 )
 
 

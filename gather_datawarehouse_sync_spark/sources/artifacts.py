@@ -152,7 +152,9 @@ def _install_atomic(
     ours is dropped.  ``overwrite=True`` is for explicit ``save_*``
     calls (a RETRAINED index saved to the same path must replace the old
     artifact, not be silently discarded in its favor): the existing
-    artifact is removed and the fresh one installed unconditionally.
+    artifact is renamed aside, the fresh one installed, then the
+    renamed-away old deleted — see the inline comment for the exact
+    (near-atomic) guarantees.
 
     ``partition_by`` hive-partitions the artifact on those columns (the
     ``_SUCCESS`` marker still lands at the top level, so completeness
@@ -169,16 +171,37 @@ def _install_atomic(
     writer.parquet(tmp)
     if overwrite:
         # explicit save of (re)trained data: the fresh artifact wins.
-        # Retry the rmtree+replace once — a reader racing us cannot see
-        # a torn state (os.replace is atomic), only old-then-new.
+        # Swap by renaming the OLD artifact aside first, then installing
+        # the new one, then deleting the renamed-away old — so the
+        # artifact-absent window is two rename syscalls, not a
+        # corpus-sized rmtree (the previous rmtree-then-replace left the
+        # path empty for the whole delete, racing readers saw NO
+        # artifact, and two racing overwriters could delete each other's
+        # freshly installed build).  NOT fully atomic: a reader listing
+        # the path exactly between the two renames still misses (POSIX
+        # has no portable dir-exchange) — a miss triggers a spurious
+        # rebuild, never a torn read, because _SUCCESS only ever exists
+        # on a complete artifact.  A racing overwriter that re-creates
+        # ``path`` between our renames makes os.replace fail ENOTEMPTY;
+        # retry renames the racer's (complete, equivalent) artifact
+        # aside and installs ours — nobody's install is ever deleted
+        # mid-swap.
+        renamed: list[str] = []
         for attempt in (0, 1):
-            shutil.rmtree(path, ignore_errors=True)
+            old = f"{path}.__old__{os.getpid()}_{_BUILD_SEQ}_{attempt}"
+            try:
+                os.replace(path, old)
+                renamed.append(old)
+            except FileNotFoundError:
+                pass  # first-ever save: nothing to rename aside
             try:
                 os.replace(tmp, path)
-                return
+                break
             except OSError:
                 if attempt:
                     raise
+        for old in renamed:
+            shutil.rmtree(old, ignore_errors=True)
         return
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         shutil.rmtree(path, ignore_errors=True)
@@ -296,18 +319,31 @@ def load_bpe_merges(spark: SparkSession, path: str) -> list[tuple[str, str, int]
     return [(r["left"], r["right"], r["cnt"]) for r in rows]
 
 
-def prune_stale_artifacts(sf_dir: str) -> list[str]:
-    """Delete artifact directories for OLD fingerprints of ``sf_dir``
-    AND orphaned ``__building__`` staging dirs: when a corpus is
-    regenerated, its artifact path changes (the fingerprint in
-    :func:`artifact_path`) and the previous fingerprint's directory
-    becomes unreachable dead weight; a killed build leaves a
-    ``<artifact>.__building__<pid>_<n>`` staging dir behind — never
-    readable (no install ever references it) but corpus-sized for
-    lists/codes artifacts, so it must be swept or it accumulates
-    forever.  Explicit call, not automatic — a path helper that deletes
-    as a side effect would be a trap; run it from the same maintenance
-    job that rebuilds artifacts after a corpus version bump.
+def prune_stale_artifacts(
+    sf_dir: str, live_keys: set[str] | None = None
+) -> list[str]:
+    """Delete stale artifact state for ``sf_dir``:
+
+    - directories for OLD fingerprints (a regenerated corpus changes the
+      fingerprint in :func:`artifact_path`, orphaning the previous one),
+      including LEGACY bare-tag directories from before fingerprints
+      existed (``.artifacts/<sf_tag>`` with no ``-<hash>`` suffix —
+      unreachable by any current :func:`artifact_path`);
+    - orphaned ``__building__`` staging dirs (a killed build) and
+      ``__old__`` rename-aside dirs (a killed overwrite swap) inside the
+      current fingerprint dir — never readable, but corpus-sized for
+      lists/codes artifacts, so they accumulate forever unswept;
+    - when ``live_keys`` is given, SUPERSEDED-KEY artifacts inside the
+      current fingerprint dir: any key not in the live set (a version
+      bump ``..._v1`` → ``..._v2`` is exactly the "stale derived state"
+      this store exists to manage, and for lists/codes artifacts the
+      superseded corpse is corpus-sized).  Pass the complete set of keys
+      the deployment still serves — an incomplete set deletes a live
+      index.
+
+    Explicit call, not automatic — a path helper that deletes as a side
+    effect would be a trap; run it from the same maintenance job that
+    rebuilds artifacts after a corpus version bump.
 
     Returns the pruned directory paths (empty when nothing was stale).
     """
@@ -319,19 +355,28 @@ def prune_stale_artifacts(sf_dir: str) -> list[str]:
         return pruned
     for name in sorted(os.listdir(root)):
         full = os.path.join(root, name)
-        if not (os.path.isdir(full) and name.startswith(f"{sf_tag}-")):
+        if not (
+            os.path.isdir(full)
+            and (name.startswith(f"{sf_tag}-") or name == sf_tag)
+        ):
             continue
         if full != current:
             shutil.rmtree(full, ignore_errors=True)
             pruned.append(full)
             continue
-        # current fingerprint: sweep builder corpses only.  A LIVE
-        # racing builder in this process cannot be swept (its staging
-        # dir appears only between its write and its os.replace, and
-        # this maintenance entry point is not called concurrently with
+        # current fingerprint: sweep builder/swap corpses, plus
+        # superseded keys when the live set is known.  A LIVE racing
+        # builder in this process cannot be swept (its staging dir
+        # appears only between its write and its os.replace, and this
+        # maintenance entry point is not called concurrently with
         # builds by contract — documented above as an explicit job).
         for sub in sorted(os.listdir(full)):
-            if "__building__" in sub:
+            stale = (
+                "__building__" in sub
+                or "__old__" in sub
+                or (live_keys is not None and sub not in live_keys)
+            )
+            if stale:
                 corpse = os.path.join(full, sub)
                 shutil.rmtree(corpse, ignore_errors=True)
                 pruned.append(corpse)

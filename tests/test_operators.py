@@ -2628,6 +2628,89 @@ def test_prune_sweeps_orphaned_building_dirs(tmp_path, monkeypatch):
     assert os.path.isdir(live)  # installed artifact untouched
 
 
+def test_prune_sweeps_legacy_bare_tag_dirs(tmp_path, monkeypatch):
+    """Pre-fingerprint artifact dirs (.artifacts/<sf_tag> with no
+    -<hash> suffix) are unreachable by any current artifact_path and
+    must be swept; a DIFFERENT corpus tag sharing a prefix must not be
+    (sf0.1 vs sf0.12)."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        prune_stale_artifacts,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "arts"))
+    sf = tmp_path / "sf0.1"
+    sf.mkdir()
+    (sf / "documents.parquet").write_bytes(b"v1")
+    cur = os.path.dirname(artifact_path(str(sf), "k"))
+    os.makedirs(cur)
+    legacy = str(tmp_path / "arts" / "sf0.1")  # bare tag, no fingerprint
+    os.makedirs(legacy)
+    prefix_sibling = str(tmp_path / "arts" / "sf0.12-cafecafe")
+    os.makedirs(prefix_sibling)
+    pruned = prune_stale_artifacts(str(sf))
+    assert legacy in pruned
+    assert not os.path.isdir(legacy)
+    assert os.path.isdir(cur) and os.path.isdir(prefix_sibling)
+
+
+def test_prune_sweeps_superseded_keys_and_old_corpses(tmp_path, monkeypatch):
+    """live_keys= sweeps version-bumped keys inside the CURRENT
+    fingerprint dir (the _v1 corpse next to the live _v2 — corpus-sized
+    for lists/codes artifacts) plus killed-overwrite __old__ dirs; live
+    keys survive, and without live_keys= only corpses are swept."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        prune_stale_artifacts,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "arts"))
+    sf = tmp_path / "sfk"
+    sf.mkdir()
+    (sf / "documents.parquet").write_bytes(b"v1")
+    cur = os.path.dirname(artifact_path(str(sf), "_"))
+    live = os.path.join(cur, "lists_v2")
+    superseded = os.path.join(cur, "lists_v1")
+    old_corpse = os.path.join(cur, "lists_v2.__old__123_4_0")
+    for d in (live, superseded, old_corpse):
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    # no live set: corpses swept, superseded key kept (unknown liveness)
+    pruned = prune_stale_artifacts(str(sf))
+    assert pruned == [old_corpse]
+    assert os.path.isdir(superseded) and os.path.isdir(live)
+    # with the live set: the superseded key goes too
+    pruned = prune_stale_artifacts(str(sf), live_keys={"lists_v2"})
+    assert pruned == [superseded]
+    assert os.path.isdir(live)
+    assert not os.path.isdir(superseded)
+
+
+def test_overwrite_swap_leaves_no_residue(spark, tmp_path):
+    """The rename-aside overwrite swap must leave exactly the fresh
+    artifact: no __old__ rename-aside dir and no __building__ staging
+    dir survive a successful save-over-save."""
+    import os
+
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    path = str(tmp_path / "cent")
+    save_ivf_centroids(spark, np.ones((2, 3)), path)
+    save_ivf_centroids(spark, np.full((2, 3), 7.0), path)
+    assert load_ivf_centroids(spark, path)[0][0] == 7.0
+    residue = [n for n in os.listdir(tmp_path) if "__" in n]
+    assert residue == []
+
+
 def test_save_overwrites_stale_artifact(spark, tmp_path):
     """Explicit save_* of a RETRAINED structure must replace the stored
     artifact — write-if-absent semantics here would silently serve the

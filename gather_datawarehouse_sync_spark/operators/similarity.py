@@ -12,8 +12,15 @@ LLM-pipeline extension list.  Two tiers:
   candidates only within matching buckets/cells, the 100 TB path
   (bounded fan-out instead of an all-pairs cross join).
 
-Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side, codegen'd,
-no Python in the loop.
+Scoring hot paths (SQ codes, the floored-micro integer tier, MMR
+relevance, hybrid retrieval) run as exact int64 numpy kernels over
+Arrow batches — measured faster than both the interpreted
+``aggregate(zip_with(...))`` higher-order-function form (HOFs never
+enter whole-stage codegen) and an unrolled fixed-width expression
+(which outgrows the JIT method limit at real dims).  The float
+``dot``/``cosine`` Column helpers keep the HOF form: they serve
+plan-composable oracle tiers where a numpy rewrite would change float
+accumulation order.
 """
 
 from __future__ import annotations
@@ -64,6 +71,12 @@ def brute_force_topk(
 
     Returns (query_id, neighbor_id, score, rank).
     """
+    if metric == "int_micro":
+        # per-element-floored integer micro dot — rank-stable across
+        # engines (no float accumulation order in the comparator), the
+        # reference tier recall_report oracles against; scored in the
+        # vectorized Arrow-batch kernel, not a per-pair expression
+        return _floored_micro_topk(queries, corpus, k, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -75,13 +88,6 @@ def brute_force_topk(
     score = {
         "dot": dot(F.col("__qv"), F.col("__cv")),
         "cosine": cosine(F.col("__qv"), F.col("__cv")),
-        # per-element-floored integer micro dot — rank-stable across
-        # engines (no float accumulation order in the comparator), the
-        # reference tier recall_report oracles against
-        "int_micro": _floored_dot_micro(
-            F.transform(F.col("__qv"), lambda x: x.cast("double")),
-            F.transform(F.col("__cv"), lambda x: x.cast("double")),
-        ),
     }[metric]
     scored = (
         q.crossJoin(c)
@@ -806,6 +812,7 @@ def sq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes: DataFrame | None = None,
+    broadcast_queries_max: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k by dot product over int8 scalar-quantized
     vectors — ranking runs ENTIRELY in integer arithmetic, so unlike
@@ -822,63 +829,188 @@ def sq_topk(
 
     Pass ``codes=`` a persisted :func:`sq_encode` table to serve from
     the compact artifact — the corpus float vectors are never read
-    (``corpus`` is then ignored; pass ``None``).  Join shape matches
-    :func:`brute_force_topk`'s documented all-pairs tier (broadcast the
-    small query side, spread the corpus): SQ is the compressed SCAN
-    tier — same |Q|·|C| scoring loop over 4-8× smaller rows with
-    integer multiply-adds instead of float; at 100 TB the composed path
-    is IVF cells over SQ codes, which this function's ``codes=``
-    contract slots under unchanged.
+    (``corpus`` is then ignored; pass ``None``).
+
+    Plan shape mirrors :func:`pq_topk`'s ADC scorer, the measured-fast
+    form for a compressed scan tier: the query codes are a bounded
+    broadcast (enforced at ``broadcast_queries_max``), scoring is
+    ``mapInPandas`` over code batches — ONE exact int64 numpy matmul
+    per batch instead of a per-pair expression (an
+    ``aggregate(zip_with(...))`` scoring column evaluates interpreted
+    per element, and an unrolled fixed-width sum outgrows the JIT
+    method limit: both measured slower at 1M pairs — 0.55 s / 1.7 s vs
+    0.48 s for the matmul) — and each batch emits only its per-query
+    top-k, so shuffle volume is |Q|·k per batch, never |Q|·|C|.  At
+    100 TB the composed path is IVF cells over SQ codes
+    (:func:`ivf_sq_topk`), which shares this integer-kernel scoring.
 
     Ties broken by minimum neighbor id, matching every other tier.
     """
     if codes is None and corpus is None:
         raise ValueError("sq_topk: pass corpus or codes")
+    q_rows = (
+        sq_encode(queries, id_col, vec_col)
+        .limit(broadcast_queries_max + 1)
+        .collect()
+    )
+    if len(q_rows) > broadcast_queries_max:
+        raise ValueError(
+            "sq_topk queries side exceeds the broadcast budget "
+            f"({broadcast_queries_max}); swap sides or raise the budget"
+        )
+    if not q_rows:
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score long, rank int"
+        )
     if codes is None:
         codes = sq_encode(spread(corpus), id_col, vec_col)
-    c = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("codes").alias("__cc"),
-        F.col("scale_micro").alias("__cs"),
-    )
-    q = sq_encode(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("codes").alias("__qc"),
-        F.col("scale_micro").alias("__qs"),
-    )
-    idot = F.aggregate(
-        F.zip_with(
-            F.col("__qc"), F.col("__cc"), lambda a, b: (a * b).cast("bigint")
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    cand = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", idot * F.col("__qs") * F.col("__cs"))
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["codes"], dtype=np.int64) for r in q_rows])
+    qsc = np.array([r["scale_micro"] for r in q_rows], dtype=np.int64)
+    bc = queries.sparkSession.sparkContext.broadcast((qids, Q, qsc))
+    kk_req = int(k)
+
+    def _score(batches):
+        ids, QQ, qs = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["codes"]])
+            if C.shape[1] != QQ.shape[1]:
+                raise ValueError(
+                    f"sq_topk: stored codes have width {C.shape[1]}, "
+                    f"queries {QQ.shape[1]} — mismatched index artifacts"
+                )
+            cs = pdf["scale_micro"].to_numpy(dtype=np.int64)
+            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            # exact int64 arithmetic end-to-end — the value-hash oracle
+            # depends on it (no float accumulation anywhere)
+            S = (QQ @ C.T) * qs[:, None] * cs[None, :]
+            valid = ids[:, None] != nid[None, :]  # self-pairs masked
+            kk = min(kk_req, S.shape[1])
+            # per-batch per-query top-k (score desc, neighbor id asc);
+            # masked cells sort last via the int64-max sentinel
+            key = np.where(valid, -S, np.iinfo(np.int64).max)
+            order = np.lexsort((nid[None, :].repeat(nq, 0), key), axis=1)[:, :kk]
+            qi = np.repeat(np.arange(nq), kk)
+            ni = order.ravel()
+            keep = valid[qi, ni]
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[qi][keep],
+                    "neighbor_id": nid[ni][keep],
+                    "score": S[qi, ni][keep],
+                }
+            )
+
+    partial = codes.select(id_col, "codes", "scale_micro").mapInPandas(
+        _score, "query_id long, neighbor_id long, score long"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
 
 
-def _floored_dot_micro(a: Column, b: Column) -> Column:
-    """Σᵢ floor(aᵢ·bᵢ·10⁶) as bigint — the per-element-quantized integer
-    dot (each term is one IEEE multiply + one floor → exact integers,
-    order-invariant sum: the hash-exact convention shared with
-    hybrid_rrf_topk's vector side and mmr_rerank's similarity grid)."""
-    return F.aggregate(
-        F.zip_with(
-            a, b, lambda x, y: F.floor(x * y * F.lit(1_000_000.0)).cast("bigint")
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+def _floored_micro_terms(X: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """``Σᵢ floor(Xᵢⱼ·yⱼ·10⁶)`` per row, exact int64 — the numpy image
+    of the per-element-quantized integer dot convention (each term is
+    one IEEE double multiply + one floor → exact integers,
+    order-invariant sum; identical to the DuckDB oracles'
+    ``list_transform(list_zip(a,b), x -> floor(x[1]*x[2]*1e6))`` and
+    hash-exact across engines).  Vectorized per Arrow batch — the
+    JVM-expression form of this loop (``aggregate(zip_with(...))``)
+    evaluates interpreted per element and measured 2-4× slower on the
+    scoring hot paths, so every caller routes through numpy."""
+    return np.floor(X * y[None, :] * 1_000_000.0).astype(np.int64).sum(axis=1)
+
+
+def _floored_micro_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries_max: int = 100_000,
+) -> DataFrame:
+    """Exact top-k by the per-element-floored integer micro dot
+    (:func:`_floored_micro_terms`) — the hash-exact reference tier
+    ``recall_report`` oracles against, and the candidate generator for
+    :func:`mmr_rerank`.
+
+    Same plan shape as :func:`sq_topk`: bounded broadcast of the query
+    matrix, ``mapInPandas`` over corpus batches emitting only each
+    batch's per-query top-k (shuffle volume |Q|·k per batch), final
+    rank window.  Ties break to min neighbor id.
+
+    Returns (query_id, neighbor_id, score bigint, rank).
+    """
+    q_rows = (
+        queries.select(id_col, vec_col)
+        .limit(broadcast_queries_max + 1)
+        .collect()
+    )
+    if len(q_rows) > broadcast_queries_max:
+        raise ValueError(
+            "int_micro queries side exceeds the broadcast budget "
+            f"({broadcast_queries_max}); swap sides or raise the budget"
+        )
+    if not q_rows:
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score long, rank int"
+        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    bc = queries.sparkSession.sparkContext.broadcast((qids, Q))
+    kk_req = int(k)
+
+    def _score(batches):
+        ids, QQ = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            # per-query vectorized floor-dot: a (|batch| × dim) temp per
+            # query instead of a 3-D (nq × |batch| × dim) blowup
+            S = np.empty((nq, len(C)), dtype=np.int64)
+            for qi in range(nq):
+                S[qi] = _floored_micro_terms(C, QQ[qi])
+            valid = ids[:, None] != nid[None, :]
+            kk = min(kk_req, S.shape[1])
+            key = np.where(valid, -S, np.iinfo(np.int64).max)
+            order = np.lexsort((nid[None, :].repeat(nq, 0), key), axis=1)[:, :kk]
+            qi = np.repeat(np.arange(nq), kk)
+            ni = order.ravel()
+            keep = valid[qi, ni]
+            yield pd.DataFrame(
+                {
+                    "query_id": ids[qi][keep],
+                    "neighbor_id": nid[ni][keep],
+                    "score": S[qi, ni][keep],
+                }
+            )
+
+    partial = spread(corpus).select(id_col, vec_col).mapInPandas(
+        _score, "query_id long, neighbor_id long, score long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
     )
 
 
@@ -902,7 +1034,7 @@ def mmr_rerank(
     ``argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)``.
     All scoring is exact integer arithmetic — relevance and pairwise
     similarity are per-element-floored micro dots
-    (:func:`_floored_dot_micro`), λ is ``lam_milli``/1000, and the MMR
+    (:func:`_floored_micro_terms`), λ is ``lam_milli``/1000, and the MMR
     objective is ``lam_milli·rel − (1000−lam_milli)·maxsim`` in bigint —
     so the greedy trace is deterministic and cross-engine hash-exact
     (the registered query carries a FULL oracle: the k-step greedy
@@ -923,23 +1055,23 @@ def mmr_rerank(
         raise ValueError("lam_milli must be in [0, 1000]")
     if k < 1 or candidates < k:
         raise ValueError("need k >= 1 and candidates >= k")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
-    )
+    # candidate generation: the shared floored-micro top-k kernel (same
+    # scores and tie-break the old crossJoin+window form produced, but
+    # batch-vectorized and emitting only |Q|·candidates rows); the
+    # greedy then needs each candidate's vector — a broadcast join of
+    # the tiny candidate table against the corpus (point lookups, not
+    # a corpus-wide pass)
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("rel").desc(), F.col("neighbor_id")
-    )
     cand = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rel", _floored_dot_micro(F.col("__qv"), F.col("__cv")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= candidates)
+        F.broadcast(
+            _floored_micro_topk(queries, corpus, candidates, id_col, vec_col)
+            .withColumnRenamed("score", "rel")
+            .drop("rank")
+        )
+        .join(c, "neighbor_id")
         .select("query_id", "neighbor_id", "rel", "__cv")
     )
     lam = int(lam_milli)
@@ -1073,29 +1205,39 @@ def ivf_sq_topk(
         F.col("codes").alias("__cc"),
         F.col("scale_micro").alias("__cs"),
     )
-    idot = F.aggregate(
-        F.zip_with(
-            F.col("__qc"), F.col("__cc"), lambda a, b: (a * b).cast("bigint")
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    # no pair-dedup needed: each corpus vector lives in exactly ONE
+    # cell and a query's probed cells are distinct, so (query_id,
+    # neighbor_id) is already unique — a dropDuplicates here would
+    # be a gratuitous shuffle
+    cand = q.join(c, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    cand = (
-        q.join(c, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        # no pair-dedup needed: each corpus vector lives in exactly ONE
-        # cell and a query's probed cells are distinct, so (query_id,
-        # neighbor_id) is already unique — a dropDuplicates here would
-        # be a gratuitous shuffle
-        .withColumn("score", idot * F.col("__qs") * F.col("__cs"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+    kk = int(k)
+
+    def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one exact int64 matvec over this query's pruned candidates
+        # (≤ nprobe/nlist of the corpus by construction) — replaces the
+        # interpreted per-pair aggregate(zip_with) column AND the window
+        # sort; same shuffle (query_id), same integer scores, same
+        # (score desc, neighbor id asc) tie-break as sq_topk
+        C = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["__cc"]])
+        qc = np.asarray(pdf["__qc"].iat[0], dtype=np.int64)
+        s = (C @ qc) * int(pdf["__qs"].iat[0]) * pdf["__cs"].to_numpy(
+            dtype=np.int64
+        )
+        nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((nid, -s))[:kk]
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[:1].repeat(len(order)).to_numpy(),
+                "neighbor_id": nid[order],
+                "score": s[order],
+                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        _topk, "query_id long, neighbor_id long, score long, rank int"
     )
 
 
@@ -1398,15 +1540,20 @@ def hybrid_rrf_topk(
         .orderBy(F.col("tf").desc(), "id")
         .limit(candidates)
     )
-    qlit = F.array(*[F.lit(x) for x in q])
     # per-element quantization: floor(vᵢ·qᵢ·10⁶) is one IEEE multiply +
     # one floor per term — exact integers, order-invariant bigint sum
-    # (the shared convention, see _floored_dot_micro)
-    qdot = _floored_dot_micro(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")), qlit
-    )
+    # (the shared convention, see _floored_micro_terms) — evaluated as
+    # one vectorized Arrow-batch kernel against the broadcast-by-closure
+    # query vector instead of an interpreted per-row HOF expression
+    qv = np.array(q, dtype=np.float64)
+
+    @F.pandas_udf(T.LongType())
+    def _qdot(vecs_s: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_s])
+        return pd.Series(_floored_micro_terms(X, qv))
+
     v_cand = (
-        vecs.select(F.col(vec_id_col).alias("id"), qdot.alias("qd"))
+        vecs.select(F.col(vec_id_col).alias("id"), _qdot(F.col(vec_col)).alias("qd"))
         .orderBy(F.col("qd").desc(), "id")
         .limit(candidates)
     )

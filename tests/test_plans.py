@@ -560,3 +560,35 @@ def test_ivf_sq_stored_lists_scan_prunes_and_reads_no_vectors(
     pf = plan.split("PartitionFilters", 1)[1][:200]
     assert "dynamicpruning" in pf and "cell" in pf
     assert df.count() > 0
+
+
+def test_integer_dot_hot_loops_are_unrolled_codegen(spark, sf_dir):
+    """The SQ / int_micro / MMR-relevance scoring loops must run as
+    UNROLLED fixed-width sums inside whole-stage codegen — an
+    aggregate(zip_with(...)) higher-order function in the |Q|·|C| scan
+    loop evaluates interpreted per element (the round-5 bitset-popcount
+    pathology; a 3-10× constant on the compressed-scan tier's selling
+    point).  The HOF form survives only as the unknown-width fallback,
+    so its node names must not appear in these physical plans."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_sq_invert,
+        ivf_sq_topk,
+        kmeans_centroids,
+        sq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    C = kmeans_centroids(emb, nlist=4)
+    lists = ivf_sq_invert(emb, C).localCheckpoint(eager=True)
+    for df in (
+        sq_topk(q, emb, k=2),
+        brute_force_topk(q, emb, k=2, metric="int_micro"),
+        ivf_sq_topk(q, C, lists, k=2, nprobe=2),
+    ):
+        plan = plan_str(df)
+        assert "zip_with" not in plan and "aggregate(" not in plan
+        assert df.count() > 0

@@ -420,7 +420,13 @@ def ivf_topk(
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         Xn = _normalize_rows(X)
         S = Xn @ Cn.T
-        order = np.argsort(-S, axis=1)[:, :n_probe].astype("int32")
+        # stable sort: tied cells order by index, matching the argmax
+        # (first-wins) assignment convention — an unstable quicksort
+        # could exclude a vector's own cell from its probe set on an
+        # exact centroid-similarity tie at the nprobe boundary
+        order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe].astype(
+            "int32"
+        )
         return pd.Series(list(order))
 
     if lists is not None:
@@ -777,10 +783,16 @@ def sq_encode(
     default compressed tier.
 
     Per vector: ``codes_i = floor(v_i / maxabs · 127 + 0.5)`` (int8
-    range, half-up) and ``scale_micro = floor(maxabs / 127 · 10⁶)``
-    (the integer-micros dequantization step, the group_centroids
+    range, half-up) and ``scale_micro = max(floor(maxabs / 127 · 10⁶),
+    1)`` (the integer-micros dequantization step, the group_centroids
     quantization convention).  A zero vector encodes as all-zero codes
-    with scale 0.  Everything is codegen'd array expressions — no UDF,
+    with scale 0; a NON-zero vector's scale is clamped to ≥ 1 micro —
+    without the clamp any vector with ``maxabs < 1.27e-4`` would floor
+    to scale 0 and every score involving it would be exactly 0,
+    degenerating its top-k to min-id order; with it the codes (which
+    span the full int8 range regardless of magnitude) still rank
+    within-query, at the cost of magnitudes below ~1.27e-4 collapsing
+    to the same scale step.  Everything is codegen'd array expressions — no UDF,
     no shuffle: a pure scan-side projection, so encoding 100 TB is one
     pass that writes the compact (id, codes, scale_micro) table.
 
@@ -789,6 +801,16 @@ def sq_encode(
     :func:`sq_topk` — the same train-nothing/store-data-half contract
     as :func:`ivf_invert`, minus the training half (SQ has none).
     """
+    codes, scale = _sq_code_cols(vec_col)
+    return corpus.select(
+        F.col(id_col), codes.alias("codes"), scale.alias("scale_micro")
+    )
+
+
+def _sq_code_cols(vec_col: str) -> tuple[Column, Column]:
+    """The (codes, scale_micro) projection expressions of
+    :func:`sq_encode` — shared with :func:`ivf_sq_invert`, whose single
+    build scan computes them alongside the cell assignment."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     ma = F.array_max(F.transform(v, F.abs))
     codes = F.when(ma == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
@@ -798,11 +820,12 @@ def sq_encode(
         )
     )
     scale = F.when(ma == 0.0, F.lit(0).cast("bigint")).otherwise(
-        F.floor(ma / F.lit(127.0) * F.lit(1_000_000.0)).cast("bigint")
+        F.greatest(
+            F.floor(ma / F.lit(127.0) * F.lit(1_000_000.0)).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        )
     )
-    return corpus.select(
-        F.col(id_col), codes.alias("codes"), scale.alias("scale_micro")
-    )
+    return codes, scale
 
 
 def sq_topk(
@@ -1132,19 +1155,22 @@ def ivf_sq_invert(
     the full-precision vector (the SQ half).
 
     One scan pass: nearest-centroid assignment (vectorized Arrow
-    matmul, the same kernel :func:`ivf_invert` uses) zipped with the
-    codegen'd :func:`sq_encode` projection.  Returns (cell, ``id_col``,
-    codes, scale_micro); persist via ``cached_parquet(...,
+    matmul, the same kernel :func:`ivf_invert` uses) computed alongside
+    the codegen'd :func:`sq_encode` projection in a SINGLE select over
+    one ``spread(corpus)`` — cell and codes are independent projections
+    of the same row, so a join between two corpus scans (a corpus-sized
+    shuffle at build time) would be pure waste.  Returns (cell,
+    ``id_col``, codes, scale_micro); persist via ``cached_parquet(...,
     partition_by=("cell",))`` and serve with :func:`ivf_sq_topk`.
     """
     Cn = _normalize_rows(np.asarray(centroids, dtype=np.float64))
     cell = _cell_udf(Cn)
-    enc = sq_encode(spread(corpus), id_col, vec_col)
-    assigned = spread(corpus).select(
-        F.col(id_col), cell(F.col(vec_col)).alias("cell")
-    )
-    return assigned.join(enc, id_col).select(
-        "cell", id_col, "codes", "scale_micro"
+    codes, scale = _sq_code_cols(vec_col)
+    return spread(corpus).select(
+        cell(F.col(vec_col)).alias("cell"),
+        F.col(id_col),
+        codes.alias("codes"),
+        scale.alias("scale_micro"),
     )
 
 
@@ -1180,7 +1206,13 @@ def ivf_sq_topk(
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         Xn = _normalize_rows(X)
         S = Xn @ Cn.T
-        order = np.argsort(-S, axis=1)[:, :n_probe].astype("int32")
+        # stable sort: tied cells order by index, matching the argmax
+        # (first-wins) assignment convention — an unstable quicksort
+        # could exclude a vector's own cell from its probe set on an
+        # exact centroid-similarity tie at the nprobe boundary
+        order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe].astype(
+            "int32"
+        )
         return pd.Series(list(order))
 
     q = F.broadcast(
@@ -1266,6 +1298,13 @@ def recall_report(
     on (query_id, neighbor_id), each row fans out to the |ks| report
     rows it contributes to, and a single groupBy(k) aggregates
     conditional counts.  No per-k re-execution of the tier pipelines.
+
+    Every requested ``k`` gets a report row: a ``k`` with zero
+    reference pairs (empty reference tier, or every query has < k
+    neighbors... impossible for k≥1 unless the table is empty) emits
+    (k, 0, 0, 0, 0) rather than silently vanishing — a consumer
+    iterating the requested ks must not misread a missing row as a
+    measured recall.
     """
     if not ks or any(k < 1 for k in ks):
         raise ValueError("ks must be non-empty positive ints")
@@ -1276,10 +1315,9 @@ def recall_report(
     got = approx.filter(F.col("rank") <= kmax).select(
         "query_id", "neighbor_id", F.col("rank").alias("__ar")
     )
-    ks_col = F.explode(
-        F.array(*[F.lit(int(k)) for k in sorted(set(ks))])
-    ).alias("k")
-    return (
+    ks_sorted = sorted(set(int(k) for k in ks))
+    ks_col = F.explode(F.array(*[F.lit(k) for k in ks_sorted])).alias("k")
+    counts = (
         ref.join(got, ["query_id", "neighbor_id"], "left")
         .select("query_id", "__er", "__ar", ks_col)
         .filter(F.col("__er") <= F.col("k"))
@@ -1291,8 +1329,24 @@ def recall_report(
             ).cast("long").alias("hits"),
             F.count(F.lit(1)).cast("long").alias("total"),
         )
+    )
+    ks_frame = approx.sparkSession.createDataFrame(
+        [(k,) for k in ks_sorted], "k int"
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        ks_frame.join(counts, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_queries", zero).alias("n_queries"),
+            F.coalesce("hits", zero).alias("hits"),
+            F.coalesce("total", zero).alias("total"),
+        )
         .withColumn(
-            "recall_bp", F.expr("10000 * hits DIV total").cast("long")
+            "recall_bp",
+            F.when(F.col("total") > 0, F.expr("10000 * hits DIV total"))
+            .otherwise(zero)
+            .cast("long"),
         )
         .select("k", "n_queries", "hits", "total", "recall_bp")
     )

@@ -2455,7 +2455,8 @@ def _x_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     codes = cached_parquet(
         spark,
-        artifact_path(sf_dir, "sq_codes_v1"),
+        # v2: sq_encode clamps a non-zero vector's scale to >= 1 micro
+        artifact_path(sf_dir, "sq_codes_v2"),
         lambda: sq_encode(emb),
     )
     return (
@@ -2477,7 +2478,8 @@ _df(
     "ELSE list_transform(e, x -> CAST(floor(x / ma * 127 + 0.5) "
     "AS BIGINT)) END AS c, "
     "CASE WHEN ma = 0 THEN CAST(0 AS BIGINT) "
-    "ELSE CAST(floor(ma / 127 * 1000000) AS BIGINT) END AS sm "
+    "ELSE GREATEST(CAST(floor(ma / 127 * 1000000) AS BIGINT), "
+    "CAST(1 AS BIGINT)) END AS sm "
     "FROM enc), "
     "q AS (SELECT vec_id AS qid, c AS qc, sm AS qs FROM codes "
     "WHERE vec_id < 10), "
@@ -2620,7 +2622,8 @@ _df(
     "ELSE list_transform(e, x -> CAST(floor(x / ma * 127 + 0.5) "
     "AS BIGINT)) END AS c, "
     "CASE WHEN ma = 0 THEN CAST(0 AS BIGINT) "
-    "ELSE CAST(floor(ma / 127 * 1000000) AS BIGINT) END AS sm "
+    "ELSE GREATEST(CAST(floor(ma / 127 * 1000000) AS BIGINT), "
+    "CAST(1 AS BIGINT)) END AS sm "
     "FROM enc), "
     "sqq AS (SELECT vec_id AS qid, c AS qc, sm AS qs FROM codes "
     "WHERE vec_id < 10), "
@@ -2680,7 +2683,8 @@ def _x_ivfsq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = load_ivf_centroids(spark, idx)
     lists = cached_parquet(
         spark,
-        artifact_path(sf_dir, "ivfsq_lists_n16_seed42_v1"),
+        # v2: sq_encode clamps a non-zero vector's scale to >= 1 micro
+        artifact_path(sf_dir, "ivfsq_lists_n16_seed42_v2"),
         lambda: ivf_sq_invert(emb, C),
         partition_by=("cell",),
     )

@@ -2931,6 +2931,79 @@ def test_recall_report_counts(spark):
         recall_report(approx, exact, ks=())
 
 
+def test_sq_encode_tiny_vector_scale_clamped(spark):
+    """A non-zero vector with maxabs < 1.27e-4 must NOT degenerate to
+    scale 0 (which would zero every one of its scores and collapse its
+    top-k to min-id order): the scale clamps to 1 micro and ranking by
+    the actual dot-product order survives, because the codes span the
+    full int8 range regardless of magnitude."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        sq_encode,
+        sq_topk,
+    )
+
+    rows = [
+        (0, [1e-5, 2e-6]),      # tiny query: old scale floored to 0
+        (1, [1.0, 0.1]),        # aligned with the query → best dot
+        (2, [-1.0, -0.1]),      # anti-aligned → worst
+        (3, [0.1, 1.0]),        # orthogonal-ish
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = {r["vec_id"]: r["scale_micro"] for r in sq_encode(emb).collect()}
+    assert enc[0] == 1  # clamped, not 0
+    got = [
+        (r["rank"], r["neighbor_id"], r["score"])
+        for r in sq_topk(emb.filter(F.col("vec_id") == 0), emb, k=3)
+        .orderBy("rank").collect()
+    ]
+    assert [g[1] for g in got] == [1, 3, 2]  # true dot order, not id order
+    assert got[0][2] > 0 > got[2][2]  # scores carry sign, not all zero
+
+
+def test_recall_report_emits_zero_rows_for_empty_reference(spark):
+    """Every requested k gets a row: with an empty reference tier the
+    report is (k, 0, 0, 0, 0) per k, not an empty frame a consumer
+    could misread as 'no measurement requested'."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        recall_report,
+    )
+
+    empty = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, rank int"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, neighbor_id long, rank int"
+    )
+    rows = sorted(
+        map(tuple, recall_report(approx, empty, ks=(1, 5)).collect())
+    )
+    assert rows == [(1, 0, 0, 0, 0), (5, 0, 0, 0, 0)]
+
+
+def test_probe_cells_tie_breaks_to_min_cell_index(spark):
+    """With two IDENTICAL centroids every query ties exactly; the probe
+    order must be stable (cell index order, matching the argmax
+    first-wins assignment), so nprobe=1 probes cell 0 — where the
+    assignment kernel put every vector — and finds real neighbors
+    instead of an empty probe set."""
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    C = np.array([[1.0, 0.0], [1.0, 0.0]])  # exact duplicate centroids
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    got = ivf_topk(
+        emb.filter(F.col("vec_id") < 2), emb, k=1, nlist=2, nprobe=1,
+        centroids=C,
+    ).collect()
+    assert len(got) == 2  # every query found its (cell-0) neighbors
+
+
 def test_ivf_sq_full_probe_equals_sq_topk(spark, sf_dir, tmp_path):
     """Composed IVF×SQ tier: probing every cell must equal the plain SQ
     scan tier EXACTLY (same integer scores, same tie-break) — the IVF

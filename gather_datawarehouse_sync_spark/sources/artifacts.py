@@ -203,6 +203,14 @@ def _install_atomic(
         for old in renamed:
             shutil.rmtree(old, ignore_errors=True)
         return
+    _promote_staging(tmp, path)
+
+
+def _promote_staging(tmp: str, path: str) -> None:
+    """Write-if-absent install of a completed staging dir: atomically
+    rename ``tmp`` into ``path`` unless a racing builder already
+    installed a complete artifact there (then serve theirs — identical
+    by determinism — and drop ours)."""
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         shutil.rmtree(path, ignore_errors=True)
         try:
@@ -213,6 +221,77 @@ def _install_atomic(
             shutil.rmtree(tmp, ignore_errors=True)
     else:  # a racing builder finished first — serve its artifact
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def append_partitioned_artifact(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    build: Callable[[], DataFrame],
+    partition_by: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """INCREMENTAL artifact maintenance: derive the new corpus
+    version's artifact from the previous version's artifact plus an
+    increment, without rescanning the old corpus.
+
+    A daily crawl increment at 100 TB must not re-encode the whole
+    corpus: the dedup side already has this contract
+    (``minhash_dedup_against`` / ``duplicate_spans_against`` process
+    only the increment against a stored reference); this is the ANN
+    side's counterpart for the persisted data-half tables
+    (:func:`...similarity.ivf_invert` lists,
+    :func:`...similarity.ivf_sq_invert` code lists,
+    :func:`...similarity.sq_encode` codes) — all append-only by
+    construction, because a new vector's cell/codes never depend on
+    other vectors once the TRAINED half (quantizer/codebooks) is
+    pinned.  Appending under a retrained quantizer would be wrong —
+    that is a rebuild, by definition.
+
+    Mechanics: the old artifact's data files are HARDLINKED (fallback:
+    copied) into a per-builder staging dir — a metadata operation on a
+    shared filesystem, the moral equivalent of an object store's
+    server-side copy — then ``build()`` (a DataFrame over ONLY the
+    increment's rows; the old corpus is not an input) is written in
+    append mode into the same partition layout (new parquet files land
+    inside existing ``cell=`` dirs), and the staging dir installs at
+    ``new_path`` with the write-if-absent contract.  ``new_path`` is
+    normally :func:`artifact_path` under the NEW corpus fingerprint,
+    so readers of the old version are never disturbed and the
+    old-fingerprint dir is later swept by
+    :func:`prune_stale_artifacts`.
+
+    Returns the appended artifact as a DataFrame (plain parquet scan).
+    """
+    global _BUILD_SEQ
+    if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
+        raise ValueError(
+            f"append_partitioned_artifact: no complete artifact at "
+            f"{old_path} — build the base version first (cached_parquet)"
+        )
+    if os.path.exists(os.path.join(new_path, "_SUCCESS")):
+        return spark.read.parquet(new_path)
+    _BUILD_SEQ += 1
+    tmp = f"{new_path}.__building__{os.getpid()}_{_BUILD_SEQ}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    for dirpath, dirnames, filenames in os.walk(old_path):
+        rel = os.path.relpath(dirpath, old_path)
+        dst_dir = os.path.join(tmp, rel) if rel != "." else tmp
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in filenames:
+            if "_SUCCESS" in name:  # marker + its .crc sidecar: the
+                continue  # append job writes its own completion marker
+            src = os.path.join(dirpath, name)
+            dst = os.path.join(dst_dir, name)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+    writer = build().write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    _promote_staging(tmp, new_path)
+    return spark.read.parquet(new_path)
 
 
 # ---------------------------------------------------------------------------

@@ -2690,6 +2690,91 @@ def test_prune_sweeps_superseded_keys_and_old_corpses(tmp_path, monkeypatch):
     assert not os.path.isdir(superseded)
 
 
+def test_append_partitioned_artifact_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Incremental ANN maintenance: appending a crawl increment's
+    inverted lists onto the stored base artifact must serve the SAME
+    top-k as a full rebuild over base+increment — and the increment
+    path must not rescan the old corpus: the build callback receives
+    only increment rows (structural), the base artifact's data files
+    survive into the appended artifact unmodified (same name, size,
+    mtime — hardlinks, not rewrites), and only the increment's rows are
+    newly written."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        append_partitioned_artifact,
+        cached_parquet,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    increment = emb.filter(F.col("vec_id") % 5 == 0)
+    C = kmeans_centroids(base, nlist=4)  # quantizer trained ONCE, pinned
+
+    old_path = str(tmp_path / "lists_v1_fp_a")
+    cached_parquet(
+        spark, old_path, lambda: ivf_invert(base, C), partition_by=("cell",)
+    )
+    old_files = {}
+    for dirpath, _, names in os.walk(old_path):
+        for n in names:
+            if "_SUCCESS" not in n:  # marker+crc are re-written on append
+                st = os.stat(os.path.join(dirpath, n))
+                rel = os.path.relpath(os.path.join(dirpath, n), old_path)
+                old_files[rel] = (st.st_size, st.st_mtime_ns)
+
+    new_path = str(tmp_path / "lists_v1_fp_b")
+    appended = append_partitioned_artifact(
+        spark, old_path, new_path,
+        lambda: ivf_invert(increment, C),  # ONLY the increment is read
+        partition_by=("cell",),
+    )
+    # every base file carried over byte-identical (link, not rewrite)
+    for rel, (size, mtime) in old_files.items():
+        st = os.stat(os.path.join(new_path, rel))
+        assert (st.st_size, st.st_mtime_ns) == (size, mtime), rel
+    assert appended.count() == emb.count()
+    assert os.path.exists(os.path.join(new_path, "_SUCCESS"))
+    # old artifact untouched and still complete
+    assert os.path.exists(os.path.join(old_path, "_SUCCESS"))
+
+    q = emb.filter(F.col("vec_id") < 10)
+    full = cached_parquet(
+        spark, str(tmp_path / "lists_full"),
+        lambda: ivf_invert(emb, C), partition_by=("cell",),
+    )
+    got_append = sorted(map(tuple, ivf_topk(
+        q, None, k=2, nlist=4, nprobe=4, centroids=C, lists=appended
+    ).collect()))
+    got_full = sorted(map(tuple, ivf_topk(
+        q, None, k=2, nlist=4, nprobe=4, centroids=C, lists=full
+    ).collect()))
+    assert got_append == got_full and got_append
+
+    # idempotent: a second append call serves the installed artifact
+    again = append_partitioned_artifact(
+        spark, old_path, new_path,
+        lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")),
+        partition_by=("cell",),
+    )
+    assert again.count() == emb.count()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no complete artifact"):
+        append_partitioned_artifact(
+            spark, str(tmp_path / "nope"), str(tmp_path / "x"),
+            lambda: ivf_invert(increment, C),
+        )
+
+
 def test_overwrite_swap_leaves_no_residue(spark, tmp_path):
     """The rename-aside overwrite swap must leave exactly the fresh
     artifact: no __old__ rename-aside dir and no __building__ staging

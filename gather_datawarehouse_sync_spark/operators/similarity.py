@@ -1063,12 +1063,14 @@ def mmr_rerank(
     (the registered query carries a FULL oracle: the k-step greedy
     unrolled as k SQL CTE blocks).
 
-    Scale shape: candidate generation is the documented all-pairs scan
-    tier (same as :func:`brute_force_topk` — swap in :func:`ivf_topk` /
-    :func:`sq_topk` candidates at 100 TB); the greedy runs per query in
-    ONE Arrow kernel over its ≤ ``candidates`` rows (an O(k·c²·dim)
-    numpy loop on bounded data — never over the corpus), parallel
-    across queries.  Ties break by minimum candidate id at every step.
+    Scale shape: candidate generation here is the documented all-pairs
+    scan tier (same as :func:`brute_force_topk`) — the oracle-friendly
+    exact form; the 100 TB serving composition over DPP-pruned IVF×SQ
+    candidates is :func:`mmr_rerank_ivfsq`, which shares this greedy.
+    The greedy runs per query in ONE Arrow kernel over its ≤
+    ``candidates`` rows (an O(k·c²·dim) numpy loop on bounded data —
+    never over the corpus), parallel across queries.  Ties break by
+    minimum candidate id at every step.
 
     Returns (query_id, neighbor_id, ord) — ord = 1-based selection
     order (ord 1 is the plain top-1; the rest trade relevance for
@@ -1097,6 +1099,16 @@ def mmr_rerank(
         .join(c, "neighbor_id")
         .select("query_id", "neighbor_id", "rel", "__cv")
     )
+    return _mmr_greedy(cand, k, lam_milli)
+
+
+def _mmr_greedy(cand: DataFrame, k: int, lam_milli: int) -> DataFrame:
+    """The per-query greedy MMR selection over a prepared candidate
+    table (query_id, neighbor_id, rel bigint, __cv array<double>) —
+    shared by :func:`mmr_rerank` (floored-micro exact candidates) and
+    :func:`mmr_rerank_ivfsq` (DPP-pruned composed-index candidates):
+    the greedy is candidate-source-agnostic, one Arrow kernel per query
+    over its bounded rows."""
     lam = int(lam_milli)
     take = int(k)
 
@@ -1139,6 +1151,74 @@ def mmr_rerank(
     return cand.groupBy("query_id").applyInPandas(
         _mmr, "query_id long, neighbor_id long, ord int"
     )
+
+
+def mmr_rerank_ivfsq(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    lists: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    candidates: int = 20,
+    nprobe: int = 4,
+    lam_milli: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MMR re-ranking over COMPOSED-INDEX candidates — the 100 TB
+    serving shape end-to-end: candidate generation is
+    :func:`ivf_sq_topk` (DPP-pruned scan of the stored cell-partitioned
+    int8 code lists — the full-precision corpus is never scanned), then
+    the ≤ ``candidates`` winners per query fetch their full-precision
+    vectors by id (bounded point lookups via a broadcast join, the
+    fetch step every retrieval stack performs before re-ranking),
+    relevance is re-scored exactly (per-element-floored micro dot —
+    quantization error from the candidate tier does not leak into the
+    greedy objective), and the greedy is the same
+    :func:`_mmr_greedy` kernel :func:`mmr_rerank` runs.
+
+    Candidate recall < 1 by construction (``nprobe`` < nlist probes a
+    subset), so results are engine-specific → rows-only evidence; the
+    greedy-over-candidates stage itself is deterministic and shared
+    with the fully-oracled exact form.
+
+    Returns (query_id, neighbor_id, ord).
+    """
+    if not 0 <= lam_milli <= 1000:
+        raise ValueError("lam_milli must be in [0, 1000]")
+    if k < 1 or candidates < k:
+        raise ValueError("need k >= 1 and candidates >= k")
+    cand_ids = ivf_sq_topk(
+        queries, centroids, lists, k=candidates, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    cvec = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+
+    @F.pandas_udf(T.LongType())
+    def _pair_rel(a: pd.Series, b: pd.Series) -> pd.Series:
+        # exact re-scoring of the bounded candidate rows (|Q|·candidates
+        # pairs — vectorized per Arrow batch, never corpus-sized)
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        return pd.Series(
+            np.floor(A * B * 1_000_000.0).astype(np.int64).sum(axis=1)
+        )
+
+    cand = (
+        F.broadcast(cand_ids)
+        .join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("rel", _pair_rel("__qv", "__cv"))
+        .select("query_id", "neighbor_id", "rel", "__cv")
+    )
+    return _mmr_greedy(cand, k, lam_milli)
 
 
 def ivf_sq_invert(

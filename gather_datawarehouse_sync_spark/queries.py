@@ -2651,19 +2651,14 @@ _df(
 )
 
 
-def _x_ivfsq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed 100 TB serving tier (FAISS IndexIVFScalarQuantizer):
-    IVF cell-partitioned inverted lists storing int8 SQ codes — the
-    scan prunes to nprobe/nlist of the files (DPP from the broadcast
-    probe side) AND each stored row is 4-8× smaller than the raw
-    vector; the full-precision corpus is never read at query time.
-    Probe-subset recall → rows-only; full-probe ≡ sq_topk exact
-    equality and stored ≡ recompute parity are pinned in tests."""
+def _ivfsq_index(spark: SparkSession, sf_dir: str):
+    """(embeddings, centroids, lists): the stored composed IVF×SQ index
+    — trained coarse quantizer plus cell-partitioned int8 code lists —
+    shared by the serving, recall-eval, and MMR-composition queries."""
     import os
 
     from gather_datawarehouse_sync_spark.operators.similarity import (
         ivf_sq_invert,
-        ivf_sq_topk,
         kmeans_centroids,
     )
     from gather_datawarehouse_sync_spark.sources.artifacts import (
@@ -2688,6 +2683,22 @@ def _x_ivfsq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: ivf_sq_invert(emb, C),
         partition_by=("cell",),
     )
+    return emb, C, lists
+
+
+def _x_ivfsq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB serving tier (FAISS IndexIVFScalarQuantizer):
+    IVF cell-partitioned inverted lists storing int8 SQ codes — the
+    scan prunes to nprobe/nlist of the files (DPP from the broadcast
+    probe side) AND each stored row is 4-8× smaller than the raw
+    vector; the full-precision corpus is never read at query time.
+    Probe-subset recall → rows-only; full-probe ≡ sq_topk exact
+    equality and stored ≡ recompute parity are pinned in tests."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_topk,
+    )
+
+    emb, C, lists = _ivfsq_index(spark, sf_dir)
     return (
         ivf_sq_topk(emb.filter(F.col("vec_id") < 10), C, lists, k=1, nprobe=4)
         .select("query_id", "neighbor_id")
@@ -2703,6 +2714,73 @@ _df(
     note="composed IVF×SQ tier: cell-partitioned int8 code lists, "
     "DPP-pruned scan, integer scoring (probe-subset recall → rows-only; "
     "full-probe==sq_topk equality + stored==recompute parity in tests)",
+)
+
+
+def _x_mmr_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR over the composed serving index — the full 100 TB retrieval
+    path in one query: DPP-pruned IVF×SQ candidate generation from the
+    stored cell-partitioned code lists (no full-precision corpus scan),
+    bounded point-lookup fetch of the ≤20 candidate vectors per query,
+    exact integer re-scoring, and the same greedy-diversity kernel the
+    fully-oracled x_mmr_rerank runs.  Probe-subset candidates →
+    rows-only; the DPP plan shape is pinned in tests/test_plans.py and
+    greedy parity (full-probe + full-candidate ≡ exact-tier MMR, where
+    the candidate sets provably coincide) in tests/test_operators.py."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        mmr_rerank_ivfsq,
+    )
+
+    emb, C, lists = _ivfsq_index(spark, sf_dir)
+    return mmr_rerank_ivfsq(
+        emb.filter(F.col("vec_id") < 5), C, lists, emb,
+        k=5, candidates=20, nprobe=4, lam_milli=700,
+    ).orderBy("query_id", "ord")
+
+
+_df(
+    "x_mmr_ivfsq",
+    _x_mmr_ivfsq,
+    None,
+    ("embeddings",),
+    note="MMR diversity re-ranking over DPP-pruned IVF×SQ candidates — "
+    "the composed serving shape (probe-subset → rows-only; plan-pinned "
+    "DPP + full-probe greedy parity in tests)",
+)
+
+
+def _x_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe/recall tradeoff of the composed tier, measured per round:
+    recall@{1,5,10} of IVF×SQ at nprobe=4 of nlist=16 against the SQ
+    exact tier reading the SAME stored code lists (identical integer
+    scores, so the only difference is the probe subset — this isolates
+    the IVF pruning loss from quantization loss).  Probe-subset result
+    → rows-only; a recall floor is asserted in tests so a probe-quality
+    regression fails the build, not just the dashboard."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_topk,
+        recall_report,
+        sq_topk,
+    )
+
+    emb, C, lists = _ivfsq_index(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_sq_topk(q, C, lists, k=10, nprobe=4)
+    exact = sq_topk(
+        q, None, k=10,
+        codes=lists.select("vec_id", "codes", "scale_micro"),
+    )
+    return recall_report(approx, exact, ks=(1, 5, 10)).orderBy("k")
+
+
+_df(
+    "x_ivfsq_recall",
+    _x_ivfsq_recall,
+    None,
+    ("embeddings",),
+    note="recall@k of the composed IVF×SQ tier (nprobe=4/16) vs the SQ "
+    "exact tier over the same stored codes — isolates probe loss from "
+    "quantization loss (probe-subset → rows-only; floor pinned in tests)",
 )
 
 

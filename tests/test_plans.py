@@ -592,3 +592,39 @@ def test_integer_dot_hot_loops_are_unrolled_codegen(spark, sf_dir):
         plan = plan_str(df)
         assert "zip_with" not in plan and "aggregate(" not in plan
         assert df.count() > 0
+
+
+def test_mmr_ivfsq_candidate_scan_prunes_to_probed_cells(spark, sf_dir, tmp_path):
+    """The composed MMR serving query's candidate stage must read the
+    stored code lists through the SAME DPP-pruned scan the plain IVF×SQ
+    tier uses: the dynamic pruning subquery on cell appears in the
+    lists scan's PartitionFilters, proving the docstring's 100 TB
+    composition with a plan, not a sentence."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_invert,
+        kmeans_centroids,
+        mmr_rerank_ivfsq,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    C = kmeans_centroids(emb, nlist=4)
+    lists = cached_parquet(
+        spark,
+        str(tmp_path / "ivfsq_lists"),
+        lambda: ivf_sq_invert(emb, C),
+        partition_by=("cell",),
+    )
+    df = mmr_rerank_ivfsq(
+        emb.filter(F.col("vec_id") < 3), C, lists, emb,
+        k=3, candidates=5, nprobe=2,
+    )
+    plan = plan_str(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "dynamicpruning" in pf and "cell" in pf
+    assert df.count() > 0

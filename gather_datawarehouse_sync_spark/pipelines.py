@@ -140,6 +140,69 @@ def pretrain_mix(
     return out.select(id_col, source_col, "score_milli", "src_rn", "mix_key")
 
 
+def release_index_gate(
+    approx: DataFrame,
+    exact: DataFrame,
+    floors_bp: dict[int, int],
+    fail_fast: bool = False,
+) -> DataFrame:
+    """Retrieval-quality ACCEPTANCE GATE for a corpus release: the
+    drift-gate pattern (``operators/profile.distribution_drift``)
+    applied to the serving index — before a release ships its
+    corpus + index pair, recall@k of the serving tier against a
+    reference tier must clear per-k floors, or the release job fails
+    loudly instead of quietly shipping a degraded index.
+
+    ``approx``/``exact`` are any two tier outputs in the shared
+    (query_id, neighbor_id, rank) shape (``sq_topk``, ``ivf_sq_topk``,
+    ``brute_force_topk``, ...); ``floors_bp`` maps k → minimum
+    recall in basis points.  Returns the :func:`...similarity.
+    recall_report` rows extended with (floor_bp, ok); with
+    ``fail_fast=True`` any failing k raises AT EXECUTION TIME
+    (``raise_error`` inside the plan — no extra pass, the same
+    loud-failure convention as ``semantic_dedup``'s membership check),
+    which is the mode a release job runs in.
+
+    Cost: the gate is two bounded top-k tables joined once — never
+    corpus-sized — so running it on every release is O(|eval queries|),
+    the same cheap-insurance class as the drift gate.
+    """
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        recall_report,
+    )
+
+    if not floors_bp:
+        raise ValueError("release_index_gate: floors_bp must be non-empty")
+    rep = recall_report(approx, exact, ks=tuple(sorted(floors_bp)))
+    floor_map = F.create_map(
+        *[
+            F.lit(v)
+            for k in sorted(floors_bp)
+            for v in (int(k), int(floors_bp[k]))
+        ]
+    )
+    out = rep.withColumn(
+        "floor_bp", F.element_at(floor_map, F.col("k")).cast("long")
+    )
+    ok = F.col("recall_bp") >= F.col("floor_bp")
+    if fail_fast:
+        ok = F.when(
+            ~ok,
+            F.raise_error(
+                F.concat(
+                    F.lit("release_index_gate: recall@"),
+                    F.col("k").cast("string"),
+                    F.lit(" = "),
+                    F.col("recall_bp").cast("string"),
+                    F.lit(" bp below floor "),
+                    F.col("floor_bp").cast("string"),
+                    F.lit(" bp — do not ship this index"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    return out.withColumn("ok", ok)
+
+
 def curate(
     df: DataFrame,
     id_col: str = "doc_id",

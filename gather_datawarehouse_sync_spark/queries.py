@@ -2603,9 +2603,10 @@ def _x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_report(approx, exact, ks=(1, 5, 10)).orderBy("k")
 
 
-_df(
-    "x_ann_recall",
-    _x_ann_recall,
+# the SQ-vs-integer-exact recall CTE body — shared by the x_ann_recall
+# report and the x_release_gate acceptance check (whose oracle extends
+# the same rows with floor/verdict columns)
+_SQ_RECALL_CTES = (
     "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
     "FROM embeddings), "
     "q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10), "
@@ -2641,13 +2642,63 @@ _df(
     "hit AS (SELECT r.k, COUNT(*) AS hits FROM ref r JOIN got g "
     "ON g.k = r.k AND g.qid = r.qid AND g.nid = r.nid GROUP BY r.k), "
     "tot AS (SELECT k, COUNT(DISTINCT qid) AS n_queries, "
-    "COUNT(*) AS total FROM ref GROUP BY k) "
-    "SELECT t.k, t.n_queries, COALESCE(h.hits, 0) AS hits, t.total, "
-    "(10000 * COALESCE(h.hits, 0)) // t.total AS recall_bp "
-    "FROM tot t LEFT JOIN hit h ON h.k = t.k ORDER BY t.k",
+    "COUNT(*) AS total FROM ref GROUP BY k), "
+    "rep AS (SELECT t.k, t.n_queries, COALESCE(h.hits, 0) AS hits, "
+    "t.total, (10000 * COALESCE(h.hits, 0)) // t.total AS recall_bp "
+    "FROM tot t LEFT JOIN hit h ON h.k = t.k)"
+)
+
+_df(
+    "x_ann_recall",
+    _x_ann_recall,
+    _SQ_RECALL_CTES
+    + " SELECT k, n_queries, hits, total, recall_bp FROM rep ORDER BY k",
     ("embeddings",),
     note="recall@k report of the SQ tier vs the integer-dot exact tier "
     "— both tiers integer-scored, full oracle end-to-end",
+)
+
+
+_RELEASE_GATE_FLOORS = {1: 9000, 5: 9000, 10: 8000}
+
+
+def _x_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release acceptance gate on the serving index: recall@{1,5,10}
+    of the SQ compressed tier against the integer-dot exact tier with
+    per-k floors — the drift-gate pattern applied to retrieval quality
+    before a corpus+index release ships.  Both tiers are integer-scored
+    and the floors are literals, so the WHOLE gate report (recall,
+    floor, verdict) carries a full value-hash oracle.  The registered
+    form reports (fail_fast=False) so the driver can hash the verdict
+    column; the raising fail-fast mode is unit-pinned."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        sq_topk,
+    )
+    from gather_datawarehouse_sync_spark.pipelines import release_index_gate
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = sq_topk(q, emb, k=10)
+    exact = brute_force_topk(q, emb, k=10, metric="int_micro")
+    return release_index_gate(
+        approx, exact, _RELEASE_GATE_FLOORS, fail_fast=False
+    ).orderBy("k")
+
+
+_df(
+    "x_release_gate",
+    _x_release_gate,
+    _SQ_RECALL_CTES
+    + " SELECT k, n_queries, hits, total, recall_bp, floor_bp, "
+    "recall_bp >= floor_bp AS ok FROM (SELECT rep.*, CAST(CASE k "
+    "WHEN 1 THEN 9000 WHEN 5 THEN 9000 WHEN 10 THEN 8000 END AS BIGINT) "
+    "AS floor_bp FROM rep) ORDER BY k",
+    ("embeddings",),
+    note="retrieval-quality acceptance gate (recall floors on the "
+    "serving tier) — the drift-gate pattern applied to the index; "
+    "full oracle including the verdict column",
 )
 
 

@@ -3163,6 +3163,47 @@ def test_ivfsq_recall_floor_at_default_probes(spark, sf_dir):
     assert got[1] >= 3000, got
 
 
+def test_release_index_gate_verdicts_and_fail_fast(spark):
+    """The acceptance gate annotates each k with its floor and verdict;
+    in fail-fast mode a failing k raises AT EXECUTION TIME with the
+    offending recall in the message (the release-job mode), while a
+    passing gate executes clean."""
+    import pytest
+
+    from gather_datawarehouse_sync_spark.pipelines import release_index_gate
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (2, 20, 1), (2, 21, 2)],  # 3/4 at k=2
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {
+        r["k"]: (r["recall_bp"], r["floor_bp"], r["ok"])
+        for r in release_index_gate(
+            approx, exact, {1: 9000, 2: 8000}
+        ).collect()
+    }
+    assert got[1] == (10000, 9000, True)
+    assert got[2] == (7500, 8000, False)  # 10000*3 DIV 4
+
+    ok_gate = release_index_gate(
+        approx, exact, {1: 9000, 2: 7000}, fail_fast=True
+    )
+    assert all(r["ok"] for r in ok_gate.collect())
+
+    bad_gate = release_index_gate(
+        approx, exact, {1: 9000, 2: 8000}, fail_fast=True
+    )
+    with pytest.raises(Exception, match="do not ship"):
+        bad_gate.collect()
+
+    with pytest.raises(ValueError, match="non-empty"):
+        release_index_gate(approx, exact, {})
+
+
 def test_ivf_sq_full_probe_equals_sq_topk(spark, sf_dir, tmp_path):
     """Composed IVF×SQ tier: probing every cell must equal the plain SQ
     scan tier EXACTLY (same integer scores, same tie-break) — the IVF

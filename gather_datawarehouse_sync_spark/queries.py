@@ -2434,6 +2434,82 @@ _df(
 )
 
 
+def _x_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance end-to-end: the corpus is split
+    into a BASE (vec_id % 5 ≠ 0, the prior crawl) and an INCREMENT
+    (vec_id % 5 = 0, today's crawl); the base's inverted lists persist
+    once, the increment's lists APPEND onto them under the pinned
+    quantizer (``append_partitioned_artifact`` — the old corpus is
+    never rescanned, base files hardlink across), and top-1 serves
+    from the appended artifact.  Probing every cell makes the result
+    equal exact brute-force top-1 regardless of the (engine-specific)
+    quantizer, so this query carries a FULL oracle: a wrong append —
+    dropped base rows, duplicated increment rows, a mis-assigned cell
+    — breaks the hash."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        append_partitioned_artifact,
+        artifact_path,
+        cached_parquet,
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    import os
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    increment = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = artifact_path(sf_dir, "ivf_centroids_incr_n8_v1")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        save_ivf_centroids(spark, kmeans_centroids(base, nlist=8), idx)
+    C = load_ivf_centroids(spark, idx)
+    base_lists = artifact_path(sf_dir, "ivf_lists_incr_base_n8_v1")
+    cached_parquet(
+        spark, base_lists, lambda: ivf_invert(base, C),
+        partition_by=("cell",),
+    )
+    lists = append_partitioned_artifact(
+        spark,
+        base_lists,
+        artifact_path(sf_dir, "ivf_lists_incr_full_n8_v1"),
+        lambda: ivf_invert(increment, C),
+        partition_by=("cell",),
+    )
+    return (
+        ivf_topk(
+            emb.filter(F.col("vec_id") < 10), None, k=1, nlist=8, nprobe=8,
+            centroids=C, lists=lists,
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
+_df(
+    "x_ivf_append",
+    _x_ivf_append,
+    "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+    "scored AS (SELECT q.qid, e.vec_id AS nid, "
+    "list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score "
+    "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid), "
+    "ranked AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid "
+    "ORDER BY score DESC, nid) AS rn FROM scored) "
+    "SELECT qid AS query_id, nid AS neighbor_id FROM ranked WHERE rn = 1 ORDER BY query_id",
+    ("embeddings",),
+    note="incremental append maintenance served end-to-end (base lists "
+    "+ appended crawl increment, old corpus never rescanned); full "
+    "probe ≡ brute force regardless of quantizer → FULL oracle",
+)
+
+
 def _x_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized top-1 (FAISS SQ8): the compressed SCAN
     tier next to PQ-ADC — 4× smaller than float32 storage, one encode

@@ -31,6 +31,7 @@ batch operator's 100 TB contract.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 
 from gather_datawarehouse_sync_spark.operators.dedup import (
@@ -170,6 +171,75 @@ def start_incremental_span_dedup(
 
     return (
         new_stream.writeStream.foreachBatch(_spans_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_incremental_index_append(
+    new_stream: DataFrame,
+    centroids: "np.ndarray",
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sq: bool = True,
+):
+    """Streaming SERVING-INDEX maintenance: each micro-batch of newly
+    embedded documents is cell-assigned and (optionally) int8-encoded
+    under the PINNED coarse quantizer, landing as
+    ``out_path/epoch=<id>/cell=<c>/part-*.parquet`` — so a crawl ingest
+    keeps the retrieval index fresh per micro-batch instead of waiting
+    for the next full rebuild.  The third leg of the ingest picture
+    next to :func:`start_incremental_dedup` (whole-doc verdicts) and
+    :func:`start_incremental_span_dedup` (copied passages).
+
+    Same layout as those, for the same reasons: ``foreachBatch``
+    applies the BATCH build operator (:func:`...similarity.
+    ivf_sq_invert`, or :func:`...similarity.ivf_invert` with
+    ``sq=False``) per micro-batch — stream ≡ batch parity by
+    construction, no second encoder to drift — and the epoch-directory
+    overwrite makes replays exactly-once.  ``cell`` stays a partition
+    column UNDER epoch, so ``ivf_sq_topk(lists=spark.read.parquet(
+    out_path))`` still prunes the scan to probed cells across every
+    epoch directory.  Zero streaming state: a vector's cell/codes
+    depend only on its own row and the broadcast quantizer.
+
+    Appending under a RETRAINED quantizer would silently corrupt the
+    index (stored cells probed under different centroids) — that is a
+    rebuild, the same contract as
+    ``sources/artifacts.append_partitioned_artifact``, whose batch
+    compaction folds drained epochs into the per-corpus-version
+    artifact (dropping the epoch level) at version bump.
+
+    Returns the started query (caller awaits).
+    """
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
+        ivf_sq_invert,
+    )
+
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2 or not len(C):
+        # fail at stream START (see start_incremental_dedup): a bad
+        # quantizer would otherwise surface inside the first micro-batch
+        raise ValueError(
+            "start_incremental_index_append: centroids must be a "
+            f"non-empty (nlist, dim) matrix, got shape {C.shape}"
+        )
+
+    def _append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        invert = ivf_sq_invert if sq else ivf_invert
+        lists = invert(batch_df, C, id_col=id_col, vec_col=vec_col)
+        # epoch dir overwrite = exactly-once under replay; cell below
+        # epoch keeps partition pruning for the serving scan
+        lists.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{out_path}/epoch={epoch_id}"
+        )
+
+    return (
+        new_stream.writeStream.foreachBatch(_append_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

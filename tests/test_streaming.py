@@ -579,3 +579,63 @@ def test_incremental_span_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
         start_incremental_span_dedup(
             stream, None, out, str(tmp_path / "ckpt_bad2")
         )
+
+
+def test_incremental_index_append_stream_matches_batch(spark, tmp_path, sf_dir):
+    """foreachBatch index maintenance under a pinned quantizer: the
+    streamed epoch/cell-partitioned lists hold exactly the batch
+    builder's rows for the same vectors, serving IVF×SQ top-k from the
+    streamed index equals serving from the batch-built lists, the
+    serving scan still prunes on cell, and a bad quantizer fails at
+    stream START."""
+    import pytest
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_invert,
+        ivf_sq_topk,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_incremental_index_append,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    C = kmeans_centroids(emb, nlist=4)
+
+    src = tmp_path / "vec_src"
+    emb.coalesce(2).write.parquet(str(src / "p1"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "stream_index")
+    q = start_incremental_index_append(
+        stream, C, out, str(tmp_path / "ckpt_index")
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(out)
+    got = sorted(map(tuple, streamed.select(
+        "cell", "vec_id", "codes", "scale_micro"
+    ).collect()))
+    want = sorted(map(tuple, ivf_sq_invert(emb, C).collect()))
+    assert got == want and got
+
+    qv = emb.filter(F.col("vec_id") < 5)
+    from_stream = sorted(map(tuple, ivf_sq_topk(
+        qv, C, streamed.select("cell", "vec_id", "codes", "scale_micro"),
+        k=2, nprobe=4,
+    ).collect()))
+    from_batch = sorted(map(tuple, ivf_sq_topk(
+        qv, C, ivf_sq_invert(emb, C), k=2, nprobe=4,
+    ).collect()))
+    assert from_stream == from_batch and from_stream
+
+    with pytest.raises(ValueError, match="non-empty"):
+        start_incremental_index_append(
+            stream, [], out, str(tmp_path / "ckpt_bad")
+        )

@@ -792,9 +792,12 @@ def sq_encode(
     degenerating its top-k to min-id order; with it the codes (which
     span the full int8 range regardless of magnitude) still rank
     within-query, at the cost of magnitudes below ~1.27e-4 collapsing
-    to the same scale step.  Everything is codegen'd array expressions — no UDF,
-    no shuffle: a pure scan-side projection, so encoding 100 TB is one
-    pass that writes the compact (id, codes, scale_micro) table.
+    to the same scale step.  Everything is JVM-side array expressions —
+    no UDF, no shuffle: a pure scan-side projection, so encoding 100 TB
+    is one pass that writes the compact (id, codes, scale_micro) table
+    (the array HOFs evaluate interpreted, but this is the
+    once-per-corpus-version build pass, not the per-query scoring loop —
+    the scoring loops are the numpy kernels).
 
     Returns (``id_col``, codes array<int>, scale_micro bigint).
     Persist via ``sources/artifacts.cached_parquet`` and serve with

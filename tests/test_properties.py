@@ -368,3 +368,93 @@ def test_duplicate_spans_matches_python_oracle(spark, docs, n):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 > e1 + 1
+
+
+# vectors with sign changes, tiny magnitudes (below the SQ scale step),
+# and ordinary values — the ranges where float quantization bugs live
+_vec_component = st.one_of(
+    st.floats(
+        min_value=-100.0, max_value=100.0,
+        allow_nan=False, allow_infinity=False, width=64,
+    ),
+    st.sampled_from([0.0, 1e-7, -1e-7, 1.27e-4, -0.5, 123.456]),
+)
+_vec_sets = st.lists(
+    st.tuples(_vec_component, _vec_component, _vec_component),
+    min_size=2, max_size=6,
+).map(lambda vs: [(i, list(v)) for i, v in enumerate(vs)])
+
+
+@given(_vec_sets)
+@_SETTINGS
+def test_floored_micro_kernel_matches_jvm_expression(spark, rows):
+    """The numpy floored-micro kernel (the scoring hot path) must equal
+    the JVM aggregate(zip_with(floor(x*y*1e6))) expression BIT-FOR-BIT
+    on arbitrary vectors — every value-hash oracle for the int_micro /
+    MMR / hybrid tiers rests on this numpy ≡ JVM IEEE equivalence, so
+    it is pinned as a property, not assumed."""
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        _floored_micro_terms,
+    )
+
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    a = df.selectExpr("id AS ia", "v AS va")
+    b = df.selectExpr("id AS ib", "v AS vb")
+    hof = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"),
+            lambda x, y: F.floor(x * y * F.lit(1_000_000.0)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    got = {
+        (r["ia"], r["ib"]): r["s"]
+        for r in a.crossJoin(b).withColumn("s", hof).collect()
+    }
+    vecs = dict(rows)
+    for (ia, ib), s in got.items():
+        X = np.asarray([vecs[ia]], dtype=np.float64)
+        y = np.asarray(vecs[ib], dtype=np.float64)
+        assert int(_floored_micro_terms(X, y)[0]) == s, (ia, ib)
+
+
+@given(_vec_sets)
+@_SETTINGS
+def test_sq_kernel_scores_match_jvm_expression(spark, rows):
+    """sq_topk's int64-matmul scores must equal the JVM
+    aggregate(zip_with) integer-dot expression over the same encoded
+    codes — the x_sq_ann / x_release_gate value-hash oracles rest on
+    this equivalence across arbitrary (including tiny and zero)
+    vectors."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        sq_encode,
+        sq_topk,
+    )
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n = len(rows)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in sq_topk(df, df, k=n).collect()
+    }
+    enc = sq_encode(df)
+    a = enc.selectExpr("vec_id AS qid", "codes AS qc", "scale_micro AS qs")
+    b = enc.selectExpr("vec_id AS nid", "codes AS cc", "scale_micro AS cs")
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qc"), F.col("cc"), lambda x, y: (x * y).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    want = {
+        (r["qid"], r["nid"]): r["s"]
+        for r in a.crossJoin(b)
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("s", idot * F.col("qs") * F.col("cs"))
+        .collect()
+    }
+    assert got == want

@@ -94,14 +94,24 @@ def drift_against_profile(
     :func:`distribution_drift`."""
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
-    n = score_histogram(new, score_col, bin_width, count_col="new_n")
+    return share_drift(
+        profile_hist, score_histogram(new, score_col, bin_width, count_col="new_n")
+    )
+
+
+def share_drift(ref_hist: DataFrame, new_hist: DataFrame) -> DataFrame:
+    """Share-delta report between two prebuilt (bin, count) histograms
+    — the join/arithmetic core shared by the score-distribution drift
+    gates here and the quantizer cell-share drift gate
+    (``operators/similarity.quantizer_drift``): anything that bins is
+    comparable.  Inputs: (bin, ref_n) and (bin, new_n)."""
     # lazy checkpoint: `joined` feeds BOTH the totals aggregate and the
     # output projection, and Spark does not share common subtrees
     # across plan branches — without it both bin aggregations and the
     # full-outer join execute twice (the shuffle_order pattern)
     joined = (
-        profile_hist.select("bin", "ref_n")
-        .join(n, "bin", "full_outer")
+        ref_hist.select("bin", "ref_n")
+        .join(new_hist.select("bin", "new_n"), "bin", "full_outer")
         .select(
             "bin",
             F.coalesce("ref_n", F.lit(0)).alias("ref_n"),

@@ -1257,6 +1257,63 @@ def ivf_sq_invert(
     )
 
 
+def cell_histogram(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    count_col: str = "ref_n",
+) -> DataFrame:
+    """(bin, count): the coarse-quantizer ASSIGNMENT histogram of a
+    corpus — how many vectors land in each IVF cell under the pinned
+    quantizer (same kernel as :func:`ivf_invert`, so the histogram is
+    exactly the stored lists' partition sizes).  The persistable
+    reference half of :func:`quantizer_drift`: store it once per corpus
+    version (an nlist-row artifact) and every append-or-retrain check
+    joins against it instead of re-assigning the old corpus."""
+    Cn = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    cell = _cell_udf(Cn)
+    return (
+        spread(corpus)
+        .select(cell(F.col(vec_col)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+
+
+def quantizer_drift(
+    ref_hist: DataFrame,
+    new: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The APPEND-OR-RETRAIN decision for incremental index
+    maintenance, made measurable: per-cell assignment-share drift of a
+    crawl increment against the stored per-version cell histogram.
+
+    ``append_partitioned_artifact`` / ``start_incremental_index_append``
+    are only valid under the PINNED quantizer; when new data
+    concentrates in different cells than the quantizer was trained for
+    (an embedding-distribution shift), the inverted lists skew — hot
+    cells blow past task memory, probe recall degrades — and the right
+    move is a retrain + rebuild, not another append.  This gate is how
+    a maintenance job decides: only the increment is assigned (one
+    Arrow pass over the new rows; the old corpus is never rescanned —
+    the same incremental contract as the dedup side), and the report is
+    the exact-integer share arithmetic of ``operators/profile``
+    (``share_drift``): one row per cell with (ref_n, new_n,
+    ref_share_bp, new_share_bp, delta_bp).  Gate on ``max |delta_bp|``
+    like the score-distribution drift gate.
+    """
+    from gather_datawarehouse_sync_spark.operators.profile import share_drift
+
+    return share_drift(
+        ref_hist,
+        cell_histogram(new, centroids, id_col, vec_col, count_col="new_n"),
+    )
+
+
 def ivf_sq_topk(
     queries: DataFrame,
     centroids: np.ndarray,

@@ -2510,6 +2510,60 @@ _df(
 )
 
 
+def _x_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append-or-retrain gate for x_ivf_append's incremental
+    maintenance: per-cell assignment-share drift of the crawl increment
+    (vec_id % 5 = 0) against the STORED base-corpus cell histogram,
+    under the same pinned quantizer the append ran with.  Only the
+    increment is assigned — the base corpus is never rescanned (its
+    histogram is the persisted nlist-row artifact).  Cell assignment is
+    a float argmax against engine-trained centroids → rows-only; the
+    exact-integer share arithmetic and the self-drift-is-zero invariant
+    are pinned in unit tests."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        cell_histogram,
+        kmeans_centroids,
+        quantizer_drift,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    increment = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = artifact_path(sf_dir, "ivf_centroids_incr_n8_v1")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        save_ivf_centroids(spark, kmeans_centroids(base, nlist=8), idx)
+    C = load_ivf_centroids(spark, idx)
+    ref_hist = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "ivf_cellhist_incr_n8_v1"),
+        lambda: cell_histogram(base, C),
+    )
+    return quantizer_drift(ref_hist, increment, C).orderBy("bin")
+
+
+_df(
+    "x_quantizer_drift",
+    _x_quantizer_drift,
+    None,
+    ("embeddings",),
+    note="append-or-retrain gate: per-cell assignment-share drift of "
+    "the crawl increment vs the stored base cell histogram (float "
+    "argmax vs engine-trained centroids → rows-only; integer share "
+    "arithmetic + zero-self-drift pinned in tests)",
+)
+
+
 def _x_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized top-1 (FAISS SQ8): the compressed SCAN
     tier next to PQ-ADC — 4× smaller than float32 storage, one encode

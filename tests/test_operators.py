@@ -3163,6 +3163,48 @@ def test_ivfsq_recall_floor_at_default_probes(spark, sf_dir):
     assert got[1] >= 3000, got
 
 
+def test_quantizer_drift_self_is_zero_and_matches_lists(spark, sf_dir):
+    """The append-or-retrain gate's invariants: (a) a corpus drifted
+    against its OWN histogram reports delta_bp = 0 in every cell and
+    identical counts; (b) the cell histogram equals the stored inverted
+    lists' partition sizes (same assignment kernel by construction);
+    (c) a shifted increment (vectors negated → different cells under
+    the same quantizer) produces nonzero deltas that sum to ~0 (shares
+    are a distribution on both sides)."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        cell_histogram,
+        ivf_invert,
+        kmeans_centroids,
+        quantizer_drift,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    C = kmeans_centroids(emb, nlist=4)
+    hist = cell_histogram(emb, C).localCheckpoint(eager=True)
+
+    self_drift = quantizer_drift(hist, emb, C).collect()
+    assert self_drift
+    assert all(r["delta_bp"] == 0 for r in self_drift)
+    assert all(r["ref_n"] == r["new_n"] for r in self_drift)
+
+    lists_sizes = sorted(
+        map(tuple, ivf_invert(emb, C).groupBy("cell").count().collect())
+    )
+    assert lists_sizes == sorted((r["bin"], r["ref_n"]) for r in hist.collect())
+
+    shifted = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    drift = quantizer_drift(hist, shifted, C).collect()
+    assert any(r["delta_bp"] != 0 for r in drift)
+    # each side's shares are 10000·n DIV total → sums land in
+    # (10000 - nbins, 10000], so the delta sum is near zero
+    assert abs(sum(r["delta_bp"] for r in drift)) <= len(drift)
+
+
 def test_release_index_gate_verdicts_and_fail_fast(spark):
     """The acceptance gate annotates each k with its floor and verdict;
     in fail-fast mode a failing k raises AT EXECUTION TIME with the

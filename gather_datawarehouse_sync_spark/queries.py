@@ -4725,10 +4725,12 @@ _df(
 # Rotated-out queries stay green in the local sf0.01 oracle suite
 # (tests/test_queries_oracle.py covers every registered query, in- or
 # out-of-window).
-# Round-10 rotation candidates (oracled, no driver evidence yet):
-# x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
-# x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
-# x_length_buckets, x_interpolate.
+# Round-10 rotation candidates (oracled, no driver evidence yet) —
+# lead with the two new round-9 full-oracle queries, then the
+# longest-waiting core-shape queries:
+# x_ivf_append, x_release_gate, x_json_struct, x_path_categories,
+# x_one_to_one, x_reconcile, x_text_quality, x_doc_profile,
+# x_rep_frac, x_html_strip, x_length_buckets, x_interpolate.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
     "x_sq_ann",

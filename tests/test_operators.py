@@ -2775,6 +2775,35 @@ def test_append_partitioned_artifact_equals_full_rebuild(spark, sf_dir, tmp_path
         )
 
 
+def test_append_unpartitioned_artifact_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """The append contract also covers UNPARTITIONED data-half tables
+    (the sq_codes layout): appending the increment's codes onto the
+    stored base codes equals encoding the whole corpus, with the base
+    files carried over untouched."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        sq_encode,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        append_partitioned_artifact,
+        cached_parquet,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    increment = emb.filter(F.col("vec_id") % 3 == 0)
+    old_path = str(tmp_path / "codes_a")
+    cached_parquet(spark, old_path, lambda: sq_encode(base))
+    appended = append_partitioned_artifact(
+        spark, old_path, str(tmp_path / "codes_b"),
+        lambda: sq_encode(increment),
+    )
+    got = sorted(map(tuple, appended.collect()))
+    want = sorted(map(tuple, sq_encode(emb).collect()))
+    assert got == want and got
+
+
 def test_overwrite_swap_leaves_no_residue(spark, tmp_path):
     """The rename-aside overwrite swap must leave exactly the fresh
     artifact: no __old__ rename-aside dir and no __building__ staging

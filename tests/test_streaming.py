@@ -639,3 +639,40 @@ def test_incremental_index_append_stream_matches_batch(spark, tmp_path, sf_dir):
         start_incremental_index_append(
             stream, [], out, str(tmp_path / "ckpt_bad")
         )
+
+
+def test_incremental_index_append_ivf_flat_variant(spark, tmp_path, sf_dir):
+    """sq=False streams FULL-PRECISION inverted lists (the IVF-flat
+    layout) through the same foreachBatch machinery: streamed rows
+    equal the batch ivf_invert output for the same vectors."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_incremental_index_append,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+        .filter(F.col("vec_id") < 20)
+    )
+    C = kmeans_centroids(emb, nlist=2)
+    src = tmp_path / "vec_src_flat"
+    emb.coalesce(1).write.parquet(str(src / "p1"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "stream_index_flat")
+    q = start_incremental_index_append(
+        stream, C, out, str(tmp_path / "ckpt_flat"), sq=False
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(out).select(
+        "cell", "vec_id", "embedding"
+    ).collect()))
+    want = sorted(map(tuple, ivf_invert(emb, C).collect()))
+    assert got == want and got

@@ -111,3 +111,58 @@ def rare_ngram_profile(
         )
         .withColumn("rare_frac", F.col("n_rare") / F.col("n_grams"))
     )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus DIVERSITY report (the distinct-n metric): per group and
+    n-gram order, the fraction of n-gram occurrences that are distinct
+    strings — the standard template/spam detector in corpus curation
+    (a slice full of boilerplate repeats the same n-grams, so its
+    distinct share collapses while per-document quality scores can
+    still look fine; the complement of `rare_ngram_profile`, which
+    scores documents against the corpus rather than slices against
+    themselves).
+
+    ONE scan: each document emits (n, gram) pairs for every requested
+    order via a flattened array-of-structs projection (no per-n rescan,
+    no join), then a single (group, n) aggregate counts occurrences and
+    distinct grams.  ``distinct_bp = 10⁴·distinct DIV total`` in exact
+    integers, so the whole report hash-compares against a SQL oracle.
+
+    Returns (grp, n, total, n_distinct, distinct_bp) — one row per
+    group × order with at least one n-gram.
+    """
+    from gather_datawarehouse_sync_spark.functions.text import word_ngrams
+    from gather_datawarehouse_sync_spark.session import spread
+
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError("ns must be non-empty positive ints")
+    def _tagged(order: int):
+        # a plain one-arg lambda: F.transform treats a two-arg lambda as
+        # (element, index), so binding the order via a default argument
+        # would capture the index column instead
+        return F.transform(
+            word_ngrams(F.col(text_col), order),
+            lambda g: F.struct(F.lit(order).alias("n"), g.alias("g")),
+        )
+
+    tagged = F.flatten(F.array(*[_tagged(n) for n in sorted(set(ns))]))
+    pairs = spread(docs).select(
+        F.col(by).alias("grp"), F.explode(tagged).alias("p")
+    ).select("grp", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+    return (
+        pairs.groupBy("grp", "n")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count_distinct("g").alias("n_distinct"),
+        )
+        .withColumn(
+            "distinct_bp",
+            F.expr("10000 * n_distinct DIV total").cast("long"),
+        )
+    )

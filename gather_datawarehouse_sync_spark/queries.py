@@ -1776,6 +1776,44 @@ _df(
 )
 
 
+def _x_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distinct-n diversity report per source slice: the share
+    of {1,2,3}-gram occurrences that are distinct strings — templated /
+    boilerplate slices collapse here while per-document scores can
+    still look fine.  One scan (tagged-struct flatten), one aggregate;
+    exact integer basis points → full oracle."""
+    from gather_datawarehouse_sync_spark.operators.terms import (
+        ngram_diversity,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return ngram_diversity(docs, ns=(1, 2, 3), by="source").orderBy(
+        "grp", "n"
+    )
+
+
+_df(
+    "x_ngram_diversity",
+    _x_ngram_diversity,
+    "WITH tok AS (SELECT source, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "g AS (SELECT source, 1 AS n, unnest(toks) AS g FROM tok "
+    "UNION ALL SELECT source, 2 AS n, "
+    "unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)), "
+    "i -> concat_ws(' ', toks[i], toks[i+1]))) AS g FROM tok "
+    "UNION ALL SELECT source, 3 AS n, "
+    "unnest(list_transform(generate_series(1, greatest(len(toks)-2, 0)), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g FROM tok) "
+    "SELECT source AS grp, n, CAST(COUNT(*) AS BIGINT) AS total, "
+    "CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct, "
+    "(10000 * COUNT(DISTINCT g)) // COUNT(*) AS distinct_bp "
+    "FROM g GROUP BY source, n ORDER BY grp, n",
+    ("documents",),
+    note="corpus distinct-n diversity per source slice (template/spam "
+    "detector) — exact integer shares, full oracle",
+)
+
+
 def _x_rep_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicated-3-gram fraction per document, exact integer
     basis points — the second standard repetition rule next to

@@ -3192,6 +3192,39 @@ def test_ivfsq_recall_floor_at_default_probes(spark, sf_dir):
     assert got[1] >= 3000, got
 
 
+def test_ngram_diversity_detects_templates(spark):
+    """distinct-n semantics on a constructed corpus: a templated slice
+    (same doc repeated) scores distinct_bp far below a varied slice;
+    docs shorter than n emit no n-grams of that order; bad ns raise."""
+    import pytest
+
+    from gather_datawarehouse_sync_spark.operators.terms import (
+        ngram_diversity,
+    )
+
+    rows = [
+        (1, "spam", "buy now buy now buy now"),
+        (2, "spam", "buy now buy now buy now"),
+        (3, "varied", "the quick brown fox jumps"),
+        (4, "varied", "over a lazy sleeping dog"),
+        (5, "tiny", "one"),  # no 2-grams or 3-grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["grp"], r["n"]): (r["total"], r["n_distinct"], r["distinct_bp"])
+        for r in ngram_diversity(docs, ns=(1, 2, 3), by="source").collect()
+    }
+    # spam: 12 unigram occurrences, 2 distinct → 1666 bp
+    assert got[("spam", 1)] == (12, 2, 1666)
+    # varied: every unigram unique → 10000 bp
+    assert got[("varied", 1)] == (10, 10, 10000)
+    assert got[("varied", 2)][2] == 10000
+    assert got[("spam", 2)][2] < 5000
+    assert ("tiny", 1) in got and ("tiny", 2) not in got
+    with pytest.raises(ValueError, match="ns"):
+        ngram_diversity(docs, ns=())
+
+
 def test_quantizer_drift_self_is_zero_and_matches_lists(spark, sf_dir):
     """The append-or-retrain gate's invariants: (a) a corpus drifted
     against its OWN histogram reports delta_bp = 0 in every cell and

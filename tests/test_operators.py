@@ -3191,6 +3191,25 @@ def test_ivfsq_recall_floor_at_default_probes(spark, sf_dir):
     assert got[10] >= 5000, got
     assert got[1] >= 3000, got
 
+    # recall is EXACTLY monotone in nprobe under shared scoring: a wider
+    # probe set is a candidate superset, and any candidate that
+    # displaces a previous hit from the approx top-k scores higher —
+    # hence is itself in the exact top-k (same global integer scores) —
+    # so hits never decrease.  A violation means the probe order or the
+    # candidate join is broken, regardless of corpus size.
+    by_probe = {}
+    for nprobe in (1, 4, 16):
+        ap = ivf_sq_topk(q, C, lists, k=10, nprobe=nprobe)
+        by_probe[nprobe] = {
+            r["k"]: r["recall_bp"]
+            for r in recall_report(ap, exact, ks=(1, 5, 10)).collect()
+        }
+    for k in (1, 5, 10):
+        assert (
+            by_probe[1][k] <= by_probe[4][k] <= by_probe[16][k]
+        ), (k, by_probe)
+    assert by_probe[16] == {1: 10000, 5: 10000, 10: 10000}  # full probe
+
 
 def test_ngram_diversity_detects_templates(spark):
     """distinct-n semantics on a constructed corpus: a templated slice

@@ -104,6 +104,36 @@ def brute_force_topk(
     )
 
 
+def _spark_type_of(df: DataFrame, col: str) -> str:
+    """Spark SQL type string of a column — the broadcast-query kernels
+    emit id columns with the INPUT's id type (string/uuid ids included),
+    so the output schema must be derived, not hard-coded to bigint."""
+    return dict(df.dtypes)[col]
+
+
+# Query-side chunk for the broadcast-scoring kernels: bounds the
+# per-batch score matrix at (chunk × |batch|) int64 regardless of how
+# many queries the broadcast budget admits — at the 100k budget an
+# unchunked (|Q| × batch) matrix alone is ~8 GB per in-flight batch.
+_QUERY_CHUNK = 1024
+
+
+def _batch_topk_rows(qids, S, valid, nid, k):
+    """Per-batch per-query top-k over a (chunk × batch) int64 score
+    matrix: stable argsort on the negated scores — the batch rows are
+    pre-sorted by neighbor id, so ties break to the smaller id without a
+    lexsort (which cannot handle object-dtype ids).  ``valid`` masks
+    self-pairs; masked cells sort last via the int64-max sentinel.
+    Returns (query_ids, neighbor_ids, scores) row arrays."""
+    kk = min(k, S.shape[1])
+    key = np.where(valid, -S, np.iinfo(np.int64).max)
+    order = np.argsort(key, axis=1, kind="stable")[:, :kk]
+    qi = np.repeat(np.arange(len(qids)), kk)
+    ni = order.ravel()
+    keep = valid[qi, ni]
+    return qids[qi][keep], nid[ni][keep], S[qi, ni][keep]
+
+
 def normalized(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Project to (id, unit-norm vector); zero vectors dropped."""
     n = l2_norm(F.col(vec_col))
@@ -325,6 +355,30 @@ def _cell_udf(Cn: np.ndarray):
     return _cell
 
 
+def _probe_cells_udf(Cn: np.ndarray, n_probe: int):
+    """Vectorized nearest-``n_probe``-cells probe against a broadcast
+    normalized centroid matrix — the ONE probe kernel :func:`ivf_topk`
+    and :func:`ivf_sq_topk` share, so the two tiers' probe sets cannot
+    drift (the round-9 stable-sort tie fix would otherwise have to land
+    in two copies)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probe_cells(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Xn = _normalize_rows(X)
+        S = Xn @ Cn.T
+        # stable sort: tied cells order by index, matching the argmax
+        # (first-wins) assignment convention — an unstable quicksort
+        # could exclude a vector's own cell from its probe set on an
+        # exact centroid-similarity tie at the nprobe boundary
+        order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe].astype(
+            "int32"
+        )
+        return pd.Series(list(order))
+
+    return _probe_cells
+
+
 def ivf_invert(
     corpus: DataFrame,
     centroids: np.ndarray,
@@ -413,21 +467,7 @@ def ivf_topk(
         C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cent_rows])
     Cn = _normalize_rows(C)
     n_cells = len(C)
-    n_probe = min(nprobe, n_cells)
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def _probe_cells(vecs: pd.Series) -> pd.Series:
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        Xn = _normalize_rows(X)
-        S = Xn @ Cn.T
-        # stable sort: tied cells order by index, matching the argmax
-        # (first-wins) assignment convention — an unstable quicksort
-        # could exclude a vector's own cell from its probe set on an
-        # exact centroid-similarity tie at the nprobe boundary
-        order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe].astype(
-            "int32"
-        )
-        return pd.Series(list(order))
+    _probe_cells = _probe_cells_udf(Cn, min(nprobe, n_cells))
 
     if lists is not None:
         c = lists.select(
@@ -874,8 +914,15 @@ def sq_topk(
     """
     if codes is None and corpus is None:
         raise ValueError("sq_topk: pass corpus or codes")
+    id_t = _spark_type_of(queries, id_col)
     q_rows = (
-        sq_encode(queries, id_col, vec_col)
+        sq_encode(
+            queries.filter(
+                F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+            ),
+            id_col,
+            vec_col,
+        )
         .limit(broadcast_queries_max + 1)
         .collect()
     )
@@ -887,11 +934,13 @@ def sq_topk(
     if not q_rows:
         spark = queries.sparkSession
         return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, score long, rank int"
+            [], f"query_id {id_t}, neighbor_id {id_t}, score long, rank int"
         )
     if codes is None:
         codes = sq_encode(spread(corpus), id_col, vec_col)
-    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    # ids keep their native type (string/uuid ids ranked the old
+    # expression form and must keep working); scores/codes are int64
+    qids = np.array([r[id_col] for r in q_rows])
     Q = np.stack([np.asarray(r["codes"], dtype=np.int64) for r in q_rows])
     qsc = np.array([r["scale_micro"] for r in q_rows], dtype=np.int64)
     bc = queries.sparkSession.sparkContext.broadcast((qids, Q, qsc))
@@ -899,10 +948,18 @@ def sq_topk(
 
     def _score(batches):
         ids, QQ, qs = bc.value
-        nq = len(ids)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # NULL id/codes rows can never win a rank — drop them
+            # instead of crashing the stack() (the old expression form
+            # scored them NULL, which sorted last)
+            pdf = pdf[pdf[id_col].notna() & pdf["codes"].notna()]
+            if len(pdf) == 0:
+                continue
+            # pre-sort by neighbor id: the stable argsort in
+            # _batch_topk_rows then breaks score ties to the smaller id
+            pdf = pdf.sort_values(id_col, kind="stable")
             C = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["codes"]])
             if C.shape[1] != QQ.shape[1]:
                 raise ValueError(
@@ -910,29 +967,20 @@ def sq_topk(
                     f"queries {QQ.shape[1]} — mismatched index artifacts"
                 )
             cs = pdf["scale_micro"].to_numpy(dtype=np.int64)
-            nid = pdf[id_col].to_numpy(dtype=np.int64)
-            # exact int64 arithmetic end-to-end — the value-hash oracle
-            # depends on it (no float accumulation anywhere)
-            S = (QQ @ C.T) * qs[:, None] * cs[None, :]
-            valid = ids[:, None] != nid[None, :]  # self-pairs masked
-            kk = min(kk_req, S.shape[1])
-            # per-batch per-query top-k (score desc, neighbor id asc);
-            # masked cells sort last via the int64-max sentinel
-            key = np.where(valid, -S, np.iinfo(np.int64).max)
-            order = np.lexsort((nid[None, :].repeat(nq, 0), key), axis=1)[:, :kk]
-            qi = np.repeat(np.arange(nq), kk)
-            ni = order.ravel()
-            keep = valid[qi, ni]
-            yield pd.DataFrame(
-                {
-                    "query_id": ids[qi][keep],
-                    "neighbor_id": nid[ni][keep],
-                    "score": S[qi, ni][keep],
-                }
-            )
+            nid = pdf[id_col].to_numpy()
+            for lo in range(0, len(ids), _QUERY_CHUNK):
+                hi = min(lo + _QUERY_CHUNK, len(ids))
+                # exact int64 arithmetic end-to-end — the value-hash
+                # oracle depends on it (no float accumulation anywhere)
+                S = (QQ[lo:hi] @ C.T) * qs[lo:hi, None] * cs[None, :]
+                valid = ids[lo:hi, None] != nid[None, :]
+                rq, rn, rs = _batch_topk_rows(ids[lo:hi], S, valid, nid, kk_req)
+                yield pd.DataFrame(
+                    {"query_id": rq, "neighbor_id": rn, "score": rs}
+                )
 
     partial = codes.select(id_col, "codes", "scale_micro").mapInPandas(
-        _score, "query_id long, neighbor_id long, score long"
+        _score, f"query_id {id_t}, neighbor_id {id_t}, score long"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -945,16 +993,19 @@ def sq_topk(
 
 
 def _floored_micro_terms(X: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """``Σᵢ floor(Xᵢⱼ·yⱼ·10⁶)`` per row, exact int64 — the numpy image
+    """``Σᵢ floor(Xᵢⱼ·yᵢⱼ·10⁶)`` per row, exact int64 — the numpy image
     of the per-element-quantized integer dot convention (each term is
     one IEEE double multiply + one floor → exact integers,
     order-invariant sum; identical to the DuckDB oracles'
     ``list_transform(list_zip(a,b), x -> floor(x[1]*x[2]*1e6))`` and
-    hash-exact across engines).  Vectorized per Arrow batch — the
-    JVM-expression form of this loop (``aggregate(zip_with(...))``)
-    evaluates interpreted per element and measured 2-4× slower on the
-    scoring hot paths, so every caller routes through numpy."""
-    return np.floor(X * y[None, :] * 1_000_000.0).astype(np.int64).sum(axis=1)
+    hash-exact across engines).  ``y`` is either one vector (dim,)
+    scored against every row of ``X``, or a matching (n, dim) matrix
+    for rowwise pair scoring — numpy broadcasting covers both.
+    Vectorized per Arrow batch — the JVM-expression form of this loop
+    (``aggregate(zip_with(...))``) evaluates interpreted per element
+    and measured 2-4× slower on the scoring hot paths, so every caller
+    routes through this one kernel (the convention must not fork)."""
+    return np.floor(X * y * 1_000_000.0).astype(np.int64).sum(axis=1)
 
 
 def _floored_micro_topk(
@@ -977,8 +1028,10 @@ def _floored_micro_topk(
 
     Returns (query_id, neighbor_id, score bigint, rank).
     """
+    id_t = _spark_type_of(queries, id_col)
     q_rows = (
         queries.select(id_col, vec_col)
+        .filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
         .limit(broadcast_queries_max + 1)
         .collect()
     )
@@ -990,45 +1043,47 @@ def _floored_micro_topk(
     if not q_rows:
         spark = queries.sparkSession
         return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, score long, rank int"
+            [], f"query_id {id_t}, neighbor_id {id_t}, score long, rank int"
         )
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    # ids keep their native type (string ids must keep working — the
+    # expression form this kernel replaced was id-type-agnostic)
+    qids = np.array([r[0] for r in q_rows])
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     bc = queries.sparkSession.sparkContext.broadcast((qids, Q))
     kk_req = int(k)
 
     def _score(batches):
         ids, QQ = bc.value
-        nq = len(ids)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # NULL id/vector rows scored NULL (ranked last) in the old
+            # expression form — drop them instead of crashing the stack
+            pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(id_col, kind="stable")
             C = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )
-            nid = pdf[id_col].to_numpy(dtype=np.int64)
-            # per-query vectorized floor-dot: a (|batch| × dim) temp per
-            # query instead of a 3-D (nq × |batch| × dim) blowup
-            S = np.empty((nq, len(C)), dtype=np.int64)
-            for qi in range(nq):
-                S[qi] = _floored_micro_terms(C, QQ[qi])
-            valid = ids[:, None] != nid[None, :]
-            kk = min(kk_req, S.shape[1])
-            key = np.where(valid, -S, np.iinfo(np.int64).max)
-            order = np.lexsort((nid[None, :].repeat(nq, 0), key), axis=1)[:, :kk]
-            qi = np.repeat(np.arange(nq), kk)
-            ni = order.ravel()
-            keep = valid[qi, ni]
-            yield pd.DataFrame(
-                {
-                    "query_id": ids[qi][keep],
-                    "neighbor_id": nid[ni][keep],
-                    "score": S[qi, ni][keep],
-                }
-            )
+            nid = pdf[id_col].to_numpy()
+            for lo in range(0, len(ids), _QUERY_CHUNK):
+                hi = min(lo + _QUERY_CHUNK, len(ids))
+                # per-query vectorized floor-dot: a (|batch| × dim) temp
+                # per query instead of a 3-D (chunk × |batch| × dim)
+                # blowup; chunking bounds the score matrix independently
+                # of the broadcast budget
+                S = np.empty((hi - lo, len(C)), dtype=np.int64)
+                for qi in range(lo, hi):
+                    S[qi - lo] = _floored_micro_terms(C, QQ[qi])
+                valid = ids[lo:hi, None] != nid[None, :]
+                rq, rn, rs = _batch_topk_rows(ids[lo:hi], S, valid, nid, kk_req)
+                yield pd.DataFrame(
+                    {"query_id": rq, "neighbor_id": rn, "score": rs}
+                )
 
     partial = spread(corpus).select(id_col, vec_col).mapInPandas(
-        _score, "query_id long, neighbor_id long, score long"
+        _score, f"query_id {id_t}, neighbor_id {id_t}, score long"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -1048,6 +1103,7 @@ def mmr_rerank(
     lam_milli: int = 700,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries_max: int = 100_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998): pick ``k`` results per query that are RELEVANT but mutually
@@ -1086,16 +1142,20 @@ def mmr_rerank(
     # candidate generation: the shared floored-micro top-k kernel (same
     # scores and tie-break the old crossJoin+window form produced, but
     # batch-vectorized and emitting only |Q|·candidates rows); the
-    # greedy then needs each candidate's vector — a broadcast join of
-    # the tiny candidate table against the corpus (point lookups, not
-    # a corpus-wide pass)
+    # greedy then needs each candidate's vector — a broadcast-hash join
+    # of the tiny candidate table against ONE corpus scan (output
+    # bounded by |Q|·candidates; at 100 TB the scan cost is the same
+    # single pass the candidate stage already paid)
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
     )
     cand = (
         F.broadcast(
-            _floored_micro_topk(queries, corpus, candidates, id_col, vec_col)
+            _floored_micro_topk(
+                queries, corpus, candidates, id_col, vec_col,
+                broadcast_queries_max=broadcast_queries_max,
+            )
             .withColumnRenamed("score", "rel")
             .drop("rank")
         )
@@ -1111,12 +1171,17 @@ def _mmr_greedy(cand: DataFrame, k: int, lam_milli: int) -> DataFrame:
     shared by :func:`mmr_rerank` (floored-micro exact candidates) and
     :func:`mmr_rerank_ivfsq` (DPP-pruned composed-index candidates):
     the greedy is candidate-source-agnostic, one Arrow kernel per query
-    over its bounded rows."""
+    over its bounded rows.  Ids keep their native type — the greedy
+    pre-sorts each group by neighbor id, so every argmax tie-break is a
+    stable first-wins over that base order, never an int coercion."""
     lam = int(lam_milli)
     take = int(k)
+    id_t = _spark_type_of(cand, "neighbor_id")
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        pdf = pdf.sort_values("neighbor_id", kind="stable").reset_index(
+            drop=True
+        )
         n = len(pdf)
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
         # pairwise per-element-floored micro sims — the same expression
@@ -1127,7 +1192,7 @@ def _mmr_greedy(cand: DataFrame, k: int, lam_milli: int) -> DataFrame:
             .astype(np.int64)
         )
         rel = pdf["rel"].to_numpy(dtype=np.int64)
-        nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        nid = pdf["neighbor_id"].to_numpy()
         selected: list[int] = []
         remaining = list(range(n))
         while remaining and len(selected) < take:
@@ -1138,9 +1203,12 @@ def _mmr_greedy(cand: DataFrame, k: int, lam_milli: int) -> DataFrame:
             else:
                 maxsim = S[np.ix_(remaining, selected)].max(axis=1)
                 score = lam * rel[remaining] - (1000 - lam) * maxsim
-            # argmax, ties by min neighbor id: lexsort on (-score, nid)
-            order = np.lexsort((nid[remaining], -score))
-            pick = remaining[order[0]]
+            # argmax, ties by min neighbor id: `remaining` is in nid
+            # order (the pre-sort), so a stable argsort on -score picks
+            # the smallest id among ties for ANY id dtype
+            pick = remaining[
+                int(np.argsort(-score, kind="stable")[0])
+            ]
             selected.append(pick)
             remaining.remove(pick)
         return pd.DataFrame(
@@ -1152,7 +1220,7 @@ def _mmr_greedy(cand: DataFrame, k: int, lam_milli: int) -> DataFrame:
         )
 
     return cand.groupBy("query_id").applyInPandas(
-        _mmr, "query_id long, neighbor_id long, ord int"
+        _mmr, f"query_id {id_t}, neighbor_id {id_t}, ord int"
     )
 
 
@@ -1195,11 +1263,11 @@ def mmr_rerank_ivfsq(
         queries, centroids, lists, k=candidates, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
-    cvec = spread(corpus).select(
+    cvec = spread(corpus).filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
     )
-    qvec = queries.select(
+    qvec = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
     )
@@ -1207,12 +1275,12 @@ def mmr_rerank_ivfsq(
     @F.pandas_udf(T.LongType())
     def _pair_rel(a: pd.Series, b: pd.Series) -> pd.Series:
         # exact re-scoring of the bounded candidate rows (|Q|·candidates
-        # pairs — vectorized per Arrow batch, never corpus-sized)
+        # pairs — vectorized per Arrow batch, never corpus-sized), via
+        # the ONE pinned floored-micro kernel so the hash-exact
+        # convention cannot diverge between call sites
         A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
         B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
-        return pd.Series(
-            np.floor(A * B * 1_000_000.0).astype(np.int64).sum(axis=1)
-        )
+        return pd.Series(_floored_micro_terms(A, B))
 
     cand = (
         F.broadcast(cand_ids)
@@ -1260,7 +1328,6 @@ def ivf_sq_invert(
 def cell_histogram(
     corpus: DataFrame,
     centroids: np.ndarray,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     count_col: str = "ref_n",
 ) -> DataFrame:
@@ -1285,7 +1352,6 @@ def quantizer_drift(
     ref_hist: DataFrame,
     new: DataFrame,
     centroids: np.ndarray,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The APPEND-OR-RETRAIN decision for incremental index
@@ -1310,7 +1376,7 @@ def quantizer_drift(
 
     return share_drift(
         ref_hist,
-        cell_histogram(new, centroids, id_col, vec_col, count_col="new_n"),
+        cell_histogram(new, centroids, vec_col, count_col="new_n"),
     )
 
 
@@ -1335,28 +1401,27 @@ def ivf_sq_topk(
 
     The full-precision corpus is never touched at query time — that is
     the whole point: per-query cost is (probed-partition scan of int8
-    codes) + (bounded integer dot per candidate).
+    codes) + (bounded integer dot per candidate).  Scoring runs as a
+    per-batch kernel over the joined candidate stream emitting only each
+    batch's per-query leaders (≤ |Q|·k rows per batch), then one exact
+    rank window — NO per-query group is ever materialized in memory, so
+    a hot cell sort-spills in the window instead of OOMing a task (the
+    hazard a groupBy-apply form would have), and memory stays bounded by
+    the Arrow batch regardless of nprobe or skew.  Rows whose id/codes
+    are NULL are excluded (they can never win a rank).
     """
     C = np.asarray(centroids, dtype=np.float64)
     Cn = _normalize_rows(C)
-    n_probe = min(nprobe, len(C))
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def _probe_cells(vecs: pd.Series) -> pd.Series:
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        Xn = _normalize_rows(X)
-        S = Xn @ Cn.T
-        # stable sort: tied cells order by index, matching the argmax
-        # (first-wins) assignment convention — an unstable quicksort
-        # could exclude a vector's own cell from its probe set on an
-        # exact centroid-similarity tie at the nprobe boundary
-        order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe].astype(
-            "int32"
-        )
-        return pd.Series(list(order))
+    _probe_cells = _probe_cells_udf(Cn, min(nprobe, len(C)))
 
     q = F.broadcast(
-        sq_encode(queries, id_col, vec_col)
+        sq_encode(
+            queries.filter(
+                F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+            ),
+            id_col,
+            vec_col,
+        )
         .join(
             queries.select(
                 F.col(id_col),
@@ -1371,7 +1436,9 @@ def ivf_sq_topk(
             "cell",
         )
     )
-    c = lists.select(
+    c = lists.filter(
+        F.col(id_col).isNotNull() & F.col("codes").isNotNull()
+    ).select(
         "cell",
         F.col(id_col).alias("neighbor_id"),
         F.col("codes").alias("__cc"),
@@ -1385,31 +1452,46 @@ def ivf_sq_topk(
         F.col("query_id") != F.col("neighbor_id")
     )
     kk = int(k)
+    id_t = _spark_type_of(lists, id_col)
 
-    def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one exact int64 matvec over this query's pruned candidates
-        # (≤ nprobe/nlist of the corpus by construction) — replaces the
-        # interpreted per-pair aggregate(zip_with) column AND the window
-        # sort; same shuffle (query_id), same integer scores, same
-        # (score desc, neighbor id asc) tie-break as sq_topk
-        C = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["__cc"]])
-        qc = np.asarray(pdf["__qc"].iat[0], dtype=np.int64)
-        s = (C @ qc) * int(pdf["__qs"].iat[0]) * pdf["__cs"].to_numpy(
-            dtype=np.int64
-        )
-        nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-        order = np.lexsort((nid, -s))[:kk]
-        return pd.DataFrame(
-            {
-                "query_id": pdf["query_id"].iloc[:1].repeat(len(order)).to_numpy(),
-                "neighbor_id": nid[order],
-                "score": s[order],
-                "rank": np.arange(1, len(order) + 1, dtype=np.int32),
-            }
-        )
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            QC = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["__qc"]])
+            CC = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["__cc"]])
+            s = (
+                np.einsum("ij,ij->i", QC, CC)
+                * pdf["__qs"].to_numpy(dtype=np.int64)
+                * pdf["__cs"].to_numpy(dtype=np.int64)
+            )
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "score": s,
+                }
+            )
+            # pandas sort handles ANY orderable id dtype (string ids
+            # included — the previous int64-only kernel was a silent
+            # contract narrowing); stable, (score desc, id asc)
+            out = out.sort_values(
+                ["query_id", "score", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            yield out.groupby("query_id", sort=False).head(kk)
 
-    return cand.groupBy("query_id").applyInPandas(
-        _topk, "query_id long, neighbor_id long, score long, rank int"
+    partial = cand.mapInPandas(
+        _score, f"query_id {id_t}, neighbor_id {id_t}, score long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
     )
 
 
@@ -1718,8 +1800,9 @@ def hybrid_rrf_topk(
     Scale shape: each candidate list is ``orderBy().limit()`` — Spark
     plans TakeOrderedAndProject (per-partition top-n + bounded merge,
     NO global window over the corpus); the only windows run over the
-    ≤ ``candidates``-row lists.  The query vector is a literal array —
-    one row-local expression, no join, no collect of the corpus.
+    ≤ ``candidates``-row lists.  The query vector broadcasts by closure
+    into one vectorized Arrow-batch scoring kernel — no join, no
+    collect of the corpus.
     """
     q = [float(x) for x in query_vec]
     terms = F.array(*[F.lit(t) for t in query_terms])
@@ -1738,7 +1821,8 @@ def hybrid_rrf_topk(
     # one floor per term — exact integers, order-invariant bigint sum
     # (the shared convention, see _floored_micro_terms) — evaluated as
     # one vectorized Arrow-batch kernel against the broadcast-by-closure
-    # query vector instead of an interpreted per-row HOF expression
+    # query vector instead of an interpreted per-row HOF expression;
+    # NULL-vector rows are excluded (they could never make the list)
     qv = np.array(q, dtype=np.float64)
 
     @F.pandas_udf(T.LongType())
@@ -1747,7 +1831,8 @@ def hybrid_rrf_topk(
         return pd.Series(_floored_micro_terms(X, qv))
 
     v_cand = (
-        vecs.select(F.col(vec_id_col).alias("id"), _qdot(F.col(vec_col)).alias("qd"))
+        vecs.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_id_col).alias("id"), _qdot(F.col(vec_col)).alias("qd"))
         .orderBy(F.col("qd").desc(), "id")
         .limit(candidates)
     )

@@ -3286,6 +3286,51 @@ def test_quantizer_drift_self_is_zero_and_matches_lists(spark, sf_dir):
     assert abs(sum(r["delta_bp"] for r in drift)) <= len(drift)
 
 
+def test_integer_tiers_keep_string_ids_and_skip_null_vectors(spark):
+    """The numpy scoring kernels must preserve two contracts the
+    expression forms they replaced had: (a) id columns of ANY orderable
+    type rank correctly (string doc ids included — the kernels must not
+    silently narrow ids to int64), and (b) NULL-vector rows are skipped
+    rather than crashing the batch stack (the old HOF scored them NULL,
+    which never won a rank)."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_sq_invert,
+        ivf_sq_topk,
+        mmr_rerank,
+        sq_topk,
+    )
+
+    rows = [
+        ("qa", [1.0, 0.0]),
+        ("nb", [0.9, 0.1]),
+        ("nc", [-1.0, 0.0]),
+        ("nd", None),  # must be skipped, not crash
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == "qa")
+
+    sq = sq_topk(q, emb, k=3).collect()
+    assert [r["neighbor_id"] for r in sorted(sq, key=lambda r: r["rank"])] == [
+        "nb", "nc"
+    ]
+    im = brute_force_topk(q, emb, k=3, metric="int_micro").collect()
+    assert [r["neighbor_id"] for r in sorted(im, key=lambda r: r["rank"])] == [
+        "nb", "nc"
+    ]
+    mm = mmr_rerank(q, emb, k=2, candidates=2, lam_milli=700).collect()
+    assert sorted(r["neighbor_id"] for r in mm) == ["nb", "nc"]
+
+    import numpy as np
+
+    C = np.array([[1.0, 0.0]])
+    lists = ivf_sq_invert(emb.filter(F.col("embedding").isNotNull()), C)
+    iv = ivf_sq_topk(q, C, lists, k=3, nprobe=1).collect()
+    assert [r["neighbor_id"] for r in sorted(iv, key=lambda r: r["rank"])] == [
+        "nb", "nc"
+    ]
+
+
 def test_release_index_gate_verdicts_and_fail_fast(spark):
     """The acceptance gate annotates each k with its floor and verdict;
     in fail-fast mode a failing k raises AT EXECUTION TIME with the

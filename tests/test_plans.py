@@ -562,14 +562,16 @@ def test_ivf_sq_stored_lists_scan_prunes_and_reads_no_vectors(
     assert df.count() > 0
 
 
-def test_integer_dot_hot_loops_are_unrolled_codegen(spark, sf_dir):
-    """The SQ / int_micro / MMR-relevance scoring loops must run as
-    UNROLLED fixed-width sums inside whole-stage codegen — an
-    aggregate(zip_with(...)) higher-order function in the |Q|·|C| scan
-    loop evaluates interpreted per element (the round-5 bitset-popcount
-    pathology; a 3-10× constant on the compressed-scan tier's selling
-    point).  The HOF form survives only as the unknown-width fallback,
-    so its node names must not appear in these physical plans."""
+def test_integer_dot_hot_loops_have_no_interpreted_hof(spark, sf_dir):
+    """The SQ / int_micro / MMR-relevance scoring loops must NOT run as
+    aggregate(zip_with(...)) higher-order functions — HOFs evaluate
+    interpreted per element in the |Q|·|C| scan loop (the round-5
+    bitset-popcount pathology; a 3-10× constant on the compressed-scan
+    tier's selling point).  The shipped fast path is exact int64 numpy
+    kernels over Arrow batches — NOT an unrolled codegen expression,
+    which was measured SLOWER (it outgrows the JIT method limit; see
+    SCALE.md round 9) — so this test pins only the absence of the HOF
+    node names from these physical plans."""
     from gather_datawarehouse_sync_spark.operators.similarity import (
         brute_force_topk,
         ivf_sq_invert,

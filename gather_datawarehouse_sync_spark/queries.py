@@ -2602,6 +2602,185 @@ _df(
 )
 
 
+def _x_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten index maintenance end-to-end: ids with
+    vec_id % 7 = 3 (a takedown batch) are DELETED from the persisted
+    inverted lists without a full rebuild
+    (``delete_from_partitioned_artifact``: one bounded pass finds the
+    ≤nlist dirty cells, only those partitions are re-read — statically
+    pruned, plan-pinned — and rewritten anti-joined, clean cells
+    hardlink across), and top-1 serves from the new version.  Probing
+    every cell makes the result equal exact brute-force top-1 over the
+    REMAINING corpus regardless of the (engine-specific) quantizer, so
+    this query carries a FULL oracle: a leaked deleted row, a dropped
+    survivor, or a corrupted clean cell breaks the hash."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+        delete_from_partitioned_artifact,
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    idx = artifact_path(sf_dir, "ivf_centroids_n16_seed42_v1")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        save_ivf_centroids(spark, kmeans_centroids(emb, nlist=16), idx)
+    C = load_ivf_centroids(spark, idx)
+    # the same full-corpus lists artifact x_ivf_ann serves from
+    full_lists = artifact_path(sf_dir, "ivf_lists_n16_seed42_v2")
+    cached_parquet(
+        spark, full_lists, lambda: ivf_invert(emb, C),
+        partition_by=("cell",),
+    )
+    lists = delete_from_partitioned_artifact(
+        spark,
+        full_lists,
+        artifact_path(sf_dir, "ivf_lists_n16_del7m3_v1"),
+        emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    return (
+        ivf_topk(
+            emb.filter(F.col("vec_id") < 10), None, k=1, nlist=16,
+            nprobe=16, centroids=C, lists=lists,
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
+_df(
+    "x_ivf_delete",
+    _x_ivf_delete,
+    "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+    "scored AS (SELECT q.qid, e.vec_id AS nid, "
+    "list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score "
+    "FROM q CROSS JOIN embeddings e "
+    "WHERE e.vec_id <> q.qid AND e.vec_id % 7 <> 3), "
+    "ranked AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid "
+    "ORDER BY score DESC, nid) AS rn FROM scored) "
+    "SELECT qid AS query_id, nid AS neighbor_id FROM ranked WHERE rn = 1 ORDER BY query_id",
+    ("embeddings",),
+    note="right-to-be-forgotten delete from the persisted inverted "
+    "lists (only dirty cells re-read/rewritten, clean cells hardlink "
+    "across) served end-to-end; full probe ≡ brute force over the "
+    "remaining corpus → FULL oracle",
+)
+
+
+def _x_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-merge lifecycle end-to-end: a base corpus's IVF×SQ code
+    lists persist once; two crawl micro-batches land as
+    ``epoch=<n>/cell=<c>/`` dirs (exactly the streaming sink's layout,
+    here built as one cached artifact partitioned by (epoch, cell));
+    ``compact_epoch_artifact`` folds them into the flat per-version
+    artifact (epoch level dropped, each dirty cell re-clustered to one
+    file, clean cells hardlinked) and top-1 serves from the compacted
+    index.  Full probe makes IVF×SQ equal the SQ scan tier exactly —
+    integer scoring end-to-end — so this query shares x_sq_ann's FULL
+    value-hash oracle: a row lost or duplicated in the fold breaks the
+    hash."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_invert,
+        ivf_sq_topk,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+        compact_epoch_artifact,
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    e0 = emb.filter(F.col("vec_id") % 10 == 0)
+    e1 = emb.filter(F.col("vec_id") % 10 == 5)
+    idx = artifact_path(sf_dir, "ivf_centroids_incr_n8_v1")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        save_ivf_centroids(spark, kmeans_centroids(base, nlist=8), idx)
+    C = load_ivf_centroids(spark, idx)
+    base_path = artifact_path(sf_dir, "ivfsq_lists_cmp_base_n8_v1")
+    cached_parquet(
+        spark, base_path, lambda: ivf_sq_invert(base, C),
+        partition_by=("cell",),
+    )
+    epochs_path = artifact_path(sf_dir, "ivfsq_epochs_cmp_n8_v1")
+    cached_parquet(
+        spark,
+        epochs_path,
+        lambda: ivf_sq_invert(e0, C)
+        .withColumn("epoch", F.lit(0))
+        .unionByName(ivf_sq_invert(e1, C).withColumn("epoch", F.lit(1))),
+        partition_by=("epoch", "cell"),
+    )
+    lists = compact_epoch_artifact(
+        spark,
+        base_path,
+        epochs_path,
+        artifact_path(sf_dir, "ivfsq_lists_cmp_flat_n8_v1"),
+    )
+    return (
+        ivf_sq_topk(
+            emb.filter(F.col("vec_id") < 10), C,
+            lists.select("cell", "vec_id", "codes", "scale_micro"),
+            k=1, nprobe=8,
+        )
+        .select("query_id", "neighbor_id", "score")
+        .orderBy("query_id")
+    )
+
+
+_df(
+    "x_index_compact",
+    _x_index_compact,
+    # full probe ⇒ IVF×SQ ≡ the SQ scan tier exactly: x_sq_ann's oracle
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings), "
+    "enc AS (SELECT vec_id, e, "
+    "list_max(list_transform(e, x -> abs(x))) AS ma FROM v), "
+    "codes AS (SELECT vec_id, "
+    "CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT)) "
+    "ELSE list_transform(e, x -> CAST(floor(x / ma * 127 + 0.5) "
+    "AS BIGINT)) END AS c, "
+    "CASE WHEN ma = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE GREATEST(CAST(floor(ma / 127 * 1000000) AS BIGINT), "
+    "CAST(1 AS BIGINT)) END AS sm "
+    "FROM enc), "
+    "q AS (SELECT vec_id AS qid, c AS qc, sm AS qs FROM codes "
+    "WHERE vec_id < 10), "
+    "scored AS (SELECT q.qid, c2.vec_id AS nid, "
+    "CAST(list_sum(list_transform(list_zip(q.qc, c2.c), "
+    "x -> x[1] * x[2])) AS BIGINT) * q.qs * c2.sm AS score "
+    "FROM q CROSS JOIN codes c2 WHERE c2.vec_id <> q.qid), "
+    "ranked AS (SELECT qid, nid, score, ROW_NUMBER() OVER ("
+    "PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM scored) "
+    "SELECT qid AS query_id, nid AS neighbor_id, score FROM ranked "
+    "WHERE rn = 1 ORDER BY query_id",
+    ("embeddings",),
+    note="epoch-fold compaction of a streaming-maintained IVF×SQ index "
+    "served end-to-end (epoch level dropped, dirty cells re-clustered "
+    "to one file, clean cells hardlinked); full probe ≡ SQ scan tier "
+    "→ FULL oracle",
+)
+
+
 def _x_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized top-1 (FAISS SQ8): the compressed SCAN
     tier next to PQ-ADC — 4× smaller than float32 storage, one encode
@@ -4764,11 +4943,12 @@ _df(
 # (tests/test_queries_oracle.py covers every registered query, in- or
 # out-of-window).
 # Round-10 rotation candidates (oracled, no driver evidence yet) —
-# lead with the two new round-9 full-oracle queries, then the
+# lead with the four round-9 full-oracle lifecycle queries, then the
 # longest-waiting core-shape queries:
-# x_ivf_append, x_release_gate, x_json_struct, x_path_categories,
-# x_one_to_one, x_reconcile, x_text_quality, x_doc_profile,
-# x_rep_frac, x_html_strip, x_length_buckets, x_interpolate.
+# x_ivf_append, x_ivf_delete, x_index_compact, x_release_gate,
+# x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
+# x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
+# x_length_buckets, x_interpolate.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
     "x_sq_ann",

@@ -294,6 +294,196 @@ def append_partitioned_artifact(
     return spark.read.parquet(new_path)
 
 
+def rewrite_partitioned_artifact(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    build: Callable[[], DataFrame],
+    dirty: "list",
+    partition_col: str = "cell",
+    partition_by: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """SELECTIVE partition rewrite — the shared primitive under
+    :func:`delete_from_partitioned_artifact` and
+    :func:`compact_epoch_artifact`: derive a new artifact version in
+    which only the ``dirty`` partitions' contents change.
+
+    Clean partitions' data files are HARDLINKED across (fallback:
+    copied — a metadata operation, like :func:`append_partitioned_
+    artifact`'s carry-over); the top-level ``{partition_col}=v`` dirs
+    for ``v`` in ``dirty`` are NOT carried, and ``build()`` — a
+    DataFrame containing exactly the dirty partitions' replacement rows
+    (possibly zero rows: a fully-deleted partition simply has no dir in
+    the new version) — is appended into the staging dir in the same
+    partition layout, then installed with the write-if-absent contract.
+
+    At 100 TB this selectivity is the point: a delete or an epoch-fold
+    touches a handful of cells, and rewriting the whole corpus-sized
+    lists table to change three cells would dwarf the operation itself.
+    """
+    if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
+        raise ValueError(
+            f"rewrite_partitioned_artifact: no complete artifact at "
+            f"{old_path} — build the base version first (cached_parquet)"
+        )
+    if os.path.exists(os.path.join(new_path, "_SUCCESS")):
+        return spark.read.parquet(new_path)
+    global _BUILD_SEQ
+    _BUILD_SEQ += 1
+    tmp = f"{new_path}.__building__{os.getpid()}_{_BUILD_SEQ}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    skip = {f"{partition_col}={v}" for v in dirty}
+    for dirpath, dirnames, filenames in os.walk(old_path):
+        rel = os.path.relpath(dirpath, old_path)
+        if rel != "." and rel.split(os.sep, 1)[0] in skip:
+            continue
+        dst_dir = os.path.join(tmp, rel) if rel != "." else tmp
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in filenames:
+            if "_SUCCESS" in name:  # marker + crc: rewrite job re-writes
+                continue
+            src = os.path.join(dirpath, name)
+            dst = os.path.join(dst_dir, name)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+    writer = build().write.mode("append")
+    writer = writer.partitionBy(*(partition_by or (partition_col,)))
+    writer.parquet(tmp)
+    _promote_staging(tmp, new_path)
+    return spark.read.parquet(new_path)
+
+
+def delete_from_partitioned_artifact(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+    partition_col: str = "cell",
+) -> DataFrame:
+    """Targeted DELETE from a persisted partitioned artifact — the
+    right-to-be-forgotten path for a serving index: remove the given
+    ids' rows from the stored lists/codes table WITHOUT a full-corpus
+    rebuild (the remaining vectors' cells/codes are unchanged under the
+    pinned quantizer, so re-encoding them would be pure waste).
+
+    Two bounded passes: (1) one scan of the compact artifact,
+    semi-joined against the broadcast id set, finds which partitions
+    actually contain deleted rows — a ≤``nlist``-row driver transfer;
+    (2) ONLY those dirty partitions are re-read (the ``isin`` filter on
+    the hive partition column prunes the scan to their directories —
+    plan-pinned in tests) and rewritten anti-joined against the id set,
+    while every clean partition's files hardlink across untouched
+    (:func:`rewrite_partitioned_artifact`).  A partition whose every
+    row is deleted disappears entirely.  Deleting ids the artifact does
+    not contain is a no-op for them, and an empty dirty set degenerates
+    to a pure hardlink carry-over.
+
+    ``new_path`` is a NEW version (old readers undisturbed; the old
+    version is later swept by :func:`prune_stale_artifacts`) — the
+    same versioning contract as :func:`append_partitioned_artifact`.
+    For an UNPARTITIONED artifact there is nothing to prune to: rewrite
+    it wholesale with ``cached_parquet`` over an anti-join instead.
+
+    This is the DURABLE form (bytes actually gone).  When a takedown
+    must take effect before the next rewrite window, the instant mask
+    composes with every serving tier through their ``lists=``/``codes=``
+    argument — ``ivf_topk(..., lists=lists.join(F.broadcast(tombstones),
+    id_col, "left_anti"))`` filters candidates BEFORE ranking (so k
+    never silently shrinks) — and this function retires the tombstone
+    list at the next version bump.
+    """
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(new_path, "_SUCCESS")):
+        return spark.read.parquet(new_path)
+    if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
+        raise ValueError(
+            f"delete_from_partitioned_artifact: no complete artifact at "
+            f"{old_path} — build the base version first (cached_parquet)"
+        )
+    old = spark.read.parquet(old_path)
+    ids = F.broadcast(delete_ids.select(id_col).distinct())
+    dirty = sorted(
+        r[0]
+        for r in old.join(ids, id_col, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    )
+
+    def _remaining() -> DataFrame:
+        if not dirty:  # nothing to delete: zero-row append, pure carry
+            return old.limit(0)
+        return old.filter(F.col(partition_col).isin(dirty)).join(
+            ids, id_col, "left_anti"
+        )
+
+    return rewrite_partitioned_artifact(
+        spark, old_path, new_path, _remaining, dirty, partition_col
+    )
+
+
+def compact_epoch_artifact(
+    spark: SparkSession,
+    base_path: str | None,
+    epochs_path: str,
+    new_path: str,
+    partition_col: str = "cell",
+) -> DataFrame:
+    """Fold streaming-appended ``epoch=<n>/{partition_col}=<c>/`` dirs
+    (the :func:`...streaming.incremental.start_incremental_index_append`
+    layout) into the flat per-corpus-version artifact — the segment
+    merge every streaming-maintained index needs: micro-batches land
+    one small file per touched cell per epoch, and at 100 TB the
+    serving scan's cost drifts from O(bytes) toward O(files) until the
+    epochs are compacted away (``sources/layout.compact_files``'s
+    rationale, applied to the index artifact).
+
+    Only the cells the epochs actually touched are rewritten — the
+    epochs table's distinct ``partition_col`` set is a bounded
+    ≤``nlist``-row transfer, the base's clean cells hardlink across
+    (:func:`rewrite_partitioned_artifact`), and each dirty cell's
+    base+epoch rows are re-clustered into a single file
+    (``repartition(partition_col)``: one task owns all rows of a cell).
+    The ``epoch`` level exists only for the sink's replay idempotence;
+    it does not survive compaction.  With ``base_path=None`` (an index
+    born entirely from the stream) every cell is dirty by definition
+    and the fold is a plain re-clustered install.  Contract as always:
+    the quantizer must be the SAME pinned one the epochs encoded under
+    — folding epochs from a retrained quantizer is corruption, not
+    compaction.
+    """
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(new_path, "_SUCCESS")):
+        return spark.read.parquet(new_path)
+    epochs = spark.read.parquet(epochs_path).drop("epoch")
+    if base_path is None:
+        _install_atomic(
+            epochs.repartition(F.col(partition_col)),
+            new_path,
+            partition_by=(partition_col,),
+        )
+        return spark.read.parquet(new_path)
+    dirty = sorted(
+        r[0] for r in epochs.select(partition_col).distinct().collect()
+    )
+    base = spark.read.parquet(base_path)
+
+    def _folded() -> DataFrame:
+        merged = base.filter(
+            F.col(partition_col).isin(dirty)
+        ).unionByName(epochs.select(*base.columns))
+        return merged.repartition(F.col(partition_col))
+
+    return rewrite_partitioned_artifact(
+        spark, base_path, new_path, _folded, dirty, partition_col
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF coarse quantizer
 # ---------------------------------------------------------------------------

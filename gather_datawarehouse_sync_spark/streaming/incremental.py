@@ -209,9 +209,12 @@ def start_incremental_index_append(
     Appending under a RETRAINED quantizer would silently corrupt the
     index (stored cells probed under different centroids) — that is a
     rebuild, the same contract as
-    ``sources/artifacts.append_partitioned_artifact``, whose batch
-    compaction folds drained epochs into the per-corpus-version
-    artifact (dropping the epoch level) at version bump.
+    ``sources/artifacts.append_partitioned_artifact``.  At version
+    bump, ``sources/artifacts.compact_epoch_artifact`` folds the
+    drained epochs into the flat per-corpus-version artifact (dropping
+    the epoch level, one file per touched cell, clean cells hardlinked)
+    — stream-append ≡ compact ≡ full-rebuild parity is pinned in
+    tests/test_streaming.py.
 
     Returns the started query (caller awaits).
     """

@@ -2804,6 +2804,187 @@ def test_append_unpartitioned_artifact_equals_full_rebuild(spark, sf_dir, tmp_pa
     assert got == want and got
 
 
+def test_delete_from_partitioned_artifact(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten on the serving index: deleting an id set
+    from the stored partitioned lists must equal rebuilding over the
+    remaining corpus under the pinned quantizer — and must only touch
+    the partitions that contain deleted rows: every clean cell's data
+    files carry into the new version as hardlinks (same inode), never
+    rewrites."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        delete_from_partitioned_artifact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    C = kmeans_centroids(emb, nlist=8)
+    old_path = str(tmp_path / "lists_v1")
+    cached_parquet(
+        spark, old_path, lambda: ivf_invert(emb, C), partition_by=("cell",)
+    )
+
+    # delete a SMALL id set so some cells stay clean
+    gone = emb.filter(F.col("vec_id") < 3).select("vec_id")
+    dirty_cells = {
+        r[0]
+        for r in spark.read.parquet(old_path)
+        .join(gone, "vec_id", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert dirty_cells  # the ids exist in the index
+    clean_inodes = {}
+    for cell_dir in os.listdir(old_path):
+        if not cell_dir.startswith("cell="):
+            continue
+        if int(cell_dir.split("=")[1]) in dirty_cells:
+            continue
+        for n in os.listdir(os.path.join(old_path, cell_dir)):
+            full = os.path.join(old_path, cell_dir, n)
+            clean_inodes[os.path.join(cell_dir, n)] = os.stat(full).st_ino
+    assert clean_inodes  # nlist=8 vs 3 deleted ids: clean cells exist
+
+    new_path = str(tmp_path / "lists_v2")
+    remaining = delete_from_partitioned_artifact(
+        spark, old_path, new_path, gone
+    )
+    got = sorted(map(tuple, remaining.select(
+        "cell", "vec_id", "embedding"
+    ).collect()))
+    want = sorted(map(tuple, ivf_invert(
+        emb.filter(F.col("vec_id") >= 3), C
+    ).collect()))
+    assert got == want and got
+    # clean cells: hardlinked, not rewritten
+    for rel, ino in clean_inodes.items():
+        assert os.stat(os.path.join(new_path, rel)).st_ino == ino, rel
+    # old version undisturbed
+    assert os.path.exists(os.path.join(old_path, "_SUCCESS"))
+    assert spark.read.parquet(old_path).count() == emb.count()
+
+    # idempotent: second call serves the installed artifact
+    again = delete_from_partitioned_artifact(
+        spark, old_path, new_path, gone
+    )
+    assert again.count() == len(got)
+
+    # deleting absent ids = pure hardlink carry-over of every cell
+    noop = delete_from_partitioned_artifact(
+        spark,
+        old_path,
+        str(tmp_path / "lists_v3"),
+        spark.range(1).select(F.lit(999_999_999).cast("long").alias("vec_id")),
+    )
+    assert noop.count() == emb.count()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no complete artifact"):
+        delete_from_partitioned_artifact(
+            spark, str(tmp_path / "nope"), str(tmp_path / "x"), gone
+        )
+
+
+def test_compact_epoch_artifact(spark, sf_dir, tmp_path):
+    """Folding streaming epoch dirs into the flat per-version artifact:
+    compacted rows equal a full rebuild over base+increment, the epoch
+    level is gone, each dirty cell's base+epoch small files merge into
+    ONE file, and clean cells hardlink across."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_invert,
+        kmeans_centroids,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        compact_epoch_artifact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    base = emb.filter(F.col("vec_id") >= 4)
+    e0 = emb.filter(F.col("vec_id") < 2)
+    e1 = emb.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 4))
+    C = kmeans_centroids(base, nlist=8)  # pinned quantizer
+
+    base_path = str(tmp_path / "sqlists_base")
+    cached_parquet(
+        spark,
+        base_path,
+        lambda: ivf_sq_invert(base, C),
+        partition_by=("cell",),
+    )
+    # the streaming sink's layout: epoch=<n>/cell=<c>/part-*.parquet
+    epochs_path = str(tmp_path / "sqlists_epochs")
+    for i, inc in enumerate((e0, e1)):
+        ivf_sq_invert(inc, C).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{epochs_path}/epoch={i}")
+    dirty_cells = {
+        r[0]
+        for r in spark.read.parquet(epochs_path)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    clean_inodes = {}
+    for cell_dir in os.listdir(base_path):
+        if not cell_dir.startswith("cell="):
+            continue
+        if int(cell_dir.split("=")[1]) in dirty_cells:
+            continue
+        for n in os.listdir(os.path.join(base_path, cell_dir)):
+            full = os.path.join(base_path, cell_dir, n)
+            clean_inodes[os.path.join(cell_dir, n)] = os.stat(full).st_ino
+    assert clean_inodes  # 4 streamed vectors vs nlist=8: clean cells exist
+
+    new_path = str(tmp_path / "sqlists_flat")
+    compacted = compact_epoch_artifact(spark, base_path, epochs_path, new_path)
+    got = sorted(map(tuple, compacted.select(
+        "cell", "vec_id", "codes", "scale_micro"
+    ).collect()))
+    want = sorted(map(tuple, ivf_sq_invert(emb, C).collect()))
+    assert got == want and got
+    # the epoch level does not survive compaction
+    assert not any(d.startswith("epoch=") for d in os.listdir(new_path))
+    # dirty cells re-clustered to ONE file each; clean cells hardlinked
+    for cell in dirty_cells:
+        parts = [
+            n
+            for n in os.listdir(os.path.join(new_path, f"cell={cell}"))
+            if n.endswith(".parquet")
+        ]
+        assert len(parts) == 1, (cell, parts)
+    for rel, ino in clean_inodes.items():
+        assert os.stat(os.path.join(new_path, rel)).st_ino == ino, rel
+
+    # idempotent + stream-born index (no base): plain re-clustered fold
+    assert compact_epoch_artifact(
+        spark, base_path, epochs_path, new_path
+    ).count() == len(got)
+    nb = compact_epoch_artifact(
+        spark, None, epochs_path, str(tmp_path / "sqlists_nobase")
+    )
+    got_nb = sorted(map(tuple, nb.select(
+        "cell", "vec_id", "codes", "scale_micro"
+    ).collect()))
+    want_nb = sorted(map(tuple, ivf_sq_invert(
+        emb.filter(F.col("vec_id") < 4), C
+    ).collect()))
+    assert got_nb == want_nb and got_nb
+
+
 def test_overwrite_swap_leaves_no_residue(spark, tmp_path):
     """The rename-aside overwrite swap must leave exactly the fresh
     artifact: no __old__ rename-aside dir and no __building__ staging

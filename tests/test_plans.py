@@ -562,6 +562,54 @@ def test_ivf_sq_stored_lists_scan_prunes_and_reads_no_vectors(
     assert df.count() > 0
 
 
+def test_delete_rewrite_reads_only_dirty_partitions(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """delete_from_partitioned_artifact's rewrite pass must READ only
+    the dirty cells: the remaining-rows frame it hands to
+    rewrite_partitioned_artifact carries a static `cell IN (...)`
+    partition filter, so the scan prunes to those directories — the
+    hardlink carry-over already proves clean cells aren't REWRITTEN
+    (test_operators), this pins that they aren't even rescanned."""
+    import gather_datawarehouse_sync_spark.sources.artifacts as A
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    C = kmeans_centroids(emb, nlist=8)
+    old_path = str(tmp_path / "lists")
+    A.cached_parquet(
+        spark, old_path, lambda: ivf_invert(emb, C), partition_by=("cell",)
+    )
+
+    captured = {}
+    real = A.rewrite_partitioned_artifact
+
+    def spy(spark_, old, new, build, dirty, *a, **kw):
+        captured["df"] = build()
+        captured["dirty"] = dirty
+        return real(spark_, old, new, build, dirty, *a, **kw)
+
+    monkeypatch.setattr(A, "rewrite_partitioned_artifact", spy)
+    A.delete_from_partitioned_artifact(
+        spark,
+        old_path,
+        str(tmp_path / "lists_v2"),
+        emb.filter(F.col("vec_id") < 3).select("vec_id"),
+    )
+    assert captured["dirty"]  # some cells contain the deleted ids
+    plan = plan_str(captured["df"])
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:250]
+    assert "cell" in pf and " IN " in pf.upper()
+    # and the anti side arrives broadcast, not shuffled
+    assert broadcast_join_count(captured["df"]) >= 1
+
+
 def test_integer_dot_hot_loops_have_no_interpreted_hof(spark, sf_dir):
     """The SQ / int_micro / MMR-relevance scoring loops must NOT run as
     aggregate(zip_with(...)) higher-order functions — HOFs evaluate

@@ -635,6 +635,31 @@ def test_incremental_index_append_stream_matches_batch(spark, tmp_path, sf_dir):
     ).collect()))
     assert from_stream == from_batch and from_stream
 
+    # version bump: fold the drained epochs into the flat per-version
+    # artifact (stream-born index: base=None) — the epoch level is
+    # gone, rows and served top-k unchanged
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        compact_epoch_artifact,
+    )
+
+    flat = compact_epoch_artifact(
+        spark, None, out, str(tmp_path / "stream_index_flat_v2")
+    )
+    assert sorted(map(tuple, flat.select(
+        "cell", "vec_id", "codes", "scale_micro"
+    ).collect())) == want
+    import os
+
+    assert not any(
+        d.startswith("epoch=")
+        for d in os.listdir(str(tmp_path / "stream_index_flat_v2"))
+    )
+    from_flat = sorted(map(tuple, ivf_sq_topk(
+        qv, C, flat.select("cell", "vec_id", "codes", "scale_micro"),
+        k=2, nprobe=4,
+    ).collect()))
+    assert from_flat == from_batch
+
     with pytest.raises(ValueError, match="non-empty"):
         start_incremental_index_append(
             stream, [], out, str(tmp_path / "ckpt_bad")

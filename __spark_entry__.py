@@ -14,7 +14,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python WORKERS must also import the package: they resolve imports from
+# PYTHONPATH, not the driver's sys.path, so when this module is loaded
+# by file path from outside the repo cwd (the driver contract) a
+# worker-side kernel would otherwise fail with ModuleNotFoundError.
+# Setting the env var BEFORE the SparkSession/JVM starts propagates it
+# to every spawned worker; if a JVM already runs with the repo on its
+# path (the in-repo case), this is a no-op.
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO
+    )
 
 from gather_datawarehouse_sync_spark import queries as _q  # noqa: E402
 

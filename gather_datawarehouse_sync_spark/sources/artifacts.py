@@ -320,6 +320,10 @@ def rewrite_partitioned_artifact(
     At 100 TB this selectivity is the point: a delete or an epoch-fold
     touches a handful of cells, and rewriting the whole corpus-sized
     lists table to change three cells would dwarf the operation itself.
+
+    ``dirty`` values must round-trip to their hive directory names via
+    ``str()`` (ints and plain strings — the cell-id case; values hive
+    would percent-escape need the escaped form).
     """
     if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
         raise ValueError(

@@ -148,6 +148,167 @@ def repetition_bp(text: Column, n: int = 3) -> Column:
     )
 
 
+# The Gopher rule-battery stopword set (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A.1.1): a document must contain at
+# least two of these to pass the stop-word rule.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the",
+    "be",
+    "to",
+    "of",
+    "and",
+    "that",
+    "have",
+    "with",
+)
+
+# Bit positions for gopher_rules' fail_mask (bit set = rule FAILED).
+GOPHER_RULE_BITS: tuple[str, ...] = (
+    "word_count",  # bit 0
+    "mean_word_len",  # bit 1
+    "symbol_ratio",  # bit 2
+    "bullet_lines",  # bit 3
+    "ellipsis_lines",  # bit 4
+    "alpha_words",  # bit 5
+    "stopwords",  # bit 6
+)
+
+
+def gopher_rules(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_centi: int = 300,
+    max_mean_word_centi: int = 1000,
+    max_symbol_bp: int = 1000,
+    max_bullet_bp: int = 9000,
+    max_ellipsis_bp: int = 3000,
+    min_alpha_word_bp: int = 8000,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The published Gopher rule battery (Rae et al. 2021 §A.1.1) as one
+    scan-side struct — per-rule integer measures plus a fail bitmask, the
+    per-document verdict table a curation pipeline materializes so a
+    drop is attributable to a NAMED rule, not an opaque score (the
+    complement of the blended :func:`quality_score_bp`).
+
+    Rules, defaults = the published thresholds (keep when):
+
+    - ``word_count``:    ``min_words ≤ n_words ≤ max_words`` (50..100k)
+    - ``mean_word_len``: mean word length in [3, 10] chars — integer
+      form ``mean_word_centi = 100·word_chars DIV n_words ∈ [300,1000]``
+    - ``symbol_ratio``:  (``#`` + non-overlapping ``...``) per word
+      ≤ 0.1 → ``symbol_bp ≤ 1000``
+    - ``bullet_lines``:  ≤ 90 % of lines start with a bullet
+      (``-``/``*``/``•`` after optional blanks) → ``bullet_bp ≤ 9000``
+    - ``ellipsis_lines``: ≤ 30 % of lines end with ``...`` →
+      ``ellipsis_bp ≤ 3000``
+    - ``alpha_words``:   ≥ 80 % of words contain ≥ 1 ASCII letter →
+      ``alpha_word_bp ≥ 8000``
+    - ``stopwords``:     ≥ 2 distinct hits from :data:`GOPHER_STOPWORDS`
+
+    Every measure is exact integer arithmetic (the x_quality_int
+    pattern) and every count comes from a codegen'd built-in — NO
+    higher-order functions (the SCALE.md round-9 lesson): words-with-
+    a-letter is ``n_words − tokens(text with alpha-words regexp-deleted)``,
+    line counts are anchored ``(?m)`` regexp counts, and the line total
+    is ``1 + count('\\n')``.  All regexes are RE2-portable (ASCII
+    classes, no lookaround), so a DuckDB oracle reproduces every field
+    bit-for-bit; like :func:`quality_score_bp`, the letter class is
+    ASCII by contract.
+
+    Returns a struct: ``n_words, mean_word_centi, symbol_bp, bullet_bp,
+    ellipsis_bp, alpha_word_bp, stop_hits, fail_mask, passed`` —
+    ``fail_mask`` bit ``i`` set = :data:`GOPHER_RULE_BITS[i]` failed;
+    ``passed = (fail_mask = 0)``.  Thresholds are keyword parameters so
+    a corpus with a different register (the sf* synthetic tables, code,
+    chat) tunes bounds without forking the operator."""
+    zero = F.lit(0).cast("bigint")
+
+    def _idiv(a: Column, b: Column) -> Column:
+        # exact integer division (a − a mod b)/b — see quality_score_bp
+        return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+    n_words = token_count(text).cast("bigint")
+    word_chars = F.length(F.regexp_replace(text, r"\s+", "")).cast("bigint")
+    mean_word_centi = F.when(n_words > 0, _idiv(word_chars * 100, n_words)).otherwise(
+        zero
+    )
+
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))).cast(
+        "bigint"
+    )
+    n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), F.lit(0))).cast(
+        "bigint"
+    )
+    symbol_bp = F.when(
+        n_words > 0, _idiv((n_hash + n_ellipsis) * 10000, n_words)
+    ).otherwise(zero)
+
+    n_lines = (
+        F.lit(1).cast("bigint")
+        + (F.length(text) - F.length(F.replace(text, F.lit("\n"), F.lit("")))).cast(
+            "bigint"
+        )
+    )
+    n_bullet = F.size(
+        F.regexp_extract_all(text, F.lit(r"(?m)^[ \t]*[-*•]"), F.lit(0))
+    ).cast("bigint")
+    n_ell_end = F.size(
+        F.regexp_extract_all(text, F.lit(r"(?m)\.\.\.[ \t]*$"), F.lit(0))
+    ).cast("bigint")
+    bullet_bp = _idiv(n_bullet * 10000, n_lines)
+    ellipsis_bp = _idiv(n_ell_end * 10000, n_lines)
+
+    # words containing ≥1 ASCII letter, HOF-free: delete every
+    # whitespace-delimited token that contains a letter ([^\s]* cannot
+    # cross whitespace, so each match is exactly one word), re-count
+    non_alpha_words = token_count(
+        F.regexp_replace(text, r"[^\s]*[A-Za-z][^\s]*", "")
+    ).cast("bigint")
+    alpha_words = n_words - non_alpha_words
+    alpha_word_bp = F.when(n_words > 0, _idiv(alpha_words * 10000, n_words)).otherwise(
+        zero
+    )
+
+    lowered = F.lower(text)
+    stop_hits = sum(
+        (
+            F.when(lowered.rlike(rf"\b{w}\b"), 1).otherwise(0).cast("bigint")
+            for w in GOPHER_STOPWORDS
+        ),
+        start=zero,
+    )
+
+    fails = [
+        (n_words < min_words) | (n_words > max_words),
+        (mean_word_centi < min_mean_word_centi)
+        | (mean_word_centi > max_mean_word_centi),
+        symbol_bp > max_symbol_bp,
+        bullet_bp > max_bullet_bp,
+        ellipsis_bp > max_ellipsis_bp,
+        alpha_word_bp < min_alpha_word_bp,
+        stop_hits < min_stop_hits,
+    ]
+    fail_mask = sum(
+        (F.when(c, 1 << i).otherwise(0).cast("bigint") for i, c in enumerate(fails)),
+        start=zero,
+    )
+
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_word_centi.alias("mean_word_centi"),
+        symbol_bp.alias("symbol_bp"),
+        bullet_bp.alias("bullet_bp"),
+        ellipsis_bp.alias("ellipsis_bp"),
+        alpha_word_bp.alias("alpha_word_bp"),
+        stop_hits.alias("stop_hits"),
+        fail_mask.alias("fail_mask"),
+        (fail_mask == 0).alias("passed"),
+    )
+
+
 def language_guess(text: Column, ascii_only: bool = False) -> Column:
     """n-gram/stopword language heuristic: score each candidate language
     by marker-token hits; highest count wins, 'und' (undetermined) when

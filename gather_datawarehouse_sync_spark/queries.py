@@ -927,6 +927,97 @@ _df(
 )
 
 
+def _x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher rule battery (Rae et al. 2021 §A.1.1) as a
+    per-document verdict table: every rule's integer measure, a fail
+    bitmask naming WHICH rules dropped the doc, and the keep verdict —
+    the attributable complement of x_text_quality's blended score.
+    Zero shuffle (scan projection + sort), all codegen built-ins, exact
+    integers throughout → full value-hash oracle."""
+    from gather_datawarehouse_sync_spark.functions.text import gopher_rules
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    g = gopher_rules(F.col("text"))
+    return (
+        t["documents"]
+        .select("doc_id", g.alias("g"))
+        .select("doc_id", "g.*")
+        .orderBy("doc_id")
+    )
+
+
+_df(
+    "x_gopher_rules",
+    _x_gopher_rules,
+    "WITH m AS (SELECT doc_id, "
+    "LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> '')) "
+    "AS n_words, "
+    "LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS word_chars, "
+    "LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS n_hash, "
+    "LEN(REGEXP_EXTRACT_ALL(text, '\\.\\.\\.')) AS n_ellipsis, "
+    "1 + LENGTH(text) - LENGTH(REPLACE(text, CHR(10), '')) AS n_lines, "
+    "LEN(REGEXP_EXTRACT_ALL(text, '(?m)^[ \\t]*[-*\u2022]')) AS n_bullet, "
+    "LEN(REGEXP_EXTRACT_ALL(text, '(?m)\\.\\.\\.[ \\t]*$')) AS n_ell_end, "
+    "LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(REGEXP_REPLACE(text, "
+    "'[^\\s]*[A-Za-z][^\\s]*', '', 'g'), '\\s+'), x -> x <> '')) "
+    "AS non_alpha_words, "
+    + " + ".join(
+        "(CASE WHEN REGEXP_MATCHES(LOWER(text), '\\b" + w + "\\b') "
+        "THEN 1 ELSE 0 END)"
+        for w in (
+            "the",
+            "be",
+            "to",
+            "of",
+            "and",
+            "that",
+            "have",
+            "with",
+        )
+    )
+    + " AS stop_hits FROM documents), "
+    "r AS (SELECT doc_id, n_words, "
+    "CASE WHEN n_words > 0 THEN (100 * word_chars) // n_words ELSE 0 END "
+    "AS mean_word_centi, "
+    "CASE WHEN n_words > 0 THEN (10000 * (n_hash + n_ellipsis)) // n_words "
+    "ELSE 0 END AS symbol_bp, "
+    "(10000 * n_bullet) // n_lines AS bullet_bp, "
+    "(10000 * n_ell_end) // n_lines AS ellipsis_bp, "
+    "CASE WHEN n_words > 0 THEN "
+    "(10000 * (n_words - non_alpha_words)) // n_words ELSE 0 END "
+    "AS alpha_word_bp, stop_hits FROM m) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(n_words AS BIGINT) AS n_words, "
+    "CAST(mean_word_centi AS BIGINT) AS mean_word_centi, "
+    "CAST(symbol_bp AS BIGINT) AS symbol_bp, "
+    "CAST(bullet_bp AS BIGINT) AS bullet_bp, "
+    "CAST(ellipsis_bp AS BIGINT) AS ellipsis_bp, "
+    "CAST(alpha_word_bp AS BIGINT) AS alpha_word_bp, "
+    "CAST(stop_hits AS BIGINT) AS stop_hits, "
+    "CAST((CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END) "
+    "+ (CASE WHEN mean_word_centi < 300 OR mean_word_centi > 1000 "
+    "THEN 2 ELSE 0 END) "
+    "+ (CASE WHEN symbol_bp > 1000 THEN 4 ELSE 0 END) "
+    "+ (CASE WHEN bullet_bp > 9000 THEN 8 ELSE 0 END) "
+    "+ (CASE WHEN ellipsis_bp > 3000 THEN 16 ELSE 0 END) "
+    "+ (CASE WHEN alpha_word_bp < 8000 THEN 32 ELSE 0 END) "
+    "+ (CASE WHEN stop_hits < 2 THEN 64 ELSE 0 END) AS BIGINT) AS fail_mask, "
+    "((CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END) "
+    "+ (CASE WHEN mean_word_centi < 300 OR mean_word_centi > 1000 "
+    "THEN 2 ELSE 0 END) "
+    "+ (CASE WHEN symbol_bp > 1000 THEN 4 ELSE 0 END) "
+    "+ (CASE WHEN bullet_bp > 9000 THEN 8 ELSE 0 END) "
+    "+ (CASE WHEN ellipsis_bp > 3000 THEN 16 ELSE 0 END) "
+    "+ (CASE WHEN alpha_word_bp < 8000 THEN 32 ELSE 0 END) "
+    "+ (CASE WHEN stop_hits < 2 THEN 64 ELSE 0 END)) = 0 AS passed "
+    "FROM r ORDER BY doc_id",
+    ("documents",),
+    note="Gopher rule battery (Rae et al. 2021 published thresholds): "
+    "per-rule exact-integer measures + fail bitmask + keep verdict, "
+    "HOF-free codegen scan projection; full oracle",
+)
+
+
 def _x_ngram_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from exact-Jaccard edges via connected
     components; canonical = min doc_id (count per canonical).  Identical

@@ -2334,6 +2334,43 @@ def test_repetition_bp_exact_counts(spark):
     assert got == {1: 6000, 2: 0, 3: 0}
 
 
+def test_gopher_rules_field_exactness(spark):
+    """Each Gopher rule measure on crafted docs exercising the rules the
+    synthetic corpus can't (bullet lines, ellipsis line-ends, symbol
+    ratio, multi-line text) — exact integer expectations, plus the
+    end-to-end mask/verdict for a passing and a failing doc."""
+    from gather_datawarehouse_sync_spark.functions.text import gopher_rules
+
+    passing = "the and " + " ".join(["word"] * 48)  # 50 words, 2 stops
+    docs = [
+        (1, passing),
+        (2, "zz"),  # 1 word, mean 200, 0 stops → bits 0,1,6
+        (3, "- a\n- b\n- c\nplain"),  # 3 of 4 lines bulleted → 7500
+        (4, "one...\ntwo... \nthree"),  # 2 of 3 lines end '...'
+        (5, "## # x"),  # 3 hashes / 3 words → symbol_bp 10000
+        (6, "ab 12 cd 34"),  # half the words have a letter
+        (7, "The cat sat with all of them and that is it to be have"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", gopher_rules(F.col("text")).alias("g")
+        ).select("doc_id", "g.*").collect()
+    }
+    assert got[1]["n_words"] == 50
+    assert got[1]["mean_word_centi"] == 396
+    assert got[1]["stop_hits"] == 2
+    assert got[1]["fail_mask"] == 0 and got[1]["passed"] is True
+    assert got[2]["fail_mask"] == 1 + 2 + 64 and got[2]["passed"] is False
+    assert got[3]["bullet_bp"] == 7500  # 3 bullets / 4 lines
+    assert got[4]["ellipsis_bp"] == 6666  # 2 '...'-ends / 3 lines
+    assert got[4]["symbol_bp"] == 6666  # 2 '...' / 3 words
+    assert got[5]["symbol_bp"] == 10000  # 3 '#' / 3 words
+    assert got[6]["alpha_word_bp"] == 5000  # ab, cd of 4 words
+    assert got[7]["stop_hits"] == 8  # every GOPHER_STOPWORD hits once
+
+
 def test_leakage_safe_split_components_path_matches_pairs(spark, sf_dir):
     """leakage_safe_split(components=) — the persisted-cluster-map form
     — assigns the identical split as the pairs form (the map IS the CC

@@ -1349,6 +1349,66 @@ def jaccard_dedup_clusters(
     )
 
 
+def quality_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 1,
+    score: Column | None = None,
+) -> DataFrame:
+    """Quality-aware near-dup survivorship: per near-dup cluster, KEEP
+    the member maximizing ``score`` (default :func:`quality_score_bp`
+    of the text), ties → min id — the "which copy survives" decision a
+    curation pipeline actually wants, vs. :func:`jaccard_dedup_clusters`'
+    arbitrary min-id canonical (real corpora hold a clean original next
+    to truncated/boilerplated mirrors; keeping min-id keeps whichever
+    crawled first).
+
+    Unlike the cluster-count operator this CANNOT collapse identical
+    token sets first: two docs with one token set can have different
+    texts ("a b b" / "b a b a"), hence different scores, and the argmax
+    must see every member.  Edges therefore come from
+    :func:`jaccard_pairs` over the full corpus (identical sets are
+    Jaccard 1.0 ≥ any threshold, so set-equal members stay clustered).
+
+    Scale shape: pairs are prefix-filtered/bitset (jaccard_pairs),
+    components contract per round, the final argmax is ONE window
+    partitioned by component over only edge-touched docs — no
+    corpus-sized window, no driver materialization.
+
+    Returns ``(canon, keep_id, keep_score, members)`` for clusters of
+    ≥ 2 members; ``canon`` = min id (the stable cluster key),
+    ``keep_id`` = the survivor.
+    """
+    from gather_datawarehouse_sync_spark.functions.text import quality_score_bp
+
+    score = quality_score_bp(F.col(text_col)) if score is None else score
+    scored = spread(df).select(
+        F.col(id_col).alias("id"), score.cast("bigint").alias("q")
+    )
+    pairs = jaccard_pairs(df, id_col, text_col, threshold, ngram)
+    comp = connected_components(pairs.select("a", "b"))
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("id"))
+    return (
+        comp.join(scored, "id")
+        .select(
+            F.col("component").alias("canon"),
+            "id",
+            "q",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("component")).alias("members"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "canon",
+            F.col("id").alias("keep_id"),
+            F.col("q").alias("keep_score"),
+            F.col("members").cast("bigint").alias("members"),
+        )
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -278,6 +278,123 @@ def weighted_interleave(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha_milli: int = 500,
+    seed: str = "temp",
+    copy_col: str = "copy",
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Temperature-based group rebalancing — the multilingual-pretraining
+    resampling recipe (Lample & Conneau 2019 §3.1; XLM-R): draw groups
+    with probability ``q_g ∝ n_g^α`` instead of their raw share, so
+    low-resource groups are UPsampled (docs replicated) and huge groups
+    DOWNsampled (docs dropped), keeping the output size ≈ the input
+    size.  ``α = alpha_milli/1000`` ∈ (0, 1]; 1000 = no change, smaller
+    = flatter.
+
+    Exact-integer contract: per-group weights are
+    ``w_g = ⌊√n_g · 10⁶⌋`` (α = 0.5; IEEE sqrt is correctly rounded, so
+    every engine computes the identical integer — for other α the
+    ``pow`` is engine-libm-dependent and the operator documents
+    approximate cross-engine identity only).  Shares quantize to milli
+    (``q_milli = w·1000 DIV Σw``) and each group's micro replication
+    factor is ``r_micro = N · q_milli · 1000 DIV n_g`` — int64-safe to
+    ~9·10⁹ docs.  A doc emits ``r_micro DIV 10⁶`` copies plus one more
+    when its hash fraction (first 8 hex chars of ``md5(seed:id)`` mod
+    10⁶ — engine-portable, unlike xxhash) clears the remainder, making
+    the materialized epoch reproducible row-for-row on any engine or
+    layout.
+
+    Scale shape: ONE tiny aggregation (a row per group, driver-collected
+    — the vocab-bounded-collect class, guarded by ``max_groups``), then
+    a scan-side map lookup + explode; no corpus-sized shuffle, no RNG
+    state.  Rows whose group is NULL drop (no defensible share exists
+    for them; filter or coalesce upstream to keep them).
+
+    Returns the resampled table: every input column plus ``copy_col``
+    (1-based copy index) — rows with zero copies are gone, upsampled
+    rows appear once per copy.
+    """
+    import math
+
+    if not 1 <= alpha_milli <= 1000:
+        raise ValueError("alpha_milli must be in [1, 1000]")
+    from gather_datawarehouse_sync_spark.functions.scalar import lit_map
+    from gather_datawarehouse_sync_spark.session import spread
+
+    if copy_col in df.columns or "__tr_nc" in df.columns:
+        raise ValueError(f"temperature_resample: column collision on {copy_col}")
+    counts = (
+        spread(df)
+        .filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(counts) > max_groups:
+        raise ValueError(
+            f"temperature_resample: over {max_groups} groups - this keys "
+            "off a bounded group column (language, domain), not an id"
+        )
+    n_by = {r[group_col]: r["n"] for r in counts}
+    if not n_by:
+        return df.withColumn(copy_col, F.lit(1).cast("bigint")).limit(0)
+    total = sum(n_by.values())
+    if alpha_milli == 1000:
+        w_by = {g: n * 1_000_000 for g, n in n_by.items()}
+    elif alpha_milli == 500:
+        w_by = {g: math.floor(math.sqrt(n) * 1_000_000.0) for g, n in n_by.items()}
+    else:  # engine-libm-dependent; see docstring
+        w_by = {
+            g: math.floor(math.pow(n, alpha_milli / 1000.0) * 1_000_000.0)
+            for g, n in n_by.items()
+        }
+    s = sum(w_by.values())
+    r_micro_by = {
+        g: (total * ((w_by[g] * 1000) // s) * 1000) // n_by[g] for g in n_by
+    }
+    rmap = lit_map(r_micro_by)
+    r_micro = rmap[F.col(group_col)]
+    hfrac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    n_copies = (
+        (r_micro - F.pmod(r_micro, 1_000_000)) / 1_000_000
+        + F.when(hfrac < F.pmod(r_micro, 1_000_000), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        spread(df)
+        .withColumn("__tr_nc", n_copies)
+        # explode(NULL) drops the row: covers null groups (map miss) and
+        # zero-copy docs without a sequence(1, 0) = [1, 0] footgun
+        .withColumn(
+            copy_col,
+            F.explode(
+                F.when(
+                    F.col("__tr_nc") >= 1,
+                    F.sequence(F.lit(1).cast("bigint"), F.col("__tr_nc")),
+                )
+            ),
+        )
+        .drop("__tr_nc")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     group_col: str,

@@ -1054,6 +1054,59 @@ _df(
 )
 
 
+def _x_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship: per near-dup cluster (exact Jaccard
+    ≥ 0.9 → connected components) keep the member with the best integer
+    quality score, ties → min id — 'which copy survives', not just
+    'how many copies' (x_ngram_dedup_clusters).  Cluster key stays the
+    min id; the survivor is the quality argmax."""
+    from gather_datawarehouse_sync_spark.operators.dedup import quality_dedup
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return quality_dedup(
+        t["documents"], id_col="doc_id", text_col="text", threshold=0.9, ngram=1
+    ).orderBy("canon")
+
+
+_df(
+    "x_quality_dedup",
+    _x_quality_dedup,
+    "WITH RECURSIVE tok AS (SELECT doc_id, list_distinct(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks "
+    "FROM documents), "
+    "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tok), "
+    "edges AS (SELECT a.doc_id AS a, b.doc_id AS b FROM ex a JOIN ex b "
+    "ON a.tok = b.tok WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id, a.n, b.n "
+    "HAVING COUNT(*) * 10 >= (a.n + b.n - COUNT(*)) * 9), "
+    "sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges), "
+    "reach AS (SELECT a AS id, b AS r FROM sym "
+    "UNION SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a), "
+    "comp AS (SELECT id, LEAST(id, MIN(r)) AS canon FROM reach GROUP BY id), "
+    "qm AS (SELECT doc_id, LENGTH(text) AS n_chars, "
+    "LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+    "LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> '')) "
+    "AS n_tokens FROM documents), "
+    "q AS (SELECT doc_id, CAST("
+    "(CASE WHEN n_chars > 0 THEN (4000 * n_alpha) // n_chars ELSE 0 END) + "
+    "(CASE WHEN n_tokens > 0 AND n_chars >= 3 * n_tokens "
+    "AND n_chars <= 12 * n_tokens THEN 3000 ELSE 1500 END) + "
+    "(CASE WHEN n_chars >= 200 THEN 3000 ELSE 15 * n_chars END) "
+    "AS BIGINT) AS q_bp FROM qm), "
+    "sel AS (SELECT comp.canon, comp.id, q.q_bp, "
+    "ROW_NUMBER() OVER (PARTITION BY comp.canon "
+    "ORDER BY q.q_bp DESC, comp.id ASC) AS rn, "
+    "COUNT(*) OVER (PARTITION BY comp.canon) AS members "
+    "FROM comp JOIN q ON comp.id = q.doc_id) "
+    "SELECT CAST(canon AS BIGINT) AS canon, CAST(id AS BIGINT) AS keep_id, "
+    "q_bp AS keep_score, CAST(members AS BIGINT) AS members "
+    "FROM sel WHERE rn = 1 ORDER BY canon",
+    ("documents",),
+    note="quality-argmax survivorship per near-dup cluster (keep the best "
+    "copy, not the first-crawled); oracle = recursive-CTE closure + "
+    "integer quality window",
+)
+
+
 def _x_minhash_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH fuzzy dedup (the 100 TB path).  xxhash-based —
     no DuckDB twin exists; validated against the exact-Jaccard tier in
@@ -3893,6 +3946,50 @@ _df(
     ("documents",),
     note="per-domain cap (C4/RefinedWeb-style corpus balancing) by "
     "deterministic hash order",
+)
+
+
+def _x_temp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (α = 0.5, the XLM-R
+    recipe): languages draw ∝ √n instead of raw share — low-resource
+    langs replicate, high-resource langs thin — emitted as the
+    materialized epoch (doc_id, lang, copy), reproducible row-for-row
+    across engines via the md5 hash fraction."""
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        temperature_resample(
+            docs.select("doc_id", "lang"), group_col="lang", id_col="doc_id"
+        )
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
+_df(
+    "x_temp_resample",
+    _x_temp_resample,
+    "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents "
+    "WHERE lang IS NOT NULL GROUP BY lang), "
+    "w AS (SELECT lang, n, CAST(FLOOR(SQRT(n) * 1000000) AS BIGINT) AS w "
+    "FROM c), "
+    "s AS (SELECT SUM(w) AS sw, SUM(n) AS total FROM w), "
+    "r AS (SELECT lang, n, ((SELECT total FROM s) * "
+    "((w * 1000) // (SELECT sw FROM s)) * 1000) // n AS r_micro FROM w), "
+    "d AS (SELECT doc_id, documents.lang AS lang, CAST(r_micro // 1000000 + "
+    "(CASE WHEN ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), "
+    "1, 8))::BIGINT % 1000000 < r_micro % 1000000 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_copies FROM documents JOIN r ON documents.lang = r.lang) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+    "unnest(generate_series(1, n_copies)) AS copy "
+    "FROM d ORDER BY doc_id, copy",
+    ("documents",),
+    note="temperature resampling q ∝ n^0.5 (XLM-R multilingual "
+    "rebalancing): integer micro replication factors, md5 hash "
+    "fraction, materialized epoch; full oracle",
 )
 
 

@@ -2334,6 +2334,148 @@ def test_repetition_bp_exact_counts(spark):
     assert got == {1: 6000, 2: 0, 3: 0}
 
 
+def test_temperature_resample_matches_python_reference(spark):
+    """temperature_resample α=0.5 vs an independent pure-Python
+    replication of the documented integer contract (hashlib.md5 vs
+    Spark md5): per-doc copy counts identical, null-group rows dropped,
+    output invariant under repartitioning."""
+    import hashlib
+    import math
+
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(90)]
+        + [(100 + i, "small") for i in range(10)]
+        + [(999, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    n_by = {"big": 90, "small": 10}
+    total = 100
+    w_by = {g: math.floor(math.sqrt(n) * 1_000_000.0) for g, n in n_by.items()}
+    s = sum(w_by.values())
+    r_by = {g: (total * ((w_by[g] * 1000) // s) * 1000) // n_by[g] for g in n_by}
+
+    def copies(doc_id, lang):
+        h = (
+            int(hashlib.md5(f"temp:{doc_id}".encode()).hexdigest()[:8], 16)
+            % 1_000_000
+        )
+        r = r_by[lang]
+        return r // 1_000_000 + (1 if h < r % 1_000_000 else 0)
+
+    expected = {
+        (i, lang): copies(i, lang)
+        for i, lang in [(i, "big") for i in range(90)]
+        + [(100 + i, "small") for i in range(10)]
+        if copies(i, lang) > 0
+    }
+    out = temperature_resample(df, group_col="lang", id_col="doc_id")
+    got = {
+        (r["doc_id"], r["lang"]): r["n"]
+        for r in out.groupBy("doc_id", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
+    assert not any(lang is None for _, lang in got)
+    # sqrt flattening really upsamples the minority (base factor ≥ 2)
+    assert all(expected[(i, "small")] >= 2 for i in range(100, 110))
+    # layout invariance
+    got7 = {
+        (r["doc_id"], r["lang"]): r["n"]
+        for r in temperature_resample(
+            df.repartition(7), group_col="lang", id_col="doc_id"
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got7 == expected
+
+
+def test_temperature_resample_alpha_one_is_identity_on_exact_divisors(spark):
+    """α=1000 with group sizes that divide the milli quantization
+    exactly (90/10 of 100) reproduces the input: one copy per doc."""
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)],
+        "doc_id long, lang string",
+    )
+    out = temperature_resample(df, group_col="lang", id_col="doc_id", alpha_milli=1000)
+    assert out.count() == 100
+    assert out.filter(F.col("copy") != 1).count() == 0
+
+
+def test_temperature_resample_guards(spark):
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, lang string"
+    )
+    with pytest.raises(ValueError, match="groups"):
+        temperature_resample(df, group_col="lang", id_col="doc_id", max_groups=1)
+    with pytest.raises(ValueError, match="collision"):
+        temperature_resample(
+            df.withColumn("copy", F.lit(1)), group_col="lang", id_col="doc_id"
+        )
+    with pytest.raises(ValueError, match="alpha_milli"):
+        temperature_resample(df, group_col="lang", id_col="doc_id", alpha_milli=0)
+
+
+def test_quality_dedup_argmax_survivor(spark):
+    """quality_dedup keeps the cluster member with the max score (ties →
+    min id), canon stays the min id, members counts every doc including
+    identical-set copies, singletons drop out."""
+    from gather_datawarehouse_sync_spark.operators.dedup import quality_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", 10),
+            (2, "alpha beta gamma delta", 30),  # same set, best score
+            (3, "alpha beta gamma delta epsilon", 20),  # J=0.8 to 1/2
+            (10, "zeta eta theta iota", 5),
+            (11, "zeta eta theta iota", 5),  # tie → min id survives
+            (20, "unrelated words only here", 99),  # singleton
+        ],
+        "doc_id long, text string, prio long",
+    )
+    got = {
+        r["canon"]: (r["keep_id"], r["keep_score"], r["members"])
+        for r in quality_dedup(
+            df, threshold=0.8, score=F.col("prio")
+        ).collect()
+    }
+    assert got == {1: (2, 30, 3), 10: (10, 5, 2)}
+
+
+def test_quality_dedup_default_score_prefers_cleaner_text(spark):
+    """With the default quality_score_bp score, the survivor is the
+    higher-quality copy even when it has the larger id (min-id canonical
+    would have kept the worse one)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import quality_dedup
+
+    # same token SET {alpha,beta,x} (Jaccard 1.0); doc 2 is long enough
+    # to earn the full length term while doc 1's 12 chars score 15·12
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta x"),
+            (2, "alpha beta x " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    rows = quality_dedup(df, threshold=0.9).collect()
+    assert len(rows) == 1
+    assert rows[0]["canon"] == 1 and rows[0]["keep_id"] == 2
+    assert rows[0]["members"] == 2
+
+
 def test_gopher_rules_field_exactness(spark):
     """Each Gopher rule measure on crafted docs exercising the rules the
     synthetic corpus can't (bullet lines, ellipsis line-ends, symbol

@@ -1365,16 +1365,25 @@ def quality_dedup(
     to truncated/boilerplated mirrors; keeping min-id keeps whichever
     crawled first).
 
-    Unlike the cluster-count operator this CANNOT collapse identical
-    token sets first: two docs with one token set can have different
-    texts ("a b b" / "b a b a"), hence different scores, and the argmax
-    must see every member.  Edges therefore come from
-    :func:`jaccard_pairs` over the full corpus (identical sets are
-    Jaccard 1.0 ≥ any threshold, so set-equal members stay clustered).
+    The argmax must see every member (two docs with one token set can
+    have different texts — "a b b" / "b a b a" — hence different
+    scores), but the EDGES need not: Jaccard is a function of the token
+    set alone, so set-equal docs are interchangeable as pair endpoints,
+    and a group of ≥ 2 identical sets is internally Jaccard 1.0 ≥ any
+    threshold.  Identical sets therefore collapse before the quadratic
+    pair join exactly as in :func:`jaccard_dedup_clusters`
+    (exact-before-fuzzy), and every member rejoins its group's
+    representative AFTER components resolve, so the quality window still
+    ranks the full membership.  Cluster output is provably unchanged:
+    inter-group edges exist iff any member pair has one, intra-group
+    edges are implied by J=1.0, and the representative (group min id)
+    carries the component's global minimum because min composes.
 
-    Scale shape: pairs are prefix-filtered/bitset (jaccard_pairs),
-    components contract per round, the final argmax is ONE window
-    partitioned by component over only edge-touched docs — no
+    Scale shape: one tokenize pass (checkpointed — the projection feeds
+    both the group-by and the member fan-back), pairs are
+    prefix-filtered/bitset over DISTINCT sets only, components contract
+    per round over the collapsed graph, and the final argmax is ONE
+    window partitioned by component over only clustered docs — no
     corpus-sized window, no driver materialization.
 
     Returns ``(canon, keep_id, keep_score, members)`` for clusters of
@@ -1384,15 +1393,69 @@ def quality_dedup(
     from gather_datawarehouse_sync_spark.functions.text import quality_score_bp
 
     score = quality_score_bp(F.col(text_col)) if score is None else score
-    scored = spread(df).select(
-        F.col(id_col).alias("id"), score.cast("bigint").alias("q")
+    # one pass computes the set key AND the member score; eager
+    # checkpoint because the frame feeds two branches (group-by and the
+    # member fan-back) and tokenize+sort+render is the expensive part.
+    # gkey is the rendered set itself, not a hash — same exact-Jaccard
+    # collision argument as jaccard_dedup_clusters.
+    base = (
+        spread(df)
+        .withColumn("__set", F.array_sort(shingles(F.col(text_col), ngram)))
+        # token-less docs have no Jaccard relation to anything (and
+        # jaccard_pairs excludes them); grouping them would fabricate a
+        # phantom "identical" cluster
+        .filter(F.size("__set") > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(text_col),
+            F.concat_ws("\x1f", F.col("__set")).alias("gkey"),
+            score.cast("bigint").alias("q"),
+        )
+        .localCheckpoint(eager=True)
     )
-    pairs = jaccard_pairs(df, id_col, text_col, threshold, ngram)
+    groups = (
+        base.groupBy("gkey")
+        .agg(
+            # min(struct) orders by the leading field: the group's min id
+            # and ITS text travel together through the partial agg
+            F.min(F.struct(F.col("id"), F.col(text_col))).alias("rep"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "gkey",
+            F.col("rep.id").alias(id_col),
+            F.col(f"rep.{text_col}").alias(text_col),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = jaccard_pairs(groups, id_col, text_col, threshold, ngram)
     comp = connected_components(pairs.select("a", "b"))
+    members = (
+        base.select("id", "gkey", "q")
+        .join(
+            groups.select("gkey", F.col(id_col).alias("__rid"), "cnt"), "gkey"
+        )
+        .join(
+            comp.select(F.col("id").alias("__rid"), "component"),
+            "__rid",
+            "left",
+        )
+        .select(
+            "id",
+            "q",
+            F.coalesce(F.col("component"), F.col("__rid")).alias("component"),
+            # a cluster exists where the rep is edge-linked OR one set
+            # group holds ≥ 2 identical sets; lone singletons drop out
+            (F.col("component").isNotNull() | (F.col("cnt") >= 2)).alias(
+                "__clustered"
+            ),
+        )
+        .filter(F.col("__clustered"))
+    )
     w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("id"))
     return (
-        comp.join(scored, "id")
-        .select(
+        members.select(
             F.col("component").alias("canon"),
             "id",
             "q",
@@ -1704,6 +1767,146 @@ def cut_duplicate_spans(
         F.concat_ws(" ", kept).alias(out_col),
         (F.size("__toks") - F.size(kept)).cast("long").alias("tokens_removed"),
         F.size(kept).cast("long").alias("tokens_kept"),
+    )
+
+
+def frequent_units(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    min_docs: int | None = None,
+    min_doc_frac_bp: int | None = None,
+) -> DataFrame:
+    """The frequent-unit (boilerplate) set :func:`remove_frequent_units`
+    cuts against: every non-empty ``sep``-delimited unit occurring in at
+    least the threshold number of DISTINCT documents — exactly one of
+    ``min_docs`` (absolute) and ``min_doc_frac_bp`` (basis points of the
+    corpus document count, scale-invariant) selects it.
+
+    Split out so the set can be PERSISTED per corpus version (the
+    :func:`reference_gram_keys` pattern): a daily increment is then
+    cleaned against the stored corpus-wide set without rescanning the
+    corpus — ``remove_frequent_units(increment, frequent=stored)``.
+
+    Returns one ``unit`` column (distinct).
+    """
+    import re as _re
+
+    if (min_docs is None) == (min_doc_frac_bp is None):
+        raise ValueError(
+            "frequent_units: pass exactly one of min_docs / min_doc_frac_bp"
+        )
+    pattern = _re.escape(sep)
+    units = spread(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), pattern)).alias("unit"),
+    )
+    freq = (
+        units.filter(F.col("unit") != "")
+        .groupBy("unit")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    )
+    if min_doc_frac_bp is not None:
+        total = spread(df).agg(F.count(F.lit(1)).alias("__total"))
+        return (
+            freq.crossJoin(total)
+            .filter(
+                F.col("__df") * 10000 >= F.lit(min_doc_frac_bp) * F.col("__total")
+            )
+            .select("unit")
+        )
+    return freq.filter(F.col("__df") >= min_docs).select("unit")
+
+
+def remove_frequent_units(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+    min_docs: int | None = None,
+    min_doc_frac_bp: int | None = None,
+    out_col: str = "clean_text",
+    broadcast_frequent: bool = True,
+    frequent: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal: a unit (the text split on
+    ``sep`` — lines, paragraphs, or tokens by choice of separator) that
+    occurs in at least a threshold number of DISTINCT documents is cut
+    from every document; the surviving units rejoin in original order.
+    This is CCNet's paragraph-level dedup / RefinedWeb's line-level
+    dedup (navigation menus, cookie banners, boilerplate headers appear
+    near-verbatim across thousands of pages — cutting the unit keeps
+    the unique remainder of each page in the corpus), the
+    cross-document counterpart of :func:`~gather_datawarehouse_sync_spark.functions.text.dedup_repeated_units`.
+
+    Exactly one of ``min_docs`` (absolute document count) and
+    ``min_doc_frac_bp`` (basis points of the corpus document count —
+    scale-invariant across corpus sizes) selects the threshold.  Empty
+    units (doubled/trailing separators) are never counted and never
+    cut, so spacing survives the round trip byte-identically.
+
+    Plan shape: one posexplode pass, one (unit → distinct-doc count)
+    aggregation with map-side partial aggs, the frequent set anti-joined
+    back (broadcast by default — a unit must clear the document
+    threshold, so at boilerplate-grade thresholds the set is tiny; pass
+    ``broadcast_frequent=False`` for low absolute thresholds like
+    ``min_docs=2`` full line-dedup, where the duplicated-unit set is
+    corpus-scale and must shuffle), then ONE per-doc re-aggregation.
+    No corpus-sized window, no driver materialization.
+
+    Pass ``frequent=`` to cut against a PRECOMPUTED unit set (the
+    :func:`frequent_units` output, typically a persisted per-corpus-
+    version artifact — the :func:`cut_duplicate_spans` ``spans=``
+    convention): only the increment is then scanned, never the corpus
+    the set was built from.  ``min_docs`` / ``min_doc_frac_bp`` are the
+    build-path thresholds and must be omitted with ``frequent=``.
+
+    Returns (``id_col``, ``out_col``, ``units_removed``,
+    ``units_kept``) — one row per input document.
+    """
+    import re as _re
+
+    if frequent is not None:
+        if min_docs is not None or min_doc_frac_bp is not None:
+            raise ValueError(
+                "remove_frequent_units: frequent= is the precomputed set; "
+                "thresholds belong to the frequent_units build"
+            )
+    else:
+        frequent = frequent_units(
+            df, id_col, text_col, sep, min_docs, min_doc_frac_bp
+        )
+    pattern = _re.escape(sep)
+    units = spread(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pattern)).alias("pos", "unit"),
+    )
+    frequent = frequent.select("unit")
+    if broadcast_frequent:
+        frequent = F.broadcast(frequent)
+    kept = units.join(frequent, "unit", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    base = spread(df).select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), pattern)).cast("long").alias("__total_u"),
+    )
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        (F.col("__total_u") - F.coalesce(F.col("__kept"), F.lit(0)))
+        .cast("long")
+        .alias("units_removed"),
+        F.coalesce(F.col("__kept"), F.lit(0)).cast("long").alias("units_kept"),
     )
 
 

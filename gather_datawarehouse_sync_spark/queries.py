@@ -1056,24 +1056,31 @@ _df(
 
 def _x_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivorship: per near-dup cluster (exact Jaccard
-    ≥ 0.9 → connected components) keep the member with the best integer
-    quality score, ties → min id — 'which copy survives', not just
-    'how many copies' (x_ngram_dedup_clusters).  Cluster key stays the
-    min id; the survivor is the quality argmax."""
+    ≥ 0.9 on 2-gram shingles → connected components) keep the member
+    with the best integer quality score, ties → min id — 'which copy
+    survives', not just 'how many copies' (x_ngram_dedup_clusters,
+    which demos the token-set configuration).  Shingles are the
+    realistic configuration: token SETS on this corpus's 31-word vocab
+    make every doc near-similar to every other (≈3 M candidate pairs at
+    sf0.1), while 2-grams are order-sensitive and recover the actual
+    ~230 near-dup families from bounded pair volume."""
     from gather_datawarehouse_sync_spark.operators.dedup import quality_dedup
 
     t = load_tables(spark, sf_dir, ("documents",))
     return quality_dedup(
-        t["documents"], id_col="doc_id", text_col="text", threshold=0.9, ngram=1
+        t["documents"], id_col="doc_id", text_col="text", threshold=0.9, ngram=2
     ).orderBy("canon")
 
 
 _df(
     "x_quality_dedup",
     _x_quality_dedup,
-    "WITH RECURSIVE tok AS (SELECT doc_id, list_distinct(list_filter("
-    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks "
+    "WITH RECURSIVE tok0 AS (SELECT doc_id, list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks0 "
     "FROM documents), "
+    "tok AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks0) - 1, 0)), "
+    "i -> concat_ws(' ', toks0[i], toks0[i+1]))) AS toks FROM tok0), "
     "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tok), "
     "edges AS (SELECT a.doc_id AS a, b.doc_id AS b FROM ex a JOIN ex b "
     "ON a.tok = b.tok WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id, a.n, b.n "
@@ -1104,6 +1111,51 @@ _df(
     note="quality-argmax survivorship per near-dup cluster (keep the best "
     "copy, not the first-crawled); oracle = recursive-CTE closure + "
     "integer quality window",
+)
+
+
+def _x_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (CCNet paragraph dedup /
+    RefinedWeb line dedup): units occurring in ≥ 78 % of DISTINCT
+    documents are cut from every document, survivors rejoin in original
+    order.  Demonstrated at token granularity (this corpus has no line
+    structure — same convention as the substring-span queries); the
+    fractional threshold makes the query scale-invariant across sf
+    dirs.  Full value-hash oracle on the reassembled strings."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        remove_frequent_units,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return remove_frequent_units(
+        t["documents"], sep=" ", min_doc_frac_bp=7800
+    ).orderBy("doc_id")
+
+
+_df(
+    "x_boilerplate",
+    _x_boilerplate,
+    "WITH p AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS parts "
+    "FROM documents), "
+    "ex AS (SELECT doc_id, CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) "
+    "AS pos, unnest(parts) AS unit FROM p), "
+    "n AS (SELECT COUNT(*) AS total FROM documents), "
+    "f AS (SELECT unit FROM (SELECT unit, COUNT(DISTINCT doc_id) AS d "
+    "FROM ex WHERE unit <> '' GROUP BY unit), n "
+    "WHERE d * 10000 >= 7800 * total), "
+    "k AS (SELECT doc_id, pos, unit FROM ex "
+    "WHERE unit NOT IN (SELECT unit FROM f)), "
+    "a AS (SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS clean_text, "
+    "COUNT(*) AS kept FROM k GROUP BY doc_id), "
+    "t AS (SELECT doc_id, len(parts) AS total_u FROM p) "
+    "SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text, "
+    "CAST(t.total_u - COALESCE(a.kept, 0) AS BIGINT) AS units_removed, "
+    "CAST(COALESCE(a.kept, 0) AS BIGINT) AS units_kept "
+    "FROM t LEFT JOIN a ON t.doc_id = a.doc_id ORDER BY t.doc_id",
+    ("documents",),
+    note="CCNet/RefinedWeb-style boilerplate-unit removal at a "
+    "scale-invariant fractional doc-frequency threshold; exact string "
+    "reassembly oracle",
 )
 
 
@@ -5131,9 +5183,11 @@ _df(
 # (tests/test_queries_oracle.py covers every registered query, in- or
 # out-of-window).
 # Round-10 rotation candidates (oracled, no driver evidence yet) —
-# lead with the four round-9 full-oracle lifecycle queries, then the
-# longest-waiting core-shape queries:
+# lead with the four round-9 full-oracle lifecycle queries and the
+# three late-round-9 curation flagships, then the longest-waiting
+# core-shape queries:
 # x_ivf_append, x_ivf_delete, x_index_compact, x_release_gate,
+# x_gopher_rules, x_quality_dedup, x_temp_resample, x_boilerplate,
 # x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
 # x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
 # x_length_buckets, x_interpolate.

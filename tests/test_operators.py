@@ -2476,6 +2476,121 @@ def test_quality_dedup_default_score_prefers_cleaner_text(spark):
     assert rows[0]["members"] == 2
 
 
+def test_remove_frequent_units_cuts_shared_lines(spark):
+    """Line-granularity boilerplate removal: a line present in ≥min_docs
+    distinct documents is cut from every document, survivors keep their
+    original order, untouched docs round-trip byte-identically."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        remove_frequent_units,
+    )
+
+    banner = "accept our cookies"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one\n{banner}\nbody one"),
+            (2, f"{banner}\nbody two"),
+            (3, "body three\nno banner here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["units_removed"], r["units_kept"])
+        for r in remove_frequent_units(
+            df, sep="\n", min_docs=2
+        ).collect()
+    }
+    assert got == {
+        1: ("intro one\nbody one", 1, 2),
+        2: ("body two", 1, 1),
+        3: ("body three\nno banner here", 0, 2),
+    }
+
+
+def test_remove_frequent_units_frac_empties_and_all_cut(spark):
+    """Fractional threshold counts DISTINCT docs (repeats inside one doc
+    don't inflate), empty units are never counted or cut (spacing
+    survives), and a doc whose every unit is boilerplate comes back as
+    an empty string rather than vanishing."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        remove_frequent_units,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "menu menu unique  words"),  # doubled space → empty unit
+            (2, "menu other"),
+            (3, "menu"),  # all units boilerplate
+            (4, "menu menu menu"),  # repeats, still ONE distinct doc
+        ],
+        "doc_id long, text string",
+    )
+    # menu in 4/4 docs (10000 bp); every other unit in 1/4 (2500 bp)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["units_removed"], r["units_kept"])
+        for r in remove_frequent_units(
+            df, min_doc_frac_bp=7500
+        ).collect()
+    }
+    assert got == {
+        1: ("unique  words", 2, 3),  # empty unit kept → double space
+        2: ("other", 1, 1),
+        3: ("", 1, 0),
+        4: ("", 3, 0),
+    }
+
+
+def test_remove_frequent_units_threshold_validation(spark):
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        frequent_units,
+        remove_frequent_units,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exactly one"):
+        remove_frequent_units(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        remove_frequent_units(df, min_docs=2, min_doc_frac_bp=100)
+    with pytest.raises(ValueError, match="precomputed"):
+        remove_frequent_units(df, min_docs=2, frequent=frequent_units(df, min_docs=2))
+
+
+def test_remove_frequent_units_against_stored_set(spark):
+    """The frequent= path: a stored corpus-wide set cleans an increment
+    the set never saw (train-once/serve-many), and cutting the build
+    corpus against its own stored set equals the one-shot form."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        frequent_units,
+        remove_frequent_units,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "banner\nalpha"), (2, "banner\nbeta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    stored = frequent_units(corpus, sep="\n", min_docs=2)
+    assert [r["unit"] for r in stored.collect()] == ["banner"]
+
+    increment = spark.createDataFrame(
+        # 'banner' appears ONCE here — only the stored set can know it
+        [(10, "banner\nfresh text")],
+        "doc_id long, text string",
+    )
+    got = remove_frequent_units(increment, sep="\n", frequent=stored).collect()
+    assert (got[0]["clean_text"], got[0]["units_removed"]) == ("fresh text", 1)
+
+    one_shot = {
+        (r["doc_id"], r["clean_text"], r["units_removed"], r["units_kept"])
+        for r in remove_frequent_units(corpus, sep="\n", min_docs=2).collect()
+    }
+    replay = {
+        (r["doc_id"], r["clean_text"], r["units_removed"], r["units_kept"])
+        for r in remove_frequent_units(
+            corpus, sep="\n", frequent=stored
+        ).collect()
+    }
+    assert one_shot == replay
+
+
 def test_gopher_rules_field_exactness(spark):
     """Each Gopher rule measure on crafted docs exercising the rules the
     synthetic corpus can't (bullet lines, ellipsis line-ends, symbol

@@ -160,22 +160,35 @@ def jaccard_pairs(
 
     Adaptive strategy, both branches exact:
 
-    - **tiny vocabulary** (≤ ``bitset_vocab_limit`` distinct shingles):
-      the corpus is inherently dense — every token hits a large fraction
-      of documents, candidate pruning cannot work, and the true output is
+    - **tiny vocabulary AND dense sets** (≤ ``bitset_vocab_limit``
+      distinct shingles, average set covering ≥ ¼ of them): the corpus
+      is inherently dense — every token hits a large fraction of
+      documents, candidate pruning cannot work, and the true output is
       itself near-quadratic.  Use :func:`jaccard_pairs_bitset`: encode
       each token set as a fixed-width bitmask and run an all-pairs
       broadcast nested-loop join with popcount intersection — pure
       whole-stage-codegen compute, no token-explosion shuffle.
-    - **real vocabulary**: prefix filtering (PPJoin-family), below.
+    - **everything else**: prefix filtering (PPJoin-family), below.
+
+    Vocabulary size alone is NOT the right gate: 2-gram shingles over a
+    31-word vocab give V = 931 (under any sane limit) but sets of ~50 —
+    5 % density — where all-pairs wastes its n²/2 popcounts on pairs a
+    selective prefix join never generates (measured at sf0.1, 5 000
+    docs, t=0.9: bitset 43 s vs prefix 13 s).  At 80 % density the same
+    corpus at 1-grams measures the other way (bitset ~1.5 s vs prefix
+    ~17 s at t=0.8) — the ¼ cutoff splits the measured endpoints.
 
     The vocabulary probe is ONE bounded job: ``distinct().limit(V+1)``
     over the exploded shingles — partial-distinct runs map-side and the
     limit stops the job early on huge vocabularies, so the probe costs
-    about what an ``approx_count_distinct`` would.  When the gate
-    passes, the probe's rows ARE the vocabulary, so the bitset branch
-    skips its own collect — adaptive decision and index for the price
-    of one job.
+    about what an ``approx_count_distinct`` would.  The density probe
+    is a second bounded job over a 10 k-doc limit sample (a heuristic
+    plan choice, not a correctness input — both branches are exact),
+    and it only runs when the mask would span MULTIPLE words: at
+    V ≤ 64 the NLJ costs one AND+popcount per pair and bitset wins at
+    any density, so the common tiny-vocab regime pays zero extra jobs.
+    When the gate passes, the probe's rows ARE the vocabulary, so the
+    bitset branch skips its own collect.
     """
     vocab_rows = (
         df.select(F.explode(shingles(F.col(text_col), ngram)).alias("tok"))
@@ -183,15 +196,30 @@ def jaccard_pairs(
         .limit(bitset_vocab_limit + 1)
         .collect()
     )
-    if len(vocab_rows) <= bitset_vocab_limit:
-        return jaccard_pairs_bitset(
-            df,
-            id_col,
-            text_col,
-            threshold,
-            ngram,
-            _vocab=[r["tok"] for r in vocab_rows],
-        )
+    if 0 < len(vocab_rows) <= bitset_vocab_limit:
+        # single-mask-word vocab: the NLJ costs one AND+popcount per
+        # pair — bitset wins at any density, skip the density probe
+        # (this is the common 1-gram tiny-vocab regime; the probe job's
+        # fixed cost would be pure overhead on every call)
+        dense = len(vocab_rows) <= 64
+        if not dense:
+            avg_set = (
+                df.select(F.size(shingles(F.col(text_col), ngram)).alias("n"))
+                .filter(F.col("n") > 0)
+                .limit(10_000)
+                .agg(F.avg("n"))
+                .collect()[0][0]
+            )
+            dense = avg_set is not None and avg_set * 4 >= len(vocab_rows)
+        if dense:
+            return jaccard_pairs_bitset(
+                df,
+                id_col,
+                text_col,
+                threshold,
+                ngram,
+                _vocab=[r["tok"] for r in vocab_rows],
+            )
     return jaccard_pairs_prefix(df, id_col, text_col, threshold, ngram)
 
 
@@ -249,6 +277,12 @@ def jaccard_pairs_prefix(
             ).alias("toks")
         )
         .withColumn("n", F.size("toks"))
+        # feeds THREE consumers (prefixes + both verification sides):
+        # without a checkpoint the shingle+docfreq+sort subtree runs
+        # once per consumer (measured at sf0.1 2-grams: 16 s → 13 s —
+        # modest here because the corpus is small; the subtree scales
+        # with the corpus, the saving with it)
+        .localCheckpoint(eager=False)
     )
     # prefix length p = n - ceil(t*n) + 1, computed in integer arithmetic
     p = F.expr(f"n - ((n * {num} + {den} - 1) DIV {den}) + 1")
@@ -332,11 +366,8 @@ def jaccard_pairs_bitset(
     ex = tok.select("id", F.explode("toks").alias("tok"))
 
     # vocabulary index: tiny by precondition (≤ bitset_vocab_limit rows),
-    # so COLLECT it and inline token→index as a literal map expression —
-    # one job, and the index lookup becomes pure codegen instead of a
-    # checkpoint + broadcast join (each a job of its own at bench scale).
-    # ``_vocab`` is the adaptive dispatcher's probe result passed through
-    # so the dispatched path pays zero extra jobs.
+    # so COLLECT it — ``_vocab`` is the adaptive dispatcher's probe
+    # result passed through so the dispatched path pays zero extra jobs.
     vocab_list = (
         _vocab
         if _vocab is not None
@@ -344,14 +375,26 @@ def jaccard_pairs_bitset(
     )
     tok2idx = {t: i for i, t in enumerate(sorted(vocab_list))}
     width = max(1, (len(tok2idx) + 63) // 64)
-    from gather_datawarehouse_sync_spark.functions.scalar import lit_map
+    if width == 1:
+        # single-word vocab: inline token→index as a literal map — the
+        # lookup is pure codegen, no extra job.  Catalyst's GetMapValue
+        # on a literal map is a LINEAR key scan, so this is only sane
+        # while V is a few dozen: at V near the 1024 gate it costs
+        # V/2 string compares × every exploded token (measured at sf0.1,
+        # 2-gram V=931: ~40 s in the scan vs ~1 s for the hash join
+        # below — the map literal was the whole query runtime).
+        from gather_datawarehouse_sync_spark.functions.scalar import lit_map
 
-    idx_map = lit_map(tok2idx)
-    idxed = (
-        ex.select("id", idx_map[F.col("tok")].alias("idx"))
-        .groupBy("id")
-        .agg(F.collect_set("idx").alias("idxs"))
-    )
+        idx_map = lit_map(tok2idx)
+        indexed = ex.select("id", idx_map[F.col("tok")].alias("idx"))
+    else:
+        # multi-word vocab: broadcast hash join against the collected
+        # index — O(1) per token, one tiny broadcast, no shuffle
+        vocab_df = df.sparkSession.createDataFrame(
+            list(tok2idx.items()), "tok string, idx int"
+        )
+        indexed = ex.join(F.broadcast(vocab_df), "tok").select("id", "idx")
+    idxed = indexed.groupBy("id").agg(F.collect_set("idx").alias("idxs"))
     # SQL expr because pyspark's shiftleft() wrapper rejects Column numBits
     mask = F.expr(
         f"transform(sequence(0, {width - 1}), w -> "
@@ -422,15 +465,19 @@ def jaccard_pairs_between(
     pairs and filtering them away would do ~3× the popcount work on a
     60/40 split and shuffle rows that are discarded by construction:
 
-    - **tiny vocabulary**: bitmask encoding over the UNION vocabulary
-      (both sides must index tokens identically); the reference side
-      broadcasts and the new side streams through the codegen'd
-      AND+popcount cross join.
-    - **real vocabulary**: PPJoin prefix filtering with the a-side
+    - **tiny vocabulary AND dense sets**: bitmask encoding over the
+      UNION vocabulary (both sides must index tokens identically); the
+      reference side broadcasts and the new side streams through the
+      codegen'd AND+popcount cross join.
+    - **everything else**: PPJoin prefix filtering with the a-side
       prefixes drawn from ``new`` and the b-side from ``reference``;
       the document-frequency ordering is computed over the union so
       both sides share one total order (any consistent order is
       correct; rarity maximizes pruning).
+
+    The gate is the same two-signal probe as :func:`jaccard_pairs`
+    (vocab ≤ limit AND average set ≥ ¼ of it, sampled bounded): size
+    alone mis-routes sparse-set corpora into the all-pairs tier.
 
     Returns (a, b, shared, na, nb, jaccard) with a = new id, b =
     reference id (no a < b constraint — the sides orient the pair).
@@ -446,16 +493,30 @@ def jaccard_pairs_between(
         .limit(bitset_vocab_limit + 1)
         .collect()
     )
-    if len(vocab_rows) <= bitset_vocab_limit:
-        return _jaccard_between_bitset(
-            new,
-            reference,
-            id_col,
-            text_col,
-            threshold,
-            ngram,
-            [r["tok"] for r in vocab_rows],
-        )
+    if 0 < len(vocab_rows) <= bitset_vocab_limit:
+        # V ≤ 64 → one mask word → bitset at any density (no probe job)
+        dense = len(vocab_rows) <= 64
+        if not dense:
+            avg_set = (
+                union_text.select(
+                    F.size(shingles(F.col(text_col), ngram)).alias("n")
+                )
+                .filter(F.col("n") > 0)
+                .limit(10_000)
+                .agg(F.avg("n"))
+                .collect()[0][0]
+            )
+            dense = avg_set is not None and avg_set * 4 >= len(vocab_rows)
+        if dense:
+            return _jaccard_between_bitset(
+                new,
+                reference,
+                id_col,
+                text_col,
+                threshold,
+                ngram,
+                [r["tok"] for r in vocab_rows],
+            )
     return _jaccard_between_prefix(
         new, reference, id_col, text_col, threshold, ngram
     )
@@ -490,9 +551,8 @@ def _jaccard_between_bitset(
         )
 
     ex_n, ex_r = _tok(new), _tok(reference)
-    # union vocabulary, collected and inlined as a literal map (tiny by
-    # precondition — same one-job trick as jaccard_pairs_bitset); BOTH
-    # sides must index tokens identically, which the shared map gives by
+    # union vocabulary, collected (tiny by precondition); BOTH sides
+    # must index tokens identically, which one shared index gives by
     # construction.  ``_vocab`` is the dispatcher's probe result.
     vocab_list = (
         _vocab
@@ -504,9 +564,26 @@ def _jaccard_between_bitset(
     )
     tok2idx = {t: i for i, t in enumerate(sorted(vocab_list))}
     width = max(1, (len(tok2idx) + 63) // 64)
-    from gather_datawarehouse_sync_spark.functions.scalar import lit_map
+    if width == 1:
+        # literal-map lookup is pure codegen but a LINEAR GetMapValue
+        # key scan — only sane while the vocab fits one mask word
+        # (same finding as jaccard_pairs_bitset: ~40 s of key scanning
+        # at V=931 vs ~1 s for the hash join)
+        from gather_datawarehouse_sync_spark.functions.scalar import lit_map
 
-    idx_map = lit_map(tok2idx)
+        idx_map = lit_map(tok2idx)
+
+        def _indexed(ex: DataFrame) -> DataFrame:
+            return ex.select("id", idx_map[F.col("tok")].alias("idx"))
+
+    else:
+        vocab_df = new.sparkSession.createDataFrame(
+            list(tok2idx.items()), "tok string, idx int"
+        )
+
+        def _indexed(ex: DataFrame) -> DataFrame:
+            return ex.join(F.broadcast(vocab_df), "tok").select("id", "idx")
+
     mask = F.expr(
         f"transform(sequence(0, {width - 1}), w -> "
         "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
@@ -515,7 +592,7 @@ def _jaccard_between_bitset(
 
     def _masks(ex: DataFrame) -> DataFrame:
         return (
-            ex.select("id", idx_map[F.col("tok")].alias("idx"))
+            _indexed(ex)
             .groupBy("id")
             .agg(F.collect_set("idx").alias("idxs"))
             .select("id", mask.alias("mask"), F.size("idxs").alias("n"))
@@ -1468,6 +1545,65 @@ def quality_dedup(
             F.col("id").alias("keep_id"),
             F.col("q").alias("keep_score"),
             F.col("members").cast("bigint").alias("members"),
+        )
+    )
+
+
+def dedup_recall_report(
+    candidates: DataFrame,
+    reference: DataFrame,
+) -> DataFrame:
+    """Pair-set evaluation for dedup tiers — the
+    :func:`~gather_datawarehouse_sync_spark.operators.similarity.recall_report`
+    pattern applied to deduplication: how much of a REFERENCE pair set
+    (the exact tier, or a labeled truth set) does a CANDIDATE pair set
+    (a sketch tier — MinHash banding, SimHash, a looser threshold)
+    recover, and how much of what it proposes is real.
+
+    Both inputs are edge lists with ``a``/``b`` columns; orientation
+    and duplicates are normalized here (least/greatest + distinct), so
+    callers can pass raw pair output from any tier.  Metrics are exact
+    integers: ``precision_bp`` = hits·10⁴ / candidates (floored),
+    ``recall_bp`` = hits·10⁴ / reference; empty sides report 0, not
+    null, so a gate can threshold the row directly.
+
+    Plan shape: two distinct passes + one pair equi-join + three scalar
+    aggregates — never more than pair-set-sized, no windows.  Returns
+    ONE row (n_candidates, n_reference, n_hits, precision_bp,
+    recall_bp).
+    """
+
+    def _norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        ).distinct()
+
+    c = _norm(candidates)
+    r = _norm(reference)
+    nc = c.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nr = r.agg(F.count(F.lit(1)).alias("n_reference"))
+    nh = c.join(r, ["a", "b"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nc.crossJoin(nr)
+        .crossJoin(nh)
+        .select(
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_reference").cast("bigint").alias("n_reference"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.when(
+                F.col("n_candidates") > 0,
+                (F.col("n_hits") * 10000) / F.col("n_candidates"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("precision_bp"),
+            F.when(
+                F.col("n_reference") > 0,
+                (F.col("n_hits") * 10000) / F.col("n_reference"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("recall_bp"),
         )
     )
 

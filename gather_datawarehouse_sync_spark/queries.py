@@ -1056,31 +1056,27 @@ _df(
 
 def _x_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivorship: per near-dup cluster (exact Jaccard
-    ≥ 0.9 on 2-gram shingles → connected components) keep the member
-    with the best integer quality score, ties → min id — 'which copy
-    survives', not just 'how many copies' (x_ngram_dedup_clusters,
-    which demos the token-set configuration).  Shingles are the
-    realistic configuration: token SETS on this corpus's 31-word vocab
-    make every doc near-similar to every other (≈3 M candidate pairs at
-    sf0.1), while 2-grams are order-sensitive and recover the actual
-    ~230 near-dup families from bounded pair volume."""
+    ≥ 0.9 → connected components) keep the member with the best integer
+    quality score, ties → min id — 'which copy survives', not just
+    'how many copies' (x_ngram_dedup_clusters).  Token-set (1-gram)
+    configuration: on this corpus's dense 31-word vocabulary the
+    adaptive dispatcher's bitset tier makes it the cheapest registered
+    form (a 2-gram variant recovers the same quality semantics over
+    sparser sets via the prefix tier — measured tradeoff in SCALE.md)."""
     from gather_datawarehouse_sync_spark.operators.dedup import quality_dedup
 
     t = load_tables(spark, sf_dir, ("documents",))
     return quality_dedup(
-        t["documents"], id_col="doc_id", text_col="text", threshold=0.9, ngram=2
+        t["documents"], id_col="doc_id", text_col="text", threshold=0.9, ngram=1
     ).orderBy("canon")
 
 
 _df(
     "x_quality_dedup",
     _x_quality_dedup,
-    "WITH RECURSIVE tok0 AS (SELECT doc_id, list_filter("
-    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks0 "
+    "WITH RECURSIVE tok AS (SELECT doc_id, list_distinct(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks "
     "FROM documents), "
-    "tok AS (SELECT doc_id, list_distinct(list_transform("
-    "generate_series(1, greatest(len(toks0) - 1, 0)), "
-    "i -> concat_ws(' ', toks0[i], toks0[i+1]))) AS toks FROM tok0), "
     "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tok), "
     "edges AS (SELECT a.doc_id AS a, b.doc_id AS b FROM ex a JOIN ex b "
     "ON a.tok = b.tok WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id, a.n, b.n "
@@ -1156,6 +1152,123 @@ _df(
     note="CCNet/RefinedWeb-style boilerplate-unit removal at a "
     "scale-invariant fractional doc-frequency threshold; exact string "
     "reassembly oracle",
+)
+
+
+def _x_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tier evaluation (the x_ann_recall pattern for pair sets):
+    precision/recall of the exact-Jaccard tier at a LOOSER threshold
+    (0.8) against the strict tier (0.9) as reference, on the doc_id %
+    2 == 0 half.  Both tiers are exact and SQL-expressible, so the
+    report carries a FULL value-hash oracle — and since the 0.9 set is
+    a subset of the 0.8 set by construction, the hashed recall_bp =
+    10000 doubles as a pinned subset-property invariant.  The
+    engine-specific use (MinHash banding vs exact truth, with floors)
+    is exercised in tests/test_operators.py."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        dedup_recall_report,
+        jaccard_pairs,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    # ONE pair scan serves both tiers: the strict set filters the loose
+    # pair table on its exact integer columns (shared·10 ≥ union·9) —
+    # a threshold sweep never needs a second quadratic pass.  Lazy
+    # checkpoint: the report reads the pair table from three branches.
+    loose = jaccard_pairs(docs, threshold=0.8, ngram=1).localCheckpoint(
+        eager=False
+    )
+    strict = loose.filter(
+        F.col("shared") * 10
+        >= (F.col("na") + F.col("nb") - F.col("shared")) * 9
+    )
+    return dedup_recall_report(candidates=loose, reference=strict)
+
+
+_df(
+    "x_dedup_recall",
+    _x_dedup_recall,
+    "WITH tok AS (SELECT doc_id, list_distinct(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks "
+    "FROM documents WHERE doc_id % 2 = 0), "
+    "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tok), "
+    "pair AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter, "
+    "a.n + b.n - COUNT(*) AS uni FROM ex a JOIN ex b ON a.tok = b.tok "
+    "WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id, a.n, b.n), "
+    "c AS (SELECT a, b FROM pair WHERE inter * 5 >= uni * 4), "
+    "r AS (SELECT a, b FROM pair WHERE inter * 10 >= uni * 9), "
+    "n AS (SELECT (SELECT COUNT(*) FROM c) AS n_candidates, "
+    "(SELECT COUNT(*) FROM r) AS n_reference, "
+    "(SELECT COUNT(*) FROM c JOIN r USING (a, b)) AS n_hits) "
+    "SELECT CAST(n_candidates AS BIGINT) AS n_candidates, "
+    "CAST(n_reference AS BIGINT) AS n_reference, "
+    "CAST(n_hits AS BIGINT) AS n_hits, "
+    "CAST(CASE WHEN n_candidates > 0 THEN n_hits * 10000 // n_candidates "
+    "ELSE 0 END AS BIGINT) AS precision_bp, "
+    "CAST(CASE WHEN n_reference > 0 THEN n_hits * 10000 // n_reference "
+    "ELSE 0 END AS BIGINT) AS recall_bp FROM n",
+    ("documents",),
+    note="pair-set precision/recall report, loose-vs-strict exact tiers; "
+    "full integer oracle (recall row doubles as a subset invariant)",
+)
+
+
+def _x_boilerplate_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental boilerplate removal: the 'new crawl' (doc_id % 5 ==
+    0) is cleaned against the PERSISTED corpus-wide frequent-unit set
+    built from the rest (threshold ≥ 78 % of the corpus's documents) —
+    the corpus text is never read at query time, only the stored unit
+    set (the x_spans_against contract applied to line-dedup).  Full
+    string-reassembly oracle: the SQL recomputes the set relationally,
+    so a wrong stored set breaks the hash."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        frequent_units,
+        remove_frequent_units,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    stored = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "frequent_units_mod5_bp7800_v1"),
+        lambda: frequent_units(
+            docs.filter(F.col("doc_id") % 5 != 0), min_doc_frac_bp=7800
+        ),
+    )
+    return remove_frequent_units(
+        docs.filter(F.col("doc_id") % 5 == 0), frequent=stored
+    ).orderBy("doc_id")
+
+
+_df(
+    "x_boilerplate_against",
+    _x_boilerplate_against,
+    "WITH p AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS parts "
+    "FROM documents), "
+    "ex AS (SELECT doc_id, CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) "
+    "AS pos, unnest(parts) AS unit FROM p), "
+    "n AS (SELECT COUNT(*) AS total FROM documents WHERE doc_id % 5 <> 0), "
+    "f AS (SELECT unit FROM (SELECT unit, COUNT(DISTINCT doc_id) AS d "
+    "FROM ex WHERE unit <> '' AND doc_id % 5 <> 0 GROUP BY unit), n "
+    "WHERE d * 10000 >= 7800 * total), "
+    "k AS (SELECT doc_id, pos, unit FROM ex WHERE doc_id % 5 = 0 "
+    "AND unit NOT IN (SELECT unit FROM f)), "
+    "a AS (SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS clean_text, "
+    "COUNT(*) AS kept FROM k GROUP BY doc_id), "
+    "t AS (SELECT doc_id, len(parts) AS total_u FROM p WHERE doc_id % 5 = 0) "
+    "SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text, "
+    "CAST(t.total_u - COALESCE(a.kept, 0) AS BIGINT) AS units_removed, "
+    "CAST(COALESCE(a.kept, 0) AS BIGINT) AS units_kept "
+    "FROM t LEFT JOIN a ON t.doc_id = a.doc_id ORDER BY t.doc_id",
+    ("documents",),
+    note="increment cleaned against the persisted frequent-unit artifact; "
+    "oracle recomputes the set relationally — full string hash",
 )
 
 
@@ -5188,6 +5301,7 @@ _df(
 # core-shape queries:
 # x_ivf_append, x_ivf_delete, x_index_compact, x_release_gate,
 # x_gopher_rules, x_quality_dedup, x_temp_resample, x_boilerplate,
+# x_boilerplate_against, x_dedup_recall,
 # x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
 # x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
 # x_length_buckets, x_interpolate.

@@ -278,6 +278,37 @@ def test_jaccard_prefix_and_bitset_agree(spark):
     assert not any(3 in pair for pair in p)
 
 
+def test_jaccard_dispatch_density_gate(spark, monkeypatch):
+    """The adaptive dispatcher routes on TWO signals: a dense tiny-vocab
+    corpus goes to the bitset all-pairs tier, but a sparse-set corpus
+    whose vocab still fits the limit (the 2-gram V=931/density-5%
+    pathology) must go to prefix filtering — vocab size alone measured
+    43 s bitset vs 13 s prefix at sf0.1."""
+    import gather_datawarehouse_sync_spark.operators.dedup as D
+
+    picked = []
+    real_bitset, real_prefix = D.jaccard_pairs_bitset, D.jaccard_pairs_prefix
+    monkeypatch.setattr(
+        D, "jaccard_pairs_bitset",
+        lambda *a, **k: picked.append("bitset") or real_bitset(*a, **k),
+    )
+    monkeypatch.setattr(
+        D, "jaccard_pairs_prefix",
+        lambda *a, **k: picked.append("prefix") or real_prefix(*a, **k),
+    )
+    dense = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    # V=15 tokens, avg set 7.5 → 50 % density → bitset
+    D.jaccard_pairs(dense, threshold=0.5, ngram=1).collect()
+    # 20 docs over disjoint 4-word vocabularies: V=80, avg set 4 →
+    # 5 % density → prefix despite V ≤ limit
+    sparse = spark.createDataFrame(
+        [(i, f"w{4*i} w{4*i+1} w{4*i+2} w{4*i+3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    D.jaccard_pairs(sparse, threshold=0.5, ngram=1).collect()
+    assert picked == ["bitset", "prefix"]
+
+
 def test_jaccard_exact_threshold_boundary(spark):
     # two 4-token sets sharing 2 tokens: J = 2/6 = 1/3; threshold 1/3 keeps it
     df = spark.createDataFrame(
@@ -2474,6 +2505,52 @@ def test_quality_dedup_default_score_prefers_cleaner_text(spark):
     assert len(rows) == 1
     assert rows[0]["canon"] == 1 and rows[0]["keep_id"] == 2
     assert rows[0]["members"] == 2
+
+
+def test_dedup_recall_report_exact_counts(spark):
+    """Orientation and duplicate edges normalize before counting; the
+    bp metrics floor; empty sides report 0 rather than null."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        dedup_recall_report,
+    )
+
+    cand = spark.createDataFrame(
+        # (2,1) reorients to (1,2); the repeat collapses
+        [(2, 1), (1, 2), (3, 4), (5, 6)], "a long, b long"
+    )
+    ref = spark.createDataFrame([(1, 2), (4, 3), (7, 8)], "a long, b long")
+    row = dedup_recall_report(cand, ref).collect()[0]
+    assert (
+        row["n_candidates"], row["n_reference"], row["n_hits"]
+    ) == (3, 3, 2)
+    assert row["precision_bp"] == 6666 and row["recall_bp"] == 6666
+
+    empty = cand.limit(0)
+    row = dedup_recall_report(empty, ref).collect()[0]
+    assert (row["n_candidates"], row["precision_bp"], row["recall_bp"]) == (
+        0, 0, 0,
+    )
+
+
+def test_dedup_recall_report_minhash_vs_exact(spark):
+    """The motivating use: measure the MinHash sketch tier against the
+    exact tier.  Identical documents share identical signatures, so at
+    reference = exact J ≥ 0.99 the sketch tier's recall is
+    deterministically perfect; precision is floored, not pinned (the
+    est_jaccard of near-but-not-identical pairs is seed-dependent)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        dedup_recall_report,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    cand = minhash_lsh_pairs(df, ngram=3).filter(F.col("est_jaccard") >= 0.9)
+    ref = jaccard_pairs(df, threshold=0.99, ngram=3)
+    row = dedup_recall_report(cand, ref).collect()[0]
+    assert row["n_reference"] == 1  # only the identical pair (1, 4)
+    assert row["recall_bp"] == 10000
+    assert row["precision_bp"] >= 3333
 
 
 def test_remove_frequent_units_cuts_shared_lines(spark):

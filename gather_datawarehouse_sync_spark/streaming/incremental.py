@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from gather_datawarehouse_sync_spark.operators.dedup import (
     duplicate_spans_against,
     minhash_dedup_against,
+    remove_frequent_units,
 )
 from gather_datawarehouse_sync_spark.streaming.sink import epoch_parquet_sink
 
@@ -171,6 +172,65 @@ def start_incremental_span_dedup(
 
     return (
         new_stream.writeStream.foreachBatch(_spans_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_incremental_boilerplate(
+    new_stream: DataFrame,
+    frequent: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+):
+    """Streaming BOILERPLATE removal: each micro-batch of crawled
+    documents is cleaned against the STORED corpus-wide frequent-unit
+    set (``operators/dedup.frequent_units`` — the per-corpus-version
+    parquet artifact) — the streaming form of
+    ``remove_frequent_units(frequent=)``, completing the crawl-ingest
+    picture next to :func:`start_incremental_dedup` (whole-doc
+    verdicts) and :func:`start_incremental_span_dedup` (copied
+    passages): this one REWRITES the text, cutting the units the corpus
+    already holds thousands of times.
+
+    Same layout and for the same reasons: ``foreachBatch`` applies the
+    batch operator per micro-batch (stream ≡ batch parity by
+    construction — no second implementation to drift), the epoch sink
+    makes replays idempotent, and zero streaming state.  A batch-local
+    frequency threshold is deliberately NOT accepted: unit frequency
+    over one micro-batch is meaningless for boilerplate (a banner is
+    boilerplate because the CORPUS holds it, not the batch), so the
+    stored set is required — validated at stream START.  Refreshing the
+    set is corpus-version compaction's job, exactly like the reference
+    sketch above.
+
+    Output rows: (``id_col``, clean_text, units_removed, units_kept),
+    epoch-partitioned under ``out_path``.
+    """
+    if frequent is None:
+        raise ValueError(
+            "start_incremental_boilerplate: a stored frequent_units set is "
+            "required (batch-local thresholds are meaningless for "
+            "boilerplate)"
+        )
+    sink = epoch_parquet_sink(out_path)
+
+    def _clean_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cleaned = remove_frequent_units(
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            sep=sep,
+            frequent=frequent,
+        )
+        sink(cleaned, epoch_id)
+
+    return (
+        new_stream.writeStream.foreachBatch(_clean_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

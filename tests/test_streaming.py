@@ -581,6 +581,65 @@ def test_incremental_span_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
         )
 
 
+def test_incremental_boilerplate_stream_matches_batch(spark, tmp_path, sf_dir):
+    """foreachBatch boilerplate removal against a STORED frequent-unit
+    artifact: streamed cleaned text equals the batch operator's on the
+    same files, and a missing set fails at stream START (batch-local
+    thresholds are deliberately not accepted)."""
+    import pytest
+
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        frequent_units,
+        remove_frequent_units,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import cached_parquet
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_incremental_boilerplate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    stored = cached_parquet(
+        spark,
+        str(tmp_path / "frequent_units"),
+        lambda: frequent_units(ref, min_doc_frac_bp=7800),
+    )
+
+    src = tmp_path / "bp_src"
+    new.coalesce(2).write.parquet(str(src / "p1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "bp_clean")
+    q = start_incremental_boilerplate(
+        stream, stored, out, str(tmp_path / "ckpt_bp")
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("doc_id", "clean_text", "units_removed", "units_kept")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            remove_frequent_units(new, frequent=stored).collect(),
+        )
+    )
+    assert got == want and got, "expected non-empty cleaned rows"
+    assert any(r[2] > 0 for r in got), "expected some boilerplate cut"
+    with pytest.raises(ValueError, match="stored frequent_units"):
+        start_incremental_boilerplate(
+            stream, None, out, str(tmp_path / "ckpt_bp_bad")
+        )
+
+
 def test_incremental_index_append_stream_matches_batch(spark, tmp_path, sf_dir):
     """foreachBatch index maintenance under a pinned quantizer: the
     streamed epoch/cell-partitioned lists hold exactly the batch

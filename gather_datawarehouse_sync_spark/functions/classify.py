@@ -97,13 +97,15 @@ def classifier_score_milli(
     unknown tokens contributing 0.  NULL text scores ``bias`` (no
     tokens), matching the join realization's left-join semantics.
 
-    The map lookup (`element_at`) is a per-token hash probe evaluated
-    inside the tokens array transform — a narrow expression, no join,
-    no shuffle.  Higher-order functions evaluate interpreted (outside
-    whole-stage codegen), but the per-element work is one hash probe +
-    add; for bounded vocabularies this still beats shipping every token
-    through an exchange.  For fastText-sized vocabularies use
-    :func:`classifier_score_join`.
+    The map lookup (`element_at`) is evaluated inside the tokens array
+    transform — a narrow expression, no join, no shuffle.  Two caveats
+    bound the vocabulary: higher-order functions evaluate interpreted
+    (outside whole-stage codegen), and Catalyst's GetMapValue on a
+    literal map is a LINEAR key scan, so per-token cost grows with |V|
+    (measured elsewhere in this repo: ~40 s of pure key scanning at
+    V=931 on a 5 k-doc corpus — see jaccard_pairs_bitset).  For a
+    few dozen weights this still beats shipping every token through an
+    exchange; for anything larger use :func:`classifier_score_join`.
 
     ``tokenizer`` defaults to the unicode-aware :func:`...text.tokens`;
     pass :func:`ascii_tokens` when the score must hash-match a DuckDB

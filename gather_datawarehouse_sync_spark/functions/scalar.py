@@ -46,8 +46,15 @@ def lit_map(
 ) -> Column:
     """A literal MAP expression from a Python dict — the shared
     constructor for inline lookup tables (classifier weights, interleave
-    weights, vocabulary indexes).  Keys/values become ``lit`` columns in
-    insertion order.
+    weights, small vocabulary indexes).  Keys/values become ``lit``
+    columns in insertion order.
+
+    SIZE CAUTION: Catalyst's GetMapValue on a literal map is a LINEAR
+    key scan per lookup, not a hash probe — fine for a few dozen
+    entries, pathological when the map approaches thousands of keys on
+    a hot column (measured: ~40 s of pure key scanning at 931 entries ×
+    a few million lookups; see jaccard_pairs_bitset, which switches to
+    a broadcast hash join past 64 entries).
 
     An empty dict yields an empty map of ``map<key_type, value_type>``
     (the explicit types matter: an untyped empty array would make the

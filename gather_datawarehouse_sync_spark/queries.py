@@ -1298,6 +1298,42 @@ _df(
 )
 
 
+def _x_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash sketch tier's quality as a MEASURED, per-round number
+    (the x_ivfsq_recall pattern applied to dedup): precision/recall of
+    LSH candidates at est-Jaccard ≥ 0.7 against the exact 3-gram tier
+    at 0.7 as truth, on the doc_id % 4 == 0 quarter.  Sketch estimates
+    are engine-specific (xxhash) → rows-only here; the recall floor is
+    asserted in tests, and the driver row pins the report SHAPE while
+    BENCH tracks its cost."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        dedup_recall_report,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") % 4 == 0)
+        .localCheckpoint(eager=False)
+    )
+    cand = minhash_lsh_pairs(docs, ngram=3).filter(
+        F.col("est_jaccard") >= 0.7
+    )
+    truth = jaccard_pairs(docs, threshold=0.7, ngram=3)
+    return dedup_recall_report(candidates=cand, reference=truth)
+
+
+_df(
+    "x_minhash_recall",
+    _x_minhash_recall,
+    None,
+    ("documents",),
+    note="sketch-tier precision/recall vs the exact tier (rows-only — "
+    "xxhash estimates are engine-specific; floors pinned in tests)",
+)
+
+
 def _x_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: pairs within Hamming distance 8 of a
     64-bit fingerprint, found by banding the fingerprint into 4 16-bit

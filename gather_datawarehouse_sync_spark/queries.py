@@ -1331,6 +1331,11 @@ def _x_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang")
+        # temperature_resample driver-collects the per-group counts (an
+        # action) and the returned epoch plan reads survivors AGAIN —
+        # without a checkpoint the whole clean→gate→dedup chain executes
+        # twice (measured at sf0.1: 6.6 s → ~3.4 s)
+        .localCheckpoint(eager=False)
     )
     return (
         temperature_resample(survivors, group_col="lang", id_col="doc_id")
@@ -1457,11 +1462,13 @@ def _x_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = (
-        load_tables(spark, sf_dir, ("documents",))["documents"]
-        .filter(F.col("doc_id") % 4 == 0)
-        .localCheckpoint(eager=False)
-    )
+    from gather_datawarehouse_sync_spark.session import spread
+
+    docs = spread(
+        load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+            F.col("doc_id") % 4 == 0
+        )
+    ).localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(docs, ngram=3).filter(
         F.col("est_jaccard") >= 0.7
     )

@@ -678,3 +678,30 @@ def test_mmr_ivfsq_candidate_scan_prunes_to_probed_cells(spark, sf_dir, tmp_path
     pf = plan.split("PartitionFilters", 1)[1][:200]
     assert "dynamicpruning" in pf and "cell" in pf
     assert df.count() > 0
+
+
+def test_boilerplate_anti_join_broadcasts_frequent_set(spark, sf_dir):
+    """remove_frequent_units' 100 TB contract: the frequent-unit set is
+    anti-joined BROADCAST by default (a unit must clear the document
+    threshold, so the set is tiny at boilerplate-grade thresholds —
+    the hint makes that a guarantee, not a statistics gamble).  With
+    broadcast_frequent=False the hint is absent and the strategy is the
+    planner's statistics-based choice — at THIS corpus size it still
+    picks broadcast (correct: the set IS tiny here), which is exactly
+    the point of the flag: at a min_docs=2 full line-dedup scale the
+    same plan compiles to a shuffle join instead of a forced OOM."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        remove_frequent_units,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bcast = remove_frequent_units(docs, min_doc_frac_bp=7800)
+    plan = plan_str(bcast, "simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    # the escape hatch compiles to the same LeftAnti semantics with the
+    # strategy left to the planner (no forced broadcast hint)
+    shuffled = remove_frequent_units(
+        docs, min_doc_frac_bp=7800, broadcast_frequent=False
+    )
+    assert "LeftAnti" in plan_str(shuffled, "simple")

@@ -68,6 +68,109 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    scale: int = 100,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval in the engine's integer-exact
+    convention — the real keyword tier the hybrid (RRF) layout names
+    (:func:`~gather_datawarehouse_sync_spark.operators.similarity.hybrid_search`'s
+    tf-only candidate stage is the cheap approximation; this is the
+    published scorer).
+
+    Per (doc, term): ``w = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    weighted by IDF, summed over query terms, top ``k`` by
+    (score desc, id).  Two deliberate, documented deviations keep the
+    score a cross-engine-exact integer (the repo-wide convention —
+    see ``_floored_micro_terms`` / ``quality_score_bp``):
+
+    - every intermediate is FLOOR-quantized to milli units
+      (``dl/avgdl``, the length norm, the saturation denominator, the
+      term weight) — each step one integer ``DIV`` both engines
+      compute identically;
+    - IDF uses Robertson's ratio ``(N−df+½)/(df+½)`` as the exact
+      rational ``(2N−2df+1)/(2df+1)`` WITHOUT the log (the log is
+      engine-libm territory, the exact reason temperature_resample
+      only certifies α=0.5): rare terms weigh more strongly than in
+      log-Okapi, ranking within a single term's postings is
+      identical, and the score is hash-oracle-able.
+
+    Scale shape: the term list broadcasts into the postings filter
+    (tf rows exist only for docs containing ≥ 1 query term), document
+    frequency is a |terms|-row aggregate, corpus stats are ONE scalar
+    agg row cross-joined in, and the final top-k is orderBy().limit()
+    — TakeOrderedAndProject, no global window.  Returns
+    (``id_col``, score) — score in ``scale``-scaled integer units.
+    """
+    from gather_datawarehouse_sync_spark.operators.dedup import tokens
+    from gather_datawarehouse_sync_spark.session import spread
+
+    K, B, S = int(k1_milli), int(b_milli), int(scale)
+    tok = spread(docs).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    dl = tok.select("id", F.size("toks").alias("dl")).filter(F.col("dl") > 0)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    ).select(
+        "n_docs",
+        F.expr("(1000 * total_len) DIV n_docs").alias("avgdl_milli"),
+    )
+    terms_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(t,) for t in query_terms], "term string"
+        )
+    )
+    tf = (
+        tok.select("id", F.explode("toks").alias("term"))
+        .join(terms_df, "term")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dl, "id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__r_milli", F.expr("(1000000 * dl) DIV avgdl_milli")
+        )
+        .withColumn(
+            "__ln_milli",
+            F.expr(f"(({1000 - B} * 1000) + {B} * __r_milli) DIV 1000"),
+        )
+        .withColumn(
+            "__denom_milli",
+            F.expr(f"1000 * tf + ({K} * __ln_milli) DIV 1000"),
+        )
+        .withColumn(
+            "__w_milli",
+            F.expr(f"(1000 * tf * {1000 + K}) DIV __denom_milli"),
+        )
+        .withColumn(
+            "__contrib",
+            F.expr(
+                f"((2 * n_docs - 2 * df + 1) * __w_milli * {S}) "
+                "DIV (2 * df + 1)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.sum("__contrib").cast("bigint").alias("score"))
+        .select(F.col("id").alias(id_col), "score")
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )
+
+
 def rare_ngram_profile(
     docs: DataFrame,
     n: int = 2,

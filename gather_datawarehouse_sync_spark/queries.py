@@ -1272,6 +1272,48 @@ _df(
 )
 
 
+def _x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query
+    mixing one rare and two common terms — milli-floored integer
+    arithmetic and the exact rational log-free IDF, so the score
+    column itself carries a FULL value hash (see bm25_topk for the
+    two documented deviations from log-Okapi)."""
+    from gather_datawarehouse_sync_spark.operators.terms import bm25_topk
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return bm25_topk(
+        t["documents"], query_terms=["dup", "vector", "line"], k=10
+    )
+
+
+_df(
+    "x_bm25",
+    _x_bm25,
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "dl AS (SELECT doc_id, len(toks) AS dl FROM tok WHERE len(toks) > 0), "
+    "st AS (SELECT COUNT(*) AS n_docs, "
+    "(1000 * SUM(dl)) // COUNT(*) AS avgdl_milli FROM dl), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM "
+    "(SELECT doc_id, unnest(toks) AS term FROM tok) "
+    "WHERE term IN ('dup', 'vector', 'line') GROUP BY doc_id, term), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "sc AS (SELECT tf.doc_id, "
+    "((2 * st.n_docs - 2 * dfq.df + 1) * "
+    "((1000 * tf.tf * 2200) // "
+    "(1000 * tf.tf + (1200 * ((250000 + 750 * "
+    "((1000000 * dl.dl) // st.avgdl_milli)) // 1000)) // 1000)) "
+    "* 100) // (2 * dfq.df + 1) AS contrib "
+    "FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(SUM(contrib) AS BIGINT) AS score "
+    "FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10",
+    ("documents",),
+    note="Okapi BM25 top-k (milli-floored integer arithmetic, exact "
+    "rational log-free IDF); the score itself hashes — full oracle",
+)
+
+
 def _x_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-9 curation capstone — the four new curation ops composed
     as ONE lazy DAG, end-to-end exact:
@@ -5489,7 +5531,7 @@ _df(
 # core-shape queries:
 # x_ivf_append, x_ivf_delete, x_index_compact, x_release_gate,
 # x_gopher_rules, x_quality_dedup, x_temp_resample, x_boilerplate,
-# x_boilerplate_against, x_dedup_recall, x_curation_v2,
+# x_boilerplate_against, x_dedup_recall, x_curation_v2, x_bm25,
 # x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
 # x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
 # x_length_buckets, x_interpolate.

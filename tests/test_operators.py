@@ -1486,6 +1486,51 @@ def test_interpolate_linear_blend_and_edges(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_bm25_matches_integer_definition(spark):
+    """bm25_topk against an independent pure-Python reimplementation of
+    the documented milli-floored arithmetic (same quantization points,
+    same rational IDF) on a crafted corpus with length variation, term
+    repetition, and a non-matching doc — every score must be integer-
+    identical, and the non-matching doc absent."""
+    import re
+
+    from gather_datawarehouse_sync_spark.operators.terms import bm25_topk
+
+    corpus = {
+        1: "spark query engine spark spark",
+        2: "query engine",
+        3: "totally unrelated words here",
+        4: "spark " * 10 + "engine",
+    }
+    terms = ["spark", "engine"]
+    K, B, S = 1200, 750, 100
+
+    toks = {i: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w] for i, t in corpus.items()}
+    dl = {i: len(ts) for i, ts in toks.items() if ts}
+    n_docs, total = len(dl), sum(dl.values())
+    avgdl_milli = (1000 * total) // n_docs
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    want = {}
+    for i, ts in toks.items():
+        score = 0
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            r_milli = (1_000_000 * dl[i]) // avgdl_milli
+            ln_milli = ((1000 - B) * 1000 + B * r_milli) // 1000
+            denom_milli = 1000 * tf + (K * ln_milli) // 1000
+            w_milli = (1000 * tf * (1000 + K)) // denom_milli
+            score += ((2 * n_docs - 2 * df[t] + 1) * w_milli * S) // (2 * df[t] + 1)
+        if score:
+            want[i] = score
+
+    sdf = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(sdf, terms, k=10).collect()}
+    assert got == want
+    assert 3 not in got
+
+
 def test_tfidf_topk_ordering_and_k(spark):
     """Rarer terms outrank common ones at equal tf; k bounds per-doc rows."""
     from gather_datawarehouse_sync_spark.operators.terms import tfidf_topk

@@ -1776,15 +1776,21 @@ def hybrid_rrf_topk(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keyword: str = "tf",
 ) -> DataFrame:
     """HYBRID retrieval: keyword and vector candidate lists fused by
     Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
     two-tower serving layout (BM25-side ∪ ANN-side → RRF) expressed
     relationally.
 
-    - **Keyword side**: per-doc query-term occurrence count (tf) over
-      the shared ascii tokenization; top ``candidates`` by (tf desc,
-      id).
+    - **Keyword side** (``keyword=``): ``"tf"`` ranks by per-doc
+      query-term occurrence count over the shared ascii tokenization —
+      the cheap approximation; ``"bm25"`` ranks by
+      :func:`~gather_datawarehouse_sync_spark.operators.terms.bm25_topk`'s
+      milli-floored integer Okapi score — the published scorer (rank
+      lists only differ when tf ties break differently under length
+      normalization and IDF).  Either way: top ``candidates`` by
+      (score desc, id).
     - **Vector side**: dot product against the broadcast query vector,
       FLOOR-quantized to integer micros PER ELEMENT before summing (the
       true ``group_centroids`` convention: each term is an exact
@@ -1806,17 +1812,28 @@ def hybrid_rrf_topk(
     """
     q = [float(x) for x in query_vec]
     terms = F.array(*[F.lit(t) for t in query_terms])
-    # the dedup-surface's shared tokenization — keyword retrieval must
-    # see the same tokens the dedup/quality operators see
-    tf = F.size(
-        F.filter(tokens(F.col(text_col)), lambda x: F.array_contains(terms, x))
-    )
-    t_cand = (
-        docs.select(F.col(id_col).alias("id"), tf.alias("tf"))
-        .filter(F.col("tf") > 0)
-        .orderBy(F.col("tf").desc(), "id")
-        .limit(candidates)
-    )
+    if keyword == "bm25":
+        from gather_datawarehouse_sync_spark.operators.terms import bm25_topk
+
+        t_cand = bm25_topk(
+            docs, query_terms, k=candidates, id_col=id_col, text_col=text_col
+        ).select(F.col(id_col).alias("id"), F.col("score").alias("tf"))
+    elif keyword == "tf":
+        # the dedup-surface's shared tokenization — keyword retrieval
+        # must see the same tokens the dedup/quality operators see
+        tf = F.size(
+            F.filter(
+                tokens(F.col(text_col)), lambda x: F.array_contains(terms, x)
+            )
+        )
+        t_cand = (
+            docs.select(F.col(id_col).alias("id"), tf.alias("tf"))
+            .filter(F.col("tf") > 0)
+            .orderBy(F.col("tf").desc(), "id")
+            .limit(candidates)
+        )
+    else:
+        raise ValueError(f"hybrid_rrf_topk: unknown keyword tier {keyword!r}")
     # per-element quantization: floor(vᵢ·qᵢ·10⁶) is one IEEE multiply +
     # one floor per term — exact integers, order-invariant bigint sum
     # (the shared convention, see _floored_micro_terms) — evaluated as

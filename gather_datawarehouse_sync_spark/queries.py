@@ -2003,6 +2003,79 @@ _df(
 )
 
 
+def _x_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the PUBLISHED keyword scorer: the BM25
+    integer tier (x_bm25's milli-floored arithmetic) replaces the
+    tf-count candidate stage of x_hybrid_search; vector side and
+    integer-RRF fusion unchanged — the composition the hybrid
+    docstring names (BM25-side ∪ ANN-side), end-to-end hash-exact."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        hybrid_rrf_topk,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    row = t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()
+    if row is None:
+        raise ValueError(
+            "x_hybrid_bm25: embeddings table has no vec_id = 0 row to "
+            "use as the query vector"
+        )
+    return hybrid_rrf_topk(
+        t["documents"],
+        t["embeddings"],
+        ["spark", "merge", "window"],
+        row["embedding"],
+        k=10,
+        candidates=100,
+        keyword="bm25",
+    ).orderBy(F.col("rrf_score").desc(), "doc_id")
+
+
+_df(
+    "x_hybrid_bm25",
+    _x_hybrid_bm25,
+    "WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings "
+    "WHERE vec_id = 0), "
+    "tok AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "dl AS (SELECT doc_id, len(toks) AS dl FROM tok WHERE len(toks) > 0), "
+    "st AS (SELECT COUNT(*) AS n_docs, "
+    "(1000 * SUM(dl)) // COUNT(*) AS avgdl_milli FROM dl), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM "
+    "(SELECT doc_id, unnest(toks) AS term FROM tok) "
+    "WHERE term IN ('spark', 'merge', 'window') GROUP BY doc_id, term), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "sc AS (SELECT tf.doc_id, "
+    "((2 * st.n_docs - 2 * dfq.df + 1) * "
+    "((1000 * tf.tf * 2200) // "
+    "(1000 * tf.tf + (1200 * ((250000 + 750 * "
+    "((1000000 * dl.dl) // st.avgdl_milli)) // 1000)) // 1000)) "
+    "* 100) // (2 * dfq.df + 1) AS contrib "
+    "FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st), "
+    "bm AS (SELECT doc_id AS id, SUM(contrib) AS s FROM sc GROUP BY doc_id "
+    "ORDER BY s DESC, id LIMIT 100), "
+    "rt AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rt "
+    "FROM bm), "
+    "vc AS (SELECT vec_id AS id, CAST(list_sum(list_transform(list_zip("
+    "CAST(embedding AS DOUBLE[]), (SELECT q FROM qv)), "
+    "x -> CAST(FLOOR(x[1] * x[2] * 1000000) AS BIGINT))) AS BIGINT) "
+    "AS qd FROM embeddings), "
+    "v_cand AS (SELECT id, qd FROM vc ORDER BY qd DESC, id LIMIT 100), "
+    "rv AS (SELECT id, row_number() OVER (ORDER BY qd DESC, id) AS rv "
+    "FROM v_cand), "
+    "fused AS (SELECT COALESCE(rt.id, rv.id) AS doc_id, "
+    "CAST((CASE WHEN rt.rt IS NOT NULL THEN 1000000 // (60 + rt.rt) "
+    "ELSE 0 END) + (CASE WHEN rv.rv IS NOT NULL THEN "
+    "1000000 // (60 + rv.rv) ELSE 0 END) AS BIGINT) AS rrf_score "
+    "FROM rt FULL OUTER JOIN rv ON rt.id = rv.id) "
+    "SELECT doc_id, rrf_score FROM fused "
+    "ORDER BY rrf_score DESC, doc_id LIMIT 10",
+    ("documents", "embeddings"),
+    note="hybrid retrieval with the true BM25 keyword tier fused by "
+    "integer RRF; full oracle end-to-end",
+)
+
+
 def _x_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-FILTERED nearest neighbor: top-1 by dot product among
     corpus vectors with label = 2 only — the "vector search + WHERE
@@ -5532,6 +5605,7 @@ _df(
 # x_ivf_append, x_ivf_delete, x_index_compact, x_release_gate,
 # x_gopher_rules, x_quality_dedup, x_temp_resample, x_boilerplate,
 # x_boilerplate_against, x_dedup_recall, x_curation_v2, x_bm25,
+# x_hybrid_bm25,
 # x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
 # x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
 # x_length_buckets, x_interpolate.

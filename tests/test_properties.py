@@ -458,3 +458,60 @@ def test_sq_kernel_scores_match_jvm_expression(spark, rows):
         .collect()
     }
     assert got == want
+
+
+_unit_texts = st.lists(
+    # small unit alphabet → cross-doc repeats likely; empty string
+    # exercises the doubled-separator path
+    st.lists(
+        st.sampled_from(["menu", "nav", "body", "x1", "x2", ""]),
+        min_size=0,
+        max_size=6,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+).map(lambda ts: [(i, t) for i, t in enumerate(ts)])
+
+
+@given(_unit_texts, st.integers(min_value=1, max_value=4))
+@_SETTINGS
+def test_remove_frequent_units_properties(spark, rows, min_docs):
+    """For ANY corpus and threshold: (1) no frequent unit survives in
+    any cleaned text; (2) kept units preserve their original relative
+    order; (3) cleaning again with the SAME stored set is the identity
+    (idempotence under a fixed set — the increment-path contract);
+    (4) units_removed + units_kept equals the original unit count."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        frequent_units,
+        remove_frequent_units,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stored = frequent_units(df, min_docs=min_docs)
+    banned = {r["unit"] for r in stored.collect()}
+    out = {
+        r["doc_id"]: (r["clean_text"], r["units_removed"], r["units_kept"])
+        for r in remove_frequent_units(df, frequent=stored).collect()
+    }
+    assert set(out) == {i for i, _ in rows}
+    for doc_id, text in rows:
+        clean, removed, kept = out[doc_id]
+        orig_units = text.split(" ") if text else [""]
+        clean_units = clean.split(" ") if clean else ([""] if kept else [])
+        # (4) conservation
+        assert removed + kept == len(orig_units)
+        # (1) no banned unit survives (empty units are never banned)
+        assert not (set(clean_units) & banned)
+        # (2) order: cleaned units are exactly the non-banned originals
+        assert clean_units == [u for u in orig_units if u not in banned]
+    cleaned_df = spark.createDataFrame(
+        [(i, c) for i, (c, _, _) in out.items()], "doc_id long, text string"
+    )
+    again = {
+        r["doc_id"]: (r["clean_text"], r["units_removed"])
+        for r in remove_frequent_units(cleaned_df, frequent=stored).collect()
+    }
+    assert {i: c for i, (c, _) in again.items()} == {
+        i: c for i, (c, _, _) in out.items()
+    }
+    assert all(r == 0 for _, r in again.values())

@@ -13,6 +13,16 @@ single pass makes round-over-round comparison pure noise.  Passes are
 suite-major (pass 1 runs every query, then pass 2, ...) so every timed
 query after the first pass is equally warm; the reported suite value is
 the sum of per-query medians.
+
+Box state is MEASURED, not guessed (the rounds 7-9 attribution lesson:
+same-code suite numbers spread 77.8-108.1 s with box weather): the
+1-min loadavg is sampled before the run and, when the box is contended
+(load1 above $SPARK_GRAFT_BENCH_LOAD_MAX, default cpus/8), the bench
+WAITS up to $SPARK_GRAFT_BENCH_SETTLE_MAX seconds (default 90) for it
+to settle before timing anything.  The payload carries a ``box`` object
+— pre/settled load1, seconds waited, run-window iowait%, and a
+``contended`` verdict — so a hot number is attributable from the JSON
+itself instead of per-round archaeology.
 """
 
 from __future__ import annotations
@@ -30,8 +40,40 @@ from gather_datawarehouse_sync_spark.queries import REGISTRY  # noqa: E402
 from gather_datawarehouse_sync_spark.session import get_spark  # noqa: E402
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(iowait, total) jiffies from the aggregate /proc/stat cpu line —
+    a cumulative counter, so a before/after delta is the run window's
+    share.  (0, 0) where /proc is unavailable (non-Linux dev box)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[4], sum(vals)  # field 5 of the cpu line is iowait
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def settle_box(load_max: float, settle_max: float) -> dict:
+    """Sample pre-run load1; if the box is contended, poll (5 s steps,
+    bounded by ``settle_max``) until load1 drops below ``load_max`` so
+    the timed region starts on a settled box whenever one is reachable.
+    Returns the pre/settled samples and the wait spent — the payload's
+    attribution record either way."""
+    load_pre = os.getloadavg()[0]
+    load_settled, waited = load_pre, 0.0
+    while load_settled > load_max and waited < settle_max:
+        time.sleep(5.0)
+        waited += 5.0
+        load_settled = os.getloadavg()[0]
+    return {
+        "load1_pre": round(load_pre, 2),
+        "load1_settled": round(load_settled, 2),
+        "settle_wait_s": round(waited, 1),
+    }
+
+
 def build_payload(
-    per_query: dict[str, float], sf: float, runs: int
+    per_query: dict[str, float], sf: float, runs: int, box: dict | None = None
 ) -> dict:
     """The one-line bench payload.  Shared with
     ``tests/test_bench_contract.py`` so the 1800-char guard tests the
@@ -42,7 +84,7 @@ def build_payload(
     ext_total = round(
         sum(v for k, v in per_query.items() if k not in headline_set), 2
     )
-    return {
+    payload = {
         "metric": "suite_seconds",
         "value": round(sum(per_query.values()), 4),
         "unit": "sec",
@@ -52,12 +94,24 @@ def build_payload(
         "sf": sf,
         "runs": runs,
     }
+    if box is not None:
+        payload["box"] = box
+    return payload
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # settle BEFORE the JVM starts (our own startup shouldn't count as
+    # contention); cpus/8 tolerates background daemons, flags real load
+    ncpus = os.cpu_count() or 8
+    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", ncpus / 8))
+    settle_max = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_MAX", "90"))
+    box = settle_box(load_max, settle_max)
+    iow0, tot0 = _cpu_jiffies()
+
     spark = get_spark("bench")
 
     # Silence WindowExec's "No Partition Defined" warning for THIS run
@@ -105,6 +159,23 @@ def main() -> None:
     }
     total = round(sum(per_query.values()), 4)
 
+    iow1, tot1 = _cpu_jiffies()
+    box["iowait_pct"] = (
+        round(100.0 * (iow1 - iow0) / (tot1 - tot0), 2) if tot1 > tot0 else 0.0
+    )
+    # contended = the settle wait EXPIRED with load still high, or the
+    # run itself spent >10% of cpu time in iowait — either way the
+    # number above is box weather, not code
+    box["contended"] = bool(
+        box["load1_settled"] > load_max or box["iowait_pct"] > 10.0
+    )
+    if box["contended"]:
+        print(
+            f"WARNING: contended box (load1 {box['load1_settled']}, "
+            f"iowait {box['iowait_pct']}%) — treat this run as hot",
+            file=sys.stderr,
+        )
+
     # The driver keeps only the last ~2000 chars of stdout and parses the
     # JSON line out of that tail; a per-query dict over the full registry
     # (109+ queries) exceeds that window and the line is silently dropped
@@ -117,13 +188,19 @@ def main() -> None:
         "w",
     ) as fh:
         json.dump(
-            {"suite_seconds": total, "queries": per_query, "sf": sf, "runs": runs},
+            {
+                "suite_seconds": total,
+                "queries": per_query,
+                "sf": sf,
+                "runs": runs,
+                "box": box,
+            },
             fh,
             indent=1,
             sort_keys=True,
         )
 
-    payload = build_payload(per_query, sf, runs)
+    payload = build_payload(per_query, sf, runs, box)
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1800:
         # degrade to the aggregate-only line rather than losing the whole

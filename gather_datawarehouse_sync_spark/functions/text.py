@@ -198,8 +198,10 @@ def gopher_rules(
     - ``word_count``:    ``min_words ≤ n_words ≤ max_words`` (50..100k)
     - ``mean_word_len``: mean word length in [3, 10] chars — integer
       form ``mean_word_centi = 100·word_chars DIV n_words ∈ [300,1000]``
-    - ``symbol_ratio``:  (``#`` + non-overlapping ``...``) per word
-      ≤ 0.1 → ``symbol_bp ≤ 1000``
+    - ``symbol_ratio``:  the paper gates the hash-per-word ratio and
+      the (non-overlapping) ``...``-per-word ratio EACH at 0.1
+      ("either"); ``symbol_bp`` is the MAX of the two ratios, so
+      ``symbol_bp ≤ 1000`` ≡ both ratios ≤ 0.1 — one field, same bit
     - ``bullet_lines``:  ≤ 90 % of lines start with a bullet
       (``-``/``*``/``•`` after optional blanks) → ``bullet_bp ≤ 9000``
     - ``ellipsis_lines``: ≤ 30 % of lines end with ``...`` →
@@ -242,8 +244,15 @@ def gopher_rules(
     n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), F.lit(0))).cast(
         "bigint"
     )
+    # Rae et al. gate EACH symbol ratio at the threshold ("greater than
+    # 0.1 for either the hash symbol or the ellipsis") — max of the two
+    # per-word ratios keeps the single-field struct while making
+    # symbol_bp > max_symbol_bp exactly the paper's "either" test.
     symbol_bp = F.when(
-        n_words > 0, _idiv((n_hash + n_ellipsis) * 10000, n_words)
+        n_words > 0,
+        F.greatest(
+            _idiv(n_hash * 10000, n_words), _idiv(n_ellipsis * 10000, n_words)
+        ),
     ).otherwise(zero)
 
     n_lines = (

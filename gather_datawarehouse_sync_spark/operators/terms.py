@@ -80,7 +80,7 @@ def bm25_topk(
 ) -> DataFrame:
     """Okapi BM25 ranked retrieval in the engine's integer-exact
     convention — the real keyword tier the hybrid (RRF) layout names
-    (:func:`~gather_datawarehouse_sync_spark.operators.similarity.hybrid_search`'s
+    (:func:`~gather_datawarehouse_sync_spark.operators.similarity.hybrid_rrf_topk`'s
     tf-only candidate stage is the cheap approximation; this is the
     published scorer).
 
@@ -123,9 +123,14 @@ def bm25_topk(
         "n_docs",
         F.expr("(1000 * total_len) DIV n_docs").alias("avgdl_milli"),
     )
+    # dedupe: a repeated query term would duplicate broadcast rows and
+    # the postings join would then double-count every token occurrence
+    # (nonlinear tf inflation) — dict.fromkeys keeps first-seen order so
+    # the plan stays deterministic, matching an oracle's IN-list set
+    # semantics and the tf tier's array_contains
     terms_df = F.broadcast(
         docs.sparkSession.createDataFrame(
-            [(t,) for t in query_terms], "term string"
+            [(t,) for t in dict.fromkeys(query_terms)], "term string"
         )
     )
     tf = (

@@ -979,7 +979,8 @@ _df(
     "r AS (SELECT doc_id, n_words, "
     "CASE WHEN n_words > 0 THEN (100 * word_chars) // n_words ELSE 0 END "
     "AS mean_word_centi, "
-    "CASE WHEN n_words > 0 THEN (10000 * (n_hash + n_ellipsis)) // n_words "
+    "CASE WHEN n_words > 0 THEN GREATEST((10000 * n_hash) // n_words, "
+    "(10000 * n_ellipsis) // n_words) "
     "ELSE 0 END AS symbol_bp, "
     "(10000 * n_bullet) // n_lines AS bullet_bp, "
     "(10000 * n_ell_end) // n_lines AS ellipsis_bp, "
@@ -3393,6 +3394,95 @@ _df(
 )
 
 
+def _x_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE/upsert on a plain parquet table, end-to-end:
+    orders (minus its timestamp, price floored to an exact BIGINT)
+    persists hive-partitioned by o_orderstatus, then ONE CDC batch —
+    in-place updates (keys ≡ 3 mod 10, price bumped), partition-MOVING
+    updates (keys ≡ 3 mod 100 land in a new 'U' status), and inserts
+    into a brand-new 'N' partition (keys ≡ 7 mod 1000, offset past the
+    key space) — merges in via partition-scoped copy-on-write
+    (``merge_table``: clean status partitions hardlink across, only
+    dirty ones rewrite).  The oracle replays the MERGE relationally as
+    one FULL OUTER JOIN with source-priority CASE per column, so a
+    dropped survivor, a stale pre-update row, a lost insert, or a row
+    left behind by a partition move all break the hash."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+        merge_table,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders",))
+
+    def _base() -> DataFrame:
+        return t["orders"].select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_int"),
+            "o_orderstatus",
+        )
+
+    base_path = artifact_path(sf_dir, "merge_orders_base_v1")
+    cached_parquet(spark, base_path, _base, partition_by=("o_orderstatus",))
+    base = spark.read.parquet(base_path)
+    upd = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("price_int") + 1000).alias("price_int"),
+        F.when(F.col("o_orderkey") % 100 == 3, F.lit("U"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        (F.col("price_int") + 5).alias("price_int"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    merged = merge_table(
+        spark,
+        base_path,
+        artifact_path(sf_dir, "merge_orders_v2"),
+        upd.unionByName(ins),
+        key_cols=("o_orderkey",),
+        partition_col="o_orderstatus",
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "price_int", "o_orderstatus"
+    ).orderBy("o_orderkey")
+
+
+_df(
+    "x_merge_table",
+    _x_merge_table,
+    "WITH tgt AS (SELECT o_orderkey, o_custkey, "
+    "CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int, o_orderstatus "
+    "FROM orders), "
+    "upd AS (SELECT o_orderkey, o_custkey, price_int + 1000 AS price_int, "
+    "CASE WHEN o_orderkey % 100 = 3 THEN 'U' ELSE o_orderstatus END "
+    "AS o_orderstatus FROM tgt WHERE o_orderkey % 10 = 3), "
+    "ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, "
+    "price_int + 5 AS price_int, 'N' AS o_orderstatus "
+    "FROM tgt WHERE o_orderkey % 1000 = 7), "
+    "src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins) "
+    "SELECT CAST(COALESCE(s.o_orderkey, t.o_orderkey) AS BIGINT) AS o_orderkey, "
+    "CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey "
+    "ELSE t.o_custkey END AS BIGINT) AS o_custkey, "
+    "CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.price_int "
+    "ELSE t.price_int END AS BIGINT) AS price_int, "
+    "CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus "
+    "ELSE t.o_orderstatus END AS o_orderstatus "
+    "FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey "
+    "ORDER BY o_orderkey",
+    ("orders",),
+    note="Delta-style MERGE/upsert on plain parquet via partition-"
+    "scoped copy-on-write (clean partitions hardlink, dirty rewrite; "
+    "in-place + partition-moving updates + new-partition inserts); "
+    "oracle = relational FULL OUTER JOIN replay → FULL oracle",
+)
+
+
 def _x_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized top-1 (FAISS SQ8): the compressed SCAN
     tier next to PQ-ADC — 4× smaller than float32 storage, one encode
@@ -5590,33 +5680,38 @@ _df(
 # driver-green in CORRECTNESS_r07); round 8 rotated in two-tier dedup,
 # contrastive negative sampling, metadata-filtered ANN, TPC-H Q10,
 # tokenizer fertility, and type-token ratio (all driver-green in
-# CORRECTNESS_r08); round 9 rotates in the three round-8 flagships —
-# int8 SQ ANN, MMR diversity re-ranking, and the ANN recall harness
-# (each carries an integer-exact full value oracle, the strongest
-# evidence class in the repo) — plus intra-doc self-dedup, embedding
-# group centroids, and the single-scan data-quality profile.
+# CORRECTNESS_r08); round 9 rotated in the three round-8 flagships —
+# int8 SQ ANN, MMR diversity re-ranking, and the ANN recall harness —
+# plus intra-doc self-dedup, embedding group centroids, and the
+# single-scan data-quality profile (all driver-green in
+# CORRECTNESS_r09); round 10 rotates in the six round-9 flagships the
+# r9 verdict named: the curation capstone (one green row certifies the
+# clean → gate → dedup → resample composition), quality-argmax
+# survivorship, BM25-inside-RRF, and the index-lifecycle trio
+# (append / targeted delete / epoch compaction — each with a
+# full-probe ≡ brute-force oracle, the strongest uncertified evidence
+# in the repo).
 # Rotated-out queries stay green in the local sf0.01 oracle suite
 # (tests/test_queries_oracle.py covers every registered query, in- or
 # out-of-window).
-# Round-10 rotation candidates (oracled, no driver evidence yet) —
-# lead with the four round-9 full-oracle lifecycle queries and the
-# three late-round-9 curation flagships, then the longest-waiting
+# Round-11 rotation candidates (oracled, no driver evidence yet) —
+# lead with the round-10 MERGE/upsert + lifecycle capstone, then the
+# remaining round-9 full-oracle queries, then the longest-waiting
 # core-shape queries:
-# x_ivf_append, x_ivf_delete, x_index_compact, x_release_gate,
-# x_gopher_rules, x_quality_dedup, x_temp_resample, x_boilerplate,
-# x_boilerplate_against, x_dedup_recall, x_curation_v2, x_bm25,
-# x_hybrid_bm25,
+# x_merge_table, x_index_lifecycle, x_release_gate, x_gopher_rules,
+# x_temp_resample, x_boilerplate, x_boilerplate_against,
+# x_dedup_recall, x_bm25,
 # x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
 # x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
 # x_length_buckets, x_interpolate.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    "x_sq_ann",
-    "x_mmr_rerank",
-    "x_ann_recall",
-    "x_self_dedup",
-    "x_embed_centroid",
-    "x_dq_profile",
+    "x_curation_v2",
+    "x_quality_dedup",
+    "x_hybrid_bm25",
+    "x_ivf_append",
+    "x_index_compact",
+    "x_ivf_delete",
 )
 
 

@@ -199,6 +199,16 @@ def _install_atomic(
                 break
             except OSError:
                 if attempt:
+                    # both install attempts failed: put the last
+                    # renamed-aside (still valid) artifact back before
+                    # propagating, so a transient failure degrades to
+                    # "overwrite didn't happen", not "no artifact at
+                    # path until prune_stale_artifacts runs"
+                    if renamed:
+                        try:
+                            os.replace(renamed.pop(), path)
+                        except OSError:
+                            pass  # restore is best-effort
                     raise
         for old in renamed:
             shutil.rmtree(old, ignore_errors=True)
@@ -485,6 +495,134 @@ def compact_epoch_artifact(
 
     return rewrite_partitioned_artifact(
         spark, base_path, new_path, _folded, dirty, partition_col
+    )
+
+
+def merge_table(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    source: DataFrame,
+    key_cols: "tuple[str, ...]",
+    partition_col: str,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> DataFrame:
+    """Delta-style MERGE/upsert on a plain hive-partitioned parquet
+    table — :func:`rewrite_partitioned_artifact` generalized from index
+    maintenance to data tables: the ``whenMatchedUpdate`` /
+    ``whenNotMatchedInsert`` surface (the reference's M1-M4 sync
+    actions, ``src/DataWarehouse.js:235-291``, as a bulk table rewrite
+    instead of per-row RPCs — :mod:`..operators.reconcile` classifies;
+    this APPLIES).
+
+    Semantics (``MERGE INTO target USING source ON keys``):
+
+    - matched target row  → replaced by the source row
+      (``when_matched="update"``) or removed (``"delete"``)
+    - unmatched source row → inserted (``when_not_matched="insert"``)
+      or dropped (``"ignore"``)
+    - unmatched target row → carried unchanged
+
+    Source rows are whole replacement rows (same columns as the
+    target, ``partition_col`` included), so an update may MOVE a row
+    across partitions — both the old row's partition and the new one
+    are rewritten.  Duplicate source keys are rejected loudly (two
+    source rows matching one target row is nondeterministic — the same
+    contract Delta enforces).
+
+    Partition-scoped copy-on-write, the 100 TB shape: one scan of the
+    target semi-joined against the broadcast source keys finds the
+    partitions holding matched rows (a ≤|partitions|-row driver
+    transfer); the dirty set is those plus the source rows' own
+    partition values (where rows land); ONLY dirty partitions are
+    re-read (hive pruning) and rewritten via the anti-join survivor
+    pattern, every clean partition's files hardlink across, and the
+    result installs atomically under the write-if-absent contract
+    (``new_path`` is a new version; old readers are undisturbed).  A
+    daily CDC batch touching 3 of 10k date partitions rewrites 3.
+
+    Re-applying the same upsert batch to its own output is a no-op by
+    construction (every source row matches and updates to itself) —
+    the idempotent-replay contract of the keyed JDBC upsert
+    (``sources/jdbc.py``), pinned in tests.  Returns the merged table.
+    """
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+        )
+    if os.path.exists(os.path.join(new_path, "_SUCCESS")):
+        return spark.read.parquet(new_path)
+    if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
+        raise ValueError(
+            f"merge_table: no complete table at {old_path} — build the "
+            "base version first (cached_parquet)"
+        )
+    target = spark.read.parquet(old_path)
+    missing = [c for c in target.columns if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge_table: source lacks target columns {missing}")
+    source = source.select(*target.columns)
+    keys = list(key_cols)
+
+    # duplicate source keys → nondeterministic merge: refuse loudly.
+    # One agg over the (small, CDC-batch-sized) source.
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(
+            "merge_table: duplicate keys in source — two source rows "
+            "matching one target row is nondeterministic"
+        )
+    src_keys = F.broadcast(source.select(*keys).distinct())
+
+    # dirty = partitions holding matched target rows (rows leave) ∪
+    # partitions source rows land in (rows arrive) — the landing side
+    # only matters when rows actually land
+    dirty_vals = set(
+        r[0]
+        for r in target.join(src_keys, keys, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    )
+    if when_matched == "update" or when_not_matched == "insert":
+        dirty_vals.update(
+            r[0] for r in source.select(partition_col).distinct().collect()
+        )
+    dirty = sorted(dirty_vals)
+
+    def _replacement() -> DataFrame:
+        if not dirty:  # empty source batch: pure hardlink carry-over
+            return target.limit(0)
+        survivors = target.filter(F.col(partition_col).isin(dirty)).join(
+            src_keys, keys, "left_anti"
+        )
+        if when_matched == "update" and when_not_matched == "insert":
+            landing = source  # every source row lands, matched or not
+        elif when_matched == "delete" and when_not_matched == "ignore":
+            landing = source.limit(0)  # nothing lands
+        else:
+            # which source rows matched?  NEVER against the full target
+            # (its key set is corpus-sized): matched target rows can
+            # only live in dirty partitions, so a PRUNED scan against
+            # the broadcast source keys yields the matched-key set —
+            # bounded by |source|, hence itself broadcastable
+            matched = F.broadcast(
+                target.filter(F.col(partition_col).isin(dirty))
+                .join(src_keys, keys, "left_semi")
+                .select(*keys)
+                .distinct()
+            )
+            how = "left_semi" if when_matched == "update" else "left_anti"
+            landing = source.join(matched, keys, how)
+        return survivors.unionByName(landing)
+
+    return rewrite_partitioned_artifact(
+        spark, old_path, new_path, _replacement, dirty, partition_col
     )
 
 

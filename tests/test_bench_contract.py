@@ -28,9 +28,19 @@ _spec.loader.exec_module(_bench)
 
 def _payload_line(per_query_value: float) -> str:
     # the REAL payload builder from bench.py — a hand-maintained copy
-    # would silently stop guarding when the payload grows a field
+    # would silently stop guarding when the payload grows a field.
+    # box = worst realistic widths (three-digit loads, full-width pcts)
     payload = _bench.build_payload(
-        {k: per_query_value for k in REGISTRY}, sf=0.1, runs=3
+        {k: per_query_value for k in REGISTRY},
+        sf=0.1,
+        runs=3,
+        box={
+            "load1_pre": 999.99,
+            "load1_settled": 999.99,
+            "settle_wait_s": 90.0,
+            "iowait_pct": 99.99,
+            "contended": False,
+        },
     )
     return json.dumps(payload, separators=(",", ":"))
 

@@ -1530,6 +1530,15 @@ def test_bm25_matches_integer_definition(spark):
     assert got == want
     assert 3 not in got
 
+    # duplicate query terms are set-semantics no-ops (the broadcast term
+    # list dedupes) — a repeated term must NOT double-count tf, matching
+    # both the oracle's IN-list and the hybrid tf tier's array_contains
+    dup = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(sdf, ["spark", "engine", "spark", "spark"], k=10).collect()
+    }
+    assert dup == want
+
 
 def test_tfidf_topk_ordering_and_k(spark):
     """Rarer terms outrank common ones at equal tf; k bounds per-doc rows."""
@@ -2317,6 +2326,50 @@ def test_cached_parquet_builds_once_then_rereads(spark, tmp_path):
     assert r1 == r2 == [(1, "a"), (2, "b")]
 
 
+def test_install_atomic_overwrite_failure_restores_old_artifact(
+    spark, tmp_path, monkeypatch
+):
+    """If BOTH install attempts of an overwrite swap fail, the old
+    (still valid) artifact must be put back at ``path`` before the
+    exception propagates — a transient failure degrades to "overwrite
+    didn't happen", never to "no artifact until the pruner runs"."""
+    import os as _os
+
+    from gather_datawarehouse_sync_spark.sources import artifacts as art
+
+    path = str(tmp_path / "idx")
+    art._install_atomic(
+        spark.createDataFrame([(1, "old")], "id long, v string"),
+        path,
+        single_file=True,
+        overwrite=True,
+    )
+    assert _os.path.exists(_os.path.join(path, "_SUCCESS"))
+    old_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    real_replace = _os.replace
+
+    def failing_replace(src, dst):
+        # fail only the tmp→path install (src is the staging dir);
+        # the rename-aside and the restore go through untouched
+        if "__building__" in src and dst == path:
+            raise OSError("injected install failure")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(art.os, "replace", failing_replace)
+    with pytest.raises(OSError, match="injected"):
+        art._install_atomic(
+            spark.createDataFrame([(2, "new")], "id long, v string"),
+            path,
+            single_file=True,
+            overwrite=True,
+        )
+    monkeypatch.undo()
+    # the ORIGINAL artifact is back at path, complete and readable
+    assert _os.path.exists(_os.path.join(path, "_SUCCESS"))
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == old_rows
+
+
 def test_cluster_split_cached_pairs_match_recompute(spark, sf_dir, tmp_path):
     """The persisted-pairs form of the leakage-safe split: the cached
     edge list is row-identical to a fresh jaccard_pairs run, so the
@@ -2729,6 +2782,10 @@ def test_gopher_rules_field_exactness(spark):
         (5, "## # x"),  # 3 hashes / 3 words → symbol_bp 10000
         (6, "ab 12 cd 34"),  # half the words have a letter
         (7, "The cat sat with all of them and that is it to be have"),
+        # 1 '#' + 1 '...' in 10 words: EACH ratio is exactly 0.1 → the
+        # paper's "either > 0.1" test passes; a combined-sum form (0.2)
+        # would wrongly fail — pins the per-ratio gate (Rae et al. A.1.1)
+        (8, "# ... w w w w w w w w"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {
@@ -2746,6 +2803,8 @@ def test_gopher_rules_field_exactness(spark):
     assert got[4]["ellipsis_bp"] == 6666  # 2 '...'-ends / 3 lines
     assert got[4]["symbol_bp"] == 6666  # 2 '...' / 3 words
     assert got[5]["symbol_bp"] == 10000  # 3 '#' / 3 words
+    assert got[8]["symbol_bp"] == 1000  # max(1000, 1000), not sum 2000
+    assert got[8]["fail_mask"] & 4 == 0  # neither ratio EXCEEDS 0.1
     assert got[6]["alpha_word_bp"] == 5000  # ab, cd of 4 words
     assert got[7]["stop_hits"] == 8  # every GOPHER_STOPWORD hits once
 
@@ -3307,6 +3366,166 @@ def test_delete_from_partitioned_artifact(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="no complete artifact"):
         delete_from_partitioned_artifact(
             spark, str(tmp_path / "nope"), str(tmp_path / "x"), gone
+        )
+
+
+def _merge_base(spark, tmp_path):
+    """A 3-partition keyed table installed at tmp_path/t_v1."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import cached_parquet
+
+    rows = [(i, f"v{i}", ["a", "b", "c"][i % 3]) for i in range(30)]
+    path = str(tmp_path / "t_v1")
+    cached_parquet(
+        spark,
+        path,
+        lambda: spark.createDataFrame(rows, "id long, val string, p string"),
+        partition_by=("p",),
+    )
+    return path, {(i, f"v{i}", ["a", "b", "c"][i % 3]) for i in range(30)}
+
+
+def test_merge_table_upsert_moves_and_inserts(spark, tmp_path):
+    """MERGE upsert semantics against a hand-computed expectation:
+    in-place update, partition-MOVING update, insert into an existing
+    partition, insert into a brand-new partition — while every clean
+    partition's data files hardlink across (same inode), the old
+    version stays undisturbed, and re-applying the identical batch to
+    the merged output is a content no-op (idempotent replay, the keyed
+    JDBC upsert contract)."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import merge_table
+
+    old_path, base = _merge_base(spark, tmp_path)
+    # p=c (ids ≡2 mod 3) is untouched by every source row below
+    src = spark.createDataFrame(
+        [
+            (0, "patched", "a"),  # update, stays in p=a
+            (3, "moved", "b"),  # update that MOVES p=a → p=b
+            (100, "fresh", "b"),  # insert into existing partition
+            (200, "fresh", "z"),  # insert into brand-new partition
+        ],
+        "id long, val string, p string",
+    )
+    clean_inodes = {
+        n: os.stat(os.path.join(old_path, "p=c", n)).st_ino
+        for n in os.listdir(os.path.join(old_path, "p=c"))
+    }
+    assert clean_inodes
+
+    new_path = str(tmp_path / "t_v2")
+    merged = merge_table(
+        spark, old_path, new_path, src, key_cols=("id",), partition_col="p"
+    )
+    want = {r for r in base if r[0] not in (0, 3)} | {
+        (0, "patched", "a"),
+        (3, "moved", "b"),
+        (100, "fresh", "b"),
+        (200, "fresh", "z"),
+    }
+    got = set(map(tuple, merged.select("id", "val", "p").collect()))
+    assert got == want
+    for n, ino in clean_inodes.items():
+        assert os.stat(os.path.join(new_path, "p=c", n)).st_ino == ino, n
+    assert set(
+        map(tuple, spark.read.parquet(old_path).select("id", "val", "p").collect())
+    ) == base
+
+    # idempotent replay: the same batch onto the merged output is a no-op
+    replay = merge_table(
+        spark,
+        new_path,
+        str(tmp_path / "t_v3"),
+        src,
+        key_cols=("id",),
+        partition_col="p",
+    )
+    assert set(map(tuple, replay.select("id", "val", "p").collect())) == want
+
+
+def test_merge_table_clause_matrix_and_guards(spark, tmp_path):
+    """The other three when-clause combinations against hand-computed
+    expectations, plus the loud guards: duplicate source keys, missing
+    source columns, invalid clause names, absent base table, and the
+    empty batch degenerating to a pure carry-over."""
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import merge_table
+
+    old_path, base = _merge_base(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(0, "patched", "a"), (100, "fresh", "b")],
+        "id long, val string, p string",
+    )
+
+    # delete + insert: matched keys removed, unmatched inserted
+    got = set(
+        map(
+            tuple,
+            merge_table(
+                spark, old_path, str(tmp_path / "di"), src,
+                key_cols=("id",), partition_col="p",
+                when_matched="delete", when_not_matched="insert",
+            ).select("id", "val", "p").collect(),
+        )
+    )
+    assert got == {r for r in base if r[0] != 0} | {(100, "fresh", "b")}
+
+    # update + ignore: matched updated, unmatched dropped
+    got = set(
+        map(
+            tuple,
+            merge_table(
+                spark, old_path, str(tmp_path / "ui"), src,
+                key_cols=("id",), partition_col="p",
+                when_not_matched="ignore",
+            ).select("id", "val", "p").collect(),
+        )
+    )
+    assert got == {r for r in base if r[0] != 0} | {(0, "patched", "a")}
+
+    # delete + ignore: pure keyed delete
+    got = set(
+        map(
+            tuple,
+            merge_table(
+                spark, old_path, str(tmp_path / "dd"), src,
+                key_cols=("id",), partition_col="p",
+                when_matched="delete", when_not_matched="ignore",
+            ).select("id", "val", "p").collect(),
+        )
+    )
+    assert got == {r for r in base if r[0] != 0}
+
+    # empty batch: every partition hardlinks across
+    got = merge_table(
+        spark, old_path, str(tmp_path / "noop"),
+        src.limit(0), key_cols=("id",), partition_col="p",
+    )
+    assert set(map(tuple, got.select("id", "val", "p").collect())) == base
+
+    dup = spark.createDataFrame(
+        [(1, "x", "a"), (1, "y", "a")], "id long, val string, p string"
+    )
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_table(
+            spark, old_path, str(tmp_path / "dup"), dup,
+            key_cols=("id",), partition_col="p",
+        )
+    with _pytest.raises(ValueError, match="source lacks"):
+        merge_table(
+            spark, old_path, str(tmp_path / "cols"), src.drop("val"),
+            key_cols=("id",), partition_col="p",
+        )
+    with _pytest.raises(ValueError, match="when_matched"):
+        merge_table(
+            spark, old_path, str(tmp_path / "wm"), src,
+            key_cols=("id",), partition_col="p", when_matched="upsert",
+        )
+    with _pytest.raises(ValueError, match="no complete table"):
+        merge_table(
+            spark, str(tmp_path / "nope"), str(tmp_path / "x"), src,
+            key_cols=("id",), partition_col="p",
         )
 
 

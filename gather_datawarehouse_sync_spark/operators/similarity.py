@@ -1008,6 +1008,43 @@ def _floored_micro_terms(X: np.ndarray, y: np.ndarray) -> np.ndarray:
     return np.floor(X * y * 1_000_000.0).astype(np.int64).sum(axis=1)
 
 
+def _floored_micro_matrix(C: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """The (|Q| × |C|) int64 score matrix of the per-element-floored
+    micro dot — semantically ``_floored_micro_terms(C, Q[i])`` stacked,
+    but with ONE reused float temp across queries and the row sum taken
+    float-side before a single cast (measured 1.5× faster than the
+    astype-per-query reference at chunk=1024 × batch=10k × dim=64; the
+    "vectorize it all the way" forms — blocked 3-D elementwise and
+    per-dim outer-product accumulation — measured 3-4× SLOWER on memory
+    traffic, and a true GEMM cannot reproduce per-element floors at
+    all: rejections recorded in SCALE.md round 10).
+
+    The float-side sum is EXACT, not approximate: every floored term is
+    an integer-valued double, and adding integer-valued doubles is
+    exact while every partial sum stays below 2⁵³ — guaranteed up front
+    by the bound ``dim · max|C| · max|Q| · 10⁶ < 2⁵³`` (one max() scan
+    per side).  Inputs past the bound take the int64-accumulation
+    reference loop, so the hash contract holds for ALL magnitudes."""
+    nq, nc = len(Q), len(C)
+    S = np.empty((nq, nc), dtype=np.int64)
+    if nq == 0 or nc == 0:
+        return S
+    bound = (
+        float(np.abs(C).max()) * float(np.abs(Q).max()) * 1e6 * C.shape[1]
+    )
+    if not bound < 2.0**53:  # NaN-safe: NaN falls to the reference path
+        for i in range(nq):
+            S[i] = _floored_micro_terms(C, Q[i])
+        return S
+    P = np.empty(C.shape, dtype=np.float64)
+    for i in range(nq):
+        np.multiply(C, Q[i], out=P)
+        P *= 1_000_000.0
+        np.floor(P, out=P)
+        np.copyto(S[i], P.sum(axis=1), casting="unsafe")
+    return S
+
+
 def _floored_micro_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1069,13 +1106,11 @@ def _floored_micro_topk(
             nid = pdf[id_col].to_numpy()
             for lo in range(0, len(ids), _QUERY_CHUNK):
                 hi = min(lo + _QUERY_CHUNK, len(ids))
-                # per-query vectorized floor-dot: a (|batch| × dim) temp
-                # per query instead of a 3-D (chunk × |batch| × dim)
-                # blowup; chunking bounds the score matrix independently
-                # of the broadcast budget
-                S = np.empty((hi - lo, len(C)), dtype=np.int64)
-                for qi in range(lo, hi):
-                    S[qi - lo] = _floored_micro_terms(C, QQ[qi])
+                # chunking bounds the score matrix independently of the
+                # broadcast budget; the kernel reuses one float temp
+                # per batch and stays per-query inside (the vectorized
+                # 3-D forms measured slower — see _floored_micro_matrix)
+                S = _floored_micro_matrix(C, QQ[lo:hi])
                 valid = ids[lo:hi, None] != nid[None, :]
                 rq, rn, rs = _batch_topk_rows(ids[lo:hi], S, valid, nid, kk_req)
                 yield pd.DataFrame(

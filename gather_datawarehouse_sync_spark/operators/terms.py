@@ -77,6 +77,7 @@ def bm25_topk(
     k1_milli: int = 1200,
     b_milli: int = 750,
     scale: int = 100,
+    idf: str = "rational",
 ) -> DataFrame:
     """Okapi BM25 ranked retrieval in the engine's integer-exact
     convention — the real keyword tier the hybrid (RRF) layout names
@@ -101,16 +102,28 @@ def bm25_topk(
       log-Okapi, ranking within a single term's postings is
       identical, and the score is hash-oracle-able.
 
-    Scale shape: the term list broadcasts into the postings filter
-    (tf rows exist only for docs containing ≥ 1 query term), document
-    frequency is a |terms|-row aggregate, corpus stats are ONE scalar
-    agg row cross-joined in, and the final top-k is orderBy().limit()
-    — TakeOrderedAndProject, no global window.  Returns
-    (``id_col``, score) — score in ``scale``-scaled integer units.
+    ``idf="log"`` is the PUBLISHED Okapi scorer, for serving: IDF is
+    the true ``ln((N−df+½)/(df+½))`` and every intermediate stays a
+    plain double (no milli quantization, no ``scale``) — bit-exactness
+    across engines is not promised (libm), so this tier is certified
+    against an independent Python implementation with tolerance, not a
+    hash oracle; the default ``"rational"`` tier stays the hash-exact
+    one.  Ranking between the tiers agrees except where the rational
+    IDF's stronger rare-term weighting is the documented deviation.
+
+    Scale shape (both tiers): the term list broadcasts into the
+    postings filter (tf rows exist only for docs containing ≥ 1 query
+    term), document frequency is a |terms|-row aggregate, corpus stats
+    are ONE scalar agg row cross-joined in, and the final top-k is
+    orderBy().limit() — TakeOrderedAndProject, no global window.
+    Returns (``id_col``, score) — ``scale``-scaled integer units for
+    ``"rational"``, plain double for ``"log"``.
     """
     from gather_datawarehouse_sync_spark.operators.dedup import tokens
     from gather_datawarehouse_sync_spark.session import spread
 
+    if idf not in ("rational", "log"):
+        raise ValueError(f"idf must be rational|log, got {idf!r}")
     K, B, S = int(k1_milli), int(b_milli), int(scale)
     tok = spread(docs).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
@@ -140,6 +153,30 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if idf == "log":
+        # the published Okapi: true log-IDF, plain double arithmetic —
+        # the serving tier (same joins/stats shape; only the arithmetic
+        # and the score type differ)
+        k1, b = K / 1000.0, B / 1000.0
+        fstats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        contrib = (
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        return (
+            tf.join(dl, "id")
+            .join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(fstats))
+            .groupBy("id")
+            .agg(F.sum(contrib).cast("double").alias("score"))
+            .select(F.col("id").alias(id_col), "score")
+            .orderBy(F.col("score").desc(), id_col)
+            .limit(k)
+        )
     scored = (
         tf.join(dl, "id")
         .join(F.broadcast(dfreq), "term")

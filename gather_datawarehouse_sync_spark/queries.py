@@ -3394,6 +3394,138 @@ _df(
 )
 
 
+def _x_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPERATIONAL CAPSTONE for the index lifecycle: every
+    maintenance verb composed on ONE artifact lineage —
+
+    1. a base corpus's IVF×SQ code lists persist once,
+    2. a batch crawl increment APPENDS (base files hardlink, old
+       corpus never rescanned),
+    3. two streaming micro-batches land as ``epoch=/cell=`` dirs and
+       COMPACT folds them flat (dirty cells re-clustered, clean cells
+       hardlinked),
+    4. a takedown batch (vec_id ≡ 3 mod 7) is DELETED without a
+       rebuild (only its cells rewrite),
+    5. the RELEASE GATE runs in fail-fast mode over the final artifact
+       (full probe pins recall at 10000 bp, so the gate passes
+       deterministically — but it EXECUTES, and a lost or leaked row
+       anywhere upstream fails the query loudly), and
+    6. top-1 SERVES from the gated index.
+
+    Full probe makes IVF×SQ equal the SQ scan tier exactly, so the
+    served result carries a FULL value-hash oracle over the remaining
+    corpus: any verb corrupting the lineage — dropped base row on
+    append, row lost/duplicated in the fold, leaked takedown, clean
+    cell damaged by a hardlink bug — breaks the hash."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_invert,
+        ivf_sq_topk,
+        kmeans_centroids,
+        sq_topk,
+    )
+    from gather_datawarehouse_sync_spark.pipelines import release_index_gate
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        append_partitioned_artifact,
+        artifact_path,
+        cached_parquet,
+        compact_epoch_artifact,
+        delete_from_partitioned_artifact,
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    base = emb.filter((F.col("vec_id") % 5).isin(1, 2))
+    incr = emb.filter((F.col("vec_id") % 5).isin(3, 4))
+    e0 = emb.filter(F.col("vec_id") % 10 == 0)
+    e1 = emb.filter(F.col("vec_id") % 10 == 5)
+    idx = artifact_path(sf_dir, "ivf_centroids_lc_n8_v1")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        save_ivf_centroids(spark, kmeans_centroids(base, nlist=8), idx)
+    C = load_ivf_centroids(spark, idx)
+    p_base = artifact_path(sf_dir, "ivfsq_lists_lc_base_n8_v1")
+    cached_parquet(
+        spark, p_base, lambda: ivf_sq_invert(base, C), partition_by=("cell",)
+    )
+    p_app = artifact_path(sf_dir, "ivfsq_lists_lc_app_n8_v1")
+    append_partitioned_artifact(
+        spark, p_base, p_app, lambda: ivf_sq_invert(incr, C),
+        partition_by=("cell",),
+    )
+    p_ep = artifact_path(sf_dir, "ivfsq_epochs_lc_n8_v1")
+    cached_parquet(
+        spark,
+        p_ep,
+        lambda: ivf_sq_invert(e0, C)
+        .withColumn("epoch", F.lit(0))
+        .unionByName(ivf_sq_invert(e1, C).withColumn("epoch", F.lit(1))),
+        partition_by=("epoch", "cell"),
+    )
+    p_flat = artifact_path(sf_dir, "ivfsq_lists_lc_flat_n8_v1")
+    compact_epoch_artifact(spark, p_app, p_ep, p_flat)
+    lists = delete_from_partitioned_artifact(
+        spark,
+        p_flat,
+        artifact_path(sf_dir, "ivfsq_lists_lc_final_n8_v1"),
+        emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+    served_lists = lists.select("cell", "vec_id", "codes", "scale_micro")
+    q = emb.filter(F.col("vec_id") < 10)
+    release_index_gate(
+        ivf_sq_topk(q, C, served_lists, k=10, nprobe=8),
+        sq_topk(
+            q, None, k=10, codes=lists.select("vec_id", "codes", "scale_micro")
+        ),
+        {1: 10_000, 10: 10_000},
+        fail_fast=True,
+    ).collect()
+    return (
+        ivf_sq_topk(q, C, served_lists, k=1, nprobe=8)
+        .select("query_id", "neighbor_id", "score")
+        .orderBy("query_id")
+    )
+
+
+_df(
+    "x_index_lifecycle",
+    _x_index_lifecycle,
+    # the final artifact = full corpus minus the takedown batch; full
+    # probe ⇒ IVF×SQ ≡ the SQ scan tier over that remaining corpus
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings), "
+    "enc AS (SELECT vec_id, e, "
+    "list_max(list_transform(e, x -> abs(x))) AS ma FROM v), "
+    "codes AS (SELECT vec_id, "
+    "CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT)) "
+    "ELSE list_transform(e, x -> CAST(floor(x / ma * 127 + 0.5) "
+    "AS BIGINT)) END AS c, "
+    "CASE WHEN ma = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE GREATEST(CAST(floor(ma / 127 * 1000000) AS BIGINT), "
+    "CAST(1 AS BIGINT)) END AS sm "
+    "FROM enc), "
+    "q AS (SELECT vec_id AS qid, c AS qc, sm AS qs FROM codes "
+    "WHERE vec_id < 10), "
+    "scored AS (SELECT q.qid, c2.vec_id AS nid, "
+    "CAST(list_sum(list_transform(list_zip(q.qc, c2.c), "
+    "x -> x[1] * x[2])) AS BIGINT) * q.qs * c2.sm AS score "
+    "FROM q CROSS JOIN codes c2 "
+    "WHERE c2.vec_id <> q.qid AND c2.vec_id % 7 <> 3), "
+    "ranked AS (SELECT qid, nid, score, ROW_NUMBER() OVER ("
+    "PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM scored) "
+    "SELECT qid AS query_id, nid AS neighbor_id, score FROM ranked "
+    "WHERE rn = 1 ORDER BY query_id",
+    ("embeddings",),
+    note="index-lifecycle capstone: append → epoch-compact → targeted "
+    "delete → fail-fast release gate → serve, one artifact lineage; "
+    "full probe ≡ SQ scan tier over the remaining corpus → FULL oracle",
+)
+
+
 def _x_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-style MERGE/upsert on a plain parquet table, end-to-end:
     orders (minus its timestamp, price floored to an exact BIGINT)

@@ -1539,6 +1539,36 @@ def test_bm25_matches_integer_definition(spark):
     }
     assert dup == want
 
+    # idf="log": the PUBLISHED Okapi scorer (true log-IDF, plain double
+    # arithmetic) against an independent pure-Python implementation —
+    # tolerance, not hash (libm), per the documented tier contract
+    import math
+
+    avgdl = total / n_docs
+    want_log = {}
+    for i, ts in toks.items():
+        score = 0.0
+        for t in terms:
+            tfreq = ts.count(t)
+            if tfreq == 0:
+                continue
+            w = (tfreq * (1.2 + 1.0)) / (
+                tfreq + 1.2 * (1.0 - 0.75 + 0.75 * dl[i] / avgdl)
+            )
+            score += math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5)) * w
+        if score:
+            want_log[i] = score
+    got_log = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(sdf, terms, k=10, idf="log").collect()
+    }
+    assert set(got_log) == set(want_log)
+    for i, s in want_log.items():
+        assert abs(got_log[i] - s) < 1e-9, i
+
+    with pytest.raises(ValueError, match="idf must be"):
+        bm25_topk(sdf, terms, idf="plain")
+
 
 def test_tfidf_topk_ordering_and_k(spark):
     """Rarer terms outrank common ones at equal tf; k bounds per-doc rows."""

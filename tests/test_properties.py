@@ -423,6 +423,32 @@ def test_floored_micro_kernel_matches_jvm_expression(spark, rows):
 
 @given(_vec_sets)
 @_SETTINGS
+def test_floored_micro_matrix_equals_stacked_terms(rows):
+    """The batched fast kernel (float-side exact sum, reused temp) must
+    equal the per-query reference form element-for-element on arbitrary
+    vectors — AND on magnitudes past the 2^53 partial-sum bound, where
+    it must take the int64 fallback and still agree (the guard itself
+    is under test: a wrong bound would silently break hash oracles)."""
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        _floored_micro_matrix,
+        _floored_micro_terms,
+    )
+
+    M = np.asarray([v for _, v in rows], dtype=np.float64)
+    ref = np.stack([_floored_micro_terms(M, M[i]) for i in range(len(M))])
+    assert np.array_equal(_floored_micro_matrix(M, M), ref)
+    # push past the bound: scale so dim·max|C|·max|Q|·1e6 ≥ 2^53
+    big = M * (2.0**30)
+    ref_big = np.stack(
+        [_floored_micro_terms(big, big[i]) for i in range(len(big))]
+    )
+    assert np.array_equal(_floored_micro_matrix(big, big), ref_big)
+
+
+@given(_vec_sets)
+@_SETTINGS
 def test_sq_kernel_scores_match_jvm_expression(spark, rows):
     """sq_topk's int64-matmul scores must equal the JVM
     aggregate(zip_with) integer-dot expression over the same encoded

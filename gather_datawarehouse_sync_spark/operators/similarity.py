@@ -1415,6 +1415,96 @@ def quantizer_drift(
     )
 
 
+def reassign_drifted_cells(
+    spark,
+    old_path: str,
+    new_path: str,
+    centroids: np.ndarray,
+    drifted: "list[int]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectors: DataFrame | None = None,
+) -> DataFrame:
+    """The middle option between "append again" and "full rebuild" when
+    :func:`quantizer_drift` flags drifted cells: re-assign ONLY the
+    drifted cells' vectors under the updated ``centroids`` — a
+    delete+append composition over the dirty-cell set expressed through
+    one ``rewrite_partitioned_artifact`` pass, so clean cells hardlink
+    across untouched and the work is O(drifted rows), not O(corpus).
+
+    Mechanics: the drifted partitions' rows are re-read (statically
+    pruned), their vectors re-assigned to the nearest updated centroid
+    (the :func:`ivf_invert` kernel), and the LANDING cells — wherever
+    the movers arrive — join the dirty set so their replacement rows
+    are (their unchanged residents) ∪ (the arrivals); every other cell
+    carries over by hardlink.  Vectors may land back in a drifted cell;
+    the fixed point (re-assignment under the SAME centroids) is a
+    content no-op, pinned in tests.
+
+    For IVF-flat lists (cell, id, vector) the stored vector drives the
+    re-assignment directly.  For IVF×SQ code lists the full-precision
+    vector is NOT stored (that is the point of SQ), so pass
+    ``vectors=`` an (id, vector) table covering at least the drifted
+    cells' ids — missing ids fail loudly rather than silently dropping
+    index rows.  Semantics are engine-internal maintenance; parity
+    with the explicit delete+append composition and with a full
+    rebuild at drifted=all is pinned in tests."""
+    import os as _os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        rewrite_partitioned_artifact,
+    )
+
+    if _os.path.exists(_os.path.join(new_path, "_SUCCESS")):
+        return spark.read.parquet(new_path)
+    if not _os.path.exists(_os.path.join(old_path, "_SUCCESS")):
+        raise ValueError(
+            f"reassign_drifted_cells: no complete artifact at {old_path}"
+        )
+    old = spark.read.parquet(old_path)
+    drifted_set = sorted({int(c) for c in drifted})
+    Cn = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    cell = _cell_udf(Cn)
+    movers = old.filter(F.col("cell").isin(drifted_set)).drop("cell")
+    if vectors is not None:
+        v = vectors.select(
+            F.col(id_col), F.col(vec_col).alias("__reassign_vec")
+        )
+        lost = movers.join(v, id_col, "left_anti").limit(1).count()
+        if lost:
+            raise ValueError(
+                "reassign_drifted_cells: vectors= does not cover every "
+                "drifted-cell id — refusing to silently drop index rows"
+            )
+        moved = (
+            movers.join(v, id_col)
+            .withColumn("cell", cell(F.col("__reassign_vec")))
+            .select("cell", *movers.columns)
+        )
+    elif vec_col in movers.columns:
+        moved = movers.withColumn("cell", cell(F.col(vec_col))).select(
+            "cell", *movers.columns
+        )
+    else:
+        raise ValueError(
+            f"reassign_drifted_cells: lists store no {vec_col!r} column "
+            "(SQ codes?) — pass vectors=(id, vector) for the drifted ids"
+        )
+    landing = sorted(
+        r[0] for r in moved.select("cell").distinct().collect()
+    )
+    dirty = sorted(set(drifted_set) | set(landing))
+    stay_cells = [c for c in dirty if c not in set(drifted_set)]
+
+    def _replacement() -> DataFrame:
+        stay = old.filter(F.col("cell").isin(stay_cells))
+        return stay.unionByName(moved.select(*old.columns))
+
+    return rewrite_partitioned_artifact(
+        spark, old_path, new_path, _replacement, dirty, "cell"
+    )
+
+
 def ivf_sq_topk(
     queries: DataFrame,
     centroids: np.ndarray,

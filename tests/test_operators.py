@@ -3399,6 +3399,134 @@ def test_delete_from_partitioned_artifact(spark, sf_dir, tmp_path):
         )
 
 
+def test_reassign_drifted_cells_parity_and_guards(spark, sf_dir, tmp_path):
+    """Drifted-cell re-assignment ≡ the explicit delete+append
+    composition over the same dirty set, ≡ a full rebuild when every
+    cell is drifted, a content no-op at the fixed point (same
+    centroids), hardlink carry-over for clean cells — and the SQ-lists
+    guards (no stored vector → vectors= required; incomplete vectors=
+    refuses loudly)."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
+        ivf_sq_invert,
+        kmeans_centroids,
+        reassign_drifted_cells,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        append_partitioned_artifact,
+        cached_parquet,
+        delete_from_partitioned_artifact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    C1 = kmeans_centroids(emb, nlist=8)
+    # a bounded, deterministic update: swap centroids 0 and 3, so the
+    # movers relabel within {0, 3} and every other cell stays clean
+    C2 = C1.copy()
+    C2[[0, 3]] = C1[[3, 0]]
+    old_path = str(tmp_path / "lists_v1")
+    cached_parquet(
+        spark, old_path, lambda: ivf_invert(emb, C1), partition_by=("cell",)
+    )
+    drifted = [0, 3]
+
+    got = reassign_drifted_cells(
+        spark, old_path, str(tmp_path / "lists_re"), C2, drifted
+    )
+    got_rows = sorted(map(tuple, got.select("cell", "vec_id").collect()))
+
+    # the explicit delete+append composition over the same rows
+    old = spark.read.parquet(old_path)
+    mover_ids = old.filter(F.col("cell").isin(drifted)).select("vec_id")
+    movers = emb.join(mover_ids, "vec_id", "left_semi")
+    deleted = str(tmp_path / "lists_del")
+    delete_from_partitioned_artifact(spark, old_path, deleted, mover_ids)
+    composed = append_partitioned_artifact(
+        spark,
+        deleted,
+        str(tmp_path / "lists_comp"),
+        lambda: ivf_invert(movers, C2),
+        partition_by=("cell",),
+    )
+    assert got_rows == sorted(
+        map(tuple, composed.select("cell", "vec_id").collect())
+    )
+    # clean cells hardlinked across: dirty = drifted ∪ landing cells
+    dirty_after = set(drifted) | {
+        r[0] for r in ivf_invert(movers, C2).select("cell").distinct().collect()
+    }
+    assert len(dirty_after) < 8  # some cells stayed clean
+    linked = 0
+    for cell_dir in os.listdir(old_path):
+        if not cell_dir.startswith("cell="):
+            continue
+        if int(cell_dir.split("=")[1]) in dirty_after:
+            continue
+        for n in os.listdir(os.path.join(old_path, cell_dir)):
+            assert (
+                os.stat(os.path.join(old_path, cell_dir, n)).st_ino
+                == os.stat(
+                    os.path.join(str(tmp_path / "lists_re"), cell_dir, n)
+                ).st_ino
+            )
+            linked += 1
+    assert linked  # at least one clean cell existed to carry over
+
+    # fixed point: re-assignment under the SAME centroids is a no-op
+    fp = reassign_drifted_cells(
+        spark, old_path, str(tmp_path / "lists_fp"), C1, drifted
+    )
+    assert sorted(map(tuple, fp.select("cell", "vec_id").collect())) == sorted(
+        map(tuple, old.select("cell", "vec_id").collect())
+    )
+
+    # every cell drifted ≡ full rebuild under the new quantizer
+    allcells = reassign_drifted_cells(
+        spark, old_path, str(tmp_path / "lists_all"), C2, list(range(8))
+    )
+    assert sorted(
+        map(tuple, allcells.select("cell", "vec_id").collect())
+    ) == sorted(map(tuple, ivf_invert(emb, C2).select("cell", "vec_id").collect()))
+
+    # SQ code lists: no stored vector → vectors= required, and it must
+    # cover every drifted id
+    sq_path = str(tmp_path / "sq_v1")
+    cached_parquet(
+        spark, sq_path, lambda: ivf_sq_invert(emb, C1), partition_by=("cell",)
+    )
+    with pytest.raises(ValueError, match="pass vectors="):
+        reassign_drifted_cells(
+            spark, sq_path, str(tmp_path / "sq_re0"), C2, drifted
+        )
+    with pytest.raises(ValueError, match="does not cover"):
+        reassign_drifted_cells(
+            spark, sq_path, str(tmp_path / "sq_re1"), C2, drifted,
+            vectors=emb.limit(1),
+        )
+    sq_re = reassign_drifted_cells(
+        spark, sq_path, str(tmp_path / "sq_re2"), C2, drifted, vectors=emb
+    )
+    # cells match the flat-list re-assignment; codes survive untouched
+    assert sorted(
+        map(tuple, sq_re.select("cell", "vec_id").collect())
+    ) == got_rows
+    assert sorted(
+        map(
+            tuple,
+            sq_re.select("vec_id", "scale_micro").collect(),
+        )
+    ) == sorted(
+        map(
+            tuple,
+            spark.read.parquet(sq_path).select("vec_id", "scale_micro").collect(),
+        )
+    )
+
+
 def _merge_base(spark, tmp_path):
     """A 3-partition keyed table installed at tmp_path/t_v1."""
     from gather_datawarehouse_sync_spark.sources.artifacts import cached_parquet

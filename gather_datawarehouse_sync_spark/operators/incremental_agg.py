@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def agg_state(
@@ -68,3 +68,102 @@ def finalize_agg(state: DataFrame) -> DataFrame:
     return state.withColumn(
         "avg", F.col("s").cast("double") / F.col("n")
     )
+
+
+def quantile_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    metric_col: str,
+    lo: int,
+    hi: int,
+    bins: int = 256,
+) -> DataFrame:
+    """The mergeable QUANTILE state the module header promises: a
+    fixed-bin integer histogram (keys…, bin, n) over ``metric_col``
+    clamped to [``lo``, ``hi``) — the equi-width-histogram sketch.
+    Counts form a commutative monoid under per-bin addition, so
+    ``state(old ∪ delta) = merge(states)`` holds EXACTLY (not to sketch
+    precision — the reason this engine's convention picks the histogram
+    over GK/t-digest summaries: integer counts are bit-identical under
+    any split/merge order, hence hash-oracle-able; the precision cost
+    is the documented bin-width answer quantization below).
+
+    Bin = ``(v − lo)·bins DIV (hi − lo)``, clamped into [0, bins−1] so
+    out-of-range values land in the edge bins (they still count toward
+    N; quantile answers at the edges then honestly say "≤ lo" / "≥ last
+    bin edge").  State size is ≤ |groups|·bins rows — group-table-sized,
+    never data-sized; at 100 TB the nightly delta pass is the whole
+    cost, exactly like :func:`agg_state`.
+    """
+    if hi <= lo:
+        raise ValueError(f"quantile_state: need hi > lo, got [{lo}, {hi})")
+    # integral metric contract (the x_quality_int convention): the cast
+    # truncates toward zero in both engines, and DIV requires integral
+    # operands anyway — callers quantize floats to cents/micros first
+    raw = F.expr(
+        f"((CAST({metric_col} AS BIGINT) - {int(lo)}) * {int(bins)}) "
+        f"DIV {int(hi - lo)}"
+    )
+    b = F.greatest(F.lit(0), F.least(F.lit(int(bins) - 1), raw)).cast("int")
+    return df.groupBy(*keys, b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def merge_quantile_states(
+    states: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Fold histogram states: union + per-(keys, bin) count sum — the
+    same no-join monoid merge as :func:`merge_agg_states`."""
+    if not states:
+        raise ValueError("merge_quantile_states: need at least one state")
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+
+
+def quantiles_from_state(
+    state: DataFrame,
+    keys: Sequence[str],
+    qs_bp: Sequence[int],
+    lo: int,
+    hi: int,
+    bins: int = 256,
+) -> DataFrame:
+    """Read-time quantile finalization: for each group and each
+    requested quantile (basis points, e.g. 5000 = P50), the UPPER EDGE
+    of the first bin whose cumulative count reaches ``⌈q·N⌉`` — every
+    step exact integer arithmetic (ceiling via ``(n·q + 9999) DIV
+    10000``), so the answer is deterministic and cross-engine
+    hash-comparable; its error vs the true quantile is bounded by one
+    bin width (the documented sketch trade).  One window over the
+    ≤ bins-row per-group state — never over data.
+
+    Returns (keys…, q_bp, value) with ``value = lo + (bin+1)·(hi−lo)
+    DIV bins``.
+    """
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy()
+    ).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    totals = state.groupBy(*keys).agg(F.sum("n").alias("__N"))
+    cum = state.withColumn("__cum", F.sum("n").over(w))
+    joined = cum.join(totals, list(keys)) if keys else cum.crossJoin(
+        F.broadcast(totals)
+    )
+    out = None
+    for q in qs_bp:
+        need = F.expr(f"(__N * {int(q)} + 9999) DIV 10000")
+        hit = (
+            joined.filter(F.col("__cum") >= need)
+            .groupBy(*keys)
+            .agg(F.min("bin").alias("__bin"))
+            .select(
+                *keys,
+                F.lit(int(q)).cast("bigint").alias("q_bp"),
+                (
+                    F.lit(int(lo))
+                    + F.expr(f"(__bin + 1) * {int(hi - lo)} DIV {int(bins)}")
+                ).cast("bigint").alias("value"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -272,6 +272,22 @@ def cosine_pairs_lsh(
     )
 
 
+def _plane_matrix(dim: int, num_planes: int, num_tables: int, seed: int):
+    """The (dim × tables·planes) random-hyperplane matrix — ONE seeded
+    construction shared by the bucket and multi-probe sketches, so a
+    query's probe set and the corpus's stored buckets always live in
+    the same table geometry."""
+    import random
+
+    rng = random.Random(seed)
+    return np.array(
+        [
+            [rng.gauss(0.0, 1.0) for _ in range(num_tables * num_planes)]
+            for _ in range(dim)
+        ]
+    )
+
+
 def _hyperplane_buckets(
     df: DataFrame,
     id_col: str,
@@ -280,6 +296,7 @@ def _hyperplane_buckets(
     num_tables: int,
     seed: int,
     dim: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """(id, table, bucket) rows: sign-sketch bucket of ``vec_col`` in each
     of ``num_tables`` random-hyperplane tables.
@@ -290,31 +307,55 @@ def _hyperplane_buckets(
     (HOF expressions are not codegen'd; the matmul is ~100× cheaper).
     Pass ``dim`` when known to skip the one-row probe job that otherwise
     derives it at plan time.
-    """
-    import random
 
+    ``n_probes > 1`` is MULTI-PROBE (Lv et al. 2007): per table, emit
+    the base bucket plus the ``n_probes − 1`` buckets reached by
+    flipping one sign bit each, least-confident planes first (smallest
+    |projection| — the boundaries the vector most plausibly sits on the
+    other side of).  Probing neighbors recovers the recall extra tables
+    would buy WITHOUT growing the stored sketch: the corpus side keeps
+    ``n_probes=1``; only the (small) query side fans out, so the join
+    stays (table, bucket)-bounded with query-side fan-out ×n_probes.
+    """
+    if not 1 <= n_probes <= num_planes + 1:
+        raise ValueError(
+            f"n_probes must be in [1, num_planes+1], got {n_probes}"
+        )
     if dim is None:
         dim_row = df.select(F.size(vec_col).alias("d")).first()
         dim = int(dim_row["d"])
-    rng = random.Random(seed)
-    M = np.array(
-        [[rng.gauss(0.0, 1.0) for _ in range(num_tables * num_planes)] for _ in range(dim)]
-    )
+    M = _plane_matrix(dim, num_planes, num_tables, seed)
     weights = (1 << np.arange(num_planes)).astype(np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        S = (X @ M) >= 0  # (n, tables*planes) sign bits
-        B = S.reshape(len(X), num_tables, num_planes) @ weights  # (n, tables)
-        return pd.Series(list(B))
+        P = X @ M  # (n, tables*planes) projections
+        Pr = P.reshape(len(X), num_tables, num_planes)
+        B = (Pr >= 0) @ weights  # (n, tables) base buckets
+        if n_probes == 1:
+            return pd.Series(list(B))
+        # single-bit perturbations in ascending-|projection| order
+        order = np.argsort(np.abs(Pr), axis=2, kind="stable")
+        out = np.empty((len(X), num_tables, n_probes), dtype=np.int64)
+        out[:, :, 0] = B
+        for j in range(1, n_probes):
+            out[:, :, j] = B ^ (np.int64(1) << order[:, :, j - 1])
+        return pd.Series(list(out.reshape(len(X), -1)))
 
     # nondeterministic marking pins ONE evaluation (see dedup._minhash)
     _buckets = _buckets.asNondeterministic()
-    return (
+    exploded = (
         spread(df)
         .select(F.col(id_col).alias("id"), _buckets(F.col(vec_col)).alias("bs"))
-        .select("id", F.posexplode("bs").alias("table", "bucket"))
+        .select("id", F.posexplode("bs").alias("pos", "bucket"))
+    )
+    if n_probes == 1:
+        return exploded.select("id", F.col("pos").alias("table"), "bucket")
+    return exploded.select(
+        "id",
+        (F.col("pos") / n_probes).cast("int").alias("table"),
+        "bucket",
     )
 
 
@@ -520,6 +561,7 @@ def lsh_topk(
     num_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    nprobe_buckets: int = 1,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH (sign sketches).
 
@@ -529,13 +571,23 @@ def lsh_topk(
     bounded fan-out, no cross join: the scale path.  Recall improves with
     more tables; exactness is *not* guaranteed (validated against
     :func:`brute_force_topk` in tests, never hash-compared).
+
+    ``nprobe_buckets > 1`` turns on MULTI-PROBE (Lv et al. 2007): each
+    query additionally probes the buckets one sign-flip away, least-
+    confident planes first — recall rises WITHOUT re-sketching or
+    growing the stored corpus buckets (only the small query side fans
+    out ×nprobe_buckets), which is the right trade at 100 TB where the
+    corpus sketch is the persisted artifact and tables are expensive.
+    ``nprobe_buckets=1`` is exactly the classic single-probe plan
+    (equality pinned in tests); recall monotonicity is tested too.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     ).localCheckpoint(eager=True)
     qb = _hyperplane_buckets(
-        q, "query_id", "__qv", num_planes, num_tables, seed, dim=dim
+        q, "query_id", "__qv", num_planes, num_tables, seed, dim=dim,
+        n_probes=nprobe_buckets,
     ).withColumnRenamed("id", "query_id")
     cb = _hyperplane_buckets(
         c, "neighbor_id", "__cv", num_planes, num_tables, seed, dim=dim

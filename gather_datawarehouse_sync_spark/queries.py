@@ -3526,6 +3526,119 @@ _df(
 )
 
 
+def _x_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history, end-to-end over TWO
+    CDC batches on one lineage: customer initializes the history
+    (seq 0, key-hash-bucketed parquet), batch 1 changes balances
+    (keys ≡ 1 mod 10), tombstones keys ≡ 7 mod 100, and inserts brand-
+    new keys (offset past the key space); batch 2 changes the changed
+    keys AGAIN where ≡ 1 mod 20 (three-version chains), re-sends keys
+    ≡ 3 mod 10 with IDENTICAL attrs (must NOT open spurious versions),
+    and revives the tombstoned keys ≡ 7 mod 200 (the chain resumes).
+    Only the touched hash buckets rewrite at each step (clean buckets
+    hardlink — ``merge_scd2`` over the shared copy-on-write primitive).
+    The oracle enumerates every version class relationally, so a
+    spurious version, a lost close, an unclosed update, or a dropped
+    revive all break the hash."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        init_scd2_history,
+        merge_scd2,
+    )
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.floor("c_acctbal").cast("bigint").alias("bal"),
+    )
+    p0 = artifact_path(sf_dir, "scd2_cust_v0")
+    init_scd2_history(spark, cust, p0, ("k",), seq=0, n_buckets=8)
+    b1 = (
+        cust.filter(F.col("k") % 10 == 1)
+        .select("k", "nm", (F.col("bal") + 100).alias("bal"),
+                F.lit(False).alias("is_del"))
+        .unionByName(
+            cust.filter(F.col("k") % 100 == 7)
+            .select("k", "nm", "bal", F.lit(True).alias("is_del"))
+        )
+        .unionByName(
+            cust.filter(F.col("k") % 1000 == 11).select(
+                (F.col("k") + 1_000_000).alias("k"),
+                "nm",
+                (F.col("bal") + 1).alias("bal"),
+                F.lit(False).alias("is_del"),
+            )
+        )
+    )
+    p1 = artifact_path(sf_dir, "scd2_cust_v1")
+    merge_scd2(spark, p0, p1, b1, ("k",), seq=1, delete_col="is_del")
+    b2 = (
+        cust.filter(F.col("k") % 20 == 1)
+        .select("k", "nm", (F.col("bal") + 300).alias("bal"),
+                F.lit(False).alias("is_del"))
+        .unionByName(
+            cust.filter(F.col("k") % 10 == 3)
+            .select("k", "nm", "bal", F.lit(False).alias("is_del"))
+        )
+        .unionByName(
+            cust.filter(F.col("k") % 200 == 7)
+            .select("k", "nm", (F.col("bal") + 50).alias("bal"),
+                    F.lit(False).alias("is_del"))
+        )
+    )
+    hist = merge_scd2(
+        spark,
+        p1,
+        artifact_path(sf_dir, "scd2_cust_v2"),
+        b2,
+        ("k",),
+        seq=2,
+        delete_col="is_del",
+    )
+    return hist.select(
+        "k", "nm", "bal", "valid_from", "valid_to", "is_current"
+    ).orderBy("k", "valid_from")
+
+
+_df(
+    "x_scd2_merge",
+    _x_scd2,
+    # relational enumeration of every version class after both batches
+    "WITH c AS (SELECT c_custkey AS k, c_name AS nm, "
+    "CAST(FLOOR(c_acctbal) AS BIGINT) AS bal FROM customer), "
+    "v AS ("
+    # base versions: closed at seq 1 iff batch 1 changed or tombstoned
+    "SELECT k, nm, bal, CAST(0 AS BIGINT) AS valid_from, "
+    "CASE WHEN k % 10 = 1 OR k % 100 = 7 THEN CAST(1 AS BIGINT) "
+    "ELSE NULL END AS valid_to FROM c "
+    "UNION ALL "
+    # batch-1 updates: closed at seq 2 iff batch 2 changed them again
+    "SELECT k, nm, bal + 100, 1, "
+    "CASE WHEN k % 20 = 1 THEN CAST(2 AS BIGINT) ELSE NULL END "
+    "FROM c WHERE k % 10 = 1 "
+    "UNION ALL "
+    # batch-1 inserts (brand-new keys)
+    "SELECT k + 1000000, nm, bal + 1, 1, NULL FROM c WHERE k % 1000 = 11 "
+    "UNION ALL "
+    # batch-2 re-updates (three-version chains)
+    "SELECT k, nm, bal + 300, 2, NULL FROM c WHERE k % 20 = 1 "
+    "UNION ALL "
+    # batch-2 revives of batch-1 tombstones
+    "SELECT k, nm, bal + 50, 2, NULL FROM c WHERE k % 200 = 7) "
+    "SELECT CAST(k AS BIGINT) AS k, nm, CAST(bal AS BIGINT) AS bal, "
+    "CAST(valid_from AS BIGINT) AS valid_from, "
+    "CAST(valid_to AS BIGINT) AS valid_to, "
+    "valid_to IS NULL AS is_current "
+    "FROM v ORDER BY k, valid_from",
+    ("customer",),
+    note="SCD2 dimension history over two CDC batches (change, "
+    "no-op resend, tombstone, revive, insert) via bucket-scoped "
+    "copy-on-write; oracle enumerates every version class → FULL "
+    "oracle",
+)
+
+
 def _x_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-style MERGE/upsert on a plain parquet table, end-to-end:
     orders (minus its timestamp, price floored to an exact BIGINT)
@@ -5412,6 +5525,70 @@ _df(
 )
 
 
+def _x_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_agg_merge's pattern for the NON-algebraic aggregate the module
+    header names: per-group quantiles maintained as a mergeable
+    fixed-bin integer histogram.  The corpus splits into two
+    "increments" (orderkey parity), each builds its state SEPARATELY,
+    the states merge, and P25/P50/P90/P99 finalize from the merged
+    state — while the oracle bins the WHOLE table in one pass, so the
+    hash match proves the monoid law state(A ∪ B) = merge(states)
+    cross-engine, plus the exact integer bin/ceiling/edge arithmetic.
+    Answers are bin-edge quantized by design (the documented sketch
+    trade: exact mergeability instead of GK/t-digest's per-merge
+    drift)."""
+    from gather_datawarehouse_sync_spark.operators.incremental_agg import (
+        merge_quantile_states,
+        quantile_state,
+        quantiles_from_state,
+    )
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        F.col("l_returnflag").alias("g"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_int"),
+        "l_orderkey",
+    )
+    lo, hi, bins = 0, 110_000, 64
+    s1 = quantile_state(
+        li.filter(F.col("l_orderkey") % 2 == 0), ["g"], "price_int", lo, hi, bins
+    )
+    s2 = quantile_state(
+        li.filter(F.col("l_orderkey") % 2 == 1), ["g"], "price_int", lo, hi, bins
+    )
+    merged = merge_quantile_states([s1, s2], ["g"])
+    return quantiles_from_state(
+        merged, ["g"], [2500, 5000, 9000, 9900], lo, hi, bins
+    ).orderBy("g", "q_bp")
+
+
+_df(
+    "x_quantile_state",
+    _x_quantile_state,
+    "WITH m AS (SELECT l_returnflag AS g, "
+    "GREATEST(0, LEAST(63, "
+    "((CAST(FLOOR(l_extendedprice) AS BIGINT) - 0) * 64) // 110000)) AS bin "
+    "FROM lineitem), "
+    "h AS (SELECT g, bin, COUNT(*) AS n FROM m GROUP BY g, bin), "
+    # NOTE: the total alias must not be spelled "N" — DuckDB resolves
+    # identifiers case-insensitively, so c.N would silently bind to the
+    # per-bin count column n (found the hard way)
+    "c AS (SELECT g, bin, "
+    "SUM(n) OVER (PARTITION BY g ORDER BY bin) AS cum, "
+    "SUM(n) OVER (PARTITION BY g) AS tot FROM h), "
+    "q AS (SELECT UNNEST([2500, 5000, 9000, 9900]) AS q_bp), "
+    "hit AS (SELECT c.g, q.q_bp, MIN(c.bin) AS bin FROM c JOIN q "
+    "ON c.cum >= (c.tot * q.q_bp + 9999) // 10000 GROUP BY c.g, q.q_bp) "
+    "SELECT g, CAST(q_bp AS BIGINT) AS q_bp, "
+    "CAST(0 + ((bin + 1) * 110000) // 64 AS BIGINT) AS value "
+    "FROM hit ORDER BY g, q_bp",
+    ("lineitem",),
+    note="mergeable quantile sketch (fixed-bin integer histogram): "
+    "split -> per-side states -> monoid merge -> P25/P50/P90/P99 vs a "
+    "whole-table one-pass oracle — the hash proves the merge law "
+    "cross-engine; FULL oracle",
+)
+
+
 def _x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus assembly: greedily take docs per source in
     deterministic md5 hash order until 1000 tokens are spent (overshoot
@@ -5827,12 +6004,12 @@ _df(
 # (tests/test_queries_oracle.py covers every registered query, in- or
 # out-of-window).
 # Round-11 rotation candidates (oracled, no driver evidence yet) —
-# lead with the round-10 MERGE/upsert + lifecycle capstone, then the
+# lead with the round-10 MERGE/SCD2/lifecycle capstones, then the
 # remaining round-9 full-oracle queries, then the longest-waiting
 # core-shape queries:
-# x_merge_table, x_index_lifecycle, x_release_gate, x_gopher_rules,
-# x_temp_resample, x_boilerplate, x_boilerplate_against,
-# x_dedup_recall, x_bm25,
+# x_merge_table, x_scd2_merge, x_index_lifecycle, x_release_gate,
+# x_gopher_rules, x_temp_resample, x_boilerplate,
+# x_boilerplate_against, x_dedup_recall, x_bm25,
 # x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
 # x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
 # x_length_buckets, x_interpolate.

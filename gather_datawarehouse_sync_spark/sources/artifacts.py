@@ -626,6 +626,208 @@ def merge_table(
     )
 
 
+_SCD2_META = "_scd2_buckets"
+
+
+def scd2_init(
+    df: DataFrame,
+    key_cols: "tuple[str, ...]",
+    seq: int,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """The initial load of a :func:`merge_scd2` history table: every
+    row becomes an OPEN version (``valid_from = seq``, ``valid_to``
+    NULL, ``is_current``), bucketed on a stable hash of the key so the
+    history partitions by ``__bucket`` and a CDC batch later rewrites
+    only the buckets its keys land in.  Install via
+    :func:`init_scd2_history` (which also records the bucket modulus)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
+        .cast("int")
+        .alias("__bucket"),
+        *df.columns,
+        F.lit(int(seq)).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def init_scd2_history(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    key_cols: "tuple[str, ...]",
+    seq: int = 0,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Install the initial SCD2 history at ``path`` and record the
+    bucket modulus in a ``_scd2_buckets`` sidecar INSIDE the table dir
+    (underscore-prefixed → invisible to parquet scans, hardlink-carried
+    by every later partition rewrite) — so :func:`merge_scd2` derives
+    the modulus from the table itself instead of trusting callers to
+    keep a parameter in sync; a drifted modulus would silently assign
+    source keys to the wrong buckets and open duplicate versions."""
+    cached_parquet(
+        spark,
+        path,
+        lambda: scd2_init(source, key_cols, seq, n_buckets),
+        partition_by=("__bucket",),
+    )
+    meta = os.path.join(path, _SCD2_META)
+    if not os.path.exists(meta):
+        with open(meta, "w") as fh:
+            fh.write(str(int(n_buckets)))
+    return spark.read.parquet(path)
+
+
+def merge_scd2(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    source: DataFrame,
+    key_cols: "tuple[str, ...]",
+    seq: int,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 merge on plain parquet — the
+    history-keeping generalization of :func:`merge_table` (and of the
+    reference's archive-instead-of-delete semantics,
+    ``src/DataWarehouse.js:198-201``: where the reference soft-deletes
+    the current row, SCD2 keeps EVERY version with its validity
+    interval, the audit shape a warehouse dimension actually wants).
+
+    The stored history (built by :func:`scd2_init`) is
+    ``(__bucket, keys…, attrs…, valid_from, valid_to, is_current)``;
+    applying a batch stamped ``seq`` does, per source row:
+
+    - current version exists, attrs CHANGED → close it
+      (``valid_to = seq``) and open a new version
+      (``valid_from = seq``, open-ended)
+    - current version exists, attrs identical → no-op (no spurious
+      version — re-applying a batch is idempotent)
+    - no current version → open a new version (works for brand-new
+      keys and for keys whose last version was closed: the history
+      chain resumes)
+    - ``delete_col`` set true → close the current version WITHOUT
+      opening a new one (the tombstone)
+
+    Closed versions are immutable forever.  Copy-on-write is
+    partition-scoped exactly like :func:`merge_table`: source keys
+    hash to their ``__bucket`` values (the same stable ``xxhash64``
+    the init used), only those buckets rewrite, clean buckets
+    hardlink across.  Duplicate source keys are rejected (two versions
+    of one key in one batch is ill-defined — which closes which?).
+    Attr comparison is null-safe per column.
+    """
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(new_path, "_SUCCESS")):
+        return spark.read.parquet(new_path)
+    if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
+        raise ValueError(
+            f"merge_scd2: no complete history at {old_path} — build it "
+            "first (scd2_init + cached_parquet)"
+        )
+    hist = spark.read.parquet(old_path)
+    keys = list(key_cols)
+    meta = {"__bucket", "valid_from", "valid_to", "is_current"}
+    attr_cols = [c for c in hist.columns if c not in meta and c not in keys]
+    payload = keys + attr_cols
+    missing = [c for c in payload if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge_scd2: source lacks history columns {missing}")
+    dcol = []
+    if delete_col is not None:
+        if delete_col not in source.columns:
+            raise ValueError(f"merge_scd2: source lacks {delete_col!r}")
+        dcol = [F.coalesce(F.col(delete_col), F.lit(False)).alias("__del")]
+    src = source.select(*payload, *dcol)
+    if not dcol:
+        src = src.withColumn("__del", F.lit(False))
+    dup = src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(
+            "merge_scd2: duplicate keys in source — one version per key "
+            "per batch"
+        )
+    # the bucket modulus comes from the table's own sidecar (written by
+    # init_scd2_history, hardlink-carried through every rewrite) — a
+    # caller-supplied modulus that drifted from the init would silently
+    # assign source keys to the wrong buckets
+    meta = os.path.join(old_path, _SCD2_META)
+    if not os.path.exists(meta):
+        raise ValueError(
+            f"merge_scd2: {old_path} has no {_SCD2_META} sidecar — build "
+            "the history with init_scd2_history"
+        )
+    with open(meta) as fh:
+        n_buckets = int(fh.read().strip())
+    src = src.withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64(*keys), F.lit(int(n_buckets))).cast("int"),
+    )
+    dirty = sorted(
+        r[0] for r in src.select("__bucket").distinct().collect()
+    )
+    src_b = F.broadcast(src)
+    same_attrs = None
+    for c in attr_cols:
+        eq = F.col(f"h.{c}").eqNullSafe(F.col(f"s.{c}"))
+        same_attrs = eq if same_attrs is None else (same_attrs & eq)
+    if same_attrs is None:  # key-only history: a row never "changes"
+        same_attrs = F.lit(True)
+
+    def _replacement() -> DataFrame:
+        resident = spark.read.parquet(old_path).filter(
+            F.col("__bucket").isin(dirty)
+        )
+        h, s = resident.alias("h"), src_b.alias("s")
+        key_eq = [F.col(f"h.{k}") == F.col(f"s.{k}") for k in keys]
+        joined = h.join(s, key_eq, "left")
+        hit = F.col(f"s.{keys[0]}").isNotNull()
+        closes = (
+            F.col("h.is_current")
+            & hit
+            & (F.col("s.__del") | ~same_attrs)
+        )
+        kept = joined.select(
+            F.col("h.__bucket").alias("__bucket"),
+            *[F.col(f"h.{c}").alias(c) for c in payload],
+            F.col("h.valid_from").alias("valid_from"),
+            F.when(closes, F.lit(int(seq)).cast("bigint"))
+            .otherwise(F.col("h.valid_to"))
+            .alias("valid_to"),
+            (F.col("h.is_current") & ~closes).alias("is_current"),
+        )
+        # source rows that must OPEN a new version: not deletes, and no
+        # surviving identical current version
+        cur = resident.filter(F.col("is_current"))
+        c, s2 = cur.alias("h"), src_b.alias("s")
+        unchanged_keys = (
+            c.join(s2, key_eq, "inner")
+            .filter(~F.col("s.__del") & same_attrs)
+            .select(*[F.col(f"s.{k}").alias(k) for k in keys])
+        )
+        opens = (
+            src.filter(~F.col("__del"))
+            .join(F.broadcast(unchanged_keys), keys, "left_anti")
+            .select(
+                "__bucket",
+                *payload,
+                F.lit(int(seq)).cast("bigint").alias("valid_from"),
+                F.lit(None).cast("bigint").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        )
+        return kept.unionByName(opens)
+
+    return rewrite_partitioned_artifact(
+        spark, old_path, new_path, _replacement, dirty, "__bucket"
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF coarse quantizer
 # ---------------------------------------------------------------------------

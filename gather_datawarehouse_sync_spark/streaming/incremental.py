@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from gather_datawarehouse_sync_spark.operators.dedup import (
     duplicate_spans_against,
@@ -303,6 +304,85 @@ def start_incremental_index_append(
 
     return (
         new_stream.writeStream.foreachBatch(_append_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_cdc_apply(
+    change_stream: DataFrame,
+    base_path: str,
+    versions_root: str,
+    checkpoint: str,
+    key_cols: "tuple[str, ...]",
+    partition_col: str,
+    delete_col: str = "is_del",
+):
+    """Streaming CDC maintenance of a plain parquet table: each
+    micro-batch of change rows (full replacement rows plus a boolean
+    ``delete_col``) applies onto the latest table version through the
+    BATCH :func:`...sources.artifacts.merge_table` verb — upserts
+    first, then deletes — producing ``versions_root/v<epoch>_final``
+    as the new current version.  The fourth leg of the ingest picture:
+    the same foreachBatch-over-batch-operator layout (stream ≡ batch
+    parity by construction, no second MERGE implementation to drift)
+    and the same zero-streaming-state design as its siblings above.
+
+    Exactly-once under replay comes from ``merge_table``'s own
+    write-if-absent contract: every epoch's version paths are keyed by
+    epoch id, so a replayed epoch finds its ``_SUCCESS`` markers and
+    short-circuits — REGARDLESS of what the current-version pointer
+    says, which makes the pointer-read/merge/pointer-write sequence
+    deterministic even when a failure lands between steps.  The
+    pointer (``versions_root/_cdc_current``) is swapped with
+    ``os.replace`` (atomic) and names the table readers should scan;
+    superseded versions remain on disk for time-travel until
+    :func:`...sources.artifacts.prune_stale_artifacts`-style cleanup
+    retires them — the copy-on-write version chain is the Delta-log
+    picture on plain parquet.
+
+    Each change row must carry EVERY target column (whole replacement
+    rows — the ``merge_table`` contract) plus ``delete_col``; a delete
+    row's payload beyond the key is ignored.  Returns the started
+    query (caller awaits).
+    """
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import merge_table
+
+    pointer = os.path.join(versions_root, "_cdc_current")
+
+    def _current() -> str:
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                return fh.read().strip()
+        return base_path
+
+    def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        va = os.path.join(versions_root, f"v{epoch_id}_upsert")
+        vb = os.path.join(versions_root, f"v{epoch_id}_final")
+        dflag = F.coalesce(F.col(delete_col), F.lit(False))
+        ups = batch_df.filter(~dflag).drop(delete_col)
+        dels = batch_df.filter(dflag).drop(delete_col)
+        merge_table(
+            spark, _current(), va, ups,
+            key_cols=key_cols, partition_col=partition_col,
+        )
+        merge_table(
+            spark, va, vb, dels,
+            key_cols=key_cols, partition_col=partition_col,
+            when_matched="delete", when_not_matched="ignore",
+        )
+        tmp = f"{pointer}.__tmp__{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(vb)
+        os.replace(tmp, pointer)
+
+    os.makedirs(versions_root, exist_ok=True)
+    return (
+        change_stream.writeStream.foreachBatch(_apply_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

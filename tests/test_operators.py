@@ -464,6 +464,47 @@ def test_lsh_topk_recalls_exact_duplicate_vector(spark):
     assert got.get(5) == 1 or got.get(1) == 5
 
 
+def test_lsh_multiprobe_recall_monotone(spark, sf_dir):
+    """Multi-probe LSH (Lv et al. 2007): nprobe_buckets=1 is EXACTLY
+    the classic single-probe plan (row equality); probing sign-flip
+    neighbors never loses recall vs brute force (the candidate set is
+    a superset under the same seed, so per-query top-k scores only
+    improve); the probe budget is range-validated."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        recall_report,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    kw = dict(k=5, dim=64, num_planes=10, num_tables=2, seed=7)
+    single = lsh_topk(q, emb, **kw)
+    explicit1 = lsh_topk(q, emb, **kw, nprobe_buckets=1)
+    assert sorted(map(tuple, single.collect())) == sorted(
+        map(tuple, explicit1.collect())
+    )
+
+    exact = brute_force_topk(q, emb, k=5)
+
+    def recall_bp(approx):
+        rows = recall_report(approx, exact, ks=(5,)).collect()
+        return rows[0]["recall_bp"]
+
+    r1 = recall_bp(single)
+    r4 = recall_bp(lsh_topk(q, emb, **kw, nprobe_buckets=4))
+    assert r4 >= r1
+    # with 2 tables × 10 planes on this corpus single-probe recall is
+    # well below perfect — the multi-probe gain must be visible, not
+    # just non-negative (guards against the probe set silently being
+    # the base bucket k times)
+    assert r4 > r1 or r1 == 10_000
+
+    with pytest.raises(ValueError, match="n_probes"):
+        lsh_topk(q, emb, **kw, nprobe_buckets=12).collect()
+
+
 def test_cosine_pairs_exact(spark):
     from gather_datawarehouse_sync_spark.operators.similarity import cosine_pairs
 
@@ -1972,6 +2013,61 @@ def test_agg_state_merge_equals_direct_any_split(spark, sf_dir):
     assert fin == direct_avg
     with pytest.raises(ValueError, match="at least one"):
         merge_agg_states([], ["l_returnflag"])
+
+
+def test_quantile_state_monoid_and_hand_computed(spark, sf_dir):
+    """The mergeable quantile histogram: (1) monoid law on real data —
+    merging ANY 3-way split's states equals the from-scratch state bit
+    for bit; (2) hand-computed quantiles on a crafted group, including
+    the one-bin-width error bound, ceiling arithmetic, and out-of-range
+    clamping into edge bins; (3) guards."""
+    from gather_datawarehouse_sync_spark.operators.incremental_agg import (
+        merge_quantile_states,
+        quantile_state,
+        quantiles_from_state,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    parts = [li.filter(F.pmod(F.xxhash64("q"), F.lit(3)) == i) for i in range(3)]
+    merged = merge_quantile_states(
+        [quantile_state(p, ["l_returnflag"], "q", 0, 64, 16) for p in parts],
+        ["l_returnflag"],
+    )
+    direct = quantile_state(li, ["l_returnflag"], "q", 0, 64, 16)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # hand-computed: values 0..99 in one group, lo=0 hi=100 bins=10 →
+    # bin width 10; P50 needs ceil(100·0.5)=50th row → bin 4 (values
+    # 40-49 reach cum 50) → upper edge 50.  P99 → ceil(99)=99th row →
+    # bin 9 → 100.  P1 → 1st row → bin 0 → 10.
+    one = spark.createDataFrame(
+        [("g", v) for v in range(100)], "g string, v long"
+    )
+    st = quantile_state(one, ["g"], "v", 0, 100, 10)
+    got = {
+        (r["q_bp"], r["value"])
+        for r in quantiles_from_state(st, ["g"], [100, 5000, 9900], 0, 100, 10).collect()
+    }
+    assert got == {(100, 10), (5000, 50), (9900, 100)}
+
+    # out-of-range values clamp into edge bins and still count toward N
+    oor = spark.createDataFrame(
+        [("g", -5), ("g", 250), ("g", 50)], "g string, v long"
+    )
+    st2 = quantile_state(oor, ["g"], "v", 0, 100, 10)
+    bins = {(r["bin"], r["n"]) for r in st2.collect()}
+    assert bins == {(0, 1), (9, 1), (5, 1)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hi > lo"):
+        quantile_state(one, ["g"], "v", 10, 10)
+    with _pytest.raises(ValueError, match="at least one"):
+        merge_quantile_states([], ["g"])
 
 
 def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
@@ -3685,6 +3781,130 @@ def test_merge_table_clause_matrix_and_guards(spark, tmp_path):
             spark, str(tmp_path / "nope"), str(tmp_path / "x"), src,
             key_cols=("id",), partition_col="p",
         )
+
+
+def test_merge_scd2_version_chains(spark, tmp_path):
+    """SCD2 semantics against hand-computed version chains: change →
+    close+open, identical attrs → no spurious version, tombstone →
+    close without open, revive after delete → chain resumes, new key →
+    open; clean buckets hardlink across; re-applying a batch to its own
+    output is a content no-op; duplicate source keys and a missing
+    sidecar fail loudly."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        init_scd2_history,
+        merge_scd2,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"n{i}", 100 + i) for i in range(1, 9)],
+        "k long, nm string, bal long",
+    )
+    p0 = str(tmp_path / "h0")
+    init_scd2_history(spark, base, p0, ("k",), seq=0, n_buckets=4)
+
+    # batch 1: k=1 changes, k=2 tombstones, k=3 identical (no-op),
+    # k=100 is new
+    b1 = spark.createDataFrame(
+        [
+            (1, "n1", 999, False),
+            (2, "n2", 102, True),
+            (3, "n3", 103, False),
+            (100, "new", 1, False),
+        ],
+        "k long, nm string, bal long, is_del boolean",
+    )
+    p1 = str(tmp_path / "h1")
+    h1 = merge_scd2(spark, p0, p1, b1, ("k",), seq=1, delete_col="is_del")
+    got1 = {
+        (r["k"], r["bal"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in h1.select("k", "bal", "valid_from", "valid_to", "is_current").collect()
+    }
+    want1 = {
+        (1, 101, 0, 1, False),
+        (1, 999, 1, None, True),
+        (2, 102, 0, 1, False),  # tombstoned: closed, nothing opened
+        (3, 103, 0, None, True),  # identical attrs: untouched
+        (100, 1, 1, None, True),
+    } | {(i, 100 + i, 0, None, True) for i in range(4, 9)}
+    assert got1 == want1
+
+    # batch 2: k=1 changes again (3-version chain), k=2 revives
+    b2 = spark.createDataFrame(
+        [(1, "n1", 555, False), (2, "n2", 777, False)],
+        "k long, nm string, bal long, is_del boolean",
+    )
+    p2 = str(tmp_path / "h2")
+    h2 = merge_scd2(spark, p1, p2, b2, ("k",), seq=2, delete_col="is_del")
+    got2 = {
+        (r["k"], r["bal"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in h2.select("k", "bal", "valid_from", "valid_to", "is_current").collect()
+    }
+    want2 = (want1 - {(1, 999, 1, None, True)}) | {
+        (1, 999, 1, 2, False),
+        (1, 555, 2, None, True),
+        (2, 777, 2, None, True),  # the chain resumes after the tombstone
+    }
+    assert got2 == want2
+
+    # re-applying batch 2 to its own output: content no-op
+    replay = merge_scd2(
+        spark, p2, str(tmp_path / "h2r"), b2, ("k",), seq=3, delete_col="is_del"
+    )
+    got_r = {
+        (r["k"], r["bal"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in replay.select(
+            "k", "bal", "valid_from", "valid_to", "is_current"
+        ).collect()
+    }
+    assert got_r == got2
+
+    # a bucket untouched by batch 2 hardlinked across p1 → p2
+    touched = {
+        r[0]
+        for r in spark.read.parquet(p2)
+        .filter(F.col("k").isin(1, 2))
+        .select("__bucket")
+        .distinct()
+        .collect()
+    }
+    clean = [
+        d
+        for d in os.listdir(p1)
+        if d.startswith("__bucket=") and int(d.split("=")[1]) not in touched
+    ]
+    assert clean
+    for d in clean:
+        for n in os.listdir(os.path.join(p1, d)):
+            assert (
+                os.stat(os.path.join(p1, d, n)).st_ino
+                == os.stat(os.path.join(p2, d, n)).st_ino
+            )
+    # the modulus sidecar carried through both rewrites
+    assert open(os.path.join(p2, "_scd2_buckets")).read().strip() == "4"
+
+    dup = spark.createDataFrame(
+        [(1, "a", 1, False), (1, "b", 2, False)],
+        "k long, nm string, bal long, is_del boolean",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_scd2(spark, p2, str(tmp_path / "dup"), dup, ("k",), seq=4,
+                   delete_col="is_del")
+    # histories built without the sidecar are refused
+    bare = str(tmp_path / "bare")
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        scd2_init,
+    )
+
+    cached_parquet(
+        spark, bare, lambda: scd2_init(base, ("k",), 0, 4),
+        partition_by=("__bucket",),
+    )
+    with pytest.raises(ValueError, match="sidecar"):
+        merge_scd2(spark, bare, str(tmp_path / "x"), b1, ("k",), seq=1,
+                   delete_col="is_del")
 
 
 def test_compact_epoch_artifact(spark, sf_dir, tmp_path):

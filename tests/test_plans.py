@@ -610,6 +610,51 @@ def test_delete_rewrite_reads_only_dirty_partitions(
     assert broadcast_join_count(captured["df"]) >= 1
 
 
+def test_merge_table_rewrite_reads_only_dirty_partitions(
+    spark, tmp_path, monkeypatch
+):
+    """merge_table's replacement frame must READ only the dirty
+    partitions (static `p IN (...)` partition filter on the survivor
+    scan) with the source keys arriving broadcast — the hardlink
+    carry-over in test_operators proves clean partitions aren't
+    REWRITTEN; this pins that they aren't even rescanned, the property
+    that makes a 3-partition CDC batch O(3 partitions) at 100 TB."""
+    import gather_datawarehouse_sync_spark.sources.artifacts as A
+
+    rows = [(i, f"v{i}", ["a", "b", "c", "d"][i % 4]) for i in range(40)]
+    old_path = str(tmp_path / "t_v1")
+    A.cached_parquet(
+        spark,
+        old_path,
+        lambda: spark.createDataFrame(rows, "id long, val string, p string"),
+        partition_by=("p",),
+    )
+    src = spark.createDataFrame(
+        [(0, "patched", "a"), (100, "fresh", "b")],
+        "id long, val string, p string",
+    )
+
+    captured = {}
+    real = A.rewrite_partitioned_artifact
+
+    def spy(spark_, old, new, build, dirty, *a, **kw):
+        captured["df"] = build()
+        captured["dirty"] = dirty
+        return real(spark_, old, new, build, dirty, *a, **kw)
+
+    monkeypatch.setattr(A, "rewrite_partitioned_artifact", spy)
+    A.merge_table(
+        spark, old_path, str(tmp_path / "t_v2"), src,
+        key_cols=("id",), partition_col="p",
+    )
+    assert sorted(captured["dirty"]) == ["a", "b"]
+    plan = plan_str(captured["df"])
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:250]
+    assert "p" in pf and " IN " in pf.upper()
+    assert broadcast_join_count(captured["df"]) >= 1
+
+
 def test_integer_dot_hot_loops_have_no_interpreted_hof(spark, sf_dir):
     """The SQ / int_micro / MMR-relevance scoring loops must NOT run as
     aggregate(zip_with(...)) higher-order functions — HOFs evaluate

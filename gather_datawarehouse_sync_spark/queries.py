@@ -3639,6 +3639,49 @@ _df(
 )
 
 
+def _x_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read of x_scd2_merge's TWO-batch history at
+    seq=1 — the dimension exactly between the batches: batch-1 changes
+    visible, batch-2 changes NOT yet, tombstoned keys absent, revives
+    not yet happened, batch-1 inserts present.  Half-open validity
+    [from, to) means a version closed AT 1 is already invisible.  The
+    oracle enumerates the visible row per key class relationally, so a
+    leaked closed version, a visible tombstone, or a prematurely-
+    visible batch-2 row breaks the hash."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        scd2_as_of,
+    )
+
+    # ensure the shared history lineage exists (same artifacts)
+    _x_scd2(spark, sf_dir)
+    hist = spark.read.parquet(artifact_path(sf_dir, "scd2_cust_v2"))
+    return scd2_as_of(hist, 1).select("k", "nm", "bal").orderBy("k")
+
+
+_df(
+    "x_scd2_asof",
+    _x_scd2_asof,
+    "WITH c AS (SELECT c_custkey AS k, c_name AS nm, "
+    "CAST(FLOOR(c_acctbal) AS BIGINT) AS bal FROM customer), "
+    "v AS ("
+    # unchanged-by-batch-1 keys show their base version (tombstoned out)
+    "SELECT k, nm, bal FROM c WHERE k % 10 <> 1 AND k % 100 <> 7 "
+    "UNION ALL "
+    # batch-1 updates are the visible version at seq 1
+    "SELECT k, nm, bal + 100 FROM c WHERE k % 10 = 1 "
+    "UNION ALL "
+    # batch-1 inserts
+    "SELECT k + 1000000, nm, bal + 1 FROM c WHERE k % 1000 = 11) "
+    "SELECT CAST(k AS BIGINT) AS k, nm, CAST(bal AS BIGINT) AS bal "
+    "FROM v ORDER BY k",
+    ("customer",),
+    note="point-in-time SCD2 read between the two batches (half-open "
+    "validity): tombstones absent, batch-2 changes invisible; oracle "
+    "enumerates the visible row per key class → FULL oracle",
+)
+
+
 def _x_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-style MERGE/upsert on a plain parquet table, end-to-end:
     orders (minus its timestamp, price floored to an exact BIGINT)
@@ -4126,6 +4169,52 @@ _df(
     note="recall@k of the composed IVF×SQ tier (nprobe=4/16) vs the SQ "
     "exact tier over the same stored codes — isolates probe loss from "
     "quantization loss (probe-subset → rows-only; floor pinned in tests)",
+)
+
+
+def _x_lsh_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH probe/recall tradeoff, measured per round (the
+    x_ivfsq_recall pattern for the hyperplane tier): recall@5 of
+    single-probe vs 4-probe lsh_topk against exact brute force, same
+    2-table × 10-plane sketch — isolating what probing sign-flip
+    neighbors buys WITHOUT growing the stored corpus sketch.  Sketch
+    buckets are engine-specific → rows-only; the multi ≥ single
+    monotonicity and the 1-probe ≡ classic-plan equality are pinned in
+    unit tests."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        recall_report,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5)
+    out = None
+    for probes in (1, 4):
+        rep = recall_report(
+            lsh_topk(
+                q, emb, k=5, dim=64, num_planes=10, num_tables=2, seed=7,
+                nprobe_buckets=probes,
+            ),
+            exact,
+            ks=(5,),
+        ).select(F.lit(probes).cast("int").alias("probes"), "*")
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("probes")
+
+
+_df(
+    "x_lsh_mp_recall",
+    _x_lsh_mp_recall,
+    None,
+    ("embeddings",),
+    note="multi-probe LSH probe/recall tracking (1 vs 4 probes, same "
+    "stored sketch) vs brute force — engine-specific buckets → "
+    "rows-only; monotonicity + classic-plan equality pinned in tests",
 )
 
 
@@ -6007,7 +6096,8 @@ _df(
 # lead with the round-10 MERGE/SCD2/lifecycle capstones, then the
 # remaining round-9 full-oracle queries, then the longest-waiting
 # core-shape queries:
-# x_merge_table, x_scd2_merge, x_index_lifecycle, x_release_gate,
+# x_merge_table, x_scd2_merge, x_scd2_asof, x_quantile_state,
+# x_index_lifecycle, x_release_gate,
 # x_gopher_rules, x_temp_resample, x_boilerplate,
 # x_boilerplate_against, x_dedup_recall, x_bm25,
 # x_json_struct, x_path_categories, x_one_to_one, x_reconcile,

@@ -626,6 +626,69 @@ def merge_table(
     )
 
 
+def list_table_versions(versions_root: str) -> "list[tuple[str, str]]":
+    """The :func:`...streaming.incremental.start_cdc_apply` version
+    chain, oldest → newest: (version_name, path) for every COMPLETE
+    version dir under ``versions_root`` (``_SUCCESS`` present; torn
+    builds excluded), ordered by epoch then step (``_upsert`` before
+    ``_final``).  This is the time-travel surface of the plain-parquet
+    Delta-log picture: ``spark.read.parquet(path)`` on any entry reads
+    the table exactly as that step left it — old versions are immutable
+    (rewrites always build NEW dirs; shared files are hardlinks)."""
+    if not os.path.isdir(versions_root):
+        return []
+    out = []
+    for name in os.listdir(versions_root):
+        if not name.startswith("v"):
+            continue
+        full = os.path.join(versions_root, name)
+        if not os.path.exists(os.path.join(full, "_SUCCESS")):
+            continue
+        stem = name[1:]
+        for i, step in enumerate(("_upsert", "_final")):
+            if stem.endswith(step):
+                try:
+                    epoch = int(stem[: -len(step)])
+                except ValueError:
+                    break
+                out.append((epoch, i, name, full))
+                break
+    return [(n, p) for _, _, n, p in sorted(out)]
+
+
+def prune_table_versions(
+    versions_root: str, keep_last: int = 1
+) -> "list[str]":
+    """Retire superseded CDC table versions: delete every complete
+    version dir under ``versions_root`` except the newest ``keep_last``
+    (and ALWAYS the pointer target, whatever its age) — the version
+    chain otherwise accumulates one dir per epoch forever.  Cheap in
+    bytes long before this runs (clean partitions are hardlinks, so a
+    superseded version mostly holds links to files the newer versions
+    still own), but each dir is a full directory-entry copy of the
+    table and at 10k+ partitions the metadata itself is worth sweeping.
+
+    Same contract as :func:`prune_stale_artifacts`: explicit call from
+    the maintenance job, never a side effect; readers of a pruned
+    version fail loudly on the missing path (they should be reading the
+    ``_cdc_current`` pointer).  Returns the pruned paths."""
+    if keep_last < 1:
+        raise ValueError("prune_table_versions: keep_last must be >= 1")
+    versions = list_table_versions(versions_root)
+    pointer = os.path.join(versions_root, "_cdc_current")
+    protected = set()
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            protected.add(os.path.normpath(fh.read().strip()))
+    pruned = []
+    for _, path in versions[: max(0, len(versions) - keep_last)]:
+        if os.path.normpath(path) in protected:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        pruned.append(path)
+    return pruned
+
+
 _SCD2_META = "_scd2_buckets"
 
 
@@ -680,6 +743,26 @@ def init_scd2_history(
         with open(meta, "w") as fh:
             fh.write(str(int(n_buckets)))
     return spark.read.parquet(path)
+
+
+def scd2_as_of(hist: DataFrame, seq: int) -> DataFrame:
+    """Point-in-time read of a :func:`merge_scd2` history — the query
+    surface the history exists FOR: the dimension exactly as it stood
+    after batch ``seq`` applied.  Validity is half-open [valid_from,
+    valid_to): a version closed AT ``seq`` is already invisible at
+    ``seq`` (its replacement, opened at ``seq``, is the visible one),
+    and a tombstoned key has NO visible row until a revive reopens it.
+    ``scd2_as_of(h, latest)`` ≡ ``h.filter("is_current")``.  Pure
+    filter — partition pruning and column pruning pass straight
+    through; meta columns are dropped so the result is the plain
+    dimension shape a fact join consumes."""
+    from pyspark.sql import functions as F
+
+    t = int(seq)
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop("__bucket", "valid_from", "valid_to", "is_current")
 
 
 def merge_scd2(

@@ -217,3 +217,113 @@ def compact_files(
     os.rename(tmp, base)
     shutil.rmtree(old)
     return n
+
+
+def file_stats_index(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Per-file min/max statistics for ``cols`` over a parquet
+    directory — the Iceberg-manifest / Delta-stats idea on plain
+    parquet, and the read-side payoff of :func:`write_zordered`: with
+    the table clustered, each file's [min, max] box is tight, so a
+    predicate interval excludes most files BEFORE Spark even lists them
+    into a scan (job-level skipping, one level above the row-group
+    skipping parquet already does inside each touched file).
+
+    Built DISTRIBUTEDLY: the file list (names only — driver-side
+    listing, bounded by file count) fans out over the cluster and each
+    task reads just the parquet FOOTER of its files via pyarrow — no
+    data pages move, so indexing a 100 TB table costs one footer round
+    per file.  Returns (file, n_rows, <col>_min, <col>_max …); persist
+    with ``sources/artifacts.cached_parquet`` per table version and
+    refresh it with the same incremental contract as every other
+    derived artifact.  ``cols`` must be numeric (stats surface as
+    doubles); files whose footers lack stats get NULLs and the
+    pruner keeps them conservatively.
+    """
+    import os
+
+    files = sorted(
+        os.path.join(root, f)
+        for root, _, names in os.walk(path)
+        for f in names
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if not files:
+        raise ValueError(f"file_stats_index: no parquet files under {path}")
+    cols = list(cols)
+
+    def _footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fname in pdf["file"]:
+                md = pq.ParquetFile(fname).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                mins = {c: None for c in cols}
+                maxs = {c: None for c in cols}
+                for rg in range(md.num_row_groups):
+                    for c in cols:
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        if mins[c] is None or st.min < mins[c]:
+                            mins[c] = st.min
+                        if maxs[c] is None or st.max > maxs[c]:
+                            maxs[c] = st.max
+                rows.append(
+                    {
+                        "file": fname,
+                        "n_rows": md.num_rows,
+                        **{f"{c}_min": mins[c] for c in cols},
+                        **{f"{c}_max": maxs[c] for c in cols},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    stat_cols = ", ".join(
+        f"{c}_min double, {c}_max double" for c in cols
+    )
+    return (
+        spark.createDataFrame([(f,) for f in files], "file string")
+        .repartition(min(len(files), 32))
+        .mapInPandas(_footers, f"file string, n_rows long, {stat_cols}")
+    )
+
+
+def scan_with_file_pruning(
+    spark: SparkSession,
+    stats: DataFrame,
+    ranges: "dict[str, tuple[float, float]]",
+) -> "tuple[DataFrame, int, int]":
+    """Read only the files whose stats boxes intersect every
+    ``col: (lo, hi)`` predicate interval — job-level data skipping
+    driven by a persisted :func:`file_stats_index`.
+
+    Returns (reader, files_kept, files_total).  The caller still
+    applies the row-level filter (file stats are a superset guarantee:
+    a kept file may hold matching and non-matching rows; a PRUNED file
+    provably holds none — files with absent stats are conservatively
+    kept).  The stats table is file-count-sized, so the prune is a
+    bounded driver collect — the same class as a partition listing.
+    """
+    from pyspark.sql import functions as F
+
+    keep = stats
+    for c, (lo, hi) in ranges.items():
+        overlap = (F.col(f"{c}_min") <= float(hi)) & (
+            F.col(f"{c}_max") >= float(lo)
+        )
+        absent = F.col(f"{c}_min").isNull() | F.col(f"{c}_max").isNull()
+        keep = keep.filter(absent | overlap)
+    kept = [r["file"] for r in keep.select("file").collect()]
+    total = stats.count()
+    if not kept:  # preserve schema: an all-pruned scan is a 0-row frame
+        any_file = stats.select("file").first()["file"]
+        return spark.read.parquet(any_file).limit(0), 0, total
+    return spark.read.parquet(*kept), len(kept), total

@@ -3884,6 +3884,21 @@ def test_merge_scd2_version_chains(spark, tmp_path):
     # the modulus sidecar carried through both rewrites
     assert open(os.path.join(p2, "_scd2_buckets")).read().strip() == "4"
 
+    # point-in-time reads: at seq 1 the tombstoned key 2 is INVISIBLE
+    # (half-open validity — its close at 1 already applies) and k=1
+    # shows the batch-1 value; at seq 2 the revive is visible and
+    # as-of(latest) ≡ the is_current filter
+    from gather_datawarehouse_sync_spark.sources.artifacts import scd2_as_of
+
+    at1 = {(r["k"], r["bal"]) for r in scd2_as_of(h2, 1).collect()}
+    assert (1, 999) in at1 and not any(k == 2 for k, _ in at1)
+    at2 = {(r["k"], r["bal"]) for r in scd2_as_of(h2, 2).collect()}
+    assert (1, 555) in at2 and (2, 777) in at2
+    assert at2 == {
+        (r["k"], r["bal"])
+        for r in h2.filter(F.col("is_current")).select("k", "bal").collect()
+    }
+
     dup = spark.createDataFrame(
         [(1, "a", 1, False), (1, "b", 2, False)],
         "k long, nm string, bal long, is_del boolean",

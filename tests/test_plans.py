@@ -655,6 +655,45 @@ def test_merge_table_rewrite_reads_only_dirty_partitions(
     assert broadcast_join_count(captured["df"]) >= 1
 
 
+def test_merge_scd2_rewrite_reads_only_dirty_buckets(
+    spark, tmp_path, monkeypatch
+):
+    """merge_scd2's replacement frame must READ only the dirty hash
+    buckets (static `__bucket IN (...)` partition filter) — a CDC batch
+    over a handful of keys stays O(touched buckets) however wide the
+    dimension history grows."""
+    import gather_datawarehouse_sync_spark.sources.artifacts as A
+
+    base = spark.createDataFrame(
+        [(i, f"n{i}", 100 + i) for i in range(1, 33)],
+        "k long, nm string, bal long",
+    )
+    old_path = str(tmp_path / "h0")
+    A.init_scd2_history(spark, base, old_path, ("k",), seq=0, n_buckets=8)
+    src = spark.createDataFrame(
+        [(1, "n1", 999, False)], "k long, nm string, bal long, is_del boolean"
+    )
+
+    captured = {}
+    real = A.rewrite_partitioned_artifact
+
+    def spy(spark_, old, new, build, dirty, *a, **kw):
+        captured["df"] = build()
+        captured["dirty"] = dirty
+        return real(spark_, old, new, build, dirty, *a, **kw)
+
+    monkeypatch.setattr(A, "rewrite_partitioned_artifact", spy)
+    A.merge_scd2(
+        spark, old_path, str(tmp_path / "h1"), src, ("k",), seq=1,
+        delete_col="is_del",
+    )
+    assert len(captured["dirty"]) == 1  # one key → one bucket
+    plan = plan_str(captured["df"])
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:250]
+    assert "__bucket" in pf
+
+
 def test_integer_dot_hot_loops_have_no_interpreted_hof(spark, sf_dir):
     """The SQ / int_micro / MMR-relevance scoring loops must NOT run as
     aggregate(zip_with(...)) higher-order functions — HOFs evaluate
@@ -750,3 +789,46 @@ def test_boilerplate_anti_join_broadcasts_frequent_set(spark, sf_dir):
         docs, min_doc_frac_bp=7800, broadcast_frequent=False
     )
     assert "LeftAnti" in plan_str(shuffled, "simple")
+
+
+def test_file_stats_index_prunes_zordered_scan(spark, tmp_path):
+    """The job-level data-skipping pair: a z-ordered table's per-file
+    stats boxes are tight, so a box predicate keeps only the files it
+    can touch (files_kept < files_total), the pruned scan + row filter
+    returns exactly the full scan's rows (superset guarantee), and an
+    all-outside range prunes everything while preserving the schema."""
+    from gather_datawarehouse_sync_spark.sources.layout import (
+        file_stats_index,
+        scan_with_file_pruning,
+        write_zordered,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 100, (i * 37) % 100, i) for i in range(10_000)],
+        "x long, y long, pay long",
+    )
+    path = str(tmp_path / "ztab")
+    write_zordered(df, path, "x", "y", num_files=16)
+
+    stats = file_stats_index(spark, path, ["x", "y"])
+    assert stats.count() == 16
+
+    box = {"x": (10, 20), "y": (10, 20)}
+    reader, kept, total = scan_with_file_pruning(spark, stats, box)
+    assert 0 < kept < total
+    pred = (
+        (F.col("x") >= 10) & (F.col("x") <= 20)
+        & (F.col("y") >= 10) & (F.col("y") <= 20)
+    )
+    got = sorted(map(tuple, reader.filter(pred).collect()))
+    want = sorted(map(tuple, spark.read.parquet(path).filter(pred).collect()))
+    assert got == want and got
+
+    empty, kept0, _ = scan_with_file_pruning(spark, stats, {"x": (500, 600)})
+    assert kept0 == 0
+    assert empty.columns == ["x", "y", "pay"] and empty.count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no parquet files"):
+        file_stats_index(spark, str(tmp_path / "nope"), ["x"])

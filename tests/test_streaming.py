@@ -868,3 +868,107 @@ def test_cdc_apply_stream_matches_batch_and_replays_exactly_once(
         map(tuple, spark.read.parquet(final).select("id", "val", "p").collect())
     )
     assert got2 == got
+
+
+def test_cdc_version_chain_time_travel_and_prune(spark, tmp_path):
+    """The version chain is the time-travel surface: after two applied
+    batches, list_table_versions orders upsert-before-final per epoch,
+    an OLD version still reads exactly as that step left it (immutable
+    under later rewrites), and prune_table_versions retires everything
+    but the newest + the pointer target."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        list_table_versions,
+        merge_table,
+        prune_table_versions,
+    )
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_cdc_apply,
+    )
+
+    base_path = str(tmp_path / "t_v0")
+    rows = [(i, f"v{i}", ["a", "b"][i % 2]) for i in range(10)]
+    cached_parquet(
+        spark,
+        base_path,
+        lambda: spark.createDataFrame(rows, "id long, val string, p string"),
+        partition_by=("p",),
+    )
+    schema = "id long, val string, p string, is_del boolean"
+    src = tmp_path / "chain_src"
+    spark.createDataFrame(
+        [(0, "first", "a", False)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(0, "second", "a", False), (1, "v1", "b", True)], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    now = 1_700_000_000
+    for i, d in enumerate(("b1", "b2")):
+        for dirpath, _, names in os.walk(str(src / d)):
+            for n in names:
+                os.utime(os.path.join(dirpath, n), (now + i, now + i))
+
+    versions = str(tmp_path / "chain_versions")
+    q = start_cdc_apply(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src)),
+        base_path,
+        versions,
+        str(tmp_path / "chain_ckpt"),
+        key_cols=("id",),
+        partition_col="p",
+    )
+    q.awaitTermination()
+
+    chain = list_table_versions(versions)
+    assert [n for n, _ in chain] == [
+        "v0_upsert", "v0_final", "v1_upsert", "v1_final"
+    ]
+    # time travel: epoch 0's final still shows the FIRST patch and the
+    # undeleted key 1, untouched by epoch 1's rewrite
+    v0 = dict(chain)["v0_final"]
+    t0 = {
+        (r["id"], r["val"])
+        for r in spark.read.parquet(v0).select("id", "val").collect()
+    }
+    assert (0, "first") in t0 and any(i == 1 for i, _ in t0)
+    cur = open(os.path.join(versions, "_cdc_current")).read().strip()
+    t2 = {
+        (r["id"], r["val"])
+        for r in spark.read.parquet(cur).select("id", "val").collect()
+    }
+    assert (0, "second") in t2 and not any(i == 1 for i, _ in t2)
+
+    # a torn version dir (no _SUCCESS) is invisible to the listing
+    os.makedirs(os.path.join(versions, "v9_final"))
+    assert "v9_final" not in [n for n, _ in list_table_versions(versions)]
+
+    pruned = prune_table_versions(versions, keep_last=1)
+    assert sorted(os.path.basename(p) for p in pruned) == [
+        "v0_final", "v0_upsert", "v1_upsert"
+    ]
+    left = [n for n, _ in list_table_versions(versions)]
+    assert left == ["v1_final"]
+    assert open(os.path.join(versions, "_cdc_current")).read().strip() == cur
+    # the survivor (the pointer target) still reads
+    assert spark.read.parquet(cur).count() == len(t2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        prune_table_versions(versions, keep_last=0)
+    # a fresh merge after pruning continues the chain from the pointer
+    nxt = str(tmp_path / "after_prune")
+    merge_table(
+        spark, cur, nxt,
+        spark.createDataFrame([(7, "seven", "a")], "id long, val string, p string"),
+        key_cols=("id",), partition_col="p",
+    )
+    assert (7, "seven") in {
+        (r["id"], r["val"])
+        for r in spark.read.parquet(nxt).select("id", "val").collect()
+    }

@@ -387,3 +387,61 @@ def start_cdc_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_scd2_apply(
+    change_stream: DataFrame,
+    base_path: str,
+    versions_root: str,
+    checkpoint: str,
+    key_cols: "tuple[str, ...]",
+    delete_col: str = "is_del",
+):
+    """Streaming maintenance of an SCD2 dimension history —
+    :func:`start_cdc_apply`'s sibling for the type-2 table: each
+    micro-batch applies through the batch
+    :func:`...sources.artifacts.merge_scd2` verb with ``seq = epoch
+    + 1`` (the init's ``seq 0`` strictly precedes every epoch — a
+    same-seq close would make the half-open interval [s, s) an empty
+    lie), so the history's validity intervals ARE the stream's epoch
+    numbers shifted by one and ``scd2_as_of(h, e + 1)`` replays the
+    dimension exactly as micro-batch ``e`` left it.
+
+    One version per epoch (``v<epoch>_final``), exactly-once under
+    replay from merge_scd2's write-if-absent short-circuit, atomic
+    current-version pointer, zero streaming state — the same layout
+    and guarantees as every sibling above.  The base history must
+    exist (``init_scd2_history``): batch-0 of a stream is still a
+    batch, and the bucket-modulus sidecar must precede every merge.
+    """
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import merge_scd2
+
+    pointer = os.path.join(versions_root, "_cdc_current")
+
+    def _current() -> str:
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                return fh.read().strip()
+        return base_path
+
+    def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vb = os.path.join(versions_root, f"v{epoch_id}_final")
+        merge_scd2(
+            spark, _current(), vb, batch_df,
+            key_cols=key_cols, seq=int(epoch_id) + 1, delete_col=delete_col,
+        )
+        tmp = f"{pointer}.__tmp__{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(vb)
+        os.replace(tmp, pointer)
+
+    os.makedirs(versions_root, exist_ok=True)
+    return (
+        change_stream.writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -972,3 +972,102 @@ def test_cdc_version_chain_time_travel_and_prune(spark, tmp_path):
         (r["id"], r["val"])
         for r in spark.read.parquet(nxt).select("id", "val").collect()
     }
+
+
+def test_scd2_apply_stream_matches_batch_and_time_travels(spark, tmp_path):
+    """Streaming SCD2 maintenance: two change micro-batches through
+    start_scd2_apply leave the pointed-to history row-identical to the
+    batch merge_scd2 chain at seq 1, 2 — and scd2_as_of(h, e+1) reads
+    the dimension exactly as micro-batch e left it; wiped-checkpoint
+    replay changes nothing."""
+    import os
+    import shutil
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        init_scd2_history,
+        merge_scd2,
+        scd2_as_of,
+    )
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_scd2_apply,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"n{i}", 100 + i) for i in range(1, 7)],
+        "k long, nm string, bal long",
+    )
+    base_path = str(tmp_path / "h0")
+    init_scd2_history(spark, base, base_path, ("k",), seq=0, n_buckets=4)
+
+    schema = "k long, nm string, bal long, is_del boolean"
+    b1 = [(1, "n1", 999, False), (2, "n2", 102, True)]
+    b2 = [(1, "n1", 555, False), (9, "new", 9, False)]
+    src = tmp_path / "scd2_src"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    now = 1_700_000_000
+    for i, d in enumerate(("b1", "b2")):
+        for dirpath, _, names in os.walk(str(src / d)):
+            for n in names:
+                os.utime(os.path.join(dirpath, n), (now + i, now + i))
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+
+    versions = str(tmp_path / "scd2_versions")
+    q = start_scd2_apply(
+        _stream(), base_path, versions, str(tmp_path / "scd2_ckpt"),
+        key_cols=("k",),
+    )
+    q.awaitTermination()
+
+    pointer = os.path.join(versions, "_cdc_current")
+    final = open(pointer).read().strip()
+    hist = spark.read.parquet(final)
+    got = {
+        (r["k"], r["bal"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in hist.select(
+            "k", "bal", "valid_from", "valid_to", "is_current"
+        ).collect()
+    }
+
+    # batch composition: same batches at seq 1, 2
+    p1 = str(tmp_path / "cmp1")
+    merge_scd2(
+        spark, base_path, p1, spark.createDataFrame(b1, schema), ("k",),
+        seq=1, delete_col="is_del",
+    )
+    p2 = str(tmp_path / "cmp2")
+    merge_scd2(
+        spark, p1, p2, spark.createDataFrame(b2, schema), ("k",),
+        seq=2, delete_col="is_del",
+    )
+    want = {
+        (r["k"], r["bal"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(p2).select(
+            "k", "bal", "valid_from", "valid_to", "is_current"
+        ).collect()
+    }
+    assert got == want and got
+
+    # time travel: after micro-batch 0 (seq 1) k=1 is 999 and k=2 gone
+    at1 = {(r["k"], r["bal"]) for r in scd2_as_of(hist, 1).collect()}
+    assert (1, 999) in at1 and not any(k == 2 for k, _ in at1)
+    at2 = {(r["k"], r["bal"]) for r in scd2_as_of(hist, 2).collect()}
+    assert (1, 555) in at2 and (9, 9) in at2
+
+    # wiped-checkpoint full replay: every epoch short-circuits
+    dirs_before = sorted(os.listdir(versions))
+    shutil.rmtree(str(tmp_path / "scd2_ckpt"))
+    q2 = start_scd2_apply(
+        _stream(), base_path, versions, str(tmp_path / "scd2_ckpt"),
+        key_cols=("k",),
+    )
+    q2.awaitTermination()
+    assert sorted(os.listdir(versions)) == dirs_before
+    assert open(pointer).read().strip() == final

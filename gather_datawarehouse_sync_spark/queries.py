@@ -4817,6 +4817,43 @@ _df(
 )
 
 
+def _x_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checksum handshake of a corpus delivery: deterministic
+    64-doc shard assignment (md5(seed:id) rank order — reproducible
+    across engines/layouts) with per-shard row counts and
+    ORDER-INVARIANT exact-integer content hashes (first 8 md5 hex
+    chars of each row's unit-separator payload, summed).  The oracle
+    recomputes the whole manifest relationally, so a flipped byte,
+    lost row, duplicated row, or mis-sharded row anywhere in the
+    delivery breaks the hash-of-hashes."""
+    from gather_datawarehouse_sync_spark.sources.textfiles import shard_manifest
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return shard_manifest(
+        docs.select("doc_id", "text"), 64, payload_cols=["doc_id", "text"]
+    ).orderBy("shard")
+
+
+_df(
+    "x_export_manifest",
+    _x_export_manifest,
+    "WITH r AS (SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY "
+    "md5(concat('export:', CAST(doc_id AS VARCHAR))), doc_id) AS rnk "
+    "FROM documents), "
+    "s AS (SELECT CAST((rnk - 1) // 64 AS INT) AS shard, "
+    "CAST(('0x' || substr(md5(concat_ws(chr(31), "
+    "COALESCE(CAST(doc_id AS VARCHAR), chr(0)), "
+    "COALESCE(text, chr(0)))), 1, 8)) AS BIGINT) AS h FROM r) "
+    "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(SUM(h) AS BIGINT) AS content_hash "
+    "FROM s GROUP BY shard ORDER BY shard",
+    ("documents",),
+    note="corpus-delivery manifest: deterministic md5-rank sharding + "
+    "order-invariant per-shard integer content hashes; oracle "
+    "recomputes the whole manifest → FULL oracle",
+)
+
+
 def _x_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain balancing: keep at most 10 docs per source, hash-chosen."""
     from gather_datawarehouse_sync_spark.operators.sampling import cap_per_group

@@ -137,3 +137,103 @@ def read_parquet_evolved(
     scale; still, pin schemas in production tables and reserve this for
     ingestion boundaries (SURVEY §1.6 convention)."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def shard_manifest(
+    df: DataFrame,
+    docs_per_shard: int,
+    id_col: str = "doc_id",
+    payload_cols: "list[str] | None" = None,
+    seed: str = "export",
+) -> DataFrame:
+    """Deterministic shard assignment + per-shard content manifest —
+    the verification half of :func:`export_jsonl_shards`, exposed
+    separately so the manifest can be recomputed INDEPENDENTLY of any
+    written files and compared (a delivery is verified by re-deriving
+    its manifest from the source and diffing, the same
+    stored-vs-recompute contract as every persisted artifact here).
+
+    Rows rank by the engine-portable ``md5(seed:id)`` shuffle
+    (:func:`...operators.sampling.shuffle_order` — hierarchical, no
+    global window) and fill shards of ``docs_per_shard`` in rank order,
+    so shard contents are a pure function of (corpus, seed, size):
+    reproducible across runs, engines, and cluster layouts.  Each
+    shard's ``content_hash`` is ORDER-INVARIANT exact integer
+    arithmetic: per row the first 8 md5 hex chars of the
+    unit-separator-joined payload parse to a 32-bit int and SUM per
+    shard (int64-safe to ~2³¹ rows/shard) — so one flipped byte in any
+    row, a lost row, or a duplicated row changes the manifest.
+    Returns (shard, n_rows, content_hash), one row per shard.
+    """
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        shuffle_order,
+    )
+
+    if docs_per_shard < 1:
+        raise ValueError("shard_manifest: docs_per_shard must be >= 1")
+    cols = payload_cols if payload_cols is not None else df.columns
+    payload = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    ranked = shuffle_order(
+        df.withColumn("__payload", payload), id_col, seed=seed, out_col="__rank"
+    )
+    return (
+        ranked.select(
+            F.expr(f"CAST((__rank - 1) DIV {int(docs_per_shard)} AS INT)").alias(
+                "shard"
+            ),
+            F.expr(
+                "CAST(conv(substr(md5(__payload), 1, 8), 16, 10) AS BIGINT)"
+            ).alias("__h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__h").alias("content_hash"),
+        )
+    )
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    docs_per_shard: int,
+    id_col: str = "doc_id",
+    payload_cols: "list[str] | None" = None,
+    seed: str = "export",
+) -> DataFrame:
+    """Training-data delivery: write the corpus as
+    ``path/shard=<n>/*.json`` (JSONL — one document per line, the
+    format trainers consume) in deterministic ``md5(seed:id)`` shard
+    assignment, plus a ``_manifest`` parquet of per-shard row counts
+    and order-invariant content hashes (:func:`shard_manifest`).  A
+    consumer verifies the delivery by recomputing the manifest from
+    the files (or the receiving side's copy) and diffing — the
+    checksum handshake every corpus handoff needs.  One range-free
+    hash shuffle on the shard id; shards are rank-packed so every
+    shard except the last holds exactly ``docs_per_shard`` docs.
+    Returns the manifest."""
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        shuffle_order,
+    )
+
+    cols = payload_cols if payload_cols is not None else df.columns
+    ranked = shuffle_order(df, id_col, seed=seed, out_col="__rank")
+    (
+        ranked.select(
+            F.expr(f"CAST((__rank - 1) DIV {int(docs_per_shard)} AS INT)").alias(
+                "shard"
+            ),
+            *cols,
+        )
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )
+    manifest = shard_manifest(
+        df, docs_per_shard, id_col=id_col, payload_cols=cols, seed=seed
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    return df.sparkSession.read.parquet(f"{path}/_manifest")

@@ -335,3 +335,60 @@ def test_backfill_partitions_touches_only_incoming(spark, tmp_path):
     assert out.filter("day = 'd1'").count() == 4
     assert out.filter("day = 'd3'").count() == 4
     assert out.count() == 9
+
+
+def test_export_jsonl_shards_roundtrip_and_manifest(spark, sf_dir, tmp_path):
+    """The delivery handshake end-to-end: export writes rank-packed
+    shard=<n> JSONL dirs plus a _manifest; reading the files back and
+    re-deriving the manifest FROM THE FILES reproduces it exactly
+    (count and content hash per shard); every shard but the last holds
+    exactly docs_per_shard docs; the whole corpus round-trips."""
+    from gather_datawarehouse_sync_spark.sources.textfiles import (
+        export_jsonl_shards,
+        shard_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    path = str(tmp_path / "delivery")
+    manifest = export_jsonl_shards(docs, path, 64, payload_cols=["doc_id", "text"])
+    rows = {r["shard"]: (r["n_rows"], r["content_hash"]) for r in manifest.collect()}
+    assert sum(s for s, _ in rows.values()) == n
+    full, last = [s for s, _ in rows.values() if s == 64], [
+        s for s, _ in rows.values() if s != 64
+    ]
+    assert len(last) <= 1 and len(full) == n // 64
+
+    back = spark.read.json(f"{path}/shard=*/")
+    assert back.count() == n
+    assert sorted(
+        map(tuple, back.select("doc_id", "text").collect())
+    ) == sorted(map(tuple, docs.collect()))
+
+    # verify the delivery the way a RECEIVER does: recompute the
+    # manifest from the read-back files and diff against the shipped one
+    rederived = {
+        r["shard"]: (r["n_rows"], r["content_hash"])
+        for r in shard_manifest(
+            back.select("doc_id", "text"), 64, payload_cols=["doc_id", "text"]
+        ).collect()
+    }
+    assert rederived == rows
+
+    # tamper detection: drop one row → that shard's count AND hash move
+    from pyspark.sql import functions as F
+
+    tampered = shard_manifest(
+        back.filter(F.col("doc_id") != back.select("doc_id").first()[0]),
+        64,
+        payload_cols=["doc_id", "text"],
+    )
+    t = {r["shard"]: (r["n_rows"], r["content_hash"]) for r in tampered.collect()}
+    assert t != rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="docs_per_shard"):
+        shard_manifest(docs, 0)

@@ -6134,7 +6134,7 @@ _df(
 # remaining round-9 full-oracle queries, then the longest-waiting
 # core-shape queries:
 # x_merge_table, x_scd2_merge, x_scd2_asof, x_quantile_state,
-# x_index_lifecycle, x_release_gate,
+# x_export_manifest, x_index_lifecycle, x_release_gate,
 # x_gopher_rules, x_temp_resample, x_boilerplate,
 # x_boilerplate_against, x_dedup_recall, x_bm25,
 # x_json_struct, x_path_categories, x_one_to_one, x_reconcile,

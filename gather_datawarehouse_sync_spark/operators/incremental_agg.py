@@ -149,21 +149,25 @@ def quantiles_from_state(
     joined = cum.join(totals, list(keys)) if keys else cum.crossJoin(
         F.broadcast(totals)
     )
-    out = None
-    for q in qs_bp:
-        need = F.expr(f"(__N * {int(q)} + 9999) DIV 10000")
-        hit = (
-            joined.filter(F.col("__cum") >= need)
-            .groupBy(*keys)
-            .agg(F.min("bin").alias("__bin"))
-            .select(
-                *keys,
-                F.lit(int(q)).cast("bigint").alias("q_bp"),
-                (
-                    F.lit(int(lo))
-                    + F.expr(f"(__bin + 1) * {int(hi - lo)} DIV {int(bins)}")
-                ).cast("bigint").alias("value"),
-            )
+    # ONE aggregation for every requested quantile: explode the q list
+    # as literals (|qs| copies of the ≤bins-row state — still
+    # state-sized, never data-sized) instead of a per-q filter/agg/union
+    # plan that re-evaluates the window+join subtree |qs| times
+    qarr = F.array(*[F.lit(int(q)).cast("bigint") for q in qs_bp])
+    exploded = joined.select(
+        *keys, "bin", "__cum", "__N", F.explode(qarr).alias("q_bp")
+    )
+    need = F.expr("(__N * q_bp + 9999) DIV 10000")
+    return (
+        exploded.filter(F.col("__cum") >= need)
+        .groupBy(*keys, "q_bp")
+        .agg(F.min("bin").alias("__bin"))
+        .select(
+            *keys,
+            "q_bp",
+            (
+                F.lit(int(lo))
+                + F.expr(f"(__bin + 1) * {int(hi - lo)} DIV {int(bins)}")
+            ).cast("bigint").alias("value"),
         )
-        out = hit if out is None else out.unionByName(hit)
-    return out
+    )

@@ -1074,15 +1074,18 @@ def _floored_micro_matrix(C: np.ndarray, Q: np.ndarray) -> np.ndarray:
     The float-side sum is EXACT, not approximate: every floored term is
     an integer-valued double, and adding integer-valued doubles is
     exact while every partial sum stays below 2⁵³ — guaranteed up front
-    by the bound ``dim · max|C| · max|Q| · 10⁶ < 2⁵³`` (one max() scan
-    per side).  Inputs past the bound take the int64-accumulation
-    reference loop, so the hash contract holds for ALL magnitudes."""
+    by the bound ``dim · max|C| · max|Q| · 10⁶ + dim < 2⁵³`` (one max()
+    scan per side; the ``+ dim`` term covers floor's slack on negative
+    products, where |floor(t)| can exceed |t| by up to 1 per element).
+    Inputs past the bound take the int64-accumulation reference loop,
+    so the hash contract holds for ALL magnitudes."""
     nq, nc = len(Q), len(C)
     S = np.empty((nq, nc), dtype=np.int64)
     if nq == 0 or nc == 0:
         return S
     bound = (
         float(np.abs(C).max()) * float(np.abs(Q).max()) * 1e6 * C.shape[1]
+        + C.shape[1]
     )
     if not bound < 2.0**53:  # NaN-safe: NaN falls to the reference path
         for i in range(nq):
@@ -1527,6 +1530,17 @@ def reassign_drifted_cells(
             raise ValueError(
                 "reassign_drifted_cells: vectors= does not cover every "
                 "drifted-cell id — refusing to silently drop index rows"
+            )
+        # a duplicated (id, vector) row would silently MULTIPLY index
+        # rows via join fan-out — the same loud-refusal contract as
+        # merge_table's duplicate-source-key guard
+        dup = (
+            v.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "reassign_drifted_cells: duplicate ids in vectors= — the "
+                "re-assignment join would duplicate index rows"
             )
         moved = (
             movers.join(v, id_col)

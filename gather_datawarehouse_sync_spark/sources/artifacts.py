@@ -569,13 +569,26 @@ def merge_table(
     source = source.select(*target.columns)
     keys = list(key_cols)
 
-    # duplicate source keys → nondeterministic merge: refuse loudly.
-    # One agg over the (small, CDC-batch-sized) source.
+    # duplicate source keys → nondeterministic merge; NULL keys →
+    # unmatched-forever rows that re-insert on every replay; NULL
+    # partition values → hive's __HIVE_DEFAULT_PARTITION__ dir, which
+    # the str()-keyed skip set cannot name (silent row duplication).
+    # All three refuse loudly — one agg over the CDC-batch-sized source.
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError(
             "merge_table: duplicate keys in source — two source rows "
             "matching one target row is nondeterministic"
+        )
+    null_pred = F.lit(False)
+    for c in (*keys, partition_col):
+        null_pred = null_pred | F.col(c).isNull()
+    if source.filter(null_pred).limit(1).count():
+        raise ValueError(
+            "merge_table: NULL key or partition value in source — NULL "
+            "keys never match (non-idempotent re-insert) and NULL "
+            "partitions land in __HIVE_DEFAULT_PARTITION__, which the "
+            "partition rewrite cannot address; coalesce them first"
         )
     src_keys = F.broadcast(source.select(*keys).distinct())
 
@@ -589,6 +602,12 @@ def merge_table(
         .distinct()
         .collect()
     )
+    if None in dirty_vals:
+        raise ValueError(
+            "merge_table: a matched target row sits in a NULL partition "
+            "(__HIVE_DEFAULT_PARTITION__) — the partition rewrite cannot "
+            "address it; repair the table's partition column first"
+        )
     if when_matched == "update" or when_not_matched == "insert":
         dirty_vals.update(
             r[0] for r in source.select(partition_col).distinct().collect()
@@ -624,6 +643,33 @@ def merge_table(
     return rewrite_partitioned_artifact(
         spark, old_path, new_path, _replacement, dirty, partition_col
     )
+
+
+_POINTER_NAME = "_cdc_current"
+
+
+def read_version_pointer(versions_root: str, default: str | None = None) -> str:
+    """The current-version pointer of a CDC version chain — ONE reader
+    shared by the streaming appliers and the pruner, so the protocol
+    (strip, default fallback) cannot drift between copies."""
+    pointer = os.path.join(versions_root, _POINTER_NAME)
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            return fh.read().strip()
+    if default is None:
+        raise ValueError(f"no version pointer at {pointer} and no default")
+    return default
+
+
+def swap_version_pointer(versions_root: str, target: str) -> None:
+    """Atomically point the chain at ``target`` (tmp write + one
+    ``os.replace`` — readers see the old or the new pointer, never a
+    torn one).  The single writer every applier shares."""
+    pointer = os.path.join(versions_root, _POINTER_NAME)
+    tmp = f"{pointer}.__tmp__{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(target)
+    os.replace(tmp, pointer)
 
 
 def list_table_versions(versions_root: str) -> "list[tuple[str, str]]":
@@ -675,11 +721,10 @@ def prune_table_versions(
     if keep_last < 1:
         raise ValueError("prune_table_versions: keep_last must be >= 1")
     versions = list_table_versions(versions_root)
-    pointer = os.path.join(versions_root, "_cdc_current")
     protected = set()
-    if os.path.exists(pointer):
-        with open(pointer) as fh:
-            protected.add(os.path.normpath(fh.read().strip()))
+    target = read_version_pointer(versions_root, default="")
+    if target:
+        protected.add(os.path.normpath(target))
     pruned = []
     for _, path in versions[: max(0, len(versions) - keep_last)]:
         if os.path.normpath(path) in protected:
@@ -834,6 +879,15 @@ def merge_scd2(
         raise ValueError(
             "merge_scd2: duplicate keys in source — one version per key "
             "per batch"
+        )
+    knull = F.lit(False)
+    for k in keys:
+        knull = knull | F.col(k).isNull()
+    if src.filter(knull).limit(1).count():
+        raise ValueError(
+            "merge_scd2: NULL key in source — a NULL key matches no "
+            "current version, so every re-application would open another "
+            "duplicate NULL-key version; coalesce keys first"
         )
     # the bucket modulus comes from the table's own sidecar (written by
     # init_scd2_history, hardlink-carried through every rewrite) — a

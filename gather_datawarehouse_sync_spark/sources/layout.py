@@ -254,8 +254,25 @@ def file_stats_index(
     cols = list(cols)
 
     def _footers(batches):
+        import math as _math
+
         import pandas as pd
         import pyarrow.parquet as pq
+
+        def _lo(v):
+            # largest double ≤ v: int stats beyond 2^53 can round UP in
+            # float(), which would shrink the box and wrongly prune a
+            # file that holds matching rows — round mins DOWN instead
+            if v is None:
+                return None
+            f = float(v)
+            return _math.nextafter(f, -_math.inf) if f > v else f
+
+        def _hi(v):
+            if v is None:
+                return None
+            f = float(v)
+            return _math.nextafter(f, _math.inf) if f < v else f
 
         for pdf in batches:
             rows = []
@@ -280,8 +297,8 @@ def file_stats_index(
                     {
                         "file": fname,
                         "n_rows": md.num_rows,
-                        **{f"{c}_min": mins[c] for c in cols},
-                        **{f"{c}_max": maxs[c] for c in cols},
+                        **{f"{c}_min": _lo(mins[c]) for c in cols},
+                        **{f"{c}_max": _hi(maxs[c]) for c in cols},
                     }
                 )
             yield pd.DataFrame(rows)
@@ -312,18 +329,25 @@ def scan_with_file_pruning(
     kept).  The stats table is file-count-sized, so the prune is a
     bounded driver collect — the same class as a partition listing.
     """
-    from pyspark.sql import functions as F
-
-    keep = stats
-    for c, (lo, hi) in ranges.items():
-        overlap = (F.col(f"{c}_min") <= float(hi)) & (
-            F.col(f"{c}_max") >= float(lo)
-        )
-        absent = F.col(f"{c}_min").isNull() | F.col(f"{c}_max").isNull()
-        keep = keep.filter(absent | overlap)
-    kept = [r["file"] for r in keep.select("file").collect()]
-    total = stats.count()
+    # ONE evaluation of the stats frame (it may be the unpersisted
+    # footer job — evaluating it twice would re-read every footer):
+    # collect the file-count-sized table once and prune driver-side
+    rows = stats.collect()
+    if not rows:
+        raise ValueError("scan_with_file_pruning: empty stats table")
+    total = len(rows)
+    kept = []
+    for r in rows:
+        ok = True
+        for c, (lo, hi) in ranges.items():
+            mn, mx = r[f"{c}_min"], r[f"{c}_max"]
+            if mn is None or mx is None:
+                continue  # absent stats: keep conservatively
+            if mn > float(hi) or mx < float(lo):
+                ok = False
+                break
+        if ok:
+            kept.append(r["file"])
     if not kept:  # preserve schema: an all-pruned scan is a 0-row frame
-        any_file = stats.select("file").first()["file"]
-        return spark.read.parquet(any_file).limit(0), 0, total
+        return spark.read.parquet(rows[0]["file"]).limit(0), 0, total
     return spark.read.parquet(*kept), len(kept), total

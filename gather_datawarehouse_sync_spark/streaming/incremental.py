@@ -349,15 +349,11 @@ def start_cdc_apply(
     """
     import os
 
-    from gather_datawarehouse_sync_spark.sources.artifacts import merge_table
-
-    pointer = os.path.join(versions_root, "_cdc_current")
-
-    def _current() -> str:
-        if os.path.exists(pointer):
-            with open(pointer) as fh:
-                return fh.read().strip()
-        return base_path
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        merge_table,
+        read_version_pointer,
+        swap_version_pointer,
+    )
 
     def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -367,7 +363,8 @@ def start_cdc_apply(
         ups = batch_df.filter(~dflag).drop(delete_col)
         dels = batch_df.filter(dflag).drop(delete_col)
         merge_table(
-            spark, _current(), va, ups,
+            spark, read_version_pointer(versions_root, default=base_path),
+            va, ups,
             key_cols=key_cols, partition_col=partition_col,
         )
         merge_table(
@@ -375,10 +372,7 @@ def start_cdc_apply(
             key_cols=key_cols, partition_col=partition_col,
             when_matched="delete", when_not_matched="ignore",
         )
-        tmp = f"{pointer}.__tmp__{os.getpid()}"
-        with open(tmp, "w") as fh:
-            fh.write(vb)
-        os.replace(tmp, pointer)
+        swap_version_pointer(versions_root, vb)
 
     os.makedirs(versions_root, exist_ok=True)
     return (
@@ -416,27 +410,21 @@ def start_scd2_apply(
     """
     import os
 
-    from gather_datawarehouse_sync_spark.sources.artifacts import merge_scd2
-
-    pointer = os.path.join(versions_root, "_cdc_current")
-
-    def _current() -> str:
-        if os.path.exists(pointer):
-            with open(pointer) as fh:
-                return fh.read().strip()
-        return base_path
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        merge_scd2,
+        read_version_pointer,
+        swap_version_pointer,
+    )
 
     def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         vb = os.path.join(versions_root, f"v{epoch_id}_final")
         merge_scd2(
-            spark, _current(), vb, batch_df,
+            spark, read_version_pointer(versions_root, default=base_path),
+            vb, batch_df,
             key_cols=key_cols, seq=int(epoch_id) + 1, delete_col=delete_col,
         )
-        tmp = f"{pointer}.__tmp__{os.getpid()}"
-        with open(tmp, "w") as fh:
-            fh.write(vb)
-        os.replace(tmp, pointer)
+        swap_version_pointer(versions_root, vb)
 
     os.makedirs(versions_root, exist_ok=True)
     return (

@@ -3603,6 +3603,11 @@ def test_reassign_drifted_cells_parity_and_guards(spark, sf_dir, tmp_path):
             spark, sq_path, str(tmp_path / "sq_re1"), C2, drifted,
             vectors=emb.limit(1),
         )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        reassign_drifted_cells(
+            spark, sq_path, str(tmp_path / "sq_re_dup"), C2, drifted,
+            vectors=emb.unionByName(emb),
+        )
     sq_re = reassign_drifted_cells(
         spark, sq_path, str(tmp_path / "sq_re2"), C2, drifted, vectors=emb
     )
@@ -3776,6 +3781,25 @@ def test_merge_table_clause_matrix_and_guards(spark, tmp_path):
             spark, old_path, str(tmp_path / "wm"), src,
             key_cols=("id",), partition_col="p", when_matched="upsert",
         )
+    # NULL keys / NULL partitions refuse loudly: a NULL key never
+    # matches (re-insert on every replay) and a NULL partition lands in
+    # __HIVE_DEFAULT_PARTITION__, unaddressable by the str-keyed rewrite
+    with _pytest.raises(ValueError, match="NULL key or partition"):
+        merge_table(
+            spark, old_path, str(tmp_path / "nk"),
+            spark.createDataFrame(
+                [(None, "x", "a")], "id long, val string, p string"
+            ),
+            key_cols=("id",), partition_col="p",
+        )
+    with _pytest.raises(ValueError, match="NULL key or partition"):
+        merge_table(
+            spark, old_path, str(tmp_path / "np"),
+            spark.createDataFrame(
+                [(5, "x", None)], "id long, val string, p string"
+            ),
+            key_cols=("id",), partition_col="p",
+        )
     with _pytest.raises(ValueError, match="no complete table"):
         merge_table(
             spark, str(tmp_path / "nope"), str(tmp_path / "x"), src,
@@ -3906,6 +3930,15 @@ def test_merge_scd2_version_chains(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate keys"):
         merge_scd2(spark, p2, str(tmp_path / "dup"), dup, ("k",), seq=4,
                    delete_col="is_del")
+    with pytest.raises(ValueError, match="NULL key"):
+        merge_scd2(
+            spark, p2, str(tmp_path / "nullk"),
+            spark.createDataFrame(
+                [(None, "x", 1, False)],
+                "k long, nm string, bal long, is_del boolean",
+            ),
+            ("k",), seq=4, delete_col="is_del",
+        )
     # histories built without the sidecar are refused
     bare = str(tmp_path / "bare")
     from gather_datawarehouse_sync_spark.sources.artifacts import (

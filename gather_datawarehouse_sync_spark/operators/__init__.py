@@ -40,6 +40,7 @@ from gather_datawarehouse_sync_spark.operators.similarity import (  # noqa: F401
     lsh_topk,
     pq_encode,
     pq_topk,
+    reassign_drifted_cells,
     semantic_cells,
     semantic_dedup,
     train_pq_codebooks,
@@ -51,6 +52,9 @@ from gather_datawarehouse_sync_spark.operators.incremental_agg import (  # noqa:
     agg_state,
     finalize_agg,
     merge_agg_states,
+    merge_quantile_states,
+    quantile_state,
+    quantiles_from_state,
 )
 from gather_datawarehouse_sync_spark.operators.sampling import (  # noqa: F401
     bucketed_negatives,

@@ -8,10 +8,16 @@ from gather_datawarehouse_sync_spark.sources.filescan import (  # noqa: F401
 from gather_datawarehouse_sync_spark.sources.artifacts import (  # noqa: F401
     artifact_path,
     cached_parquet,
+    init_scd2_history,
+    list_table_versions,
     load_bpe_merges,
     load_ivf_centroids,
     load_pq_codebooks,
+    merge_scd2,
+    merge_table,
+    prune_table_versions,
     save_bpe_merges,
     save_ivf_centroids,
     save_pq_codebooks,
+    scd2_as_of,
 )

@@ -141,6 +141,16 @@ def quantiles_from_state(
     Returns (keys…, q_bp, value) with ``value = lo + (bin+1)·(hi−lo)
     DIV bins``.
     """
+    # a q_bp > 10000 can never satisfy cum >= ⌈q·N/10000⌉ (need > N),
+    # so the group's row would silently VANISH — a caller typo like
+    # 50000-for-P50 must be a loud error, not a missing row; q_bp <= 0
+    # is equally meaningless (need ≤ 0 → always the first bin)
+    bad = [q for q in qs_bp if not (0 < int(q) <= 10000)]
+    if bad:
+        raise ValueError(
+            f"quantiles_from_state: q_bp values must be in (0, 10000] "
+            f"basis points (5000 = P50); got {bad}"
+        )
     w = (
         Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy()
     ).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)

@@ -103,8 +103,11 @@ def bm25_topk(
       identical, and the score is hash-oracle-able.
 
     ``idf="log"`` is the PUBLISHED Okapi scorer, for serving: IDF is
-    the true ``ln((N−df+½)/(df+½))`` and every intermediate stays a
-    plain double (no milli quantization, no ``scale``) — bit-exactness
+    ``max(0, ln((N−df+½)/(df+½)))`` — floored at 0, the Lucene
+    convention, so a query term appearing in more than half the corpus
+    contributes nothing rather than a negative penalty — and every
+    intermediate stays a plain double (no milli quantization, no
+    ``scale``) — bit-exactness
     across engines is not promised (libm), so this tier is certified
     against an independent Python implementation with tolerance, not a
     hash oracle; the default ``"rational"`` tier stays the hash-exact
@@ -162,8 +165,18 @@ def bm25_topk(
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
         )
+        # raw ln((N−df+½)/(df+½)) goes NEGATIVE when df > N/2, so a very
+        # common query term would SUBTRACT from scores and push a doc
+        # matching two terms below one matching a single rarer term —
+        # floor the IDF at 0 (the Lucene convention): common terms
+        # contribute nothing, never a penalty
         contrib = (
-            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+            )
             * (F.col("tf") * (k1 + 1.0))
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
         )

@@ -6201,12 +6201,17 @@ _df(
 # Rotated-out queries stay green in the local sf0.01 oracle suite
 # (tests/test_queries_oracle.py covers every registered query, in- or
 # out-of-window).
-# Round-11 rotation candidates (oracled, no driver evidence yet) —
-# lead with the round-10 MERGE/SCD2/lifecycle capstones, then the
-# remaining round-9 full-oracle queries, then the longest-waiting
-# core-shape queries:
-# x_merge_table, x_scd2_merge, x_scd2_asof, x_quantile_state,
-# x_quantile_mv, x_export_manifest, x_index_lifecycle, x_release_gate,
+# Round 11 rotates in the six round-10 flagships the r10 verdict
+# named: the Delta-style parquet MERGE, the SCD2 dimension-history
+# MERGE and its as-of read, the mergeable quantile sketch (both the
+# explicit-state and materialized-view forms), and the sharded-export
+# manifest — the only path to driver-side evidence for the
+# MERGE/SCD2/CDC storage layer.
+# Round-12 rotation candidates (oracled, no driver evidence yet) —
+# lead with the index-lifecycle capstone and the round-11 additions
+# (x_file_prune, x_reassign_cells), then the remaining round-9
+# full-oracle queries, then the longest-waiting core-shape queries:
+# x_index_lifecycle, x_file_prune, x_reassign_cells, x_release_gate,
 # x_gopher_rules, x_temp_resample, x_boilerplate,
 # x_boilerplate_against, x_dedup_recall, x_bm25,
 # x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
@@ -6214,12 +6219,12 @@ _df(
 # x_length_buckets, x_interpolate.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    "x_curation_v2",
-    "x_quality_dedup",
-    "x_hybrid_bm25",
-    "x_ivf_append",
-    "x_index_compact",
-    "x_ivf_delete",
+    "x_merge_table",
+    "x_scd2_merge",
+    "x_scd2_asof",
+    "x_quantile_state",
+    "x_quantile_mv",
+    "x_export_manifest",
 )
 
 

@@ -507,6 +507,8 @@ def merge_table(
     partition_col: str,
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    broadcast_source_max: int = 4_000_000,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Delta-style MERGE/upsert on a plain hive-partitioned parquet
     table — :func:`rewrite_partitioned_artifact` generalized from index
@@ -546,6 +548,20 @@ def merge_table(
     construction (every source row matches and updates to itself) —
     the idempotent-replay contract of the keyed JDBC upsert
     (``sources/jdbc.py``), pinned in tests.  Returns the merged table.
+
+    ``seq_col`` (optional) makes the merge MONOTONIC per key: a
+    matched source row takes effect only when its sequence value is
+    STRICTLY greater than the target row's — a replayed or reordered
+    upstream batch carrying a stale event can never regress a row the
+    table has already advanced past (``when_matched="update"`` keeps
+    the max-seq row; ``"delete"`` only deletes forward).  Unmatched
+    source rows insert regardless (no tombstones: a delete removes the
+    row AND its sequence, so an upsert older than an applied delete
+    re-inserts — replaying whole epochs through the version chain's
+    write-if-absent short-circuit stays exact; arbitrary cross-stream
+    interleaving needs tombstone retention, out of scope).  Requires
+    ``seq_col`` to be a target column (outside the key/partition) with
+    key-unique target rows among matched keys.
     """
     from pyspark.sql import functions as F
 
@@ -568,6 +584,15 @@ def merge_table(
         raise ValueError(f"merge_table: source lacks target columns {missing}")
     source = source.select(*target.columns)
     keys = list(key_cols)
+    if seq_col is not None and (
+        seq_col not in target.columns
+        or seq_col in keys
+        or seq_col == partition_col
+    ):
+        raise ValueError(
+            f"merge_table: seq_col {seq_col!r} must be a target data "
+            "column (not a key, not the partition column)"
+        )
 
     # duplicate source keys → nondeterministic merge; NULL keys →
     # unmatched-forever rows that re-insert on every replay; NULL
@@ -581,14 +606,35 @@ def merge_table(
             "matching one target row is nondeterministic"
         )
     null_pred = F.lit(False)
-    for c in (*keys, partition_col):
+    for c in (*keys, partition_col, *((seq_col,) if seq_col else ())):
         null_pred = null_pred | F.col(c).isNull()
     if source.filter(null_pred).limit(1).count():
         raise ValueError(
-            "merge_table: NULL key or partition value in source — NULL "
-            "keys never match (non-idempotent re-insert) and NULL "
-            "partitions land in __HIVE_DEFAULT_PARTITION__, which the "
-            "partition rewrite cannot address; coalesce them first"
+            "merge_table: NULL key or partition (or sequence) value in "
+            "source — NULL keys never match (non-idempotent re-insert), "
+            "NULL partitions land in __HIVE_DEFAULT_PARTITION__, which "
+            "the partition rewrite cannot address, and a NULL sequence "
+            "cannot order against the target; coalesce them first"
+        )
+    # the whole plan broadcasts the source key set twice (dirty-partition
+    # probe + survivor anti-join); a corpus-sized "source" would OOM the
+    # executors instead of refusing — the same loud-refusal contract as
+    # broadcast_new_max (dedup.py) / broadcast_queries_max
+    # (similarity.py).  A bounded limit(n+1) probe, never a full count.
+    if (
+        source.select(*keys)
+        .limit(broadcast_source_max + 1)
+        .count()
+        > broadcast_source_max
+    ):
+        raise ValueError(
+            f"merge_table: source exceeds broadcast_source_max="
+            f"{broadcast_source_max} rows — the merge broadcasts the "
+            "source key set to prune dirty partitions, which only "
+            "scales for CDC-batch-sized sources. Split the source into "
+            "bounded batches (the merge is idempotent per batch), or "
+            "raise broadcast_source_max if the driver/executors have "
+            "the memory for the larger key set."
         )
     src_keys = F.broadcast(source.select(*keys).distinct())
 
@@ -617,9 +663,10 @@ def merge_table(
     def _replacement() -> DataFrame:
         if not dirty:  # empty source batch: pure hardlink carry-over
             return target.limit(0)
-        survivors = target.filter(F.col(partition_col).isin(dirty)).join(
-            src_keys, keys, "left_anti"
-        )
+        dirty_t = target.filter(F.col(partition_col).isin(dirty))
+        if seq_col is not None:
+            return _seq_replacement(dirty_t)
+        survivors = dirty_t.join(src_keys, keys, "left_anti")
         if when_matched == "update" and when_not_matched == "insert":
             landing = source  # every source row lands, matched or not
         elif when_matched == "delete" and when_not_matched == "ignore":
@@ -640,12 +687,103 @@ def merge_table(
             landing = source.join(matched, keys, how)
         return survivors.unionByName(landing)
 
+    def _seq_replacement(dirty_t: DataFrame) -> DataFrame:
+        # monotonic merge: each matched (target, source) pair resolves
+        # by sequence — source takes effect only when strictly newer.
+        # Both probe tables stay |source|-bounded broadcasts: the
+        # target side of every comparison is the PRUNED dirty scan
+        # semi-joined down to matched keys first.
+        matched_t = dirty_t.join(src_keys, keys, "left_semi")
+        if (
+            matched_t.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "merge_table: seq_col requires key-unique target rows "
+                "among matched keys — a duplicate-key target makes the "
+                "per-key sequence comparison ambiguous"
+            )
+        src_seq = F.broadcast(
+            source.select(*keys, F.col(seq_col).alias("__src_seq"))
+        )
+        survivors = (
+            dirty_t.join(src_seq, keys, "left")
+            .filter(
+                F.col("__src_seq").isNull()
+                | (F.col(seq_col) >= F.col("__src_seq"))
+            )
+            .drop("__src_seq")
+        )
+        tgt_seq = F.broadcast(
+            matched_t.select(*keys, F.col(seq_col).alias("__tgt_seq"))
+        )
+        sj = source.join(tgt_seq, keys, "left")
+        wins = sj.filter(
+            F.col("__tgt_seq").isNotNull()
+            & (F.col(seq_col) > F.col("__tgt_seq"))
+        ).drop("__tgt_seq")
+        landing = wins if when_matched == "update" else wins.limit(0)
+        if when_not_matched == "insert":
+            landing = landing.unionByName(
+                sj.filter(F.col("__tgt_seq").isNull()).drop("__tgt_seq")
+            )
+        return survivors.unionByName(landing)
+
     return rewrite_partitioned_artifact(
         spark, old_path, new_path, _replacement, dirty, partition_col
     )
 
 
 _POINTER_NAME = "_cdc_current"
+_RUN_MARKER = "_cdc_run"
+
+
+def claim_versions_root(versions_root: str, checkpoint: str) -> None:
+    """Bind a CDC/SCD2 version chain to the ONE streaming checkpoint
+    that builds it.  Version dirs are keyed by foreachBatch epoch id,
+    and epoch numbering restarts at 0 under a fresh checkpoint — so a
+    new stream pointed at an EXISTING ``versions_root`` would find
+    ``v0_final`` already complete, short-circuit on its ``_SUCCESS``,
+    and swap the current pointer BACK onto stale data: silent loss.
+    This claims the root with a ``_cdc_run`` marker holding the owning
+    checkpoint's absolute path and refuses loudly on mismatch.
+
+    Wiping the checkpoint but keeping its PATH stays legal (the
+    full-replay contract: every epoch re-derives identically from the
+    same source and short-circuits); only a DIFFERENT checkpoint
+    against a populated chain is the corruption shape.
+    """
+    os.makedirs(versions_root, exist_ok=True)
+    ident = os.path.abspath(checkpoint)
+    marker = os.path.join(versions_root, _RUN_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            owner = fh.read().strip()
+        if owner != ident:
+            raise ValueError(
+                f"versions_root {versions_root} belongs to the stream "
+                f"checkpointed at {owner!r}; starting a stream with "
+                f"checkpoint {ident!r} against it would reuse stale "
+                "epoch-numbered versions and roll the current pointer "
+                "back. Point the new stream at a fresh versions_root, "
+                "or resume the original checkpoint path."
+            )
+        return
+    if any(d.startswith("v") for d in os.listdir(versions_root)):
+        raise ValueError(
+            f"versions_root {versions_root} already holds version dirs "
+            "but no _cdc_run marker (pre-claim layout). If this "
+            "checkpoint is genuinely the stream that built them, write "
+            f"the marker first: echo {ident!r} > "
+            f"{os.path.join(versions_root, _RUN_MARKER)}"
+        )
+    tmp = f"{marker}.__tmp__{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write(ident)
+    os.replace(tmp, marker)
 
 
 def read_version_pointer(versions_root: str, default: str | None = None) -> str:

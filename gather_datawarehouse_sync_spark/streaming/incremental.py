@@ -318,6 +318,7 @@ def start_cdc_apply(
     key_cols: "tuple[str, ...]",
     partition_col: str,
     delete_col: str = "is_del",
+    seq_col: "str | None" = None,
 ):
     """Streaming CDC maintenance of a plain parquet table: each
     micro-batch of change rows (full replacement rows plus a boolean
@@ -346,10 +347,31 @@ def start_cdc_apply(
     rows — the ``merge_table`` contract) plus ``delete_col``; a delete
     row's payload beyond the key is ignored.  Returns the started
     query (caller awaits).
+
+    **Per-key event order.**  The applier splits each micro-batch into
+    upserts-then-deletes, so WITHOUT ``seq_col`` two events for one key
+    inside one batch have no defined order (a delete + re-insert would
+    net to a delete; two updates would trip merge_table's
+    duplicate-key guard mid-stream) — that shape now refuses LOUDLY up
+    front instead of corrupting or dying mid-merge.  Passing
+    ``seq_col`` (a per-key monotonic sequence column the target table
+    also carries — LSN, commit timestamp) lifts the restriction: each
+    batch is first compacted to the max-seq event per key (ties on
+    (key, seq) refuse — genuinely ambiguous), and both merges run
+    sequence-guarded, so a replayed or REORDERED upstream batch can
+    never regress a row past where the table already advanced.
+
+    **Version-chain ownership.**  ``versions_root`` is claimed by this
+    stream's checkpoint path (``_cdc_run`` marker): starting a stream
+    with a DIFFERENT checkpoint against a populated chain refuses
+    loudly — epoch numbering restarts at 0 under a fresh checkpoint,
+    and the write-if-absent short-circuit would otherwise resurrect
+    the stale v0 and roll the current pointer back.
     """
     import os
 
     from gather_datawarehouse_sync_spark.sources.artifacts import (
+        claim_versions_root,
         merge_table,
         read_version_pointer,
         swap_version_pointer,
@@ -359,6 +381,44 @@ def start_cdc_apply(
         spark = batch_df.sparkSession
         va = os.path.join(versions_root, f"v{epoch_id}_upsert")
         vb = os.path.join(versions_root, f"v{epoch_id}_final")
+        if seq_col is not None:
+            from pyspark.sql import Window
+
+            if (
+                batch_df.groupBy(*key_cols, seq_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    "start_cdc_apply: two events with the same "
+                    f"({', '.join(key_cols)}, {seq_col}) in one "
+                    "micro-batch — their order is genuinely ambiguous; "
+                    "the upstream must assign distinct sequence values"
+                )
+            w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+                F.col(seq_col).desc()
+            )
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        elif (
+            batch_df.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "start_cdc_apply: multiple events for one key in a "
+                "micro-batch with no seq_col — per-key order inside a "
+                "batch is undefined (a delete + re-insert would net to "
+                "a delete). Pass seq_col=<monotonic sequence column> "
+                "or pre-compact the feed to one event per key per batch"
+            )
         dflag = F.coalesce(F.col(delete_col), F.lit(False))
         ups = batch_df.filter(~dflag).drop(delete_col)
         dels = batch_df.filter(dflag).drop(delete_col)
@@ -366,15 +426,17 @@ def start_cdc_apply(
             spark, read_version_pointer(versions_root, default=base_path),
             va, ups,
             key_cols=key_cols, partition_col=partition_col,
+            seq_col=seq_col,
         )
         merge_table(
             spark, va, vb, dels,
             key_cols=key_cols, partition_col=partition_col,
             when_matched="delete", when_not_matched="ignore",
+            seq_col=seq_col,
         )
         swap_version_pointer(versions_root, vb)
 
-    os.makedirs(versions_root, exist_ok=True)
+    claim_versions_root(versions_root, checkpoint)
     return (
         change_stream.writeStream.foreachBatch(_apply_batch)
         .option("checkpointLocation", checkpoint)
@@ -407,10 +469,16 @@ def start_scd2_apply(
     and guarantees as every sibling above.  The base history must
     exist (``init_scd2_history``): batch-0 of a stream is still a
     batch, and the bucket-modulus sidecar must precede every merge.
+    ``versions_root`` is claimed by this checkpoint path (the
+    :func:`...sources.artifacts.claim_versions_root` contract — see
+    :func:`start_cdc_apply`): a different checkpoint against a
+    populated chain refuses loudly instead of resurrecting stale
+    epoch-0 versions.
     """
     import os
 
     from gather_datawarehouse_sync_spark.sources.artifacts import (
+        claim_versions_root,
         merge_scd2,
         read_version_pointer,
         swap_version_pointer,
@@ -426,7 +494,7 @@ def start_scd2_apply(
         )
         swap_version_pointer(versions_root, vb)
 
-    os.makedirs(versions_root, exist_ok=True)
+    claim_versions_root(versions_root, checkpoint)
     return (
         change_stream.writeStream.foreachBatch(_apply_batch)
         .option("checkpointLocation", checkpoint)

@@ -1580,25 +1580,32 @@ def test_bm25_matches_integer_definition(spark):
     }
     assert dup == want
 
-    # idf="log": the PUBLISHED Okapi scorer (true log-IDF, plain double
-    # arithmetic) against an independent pure-Python implementation —
-    # tolerance, not hash (libm), per the documented tier contract
+    # idf="log": the PUBLISHED Okapi scorer (log-IDF floored at 0 per
+    # the Lucene convention, plain double arithmetic) against an
+    # independent pure-Python implementation — tolerance, not hash
+    # (libm), per the documented tier contract.  "engine" has
+    # df=3 of N=4, so its raw ln IDF is NEGATIVE — the floor must zero
+    # it out, not let it subtract from scores.
     import math
 
+    assert df["engine"] > n_docs / 2  # the negative-IDF case is live
     avgdl = total / n_docs
     want_log = {}
     for i, ts in toks.items():
-        score = 0.0
+        score, matched = 0.0, False
         for t in terms:
             tfreq = ts.count(t)
             if tfreq == 0:
                 continue
+            matched = True
             w = (tfreq * (1.2 + 1.0)) / (
                 tfreq + 1.2 * (1.0 - 0.75 + 0.75 * dl[i] / avgdl)
             )
-            score += math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5)) * w
-        if score:
+            idf_t = max(0.0, math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5)))
+            score += idf_t * w
+        if matched:  # a zero score from floored IDF still ranks (last)
             want_log[i] = score
+    assert want_log[2] == 0.0  # doc 2 matches only the common term
     got_log = {
         r["doc_id"]: r["score"]
         for r in bm25_topk(sdf, terms, k=10, idf="log").collect()
@@ -2068,6 +2075,11 @@ def test_quantile_state_monoid_and_hand_computed(spark, sf_dir):
         quantile_state(one, ["g"], "v", 10, 10)
     with _pytest.raises(ValueError, match="at least one"):
         merge_quantile_states([], ["g"])
+    # q_bp out of (0, 10000] must be a loud error, not a silently
+    # missing group row (q_bp > 10000 can never satisfy cum >= need)
+    for bad in (0, -1, 10001, 50000):
+        with _pytest.raises(ValueError, match="basis points"):
+            quantiles_from_state(st, ["g"], [5000, bad], 0, 100, 10)
 
 
 def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
@@ -3804,6 +3816,130 @@ def test_merge_table_clause_matrix_and_guards(spark, tmp_path):
         merge_table(
             spark, str(tmp_path / "nope"), str(tmp_path / "x"), src,
             key_cols=("id",), partition_col="p",
+        )
+    # a corpus-sized "source" refuses loudly (bounded limit-probe)
+    # instead of OOMing the executors on the source-key broadcast —
+    # the broadcast_new_max / broadcast_queries_max contract
+    with _pytest.raises(ValueError, match="broadcast_source_max"):
+        merge_table(
+            spark, old_path, str(tmp_path / "big"), src,
+            key_cols=("id",), partition_col="p",
+            broadcast_source_max=1,
+        )
+
+
+def test_merge_table_seq_col_monotonic(spark, tmp_path):
+    """seq_col makes MERGE monotonic per key: a strictly-newer source
+    row takes effect (update or delete), a stale or equal-seq one is a
+    no-op — so a replayed/reordered batch can never regress the table —
+    with hand-computed expectations for every clause, idempotent
+    replay, and the loud guards (NULL seq, bad seq_col, duplicate
+    matched target keys)."""
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        merge_table,
+    )
+
+    rows = [(i, f"v{i}", 10, ["a", "b"][i % 2]) for i in range(6)]
+    old_path = str(tmp_path / "sq_v1")
+    cached_parquet(
+        spark, old_path,
+        lambda: spark.createDataFrame(
+            rows, "id long, val string, seq long, p string"
+        ),
+        partition_by=("p",),
+    )
+    base = {(i, f"v{i}", 10, ["a", "b"][i % 2]) for i in range(6)}
+
+    src = spark.createDataFrame(
+        [
+            (0, "newer", 11, "a"),   # wins: 11 > 10
+            (1, "stale", 9, "b"),    # loses: 9 < 10 — target keeps v1
+            (2, "tie", 10, "a"),     # loses: equal seq — replay-safe
+            (3, "moved", 20, "c"),   # wins AND moves partitions
+            (100, "fresh", 1, "z"),  # unmatched: inserts regardless
+        ],
+        "id long, val string, seq long, p string",
+    )
+    got = set(
+        map(
+            tuple,
+            merge_table(
+                spark, old_path, str(tmp_path / "sq_v2"), src,
+                key_cols=("id",), partition_col="p", seq_col="seq",
+            ).select("id", "val", "seq", "p").collect(),
+        )
+    )
+    want = {r for r in base if r[0] not in (0, 3)} | {
+        (0, "newer", 11, "a"),
+        (3, "moved", 20, "c"),
+        (100, "fresh", 1, "z"),
+    }
+    assert got == want
+
+    # replaying the SAME batch onto the merged output is a no-op (every
+    # matched row ties on seq; the insert now matches itself)
+    replay = set(
+        map(
+            tuple,
+            merge_table(
+                spark, str(tmp_path / "sq_v2"), str(tmp_path / "sq_v3"),
+                src, key_cols=("id",), partition_col="p", seq_col="seq",
+            ).select("id", "val", "seq", "p").collect(),
+        )
+    )
+    assert replay == want
+
+    # sequence-guarded delete: stale delete is a no-op, newer deletes
+    dels = spark.createDataFrame(
+        [(1, "x", 5, "b"), (4, "x", 99, "a")],
+        "id long, val string, seq long, p string",
+    )
+    got_d = set(
+        map(
+            tuple,
+            merge_table(
+                spark, old_path, str(tmp_path / "sq_d"), dels,
+                key_cols=("id",), partition_col="p", seq_col="seq",
+                when_matched="delete", when_not_matched="ignore",
+            ).select("id", "val", "seq", "p").collect(),
+        )
+    )
+    assert got_d == {r for r in base if r[0] != 4}
+
+    with _pytest.raises(ValueError, match="seq_col"):
+        merge_table(
+            spark, old_path, str(tmp_path / "sq_bad"), src,
+            key_cols=("id",), partition_col="p", seq_col="nope",
+        )
+    with _pytest.raises(ValueError, match="NULL key or partition"):
+        merge_table(
+            spark, old_path, str(tmp_path / "sq_null"),
+            spark.createDataFrame(
+                [(0, "x", None, "a")], "id long, val string, seq long, p string"
+            ),
+            key_cols=("id",), partition_col="p", seq_col="seq",
+        )
+    # duplicate matched target keys make the per-key comparison
+    # ambiguous — refuse (the non-seq path tolerates them via anti-join)
+    dup_path = str(tmp_path / "sq_dup")
+    cached_parquet(
+        spark, dup_path,
+        lambda: spark.createDataFrame(
+            [(7, "x", 1, "a"), (7, "y", 2, "a")],
+            "id long, val string, seq long, p string",
+        ),
+        partition_by=("p",),
+    )
+    with _pytest.raises(ValueError, match="key-unique"):
+        merge_table(
+            spark, dup_path, str(tmp_path / "sq_dup2"),
+            spark.createDataFrame(
+                [(7, "z", 3, "a")], "id long, val string, seq long, p string"
+            ),
+            key_cols=("id",), partition_col="p", seq_col="seq",
         )
 
 

@@ -870,6 +870,150 @@ def test_cdc_apply_stream_matches_batch_and_replays_exactly_once(
     assert got2 == got
 
 
+def test_cdc_seq_col_in_batch_compaction_and_stale_events(spark, tmp_path):
+    """seq_col CDC: (1) delete-then-reinsert of one key INSIDE one
+    micro-batch compacts to the latest event (the row survives — the
+    no-seq applier would have silently lost it); (2) a later batch
+    carrying STALE events (old upsert, old delete) cannot regress rows
+    the table already advanced past; (3) without seq_col, a
+    multi-event-per-key batch fails LOUDLY instead of corrupting."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import cached_parquet
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_cdc_apply,
+    )
+
+    base_path = str(tmp_path / "sq_v0")
+    rows = [(i, f"v{i}", 10, ["a", "b"][i % 2]) for i in range(4)]
+    cached_parquet(
+        spark, base_path,
+        lambda: spark.createDataFrame(
+            rows, "id long, val string, seq long, p string"
+        ),
+        partition_by=("p",),
+    )
+    schema = "id long, val string, seq long, p string, is_del boolean"
+    batch1 = [
+        (0, "x", 12, "a", True),       # delete …
+        (0, "reborn", 13, "a", False), # … then re-insert, SAME batch
+        (1, "up1", 11, "b", False),
+    ]
+    batch2 = [
+        (0, "stale", 5, "a", False),   # stale upsert: must not regress
+        (1, "gone", 5, "b", True),     # stale delete: must not delete
+        (2, "up2", 20, "c", False),    # newer: wins and moves partition
+    ]
+    src = tmp_path / "sq_src"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    now = 1_700_000_000
+    for i, d in enumerate(("b1", "b2")):
+        for dirpath, _, names in os.walk(str(src / d)):
+            for n in names:
+                os.utime(os.path.join(dirpath, n), (now + i, now + i))
+
+    versions = str(tmp_path / "sq_versions")
+    q = start_cdc_apply(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src)),
+        base_path, versions, str(tmp_path / "sq_ckpt"),
+        key_cols=("id",), partition_col="p", seq_col="seq",
+    )
+    q.awaitTermination()
+
+    final = open(os.path.join(versions, "_cdc_current")).read().strip()
+    got = {
+        r["id"]: (r["val"], r["seq"], r["p"])
+        for r in spark.read.parquet(final).collect()
+    }
+    assert got == {
+        0: ("reborn", 13, "a"),  # in-batch compaction kept the re-insert
+        1: ("up1", 11, "b"),     # stale delete bounced off seq 11
+        2: ("up2", 20, "c"),     # moved
+        3: ("v3", 10, "b"),      # untouched
+    }
+
+    # no seq_col + two events for one key in a batch → loud failure
+    q2 = start_cdc_apply(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src / "b1")),
+        base_path, str(tmp_path / "ns_versions"), str(tmp_path / "ns_ckpt"),
+        key_cols=("id",), partition_col="p",
+    )
+    with pytest.raises(Exception, match="multiple events"):
+        q2.awaitTermination()
+
+
+def test_cdc_versions_root_refuses_foreign_checkpoint(spark, tmp_path):
+    """A populated version chain is bound to the checkpoint that built
+    it: re-pointing a NEW stream (different checkpoint path) at it must
+    refuse loudly — epoch numbering restarts at 0, so the
+    write-if-absent short-circuit would resurrect stale v0 data and
+    roll the current pointer back.  Same checkpoint PATH (even wiped)
+    stays legal — that's the full-replay contract."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        claim_versions_root,
+    )
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_cdc_apply,
+    )
+
+    base_path = str(tmp_path / "fc_v0")
+    cached_parquet(
+        spark, base_path,
+        lambda: spark.createDataFrame(
+            [(0, "v0", "a")], "id long, val string, p string"
+        ),
+        partition_by=("p",),
+    )
+    schema = "id long, val string, p string, is_del boolean"
+    src = tmp_path / "fc_src"
+    spark.createDataFrame(
+        [(1, "one", "a", False)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    versions = str(tmp_path / "fc_versions")
+    ckpt = str(tmp_path / "fc_ckpt")
+    q = start_cdc_apply(
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src)),
+        base_path, versions, ckpt,
+        key_cols=("id",), partition_col="p",
+    )
+    q.awaitTermination()
+    pointer = os.path.join(versions, "_cdc_current")
+    before = open(pointer).read().strip()
+
+    # foreign checkpoint → refused at start, pointer untouched
+    with pytest.raises(ValueError, match="belongs to the stream"):
+        start_cdc_apply(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src)),
+            base_path, versions, str(tmp_path / "other_ckpt"),
+            key_cols=("id",), partition_col="p",
+        )
+    assert open(pointer).read().strip() == before
+
+    # a pre-claim chain (marker deleted) also refuses a new claim while
+    # version dirs exist — with adoption guidance in the message
+    os.remove(os.path.join(versions, "_cdc_run"))
+    with pytest.raises(ValueError, match="_cdc_run marker"):
+        claim_versions_root(versions, ckpt)
+
+
 def test_cdc_version_chain_time_travel_and_prune(spark, tmp_path):
     """The version chain is the time-travel surface: after two applied
     batches, list_table_versions orders upsert-before-final per epoch,

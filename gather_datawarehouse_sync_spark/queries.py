@@ -3526,6 +3526,164 @@ _df(
 )
 
 
+def _x_reassign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drifted-cell re-assignment served end-to-end — the middle
+    maintenance option between "append again" and "full rebuild"
+    (``reassign_drifted_cells``, the quantizer_drift gate's remedy):
+    IVF-flat lists persist under a v1 quantizer, an UPDATED v2
+    quantizer (retrained on a corpus subset, so it genuinely moves) is
+    installed, three cells are flagged drifted and ONLY their rows are
+    re-assigned under v2 — clean cells hardlink across — and top-1
+    serves from the rewritten artifact.  Probing every cell makes the
+    served result equal exact brute-force top-1 REGARDLESS of which
+    quantizer assigned which row, so the query carries a FULL oracle:
+    a row lost or duplicated by the rewrite (the dangerous failure
+    mode of partition-scoped copy-on-write) breaks the hash.
+    Assignment correctness (nearest updated centroid) and parity with
+    the explicit delete+append composition are pinned in
+    tests/test_operators.py::test_reassign_drifted_cells_parity_and_guards."""
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_invert,
+        ivf_topk,
+        kmeans_centroids,
+        reassign_drifted_cells,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+        load_ivf_centroids,
+        save_ivf_centroids,
+    )
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    idx1 = artifact_path(sf_dir, "ivf_centroids_reassign_v1")
+    if not os.path.exists(os.path.join(idx1, "_SUCCESS")):
+        save_ivf_centroids(spark, kmeans_centroids(emb, nlist=8), idx1)
+    C1 = load_ivf_centroids(spark, idx1)
+    p_v1 = artifact_path(sf_dir, "ivf_lists_reassign_lists_v1")
+    cached_parquet(
+        spark, p_v1, lambda: ivf_invert(emb, C1), partition_by=("cell",)
+    )
+    # the "updated" quantizer: retrained on two-thirds of the corpus —
+    # deterministic (seeded Spark ML k-means) yet different from v1
+    idx2 = artifact_path(sf_dir, "ivf_centroids_reassign_v2")
+    if not os.path.exists(os.path.join(idx2, "_SUCCESS")):
+        save_ivf_centroids(
+            spark,
+            kmeans_centroids(emb.filter(F.col("vec_id") % 3 != 0), nlist=8),
+            idx2,
+        )
+    C2 = load_ivf_centroids(spark, idx2)
+    lists = reassign_drifted_cells(
+        spark,
+        p_v1,
+        artifact_path(sf_dir, "ivf_lists_reassign_lists_v2"),
+        C2,
+        drifted=[0, 2, 5],
+    )
+    return (
+        ivf_topk(
+            emb.filter(F.col("vec_id") < 10), None, k=1, nlist=8, nprobe=8,
+            centroids=C2, lists=lists,
+        )
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    )
+
+
+_df(
+    "x_reassign_cells",
+    _x_reassign_cells,
+    # full probe ⇒ served top-1 ≡ brute force over the whole corpus,
+    # whatever the (engine-trained) v1/v2 quantizers did
+    "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+    "scored AS (SELECT q.qid, e.vec_id AS nid, "
+    "list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score "
+    "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid), "
+    "ranked AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid "
+    "ORDER BY score DESC, nid) AS rn FROM scored) "
+    "SELECT qid AS query_id, nid AS neighbor_id FROM ranked WHERE rn = 1 ORDER BY query_id",
+    ("embeddings",),
+    note="drifted-cell re-assignment under an updated quantizer served "
+    "end-to-end (dirty cells rewrite, clean cells hardlink); full probe "
+    "≡ brute force regardless of quantizer → FULL oracle",
+)
+
+
+def _x_file_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-level data skipping driven by the file-stats index — the
+    read-side payoff of ``write_zordered`` in a REGISTERED query:
+    lineitem (3 columns) is written z-order-clustered on
+    (l_orderkey, l_partkey), ``file_stats_index`` reads ONE footer per
+    file distributedly, ``scan_with_file_pruning`` keeps only the
+    files whose [min,max] boxes intersect the box predicate, and the
+    aggregate runs over the pruned reader + the row-level filter.
+
+    Self-checking on BOTH axes: the pruned scan must be value-identical
+    to the full-table scan (the FULL oracle — a wrongly pruned file
+    silently drops rows, which breaks the hash), and the prune must
+    actually bite (0 < kept < total enforced loudly — if clustering or
+    stats stop working the query FAILS rather than silently reading
+    everything).  The kept-file count is layout-dependent, so it's
+    asserted, not returned."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+    )
+    from gather_datawarehouse_sync_spark.sources.layout import (
+        file_stats_index,
+        scan_with_file_pruning,
+        write_zordered,
+    )
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].select("l_orderkey", "l_partkey", "l_quantity")
+    zpath = artifact_path(sf_dir, "lineitem_zorder_okpk_v1")
+    if not os.path.exists(os.path.join(zpath, "_SUCCESS")):
+        write_zordered(li, zpath, "l_orderkey", "l_partkey", num_files=16)
+    stats = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "lineitem_zorder_okpk_stats_v1"),
+        lambda: file_stats_index(spark, zpath, ["l_orderkey", "l_partkey"]),
+    )
+    box = {"l_orderkey": (0, 400), "l_partkey": (0, 60)}
+    reader, kept, total = scan_with_file_pruning(spark, stats, box)
+    if not (0 < kept < total):
+        raise ValueError(
+            f"x_file_prune: pruning ineffective — kept {kept}/{total} "
+            "files; z-order clustering or footer stats are broken"
+        )
+    return reader.filter(
+        F.col("l_orderkey").between(0, 400) & F.col("l_partkey").between(0, 60)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sum_qty"),
+        F.expr("COUNT(DISTINCT l_orderkey)").alias("n_orders"),
+    )
+
+
+_df(
+    "x_file_prune",
+    _x_file_prune,
+    "SELECT COUNT(*) AS n_rows, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem "
+    "WHERE l_orderkey BETWEEN 0 AND 400 AND l_partkey BETWEEN 0 AND 60",
+    ("lineitem",),
+    note="file-stats data skipping over a z-ordered layout: pruned scan "
+    "≡ full scan (FULL oracle) with 0 < kept < total enforced loudly",
+)
+
+
 def _x_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension TYPE 2 history, end-to-end over TWO
     CDC batches on one lineage: customer initializes the history

@@ -203,6 +203,98 @@ def release_index_gate(
     return out.withColumn("ok", ok)
 
 
+def choose_nprobe(
+    queries: DataFrame,
+    centroids,
+    lists: DataFrame,
+    k: int = 10,
+    target_recall_bp: int = 9000,
+    nprobes: "Sequence[int] | None" = None,
+    max_queries: int = 200,
+):
+    """Auto-tune the IVF×SQ probe width: the smallest ``nprobe`` whose
+    recall@``k`` against the SQ exact tier clears ``target_recall_bp``,
+    measured on a bounded held-out query sample — the operational
+    answer to "what nprobe do I serve at for ≥ X% recall" that
+    :func:`release_index_gate` certifies but does not pick.
+
+    Both tiers read the SAME stored code lists, so the measurement
+    isolates IVF probe loss from quantization loss (the x_ivfsq_recall
+    protocol), and the top rung ``nprobe = nlist`` is exact-by-
+    construction (full probe ≡ the SQ tier over identical codes,
+    recall 10000 bp) — the default doubling ladder therefore always
+    terminates with a passing rung.  Escalation exploits recall
+    monotonicity in nprobe (a wider probe's candidate set is a
+    superset, pinned in tests), so the first passing rung is the
+    ladder's minimal one.
+
+    Cost: the exact tier runs ONCE (persisted, ≤ ``max_queries``·k
+    rows); each rung adds one DPP-pruned probe of the lists plus a
+    bounded recall join — O(log nlist) rungs on the default ladder,
+    never corpus-sized work.  Returns ``(chosen_nprobe, trials)``
+    where ``trials`` is a DataFrame (nprobe, recall_bp, hits, total,
+    chosen) covering every rung measured, for the SCALE.md trend line.
+    """
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_topk,
+        recall_report,
+        sq_topk,
+    )
+
+    if not (0 < int(target_recall_bp) <= 10000):
+        raise ValueError(
+            f"choose_nprobe: target_recall_bp must be in (0, 10000], "
+            f"got {target_recall_bp}"
+        )
+    nlist = int(np.asarray(centroids).shape[0])
+    if nprobes is None:
+        ladder, p = [], 1
+        while p < nlist:
+            ladder.append(p)
+            p *= 2
+        ladder.append(nlist)
+    else:
+        ladder = sorted({int(p) for p in nprobes})
+        if not ladder or ladder[0] < 1 or ladder[-1] > nlist:
+            raise ValueError(
+                f"choose_nprobe: nprobes must be within [1, nlist={nlist}]"
+            )
+    q = queries.limit(int(max_queries))
+    exact = sq_topk(
+        q, None, k=k, codes=lists.select("vec_id", "codes", "scale_micro")
+    ).persist()
+    try:
+        trials, chosen = [], None
+        for p in ladder:
+            rep = recall_report(
+                ivf_sq_topk(q, centroids, lists, k=k, nprobe=p),
+                exact,
+                ks=(k,),
+            ).collect()[0]
+            trials.append(
+                (p, int(rep["recall_bp"]), int(rep["hits"]), int(rep["total"]))
+            )
+            if rep["recall_bp"] >= target_recall_bp:
+                chosen = p
+                break
+        if chosen is None:
+            raise ValueError(
+                f"choose_nprobe: no rung of {ladder} reaches "
+                f"{target_recall_bp} bp recall@{k} (best: {trials[-1][1]} "
+                f"bp at nprobe={trials[-1][0]}) — include nprobe=nlist "
+                "in the ladder for a guaranteed-exact top rung"
+            )
+    finally:
+        exact.unpersist()
+    report = queries.sparkSession.createDataFrame(
+        [(*t, t[0] == chosen) for t in trials],
+        "nprobe int, recall_bp long, hits long, total long, chosen boolean",
+    )
+    return chosen, report
+
+
 def curate(
     df: DataFrame,
     id_col: str = "doc_id",

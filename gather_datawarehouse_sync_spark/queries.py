@@ -4330,6 +4330,40 @@ _df(
 )
 
 
+def _x_auto_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operating-point CHOOSER the x_ivfsq_recall dashboard was
+    missing: escalate nprobe up the doubling ladder (1,2,4,8,16) and
+    pick the smallest rung whose recall@10 against the SQ exact tier
+    clears 9000 bp — ``pipelines.choose_nprobe``, the answer to "what
+    probe width do I serve at for ≥ 90 % recall" measured instead of
+    guessed.  The exact tier runs once; each rung is one DPP-pruned
+    probe + a bounded recall join; the nlist rung is exact by
+    construction, so the chooser always terminates.  Returns the full
+    trial history with the chosen rung flagged (recall values are
+    engine-specific → rows-only; monotonicity, minimality, guards, and
+    the always-terminates contract are pinned in unit tests)."""
+    from gather_datawarehouse_sync_spark.pipelines import choose_nprobe
+
+    emb, C, lists = _ivfsq_index(spark, sf_dir)
+    _, trials = choose_nprobe(
+        emb.filter(F.col("vec_id") < 10), C, lists,
+        k=10, target_recall_bp=9000,
+    )
+    return trials.orderBy("nprobe")
+
+
+_df(
+    "x_auto_nprobe",
+    _x_auto_nprobe,
+    None,
+    ("embeddings",),
+    note="auto-tuned IVF×SQ probe width: smallest nprobe on the "
+    "doubling ladder clearing 9000 bp recall@10 vs the SQ exact tier "
+    "(exact tier computed once; nlist rung exact by construction); "
+    "rows-only — chooser contract pinned in unit tests",
+)
+
+
 def _x_lsh_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH probe/recall tradeoff, measured per round (the
     x_ivfsq_recall pattern for the hyperplane tier): recall@5 of

@@ -4765,6 +4765,52 @@ def test_release_index_gate_verdicts_and_fail_fast(spark):
         release_index_gate(approx, exact, {})
 
 
+def test_choose_nprobe_chooser_contract(spark):
+    """The auto-nprobe chooser on a hand-built 2-cell index where the
+    probe loss is EXACT: the query sits in cell 0 but its true top-2
+    spans both cells, so nprobe=1 provably measures 5000 bp and
+    nprobe=2 (full probe) 10000 bp — pinning minimality (first passing
+    rung wins, no further rungs measured), the always-terminates
+    contract via the exact nlist rung, the loud no-passing-rung error
+    on a capped ladder, and the input guards."""
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_invert,
+    )
+    from gather_datawarehouse_sync_spark.pipelines import choose_nprobe
+
+    C = np.array([[1.0, 0.0], [0.0, 1.0]])
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    lists = ivf_sq_invert(corpus, C)
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.6])], "vec_id long, embedding array<double>"
+    )
+
+    chosen, trials = choose_nprobe(q, C, lists, k=2, target_recall_bp=10000)
+    rows = {r["nprobe"]: r for r in trials.collect()}
+    assert chosen == 2
+    assert rows[1]["recall_bp"] == 5000 and not rows[1]["chosen"]
+    assert rows[2]["recall_bp"] == 10000 and rows[2]["chosen"]
+
+    # minimality + early stop: a floor the first rung meets measures
+    # ONLY that rung
+    chosen_lo, trials_lo = choose_nprobe(
+        q, C, lists, k=2, target_recall_bp=5000
+    )
+    assert chosen_lo == 1 and trials_lo.count() == 1
+
+    with pytest.raises(ValueError, match="no rung"):
+        choose_nprobe(q, C, lists, k=2, target_recall_bp=10000, nprobes=[1])
+    with pytest.raises(ValueError, match="target_recall_bp"):
+        choose_nprobe(q, C, lists, k=2, target_recall_bp=0)
+    with pytest.raises(ValueError, match="within"):
+        choose_nprobe(q, C, lists, k=2, nprobes=[3])
+
+
 def test_ivf_sq_full_probe_equals_sq_topk(spark, sf_dir, tmp_path):
     """Composed IVF×SQ tier: probing every cell must equal the plain SQ
     scan tier EXACTLY (same integer scores, same tie-break) — the IVF

@@ -3929,6 +3929,76 @@ _df(
 )
 
 
+def _x_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC extraction — ``table_diff``, the
+    INVERSE of x_merge_table's verb: two deterministic orders versions
+    (deletes: key % 7 = 0; updates: +1000 on price for key % 5 = 0;
+    inserts: key % 11 = 0 re-keyed +10M) diffed into the minimal
+    upsert/delete change set whose merge application reproduces the
+    new version (round trip pinned in unit tests).  One full-outer
+    join of (key, data-struct) rows — all-integer payload, so the
+    change set carries a FULL oracle: a row misclassified (phantom
+    update, missed delete, unchanged row leaking into the diff) breaks
+    the hash."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import table_diff
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    old = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)").alias("price_int"),
+        "o_orderstatus",
+    )
+    upd = old.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "price_int",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("price_int") + 1000
+        ).otherwise(F.col("price_int")),
+    )
+    ins = old.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "price_int",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    new = upd.unionByName(ins)
+    return table_diff(old, new, ("o_orderkey",)).orderBy(
+        "o_orderkey", "is_del"
+    )
+
+
+_df(
+    "x_table_diff",
+    _x_table_diff,
+    "WITH old AS (SELECT o_orderkey, o_custkey, "
+    "CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int, o_orderstatus "
+    "FROM orders), "
+    "upd AS (SELECT o_orderkey, o_custkey, "
+    "CASE WHEN o_orderkey % 5 = 0 THEN price_int + 1000 ELSE price_int "
+    "END AS price_int, o_orderstatus FROM old WHERE o_orderkey % 7 <> 0), "
+    "ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, "
+    "price_int, 'N' AS o_orderstatus FROM old WHERE o_orderkey % 11 = 0), "
+    "new AS (SELECT * FROM upd UNION ALL SELECT * FROM ins), "
+    "ups AS (SELECT n.o_orderkey, n.o_custkey, n.price_int, "
+    "n.o_orderstatus, FALSE AS is_del FROM new n "
+    "LEFT JOIN old o ON n.o_orderkey = o.o_orderkey "
+    "WHERE o.o_orderkey IS NULL "
+    "OR n.o_custkey IS DISTINCT FROM o.o_custkey "
+    "OR n.price_int IS DISTINCT FROM o.price_int "
+    "OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus), "
+    "dels AS (SELECT o.o_orderkey, o.o_custkey, o.price_int, "
+    "o.o_orderstatus, TRUE AS is_del FROM old o "
+    "LEFT JOIN new n ON o.o_orderkey = n.o_orderkey "
+    "WHERE n.o_orderkey IS NULL) "
+    "SELECT * FROM ups UNION ALL SELECT * FROM dels "
+    "ORDER BY o_orderkey, is_del",
+    ("orders",),
+    note="snapshot-to-snapshot CDC extraction (the inverse of the MERGE "
+    "verb): minimal upsert/delete set between two table versions, "
+    "apply-round-trip pinned; FULL oracle via relational diff",
+)
+
+
 def _x_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized top-1 (FAISS SQ8): the compressed SCAN
     tier next to PQ-ADC — 4× smaller than float32 storage, one encode
@@ -4345,9 +4415,13 @@ def _x_auto_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gather_datawarehouse_sync_spark.pipelines import choose_nprobe
 
     emb, C, lists = _ivfsq_index(spark, sf_dir)
+    # serving-relevant rungs only (4, 8, 16): the r11 full-ladder sweep
+    # in SCALE.md showed nprobe < 4 lands far below any plausible floor
+    # on this corpus, so the registered per-round query skips the two
+    # rungs that cost bench seconds without informing the choice
     _, trials = choose_nprobe(
         emb.filter(F.col("vec_id") < 10), C, lists,
-        k=10, target_recall_bp=9000,
+        k=10, target_recall_bp=9000, nprobes=(4, 8, 16),
     )
     return trials.orderBy("nprobe")
 

@@ -3828,6 +3828,86 @@ def test_merge_table_clause_matrix_and_guards(spark, tmp_path):
         )
 
 
+def test_table_diff_roundtrip_and_guards(spark, tmp_path):
+    """table_diff is merge_table's exact inverse: the emitted change
+    set, applied as upserts-then-deletes, reproduces the new version —
+    with hand-checked classification (identical rows stay OUT of the
+    diff, null-safe data compare, updates/moves/inserts/deletes), the
+    self-diff-is-empty fixed point, and the loud guards."""
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        merge_table,
+        table_diff,
+    )
+
+    schema = "id long, val string, p string"
+    old_rows = [
+        (0, "a", "x"),   # identical in new → not in diff
+        (1, "b", "x"),   # value update
+        (2, "c", "y"),   # partition-moving update
+        (3, "d", "y"),   # deleted
+        (4, None, "x"),  # identical-with-NULL → null-safe, not in diff
+    ]
+    new_rows = [
+        (0, "a", "x"),
+        (1, "B", "x"),
+        (2, "c", "z"),
+        (4, None, "x"),
+        (100, "n", "y"),  # insert
+    ]
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    diff = table_diff(old, new, ("id",))
+    got = set(map(tuple, diff.collect()))
+    assert got == {
+        (1, "B", "x", False),
+        (2, "c", "z", False),
+        (100, "n", "y", False),
+        (3, "d", "y", True),
+    }
+    assert table_diff(old, old, ("id",)).count() == 0  # fixed point
+
+    # round trip: applying the diff through merge_table reproduces new
+    old_path = str(tmp_path / "td_v1")
+    cached_parquet(
+        spark, old_path, lambda: spark.createDataFrame(old_rows, schema),
+        partition_by=("p",),
+    )
+    ups = diff.filter(~F.col("is_del")).drop("is_del")
+    dels = diff.filter(F.col("is_del")).drop("is_del")
+    pa = str(tmp_path / "td_v2a")
+    merge_table(spark, old_path, pa, ups, key_cols=("id",), partition_col="p")
+    replayed = merge_table(
+        spark, pa, str(tmp_path / "td_v2b"), dels,
+        key_cols=("id",), partition_col="p",
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert set(map(tuple, replayed.select("id", "val", "p").collect())) == set(
+        new_rows
+    )
+
+    with _pytest.raises(ValueError, match="column mismatch"):
+        table_diff(old, new.drop("val"), ("id",))
+    with _pytest.raises(ValueError, match="NULL key"):
+        table_diff(
+            old,
+            spark.createDataFrame([(None, "x", "x")], schema),
+            ("id",),
+        )
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        table_diff(
+            spark.createDataFrame([(1, "a", "x"), (1, "b", "x")], schema),
+            new,
+            ("id",),
+        )
+    with _pytest.raises(ValueError, match="collides"):
+        table_diff(old, new, ("id",), delete_col="val")
+    with _pytest.raises(ValueError, match="no data columns"):
+        table_diff(old, new, ("id", "val", "p"))
+
+
 def test_merge_table_seq_col_monotonic(spark, tmp_path):
     """seq_col makes MERGE monotonic per key: a strictly-newer source
     row takes effect (update or delete), a stale or equal-seq one is a

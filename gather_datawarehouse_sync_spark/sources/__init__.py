@@ -8,6 +8,7 @@ from gather_datawarehouse_sync_spark.sources.filescan import (  # noqa: F401
 from gather_datawarehouse_sync_spark.sources.artifacts import (  # noqa: F401
     artifact_path,
     cached_parquet,
+    claim_versions_root,
     init_scd2_history,
     list_table_versions,
     load_bpe_merges,
@@ -20,4 +21,5 @@ from gather_datawarehouse_sync_spark.sources.artifacts import (  # noqa: F401
     save_ivf_centroids,
     save_pq_codebooks,
     scd2_as_of,
+    table_diff,
 )

@@ -832,3 +832,53 @@ def test_file_stats_index_prunes_zordered_scan(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no parquet files"):
         file_stats_index(spark, str(tmp_path / "nope"), ["x"])
+
+
+def test_refresh_file_stats_index_matches_rebuild(spark, tmp_path):
+    """Incremental stats maintenance: after an append AND a file
+    deletion, refresh(old index) is row-identical to a from-scratch
+    rebuild — only the appended files' footers are read (the carried
+    rows come from the stored index, not re-footering); no-op refresh
+    returns the index unchanged; column-mismatch guard."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.layout import (
+        file_stats_index,
+        refresh_file_stats_index,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i * 2) for i in range(1000)], "x long, y long"
+    ).repartition(4).write.parquet(path)
+    stats_v1 = file_stats_index(spark, path, ["x", "y"]).localCheckpoint()
+
+    # append new files and delete one original file
+    spark.createDataFrame(
+        [(i, i * 2) for i in range(1000, 1500)], "x long, y long"
+    ).repartition(2).write.mode("append").parquet(path)
+    victim = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )[0]
+    os.remove(os.path.join(path, victim))
+
+    refreshed = refresh_file_stats_index(spark, path, stats_v1, ["x", "y"])
+    rebuilt = file_stats_index(spark, path, ["x", "y"])
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # fixed point: refreshing an up-to-date index changes nothing
+    again = refresh_file_stats_index(spark, path, refreshed, ["x", "y"])
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lacks"):
+        refresh_file_stats_index(spark, path, stats_v1.drop("y_min"), ["x", "y"])
+    with _pytest.raises(ValueError, match="no parquet files"):
+        refresh_file_stats_index(
+            spark, str(tmp_path / "nope"), stats_v1, ["x", "y"]
+        )

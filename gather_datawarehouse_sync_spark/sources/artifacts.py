@@ -807,21 +807,21 @@ def table_diff(
             )
     o = old.select(*keys, F.struct(*data_cols).alias("__o"))
     n = new.select(*keys, F.struct(*data_cols).alias("__n"))
-    j = o.join(n, keys, "full_outer")
-    ups = (
-        j.filter(
-            F.col("__n").isNotNull() & ~F.col("__n").eqNullSafe(F.col("__o"))
+    # ONE pass over the joined frame — a union of per-class filters
+    # would re-execute the join once per class (Spark does not share
+    # common subtrees across union branches); instead classify with a
+    # flag column and pick the payload struct with a CASE
+    return (
+        o.join(n, keys, "full_outer")
+        .filter(F.col("__n").isNull() | ~F.col("__n").eqNullSafe(F.col("__o")))
+        .withColumn(delete_col, F.col("__n").isNull())
+        .withColumn(
+            "__r",
+            F.when(F.col(delete_col), F.col("__o")).otherwise(F.col("__n")),
         )
-        .select(*keys, "__n.*")
-        .withColumn(delete_col, F.lit(False))
+        .select(*keys, "__r.*", delete_col)
+        .select(*old.columns, delete_col)
     )
-    dels = (
-        j.filter(F.col("__n").isNull())
-        .select(*keys, "__o.*")
-        .withColumn(delete_col, F.lit(True))
-    )
-    out_cols = [*old.columns, delete_col]
-    return ups.select(*out_cols).unionByName(dels.select(*out_cols))
 
 
 _POINTER_NAME = "_cdc_current"

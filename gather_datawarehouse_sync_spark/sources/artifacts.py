@@ -871,6 +871,16 @@ def claim_versions_root(versions_root: str, checkpoint: str) -> None:
     with open(tmp, "w") as fh:
         fh.write(ident)
     os.replace(tmp, marker)
+    # two streams racing to claim an empty root: both miss the marker,
+    # both os.replace — last writer wins the file, so re-read and make
+    # the LOSER fail here instead of both proceeding to interleave
+    # version writes
+    with open(marker) as fh:
+        if fh.read().strip() != ident:
+            raise ValueError(
+                f"versions_root {versions_root} was claimed concurrently "
+                "by another stream — one chain has exactly one writer"
+            )
 
 
 def read_version_pointer(versions_root: str, default: str | None = None) -> str:

@@ -346,6 +346,13 @@ def refresh_file_stats_index(
     listing); only the NEW files' footers are read, distributedly.
     Persist the result as the next index version (``cached_parquet``)
     and serve :func:`scan_with_file_pruning` from it.
+
+    Assumes IMMUTABLE data files (the parquet-writer convention: new
+    content arrives under new ``part-…`` names): a file rewritten IN
+    PLACE under its old name keeps its old stats row here, and a
+    widened value range could then be wrongly pruned.  Engines that
+    rewrite in place must full-rebuild instead — which is why every
+    rewrite verb in this repo installs a NEW versioned directory.
     """
     cols = list(cols)
     missing = [

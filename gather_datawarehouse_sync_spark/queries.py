@@ -3929,6 +3929,110 @@ _df(
 )
 
 
+def _x_merge_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MONOTONIC merge (``merge_table(seq_col=)``) end-to-end — the
+    batch face of the round-11 CDC hardening: the orders base persists
+    with a per-key sequence (10 + key % 3, so the batch below meets
+    targets at seq 10, 11 AND 12), then ONE mixed batch merges in —
+    newer updates at seq 12 (win over seq-10/11 targets, NO-OP against
+    seq-12 ones), stale updates at seq 9 (+777 price bait that must
+    never surface), and fresh inserts at seq 1 (unmatched rows insert
+    regardless of sequence).  The oracle replays the sequence rule
+    relationally (FULL OUTER JOIN, source wins iff s.seq > t.seq), so
+    a regression in any direction — a stale row applied, a tie
+    applied, a newer row missed, an insert dropped — breaks the hash."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+        merge_table,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders",))
+
+    def _base() -> DataFrame:
+        return t["orders"].select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_int"),
+            (F.col("o_orderkey") % 3 + 10).cast("bigint").alias("seq"),
+            "o_orderstatus",
+        )
+
+    base_path = artifact_path(sf_dir, "merge_seq_orders_base_v1")
+    cached_parquet(spark, base_path, _base, partition_by=("o_orderstatus",))
+    base = spark.read.parquet(base_path)
+    newer = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("price_int") + 1000).alias("price_int"),
+        F.lit(12).cast("bigint").alias("seq"),
+        "o_orderstatus",
+    )
+    stale = base.filter(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("price_int") + 777).alias("price_int"),
+        F.lit(9).cast("bigint").alias("seq"),
+        "o_orderstatus",
+    )
+    ins = base.filter(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        (F.col("price_int") + 5).alias("price_int"),
+        F.lit(1).cast("bigint").alias("seq"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    merged = merge_table(
+        spark,
+        base_path,
+        artifact_path(sf_dir, "merge_seq_orders_v2"),
+        newer.unionByName(stale).unionByName(ins),
+        key_cols=("o_orderkey",),
+        partition_col="o_orderstatus",
+        seq_col="seq",
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "price_int", "seq", "o_orderstatus"
+    ).orderBy("o_orderkey")
+
+
+_SEQ_WIN = "s.o_orderkey IS NOT NULL AND (t.o_orderkey IS NULL OR s.seq > t.seq)"
+_df(
+    "x_merge_seq",
+    _x_merge_seq,
+    "WITH tgt AS (SELECT o_orderkey, o_custkey, "
+    "CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int, "
+    "CAST(o_orderkey % 3 + 10 AS BIGINT) AS seq, o_orderstatus "
+    "FROM orders), "
+    "newer AS (SELECT o_orderkey, o_custkey, price_int + 1000 AS price_int, "
+    "CAST(12 AS BIGINT) AS seq, o_orderstatus FROM tgt "
+    "WHERE o_orderkey % 10 = 3), "
+    "stale AS (SELECT o_orderkey, o_custkey, price_int + 777 AS price_int, "
+    "CAST(9 AS BIGINT) AS seq, o_orderstatus FROM tgt "
+    "WHERE o_orderkey % 10 = 7), "
+    "ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, "
+    "price_int + 5 AS price_int, CAST(1 AS BIGINT) AS seq, "
+    "'N' AS o_orderstatus FROM tgt WHERE o_orderkey % 1000 = 7), "
+    "src AS (SELECT * FROM newer UNION ALL SELECT * FROM stale "
+    "UNION ALL SELECT * FROM ins) "
+    "SELECT CAST(COALESCE(t.o_orderkey, s.o_orderkey) AS BIGINT) AS o_orderkey, "
+    f"CAST(CASE WHEN {_SEQ_WIN} THEN s.o_custkey ELSE t.o_custkey END "
+    "AS BIGINT) AS o_custkey, "
+    f"CAST(CASE WHEN {_SEQ_WIN} THEN s.price_int ELSE t.price_int END "
+    "AS BIGINT) AS price_int, "
+    f"CAST(CASE WHEN {_SEQ_WIN} THEN s.seq ELSE t.seq END "
+    "AS BIGINT) AS seq, "
+    f"CASE WHEN {_SEQ_WIN} THEN s.o_orderstatus ELSE t.o_orderstatus END "
+    "AS o_orderstatus "
+    "FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey "
+    "ORDER BY o_orderkey",
+    ("orders",),
+    note="monotonic MERGE (seq_col): newer source rows win, ties and "
+    "stale rows are no-ops, unmatched rows insert — the replay/reorder "
+    "safety rule under a FULL relational-replay oracle",
+)
+
+
 def _x_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-snapshot CDC extraction — ``table_diff``, the
     INVERSE of x_merge_table's verb: two deterministic orders versions

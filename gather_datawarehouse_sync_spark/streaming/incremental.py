@@ -445,6 +445,74 @@ def start_cdc_apply(
     )
 
 
+def start_quantile_refresh(
+    change_stream: DataFrame,
+    state_root: str,
+    checkpoint: str,
+    keys: "tuple[str, ...]",
+    metric_col: str,
+    lo: int,
+    hi: int,
+    bins: int = 256,
+    base_path: "str | None" = None,
+):
+    """Streaming maintenance of the mergeable quantile materialized
+    view — the streaming face of x_quantile_mv's nightly refresh: each
+    micro-batch aggregates to its own fixed-bin histogram state
+    (``quantile_state``, state-sized not data-sized) and monoid-merges
+    onto the persisted state (``merge_quantile_states`` — exact
+    integer counts, so stream ≡ batch BIT-IDENTICALLY, pinned in
+    tests), producing one state version per epoch on the same
+    version-chain machinery as every sibling: write-if-absent installs
+    (``cached_parquet``'s ``_SUCCESS`` short-circuit → exactly-once
+    under replay), atomic current pointer, checkpoint-bound root
+    (``claim_versions_root``), zero Structured Streaming state.
+
+    Readers serve quantiles at any moment from the pointer target via
+    ``quantiles_from_state`` — the state is ≤ |groups|·bins rows, so
+    the read path never touches the stream's history.  ``base_path``
+    optionally seeds epoch 0 with a pre-existing state artifact (the
+    batch-built corpus state); without it the chain starts empty.
+    Returns the started query (caller awaits).
+    """
+    import os
+
+    from gather_datawarehouse_sync_spark.operators.incremental_agg import (
+        merge_quantile_states,
+        quantile_state,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        claim_versions_root,
+        read_version_pointer,
+        swap_version_pointer,
+    )
+
+    def _apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vb = os.path.join(state_root, f"v{epoch_id}_final")
+        prev = read_version_pointer(state_root, default=base_path or "")
+
+        def _build() -> DataFrame:
+            delta = quantile_state(batch_df, keys, metric_col, lo, hi, bins)
+            if not prev:
+                return delta
+            return merge_quantile_states(
+                [spark.read.parquet(prev), delta], keys
+            )
+
+        cached_parquet(spark, vb, _build)
+        swap_version_pointer(state_root, vb)
+
+    claim_versions_root(state_root, checkpoint)
+    return (
+        change_stream.writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_scd2_apply(
     change_stream: DataFrame,
     base_path: str,

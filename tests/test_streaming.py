@@ -952,6 +952,118 @@ def test_cdc_seq_col_in_batch_compaction_and_stale_events(spark, tmp_path):
         q2.awaitTermination()
 
 
+def test_quantile_refresh_stream_matches_batch(spark, tmp_path):
+    """Streaming quantile-MV maintenance: draining two micro-batches
+    leaves the pointed-to state BIT-IDENTICAL to the one-pass batch
+    state over the union (the exact monoid law under streaming — same
+    contract as x_quantile_mv's nightly refresh), quantiles serve from
+    the pointer target, wiped-checkpoint replay is a no-op, and a
+    base_path seed folds a pre-existing corpus state into epoch 0."""
+    import os
+    import shutil
+
+    from gather_datawarehouse_sync_spark.operators.incremental_agg import (
+        quantile_state,
+        quantiles_from_state,
+    )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+    )
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_quantile_refresh,
+    )
+
+    schema = "g string, v long"
+    batch1 = [("a", i) for i in range(0, 50)] + [("b", 2 * i) for i in range(20)]
+    batch2 = [("a", i) for i in range(50, 100)] + [("b", 120)]
+    src = tmp_path / "qr_src"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    now = 1_700_000_000
+    for i, d in enumerate(("b1", "b2")):
+        for dirpath, _, names in os.walk(str(src / d)):
+            for n in names:
+                os.utime(os.path.join(dirpath, n), (now + i, now + i))
+
+    def _stream(path):
+        return (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(path))
+        )
+
+    root = str(tmp_path / "qr_state")
+    ckpt = str(tmp_path / "qr_ckpt")
+    q = start_quantile_refresh(
+        _stream(src), root, ckpt, ("g",), "v", 0, 100, bins=10
+    )
+    q.awaitTermination()
+
+    pointer = os.path.join(root, "_cdc_current")
+    final = open(pointer).read().strip()
+    got = sorted(map(tuple, spark.read.parquet(final).collect()))
+    want_df = quantile_state(
+        spark.createDataFrame(batch1 + batch2, schema), ["g"], "v", 0, 100, 10
+    )
+    assert got == sorted(map(tuple, want_df.collect()))
+
+    # quantiles served from the pointer equal the batch finalization
+    got_q = sorted(
+        map(
+            tuple,
+            quantiles_from_state(
+                spark.read.parquet(final), ["g"], [5000, 9900], 0, 100, 10
+            ).collect(),
+        )
+    )
+    want_q = sorted(
+        map(
+            tuple,
+            quantiles_from_state(
+                want_df, ["g"], [5000, 9900], 0, 100, 10
+            ).collect(),
+        )
+    )
+    assert got_q == want_q and got_q
+
+    # wiped-checkpoint full replay: every epoch short-circuits
+    dirs_before = sorted(os.listdir(root))
+    shutil.rmtree(ckpt)
+    q2 = start_quantile_refresh(
+        _stream(src), root, ckpt, ("g",), "v", 0, 100, bins=10
+    )
+    q2.awaitTermination()
+    assert sorted(os.listdir(root)) == dirs_before
+    assert open(pointer).read().strip() == final
+
+    # base_path seeding: a persisted corpus state folds into epoch 0
+    seed_rows = [("a", 99), ("c", 5)]
+    seed_path = str(tmp_path / "qr_seed")
+    cached_parquet(
+        spark, seed_path,
+        lambda: quantile_state(
+            spark.createDataFrame(seed_rows, schema), ["g"], "v", 0, 100, 10
+        ),
+    )
+    root2 = str(tmp_path / "qr_state2")
+    q3 = start_quantile_refresh(
+        _stream(src / "b1"), root2, str(tmp_path / "qr_ckpt2"),
+        ("g",), "v", 0, 100, bins=10, base_path=seed_path,
+    )
+    q3.awaitTermination()
+    final2 = open(os.path.join(root2, "_cdc_current")).read().strip()
+    got2 = sorted(map(tuple, spark.read.parquet(final2).collect()))
+    want2 = quantile_state(
+        spark.createDataFrame(seed_rows + batch1, schema), ["g"], "v", 0, 100, 10
+    )
+    assert got2 == sorted(map(tuple, want2.collect()))
+
+
 def test_cdc_versions_root_refuses_foreign_checkpoint(spark, tmp_path):
     """A populated version chain is bound to the checkpoint that built
     it: re-pointing a NEW stream (different checkpoint path) at it must

@@ -6579,9 +6579,11 @@ _df(
 # MERGE/SCD2/CDC storage layer.
 # Round-12 rotation candidates (oracled, no driver evidence yet) —
 # lead with the index-lifecycle capstone and the round-11 additions
-# (x_file_prune, x_reassign_cells), then the remaining round-9
-# full-oracle queries, then the longest-waiting core-shape queries:
-# x_index_lifecycle, x_file_prune, x_reassign_cells, x_release_gate,
+# (x_merge_seq, x_table_diff, x_file_prune, x_reassign_cells), then
+# the remaining round-9 full-oracle queries, then the longest-waiting
+# core-shape queries:
+# x_index_lifecycle, x_merge_seq, x_table_diff, x_file_prune,
+# x_reassign_cells, x_release_gate,
 # x_gopher_rules, x_temp_resample, x_boilerplate,
 # x_boilerplate_against, x_dedup_recall, x_bm25,
 # x_json_struct, x_path_categories, x_one_to_one, x_reconcile,

@@ -3908,6 +3908,71 @@ def test_table_diff_roundtrip_and_guards(spark, tmp_path):
         table_diff(old, new, ("id", "val", "p"))
 
 
+def test_table_diff_merge_closure_randomized(spark, tmp_path):
+    """The diff↔merge closure law on seeded-random version pairs:
+    for ANY (old, new) with unique non-null keys,
+    merge(old, table_diff(old, new)) == new — rows randomly kept,
+    updated, deleted, inserted, and partition-moved across 4 seeds, so
+    the classification boundaries (not just the hand-picked classes)
+    are exercised."""
+    import random
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        merge_table,
+        table_diff,
+    )
+
+    schema = "id long, val string, p string"
+    for seed in range(4):
+        rng = random.Random(seed)
+        old_rows = [
+            (i, rng.choice(["a", "b", None]), rng.choice(["x", "y"]))
+            for i in range(40)
+        ]
+        new_rows = []
+        for i, v, p in old_rows:
+            act = rng.random()
+            if act < 0.25:
+                continue  # delete
+            if act < 0.5:  # update value and/or partition
+                new_rows.append(
+                    (i, rng.choice(["a", "b", "c", None]), rng.choice(["x", "y", "z"]))
+                )
+            else:
+                new_rows.append((i, v, p))  # keep
+        new_rows += [
+            (100 + j, rng.choice(["n", None]), rng.choice(["x", "z"]))
+            for j in range(rng.randrange(1, 6))
+        ]
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        diff = table_diff(old, new, ("id",))
+
+        old_path = str(tmp_path / f"cl_{seed}_v1")
+        cached_parquet(
+            spark, old_path,
+            lambda r=old_rows: spark.createDataFrame(r, schema),
+            partition_by=("p",),
+        )
+        pa = str(tmp_path / f"cl_{seed}_v2a")
+        merge_table(
+            spark, old_path, pa, diff.filter(~F.col("is_del")).drop("is_del"),
+            key_cols=("id",), partition_col="p",
+        )
+        replayed = merge_table(
+            spark, pa, str(tmp_path / f"cl_{seed}_v2b"),
+            diff.filter(F.col("is_del")).drop("is_del"),
+            key_cols=("id",), partition_col="p",
+            when_matched="delete", when_not_matched="ignore",
+        )
+        got = sorted(
+            map(tuple, replayed.select("id", "val", "p").collect()),
+            key=str,
+        )
+        assert got == sorted(new_rows, key=str), f"seed {seed}"
+
+
 def test_merge_table_seq_col_monotonic(spark, tmp_path):
     """seq_col makes MERGE monotonic per key: a strictly-newer source
     row takes effect (update or delete), a stale or equal-seq one is a

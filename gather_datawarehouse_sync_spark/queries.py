@@ -3929,6 +3929,106 @@ _df(
 )
 
 
+def _x_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TABLE-layer capstone (the x_index_lifecycle pattern for the
+    storage verbs): extract → apply → serve on one lineage.  A new
+    orders version is defined relationally (deletes: key % 7 = 0;
+    updates: +1000 price for key % 5 = 0, with the key % 100 = 5
+    subset also MOVING to a 'U' status partition; inserts: key % 11 =
+    0 re-keyed +10M into 'N'), ``table_diff`` extracts the minimal
+    change set from (old, new), ``merge_table`` applies it
+    (upserts then deletes, partition-scoped copy-on-write), and the
+    APPLIED table serves.  The oracle is simply the new version's
+    relational definition, so the hash certifies the whole
+    composition: a diff misclassification, a merge row
+    loss/duplication, or a row left behind by a partition move all
+    surface as one broken value hash."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+        merge_table,
+        table_diff,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders",))
+
+    def _base() -> DataFrame:
+        return t["orders"].select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_int"),
+            "o_orderstatus",
+        )
+
+    base_path = artifact_path(sf_dir, "cdc_rt_orders_base_v1")
+    cached_parquet(spark, base_path, _base, partition_by=("o_orderstatus",))
+    old = spark.read.parquet(base_path)
+    upd = (
+        old.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "price_int",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("price_int") + 1000
+            ).otherwise(F.col("price_int")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 100 == 5, F.lit("U")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    ins = old.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "price_int",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    diff = table_diff(old, upd.unionByName(ins), ("o_orderkey",))
+    pa = artifact_path(sf_dir, "cdc_rt_orders_v2a")
+    merge_table(
+        spark, base_path, pa,
+        diff.filter(~F.col("is_del")).drop("is_del"),
+        key_cols=("o_orderkey",), partition_col="o_orderstatus",
+    )
+    final = merge_table(
+        spark, pa, artifact_path(sf_dir, "cdc_rt_orders_v2b"),
+        diff.filter(F.col("is_del")).drop("is_del"),
+        key_cols=("o_orderkey",), partition_col="o_orderstatus",
+        when_matched="delete", when_not_matched="ignore",
+    )
+    return final.select(
+        "o_orderkey", "o_custkey", "price_int", "o_orderstatus"
+    ).orderBy("o_orderkey")
+
+
+_df(
+    "x_cdc_roundtrip",
+    _x_cdc_roundtrip,
+    # the oracle IS the new version's definition: diff-extract +
+    # merge-apply must land exactly there
+    "WITH old AS (SELECT o_orderkey, o_custkey, "
+    "CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int, o_orderstatus "
+    "FROM orders), "
+    "upd AS (SELECT o_orderkey, o_custkey, "
+    "CASE WHEN o_orderkey % 5 = 0 THEN price_int + 1000 ELSE price_int "
+    "END AS price_int, "
+    "CASE WHEN o_orderkey % 100 = 5 THEN 'U' ELSE o_orderstatus END "
+    "AS o_orderstatus FROM old WHERE o_orderkey % 7 <> 0), "
+    "ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, "
+    "price_int, 'N' AS o_orderstatus FROM old WHERE o_orderkey % 11 = 0) "
+    "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+    "CAST(o_custkey AS BIGINT) AS o_custkey, "
+    "CAST(price_int AS BIGINT) AS price_int, o_orderstatus "
+    "FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins) "
+    "ORDER BY o_orderkey",
+    ("orders",),
+    note="table-layer capstone: table_diff extract → merge_table apply "
+    "(upserts then deletes, partition moves included) must reproduce "
+    "the target version exactly — FULL oracle = the version definition",
+)
+
+
 def _x_merge_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MONOTONIC merge (``merge_table(seq_col=)``) end-to-end — the
     batch face of the round-11 CDC hardening: the orders base persists

@@ -261,7 +261,12 @@ def choose_nprobe(
             raise ValueError(
                 f"choose_nprobe: nprobes must be within [1, nlist={nlist}]"
             )
-    q = queries.limit(int(max_queries))
+    # Spark's LIMIT without ORDER BY is plan/partition-dependent, so an
+    # unordered limit would sample DIFFERENT held-out queries run to
+    # run — the measured recall, and hence the chosen nprobe, would be
+    # non-reproducible on identical data.  Order by the query id first
+    # (a TakeOrdered over the ≤|queries| id side, never corpus work).
+    q = queries.orderBy("vec_id").limit(int(max_queries))
     exact = sq_topk(
         q, None, k=k, codes=lists.select("vec_id", "codes", "scale_micro")
     ).persist()

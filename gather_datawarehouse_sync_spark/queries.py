@@ -6677,26 +6677,35 @@ _df(
 # explicit-state and materialized-view forms), and the sharded-export
 # manifest — the only path to driver-side evidence for the
 # MERGE/SCD2/CDC storage layer.
-# Round-12 rotation candidates (oracled, no driver evidence yet) —
-# lead with the index-lifecycle capstone and the round-11 additions
-# (x_merge_seq, x_table_diff, x_file_prune, x_reassign_cells), then
-# the remaining round-9 full-oracle queries, then the longest-waiting
+# Round 12 rotates in the six round-11 flagships the r11 verdict
+# named (its item 1, verbatim): the table-layer CDC capstone
+# (diff-extract → merge-apply → serve under one relational oracle),
+# snapshot-to-snapshot CDC extraction, the monotonic seq_col merge,
+# file-stats pruning enforced inside the query, IVF cell
+# reassignment, and the index-lifecycle capstone — the only path to
+# driver-side evidence for the CDC-extraction / monotonic-merge /
+# file-pruning layer.
+# Round-13 rotation candidates (oracled, no driver evidence yet) —
+# per the r11 verdict's item 8, lead with the sync-engine capstones
+# (x_reconcile, x_path_categories — the reference's own
+# reconciliation surface has never had a driver row), then the
+# round-12 additions (x_merge_evolve, x_auto_bands), then the
+# remaining round-9 full-oracle queries, then the longest-waiting
 # core-shape queries:
-# x_index_lifecycle, x_merge_seq, x_table_diff, x_file_prune,
-# x_reassign_cells, x_release_gate,
-# x_gopher_rules, x_temp_resample, x_boilerplate,
-# x_boilerplate_against, x_dedup_recall, x_bm25,
-# x_json_struct, x_path_categories, x_one_to_one, x_reconcile,
+# x_reconcile, x_path_categories, x_merge_evolve, x_auto_bands,
+# x_release_gate, x_gopher_rules,
+# x_temp_resample, x_boilerplate, x_boilerplate_against,
+# x_dedup_recall, x_bm25, x_json_struct, x_one_to_one,
 # x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
 # x_length_buckets, x_interpolate.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    "x_merge_table",
-    "x_scd2_merge",
-    "x_scd2_asof",
-    "x_quantile_state",
-    "x_quantile_mv",
-    "x_export_manifest",
+    "x_cdc_roundtrip",
+    "x_table_diff",
+    "x_merge_seq",
+    "x_file_prune",
+    "x_reassign_cells",
+    "x_index_lifecycle",
 )
 
 

@@ -706,6 +706,22 @@ def merge_table(
                 "among matched keys — a duplicate-key target makes the "
                 "per-key sequence comparison ambiguous"
             )
+        # the source side's NULL-seq guard runs up front; the TARGET
+        # side needs the mirror check — a matched target row with a
+        # NULL sequence would otherwise corrupt silently (the >=/<
+        # predicates evaluate to NULL so the row drops from survivors,
+        # and the landing side's __tgt_seq.isNull() misreads 'matched
+        # but NULL seq' as 'unmatched', re-inserting the STALE source
+        # row under when_not_matched='insert' or vanishing the key
+        # entirely under 'ignore').  Same bounded limit(1) probe over
+        # the pruned matched scan as the uniqueness guard above.
+        if matched_t.filter(F.col(seq_col).isNull()).limit(1).count():
+            raise ValueError(
+                "merge_table: NULL seq_col value in a MATCHED target "
+                "row — a NULL sequence cannot order against the source "
+                "(the row would silently drop or regress); coalesce "
+                "the target's sequence column first"
+            )
         src_seq = F.broadcast(
             source.select(*keys, F.col(seq_col).alias("__src_seq"))
         )
@@ -867,14 +883,28 @@ def claim_versions_root(versions_root: str, checkpoint: str) -> None:
             f"the marker first: echo {ident!r} > "
             f"{os.path.join(versions_root, _RUN_MARKER)}"
         )
-    tmp = f"{marker}.__tmp__{os.getpid()}"
-    with open(tmp, "w") as fh:
-        fh.write(ident)
-    os.replace(tmp, marker)
-    # two streams racing to claim an empty root: both miss the marker,
-    # both os.replace — last writer wins the file, so re-read and make
-    # the LOSER fail here instead of both proceeding to interleave
-    # version writes
+    # two streams racing to claim an empty root: O_CREAT|O_EXCL makes
+    # the create itself the arbiter — exactly one claimant's open
+    # succeeds, the other fails AT CREATE TIME.  (The previous
+    # write-tmp + os.replace + re-read only caught one interleaving:
+    # under A-replace → A-verify → B-replace → B-verify both streams
+    # verified their own marker and proceeded to interleave version
+    # writes.)
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ValueError(
+            f"versions_root {versions_root} was claimed concurrently "
+            "by another stream — one chain has exactly one writer"
+        ) from None
+    try:
+        os.write(fd, ident.encode())
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    # belt-and-suspenders: the exclusive create above is the real
+    # arbiter; a content mismatch here would mean filesystem semantics
+    # broke, and proceeding would interleave version writes
     with open(marker) as fh:
         if fh.read().strip() != ident:
             raise ValueError(

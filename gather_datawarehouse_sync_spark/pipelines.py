@@ -265,7 +265,9 @@ def choose_nprobe(
     # unordered limit would sample DIFFERENT held-out queries run to
     # run — the measured recall, and hence the chosen nprobe, would be
     # non-reproducible on identical data.  Order by the query id first
-    # (a TakeOrdered over the ≤|queries| id side, never corpus work).
+    # — a TakeOrderedAndProject over the bounded queries frame (full
+    # query rows, vectors included, but ≤ max_queries of them and the
+    # frame is itself |queries|-sized — never corpus work).
     q = queries.orderBy("vec_id").limit(int(max_queries))
     exact = sq_topk(
         q, None, k=k, codes=lists.select("vec_id", "codes", "scale_micro")

@@ -3929,6 +3929,103 @@ _df(
 )
 
 
+def _x_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the table layer: the x_merge_table
+    MERGE replayed with a source that GREW a column (``src_tag``) —
+    ``merge_table(schema_evolution=True)`` widens the table, back-fills
+    every carried target row with NULL, and rewrites all partitions
+    once so no hardlinked file keeps the old footer schema
+    (``sources/artifacts.py:merge_table``; the write-side mirror of
+    ingestion's mergeSchema).  The oracle replays the evolved MERGE as
+    a FULL OUTER JOIN whose ``src_tag`` is source-when-matched /
+    NULL-otherwise, so a lost back-fill, a tag leaking onto a carried
+    row, or any classic merge defect breaks the hash."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+        merge_table,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders",))
+
+    def _base() -> DataFrame:
+        return t["orders"].select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_int"),
+            "o_orderstatus",
+        )
+
+    base_path = artifact_path(sf_dir, "merge_evolve_base_v1")
+    cached_parquet(spark, base_path, _base, partition_by=("o_orderstatus",))
+    base = spark.read.parquet(base_path)
+    upd = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("price_int") + 1000).alias("price_int"),
+        F.when(F.col("o_orderkey") % 100 == 3, F.lit("U"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.concat(
+            F.lit("u-"), (F.col("o_orderkey") % 5).cast("string")
+        ).alias("src_tag"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        (F.col("price_int") + 5).alias("price_int"),
+        F.lit("N").alias("o_orderstatus"),
+        F.concat(
+            F.lit("i-"), (F.col("o_orderkey") % 3).cast("string")
+        ).alias("src_tag"),
+    )
+    merged = merge_table(
+        spark,
+        base_path,
+        artifact_path(sf_dir, "merge_evolve_v2"),
+        upd.unionByName(ins),
+        key_cols=("o_orderkey",),
+        partition_col="o_orderstatus",
+        schema_evolution=True,
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "price_int", "o_orderstatus", "src_tag"
+    ).orderBy("o_orderkey")
+
+
+_df(
+    "x_merge_evolve",
+    _x_merge_evolve,
+    "WITH tgt AS (SELECT o_orderkey, o_custkey, "
+    "CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int, o_orderstatus "
+    "FROM orders), "
+    "upd AS (SELECT o_orderkey, o_custkey, price_int + 1000 AS price_int, "
+    "CASE WHEN o_orderkey % 100 = 3 THEN 'U' ELSE o_orderstatus END "
+    "AS o_orderstatus, 'u-' || CAST(o_orderkey % 5 AS VARCHAR) AS src_tag "
+    "FROM tgt WHERE o_orderkey % 10 = 3), "
+    "ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, "
+    "price_int + 5 AS price_int, 'N' AS o_orderstatus, "
+    "'i-' || CAST(o_orderkey % 3 AS VARCHAR) AS src_tag "
+    "FROM tgt WHERE o_orderkey % 1000 = 7), "
+    "src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins) "
+    "SELECT CAST(COALESCE(s.o_orderkey, t.o_orderkey) AS BIGINT) AS o_orderkey, "
+    "CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey "
+    "ELSE t.o_custkey END AS BIGINT) AS o_custkey, "
+    "CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.price_int "
+    "ELSE t.price_int END AS BIGINT) AS price_int, "
+    "CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus "
+    "ELSE t.o_orderstatus END AS o_orderstatus, "
+    "CASE WHEN s.o_orderkey IS NOT NULL THEN s.src_tag END AS src_tag "
+    "FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey "
+    "ORDER BY o_orderkey",
+    ("orders",),
+    note="schema evolution through merge_table: added source column "
+    "widens the table, carried rows back-filled NULL, all partitions "
+    "re-footered once; oracle = FULL OUTER JOIN replay with "
+    "source-when-matched tag → FULL oracle",
+)
+
+
 def _x_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TABLE-layer capstone (the x_index_lifecycle pattern for the
     storage verbs): extract → apply → serve on one lineage.  A new
@@ -6685,27 +6782,29 @@ _df(
 # reassignment, and the index-lifecycle capstone — the only path to
 # driver-side evidence for the CDC-extraction / monotonic-merge /
 # file-pruning layer.
-# Round-13 rotation candidates (oracled, no driver evidence yet) —
-# per the r11 verdict's item 8, lead with the sync-engine capstones
-# (x_reconcile, x_path_categories — the reference's own
-# reconciliation surface has never had a driver row), then the
-# round-12 additions (x_merge_evolve, x_auto_bands), then the
-# remaining round-9 full-oracle queries, then the longest-waiting
-# core-shape queries:
-# x_reconcile, x_path_categories, x_merge_evolve, x_auto_bands,
-# x_release_gate, x_gopher_rules,
-# x_temp_resample, x_boilerplate, x_boilerplate_against,
-# x_dedup_recall, x_bm25, x_json_struct, x_one_to_one,
-# x_text_quality, x_doc_profile, x_rep_frac, x_html_strip,
-# x_length_buckets, x_interpolate.
+# Round 13 rotates in the six the r12 verdict named (its item 1,
+# verbatim): the sync-engine capstones x_reconcile, x_path_categories
+# and x_one_to_one — the reference's own reconciliation surface
+# (src/DataWarehouse.js:67-258, :392-463), whose driver evidence
+# (green in CORRECTNESS_r01) is 11 rounds of code churn stale — plus
+# the longest-waiting core-shape queries x_release_gate,
+# x_gopher_rules and x_bm25.
+# Round-14 rotation candidates (FULL-oracle entries that have waited
+# longest, per the r12 verdict's item 7, plus the round-13 additions):
+# x_merge_evolve, x_auto_bands (new this round — schema evolution
+# through merge_table; data-driven bucket width for band_join),
+# x_json_struct, x_text_quality, x_doc_profile, x_rep_frac,
+# x_html_strip, x_length_buckets, then x_temp_resample,
+# x_boilerplate, x_boilerplate_against, x_dedup_recall,
+# x_interpolate.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    "x_cdc_roundtrip",
-    "x_table_diff",
-    "x_merge_seq",
-    "x_file_prune",
-    "x_reassign_cells",
-    "x_index_lifecycle",
+    "x_reconcile",
+    "x_path_categories",
+    "x_one_to_one",
+    "x_release_gate",
+    "x_gopher_rules",
+    "x_bm25",
 )
 
 

@@ -17,6 +17,9 @@ from gather_datawarehouse_sync_spark.sources.artifacts import (  # noqa: F401
     merge_scd2,
     merge_table,
     prune_table_versions,
+    read_version_pointer,
+    swap_version_pointer,
+    VersionConflictError,
     save_bpe_merges,
     save_ivf_centroids,
     save_pq_codebooks,

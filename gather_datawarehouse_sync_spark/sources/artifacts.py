@@ -509,6 +509,7 @@ def merge_table(
     when_not_matched: str = "insert",
     broadcast_source_max: int = 4_000_000,
     seq_col: str | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Delta-style MERGE/upsert on a plain hive-partitioned parquet
     table — :func:`rewrite_partitioned_artifact` generalized from index
@@ -562,6 +563,18 @@ def merge_table(
     interleaving needs tombstone retention, out of scope).  Requires
     ``seq_col`` to be a target column (outside the key/partition) with
     key-unique target rows among matched keys.
+
+    ``schema_evolution=True`` accepts a source whose schema is a
+    SUPERSET of the target's — the common production evolution (the
+    upstream grew a column): added columns join the table with every
+    pre-existing target row back-filled NULL, while dropped or retyped
+    columns still refuse loudly (both lose data silently).  Because a
+    plain parquet table carries its schema in file footers (not a log),
+    an evolution batch rewrites every partition once so no hardlinked
+    clean file keeps the old footer schema; merges after that are
+    partition-scoped again.  The ingestion layer's ``mergeSchema``
+    (``sources/textfiles.py``) handles the same evolution on read —
+    this is the write-side mirror.
     """
     from pyspark.sql import functions as F
 
@@ -579,13 +592,47 @@ def merge_table(
             "base version first (cached_parquet)"
         )
     target = spark.read.parquet(old_path)
-    missing = [c for c in target.columns if c not in source.columns]
+    base_cols = list(target.columns)
+    missing = [c for c in base_cols if c not in source.columns]
     if missing:
-        raise ValueError(f"merge_table: source lacks target columns {missing}")
+        raise ValueError(
+            f"merge_table: source lacks target columns {missing}"
+            + (
+                " — schema_evolution accepts ADDED source columns only; "
+                "dropping a target column loses data and needs an "
+                "explicit rewrite"
+                if schema_evolution
+                else ""
+            )
+        )
+    added: "list[str]" = []
+    if schema_evolution:
+        # the common production evolution: the source grew columns.
+        # Shared columns must keep their exact type (a silent numeric
+        # widening would rewrite every reader's expectations; refuse),
+        # new columns join the schema with target rows back-filled NULL.
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        tgt_types = {f.name: f.dataType for f in target.schema.fields}
+        retyped = [
+            f"{c}: target {tgt_types[c].simpleString()} vs source "
+            f"{src_types[c].simpleString()}"
+            for c in base_cols
+            if src_types[c] != tgt_types[c]
+        ]
+        if retyped:
+            raise ValueError(
+                "merge_table: source retypes target columns "
+                f"[{'; '.join(retyped)}] — schema evolution adds "
+                "columns, never changes existing types; cast the "
+                "source back first"
+            )
+        added = [c for c in source.columns if c not in base_cols]
+        for c in added:
+            target = target.withColumn(c, F.lit(None).cast(src_types[c]))
     source = source.select(*target.columns)
     keys = list(key_cols)
     if seq_col is not None and (
-        seq_col not in target.columns
+        seq_col not in base_cols
         or seq_col in keys
         or seq_col == partition_col
     ):
@@ -658,6 +705,27 @@ def merge_table(
         dirty_vals.update(
             r[0] for r in source.select(partition_col).distinct().collect()
         )
+    if added:
+        # an added column changes the TABLE schema, not just dirty
+        # rows: a clean partition's hardlinked files would keep the old
+        # footer schema, and a plain parquet read (one-footer schema
+        # inference) would then see the new column only intermittently.
+        # An evolution batch therefore rewrites EVERY partition once —
+        # the plain-parquet cost of what Delta records in its log;
+        # subsequent merges are partition-scoped again.  The distinct
+        # is partition-count-bounded, the same class as the dirty probe.
+        tgt_parts = {
+            r[0]
+            for r in target.select(partition_col).distinct().collect()
+        }
+        if None in tgt_parts:
+            raise ValueError(
+                "merge_table: a target row sits in a NULL partition "
+                "(__HIVE_DEFAULT_PARTITION__) — the partition rewrite "
+                "cannot address it; repair the table's partition column "
+                "first"
+            )
+        dirty_vals.update(tgt_parts)
     dirty = sorted(dirty_vals)
 
     def _replacement() -> DataFrame:
@@ -865,6 +933,21 @@ def claim_versions_root(versions_root: str, checkpoint: str) -> None:
     if os.path.exists(marker):
         with open(marker) as fh:
             owner = fh.read().strip()
+        if owner == "":
+            # torn claim: a claimant died between the O_EXCL create and
+            # the content write+fsync below, leaving an empty marker.
+            # No stream ever ran against this root under that claim (the
+            # claimant raises before touching versions if it can't
+            # finish the marker), so reclaiming is safe — but require a
+            # human in the loop rather than silently stealing the lock
+            # (two LIVE claimants both seeing the torn marker must not
+            # both auto-reclaim).
+            raise ValueError(
+                f"versions_root {versions_root} holds a torn claim (an "
+                "empty _cdc_run marker — a claimant crashed between "
+                "creating and writing it). No stream owns this root: "
+                f"remove {marker} and retry."
+            )
         if owner != ident:
             raise ValueError(
                 f"versions_root {versions_root} belongs to the stream "
@@ -926,15 +1009,74 @@ def read_version_pointer(versions_root: str, default: str | None = None) -> str:
     return default
 
 
-def swap_version_pointer(versions_root: str, target: str) -> None:
+class VersionConflictError(ValueError):
+    """A compare-and-swap on the current-version pointer lost the race:
+    the pointer moved between the caller's read and its swap.  The
+    caller's new version directory is intact but UNPUBLISHED — re-read
+    the pointer, re-merge against the winner's version, and retry."""
+
+
+def swap_version_pointer(
+    versions_root: str, target: str, expected: str | None = None
+) -> None:
     """Atomically point the chain at ``target`` (tmp write + one
     ``os.replace`` — readers see the old or the new pointer, never a
-    torn one).  The single writer every applier shares."""
+    torn one).
+
+    ``expected=None`` (default) is the unconditional swap for the
+    SINGLE-writer streaming appliers, whose exclusivity
+    :func:`claim_versions_root` already arbitrates.
+
+    ``expected=<pointer the merge read>`` is the optimistic-concurrency
+    commit for BATCH writers, where nothing else serializes two
+    concurrent ``merge_table`` callers targeting one chain: the swap
+    succeeds only if the pointer still equals what this writer's merge
+    was based on; otherwise it raises :class:`VersionConflictError` and
+    the chain keeps the winner's pointer (last-writer-wins silent loss
+    becomes first-writer-wins loud refusal — the Delta/Iceberg commit
+    protocol on a plain-parquet chain).  A pointer file that does not
+    exist yet compares equal to ``expected`` (the not-yet-swapped chain
+    serves its base; callers read via
+    ``read_version_pointer(root, default=base)`` and pass that same
+    value back).  The compare-and-replace pair is serialized by an
+    ``O_CREAT|O_EXCL`` lock file, held for two metadata ops — if a
+    writer dies inside that window the lock leaks and every later CAS
+    refuses loudly (never silently steals); remove the named lock file
+    after confirming no writer is live.
+    """
     pointer = os.path.join(versions_root, _POINTER_NAME)
-    tmp = f"{pointer}.__tmp__{os.getpid()}"
-    with open(tmp, "w") as fh:
-        fh.write(target)
-    os.replace(tmp, pointer)
+
+    def _install() -> None:
+        tmp = f"{pointer}.__tmp__{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(target)
+        os.replace(tmp, pointer)
+
+    if expected is None:
+        _install()
+        return
+    lock = f"{pointer}.__lock__"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise VersionConflictError(
+            f"version pointer at {versions_root} is being swapped by a "
+            f"concurrent writer (lock file {lock} exists) — retry after "
+            "it commits, or remove the lock file if its writer died"
+        ) from None
+    try:
+        current = read_version_pointer(versions_root, default=expected)
+        if current != expected:
+            raise VersionConflictError(
+                f"version pointer at {versions_root} moved to "
+                f"{current!r} since this merge read {expected!r} — the "
+                "merge result is based on a stale version; re-read the "
+                "pointer, re-merge, and retry"
+            )
+        _install()
+    finally:
+        os.close(fd)
+        os.unlink(lock)
 
 
 def list_table_versions(versions_root: str) -> "list[tuple[str, str]]":

@@ -4088,6 +4088,148 @@ def test_merge_table_seq_col_monotonic(spark, tmp_path):
         )
 
 
+def test_merge_table_seq_col_null_target_refused(spark, tmp_path):
+    """The TARGET-side mirror of the source NULL-seq guard: a MATCHED
+    target row with a NULL sequence cannot order against the source —
+    without the refusal the >=/< predicates evaluate to NULL, the row
+    silently drops from survivors, and the landing side misreads
+    'matched but NULL seq' as 'unmatched' (re-inserting the stale
+    source row under insert, vanishing the key under ignore).  Both
+    matched clauses must raise; an UNMATCHED target row with a NULL
+    seq is legal (the guard scans matched keys only)."""
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        merge_table,
+    )
+
+    schema = "id long, val string, seq long, p string"
+    tgt_path = str(tmp_path / "nt_v1")
+    cached_parquet(
+        spark, tgt_path,
+        lambda: spark.createDataFrame(
+            [(0, "ok", 10, "a"), (1, "torn", None, "a")], schema
+        ),
+        partition_by=("p",),
+    )
+    hits_null = spark.createDataFrame([(1, "new", 99, "a")], schema)
+    for i, (wm, wnm) in enumerate(
+        (("update", "insert"), ("delete", "ignore"))
+    ):
+        with _pytest.raises(ValueError, match="MATCHED target"):
+            merge_table(
+                spark, tgt_path, str(tmp_path / f"nt_bad{i}"), hits_null,
+                key_cols=("id",), partition_col="p", seq_col="seq",
+                when_matched=wm, when_not_matched=wnm,
+            )
+    # matching only the non-NULL key leaves the NULL-seq row unmatched
+    # and carried — legal
+    got = set(
+        map(
+            tuple,
+            merge_table(
+                spark, tgt_path, str(tmp_path / "nt_ok"),
+                spark.createDataFrame([(0, "new", 99, "a")], schema),
+                key_cols=("id",), partition_col="p", seq_col="seq",
+            ).collect(),
+        )
+    )
+    assert got == {(0, "new", 99, "a"), (1, "torn", None, "a")}
+
+
+def test_merge_table_schema_evolution(spark, tmp_path):
+    """schema_evolution=True: an ADDED source column joins the table
+    with pre-existing target rows back-filled NULL, and every partition
+    (including untouched ones) is rewritten to the widened footer
+    schema; dropped and retyped columns refuse loudly; column order is
+    by-name (reorder is a no-op); without the flag the extra source
+    column is dropped (the pre-evolution contract, pinned)."""
+    import os
+
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        merge_table,
+    )
+
+    schema = "id long, val string, p string"
+    v1 = str(tmp_path / "evo_v1")
+    cached_parquet(
+        spark, v1,
+        lambda: spark.createDataFrame(
+            [(0, "a0", "a"), (1, "b1", "b"), (2, "a2", "a")], schema
+        ),
+        partition_by=("p",),
+    )
+    wide = "id long, val string, p string, tag string"
+    src = spark.createDataFrame(
+        [(0, "new0", "a", "t0"), (9, "new9", "c", "t9")], wide
+    )
+
+    # add: widened merge, NULL back-fill on carried rows
+    v2 = str(tmp_path / "evo_v2")
+    got = set(
+        map(tuple, merge_table(
+            spark, v1, v2, src,
+            key_cols=("id",), partition_col="p", schema_evolution=True,
+        ).select("id", "val", "p", "tag").collect())
+    )
+    assert got == {
+        (0, "new0", "a", "t0"),
+        (1, "b1", "b", None),
+        (2, "a2", "a", None),
+        (9, "new9", "c", "t9"),
+    }
+    # the UNTOUCHED partition p=b carries the widened footer schema —
+    # no hardlinked old-schema file survives an evolution batch
+    assert "tag" in spark.read.parquet(os.path.join(v2, "p=b")).columns
+    # a follow-up merge on the evolved table needs no flag and is
+    # partition-scoped again
+    follow = set(
+        map(tuple, merge_table(
+            spark, v2, str(tmp_path / "evo_v3"),
+            spark.createDataFrame([(1, "b1x", "b", "t1")], wide),
+            key_cols=("id",), partition_col="p",
+        ).select("id", "val", "p", "tag").collect())
+    )
+    assert follow == (got - {(1, "b1", "b", None)}) | {(1, "b1x", "b", "t1")}
+
+    # drop: a source missing a target column refuses even under the flag
+    with _pytest.raises(ValueError, match="lacks target columns"):
+        merge_table(
+            spark, v1, str(tmp_path / "evo_drop"),
+            spark.createDataFrame([(0, "a")], "id long, p string"),
+            key_cols=("id",), partition_col="p", schema_evolution=True,
+        )
+    # retype: a shared column with a changed type refuses
+    with _pytest.raises(ValueError, match="retypes"):
+        merge_table(
+            spark, v1, str(tmp_path / "evo_retype"),
+            spark.createDataFrame(
+                [(0, 7, "a")], "id long, val long, p string"
+            ),
+            key_cols=("id",), partition_col="p", schema_evolution=True,
+        )
+    # reorder: by-name resolution makes column order irrelevant
+    reordered = src.select("tag", "p", "val", "id")
+    got_r = set(
+        map(tuple, merge_table(
+            spark, v1, str(tmp_path / "evo_reorder"), reordered,
+            key_cols=("id",), partition_col="p", schema_evolution=True,
+        ).select("id", "val", "p", "tag").collect())
+    )
+    assert got_r == got
+    # without the flag the extra source column is DROPPED (the
+    # documented whole-replacement-row contract) — schema unchanged
+    narrow = merge_table(
+        spark, v1, str(tmp_path / "evo_off"), src,
+        key_cols=("id",), partition_col="p",
+    )
+    assert "tag" not in narrow.columns
+
+
 def test_merge_scd2_version_chains(spark, tmp_path):
     """SCD2 semantics against hand-computed version chains: change →
     close+open, identical attrs → no spurious version, tombstone →

@@ -1126,6 +1126,116 @@ def test_cdc_versions_root_refuses_foreign_checkpoint(spark, tmp_path):
         claim_versions_root(versions, ckpt)
 
 
+def test_claim_versions_root_torn_marker_refused(tmp_path):
+    """A claimant that died between the O_CREAT|O_EXCL create and the
+    content write leaves an EMPTY marker; a later claim (including the
+    legitimate owner's restart) must get the torn-claim message with
+    repair guidance, not the confusing belongs-to-'' owner mismatch —
+    and after the instructed removal the claim goes through."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        claim_versions_root,
+    )
+
+    root = str(tmp_path / "torn_versions")
+    os.makedirs(root)
+    marker = os.path.join(root, "_cdc_run")
+    open(marker, "w").close()  # the crash window's artifact
+    with pytest.raises(ValueError, match="torn claim"):
+        claim_versions_root(root, str(tmp_path / "ckpt"))
+    os.remove(marker)  # the instructed repair
+    claim_versions_root(root, str(tmp_path / "ckpt"))
+    assert open(marker).read().strip() == os.path.abspath(
+        str(tmp_path / "ckpt")
+    )
+
+
+def test_version_pointer_cas_two_batch_writers(spark, tmp_path):
+    """Optimistic concurrency for BATCH writers on one version chain:
+    two concurrent merge_table callers both merge off the same base;
+    the first commit (CAS on the pointer) wins, the second raises
+    VersionConflictError and the chain is uncorrupted — last-writer-wins
+    silent loss becomes first-writer-wins loud refusal.  The loser then
+    retries the documented way (re-read pointer, re-merge, CAS) and
+    both writers' effects land.  A leaked lock file refuses loudly."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        VersionConflictError,
+        cached_parquet,
+        merge_table,
+        read_version_pointer,
+        swap_version_pointer,
+    )
+
+    schema = "id long, val string, p string"
+    base_path = str(tmp_path / "cas_v0")
+    cached_parquet(
+        spark, base_path,
+        lambda: spark.createDataFrame(
+            [(0, "base0", "a"), (1, "base1", "b")], schema
+        ),
+        partition_by=("p",),
+    )
+    root = str(tmp_path / "cas_versions")
+    os.makedirs(root)
+
+    # both writers read the same pointer (chain not yet swapped: base)
+    seen_a = read_version_pointer(root, default=base_path)
+    seen_b = read_version_pointer(root, default=base_path)
+    assert seen_a == seen_b == base_path
+
+    va = str(tmp_path / "cas_vA")
+    merge_table(
+        spark, seen_a, va,
+        spark.createDataFrame([(0, "from_A", "a")], schema),
+        key_cols=("id",), partition_col="p",
+    )
+    vb = str(tmp_path / "cas_vB")
+    merge_table(
+        spark, seen_b, vb,
+        spark.createDataFrame([(2, "from_B", "a")], schema),
+        key_cols=("id",), partition_col="p",
+    )
+
+    swap_version_pointer(root, va, expected=seen_a)  # A commits first
+    assert read_version_pointer(root) == va
+    with pytest.raises(VersionConflictError, match="moved"):
+        swap_version_pointer(root, vb, expected=seen_b)  # B lost
+    assert read_version_pointer(root) == va  # chain uncorrupted
+    assert {tuple(r) for r in spark.read.parquet(va).collect()} == {
+        (0, "from_A", "a"), (1, "base1", "b")
+    }
+
+    # loser retries: re-read, re-merge against the winner, CAS again
+    seen_b2 = read_version_pointer(root, default=base_path)
+    vb2 = str(tmp_path / "cas_vB2")
+    merge_table(
+        spark, seen_b2, vb2,
+        spark.createDataFrame([(2, "from_B", "a")], schema),
+        key_cols=("id",), partition_col="p",
+    )
+    swap_version_pointer(root, vb2, expected=seen_b2)
+    assert read_version_pointer(root) == vb2
+    assert {tuple(r) for r in spark.read.parquet(vb2).collect()} == {
+        (0, "from_A", "a"), (1, "base1", "b"), (2, "from_B", "a")
+    }
+
+    # a writer that died holding the lock leaks it — later CAS refuses
+    # loudly (never silently steals) until the named file is removed
+    lock = os.path.join(root, "_cdc_current.__lock__")
+    open(lock, "w").close()
+    with pytest.raises(VersionConflictError, match="lock file"):
+        swap_version_pointer(root, va, expected=vb2)
+    os.remove(lock)
+    swap_version_pointer(root, va, expected=vb2)
+    assert read_version_pointer(root) == va
+    # unconditional swap (streaming single-writer path) stays available
+    swap_version_pointer(root, vb2)
+    assert read_version_pointer(root) == vb2
+
+
 def test_cdc_version_chain_time_travel_and_prune(spark, tmp_path):
     """The version chain is the time-travel surface: after two applied
     batches, list_table_versions orders upsert-before-final per epoch,

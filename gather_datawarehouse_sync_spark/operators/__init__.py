@@ -10,6 +10,7 @@ in their modules.
 from gather_datawarehouse_sync_spark.operators.joins import (  # noqa: F401
     asof_join,
     band_join,
+    choose_band_bucket_width,
     cascading_join,
     one_to_one_assign,
     pick_one_per_group,

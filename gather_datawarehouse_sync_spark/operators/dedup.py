@@ -1701,6 +1701,7 @@ def edit_distance_pairs(
     id_col: str = "id",
     text_col: str = "name",
     max_dist: int = 2,
+    bucket_width: "float | str | None" = None,
 ) -> DataFrame:
     """EXACT pairs with Levenshtein distance ≤ ``max_dist`` — the
     record-linkage operator for short strings (names, titles, URLs)
@@ -1716,6 +1717,13 @@ def edit_distance_pairs(
     length dominates, add a second blocking key (e.g. a character-q-gram
     prefix) — length blocking alone degrades to per-length all-pairs,
     which is the honest worst case of every exact similarity join.
+
+    ``bucket_width`` passes through to :func:`band_join` —
+    ``"auto"`` lets :func:`choose_band_bucket_width` probe the length
+    distribution and refine the grid when lengths are concentrated
+    relative to ``max_dist`` (floored at width 1: lengths are integers,
+    a sub-unit grid only multiplies probes).  Grid choice never changes
+    the pair set.
 
     Returns (a, b, dist) with a < b.
     """
@@ -1736,9 +1744,15 @@ def edit_distance_pairs(
     # orientation; a < b keeps one.  band must be positive, so d = 0
     # (exact equality) runs with band 1 — the levenshtein threshold
     # below still discards the distance-1 candidates.
-    cand = band_join(left, right, "la", "lb", max(max_dist, 1)).filter(
-        F.col("a") < F.col("b")
-    )
+    cand = band_join(
+        left,
+        right,
+        "la",
+        "lb",
+        max(max_dist, 1),
+        bucket_width=bucket_width,
+        min_bucket_width=1.0,
+    ).filter(F.col("a") < F.col("b"))
     # thresholded levenshtein bounds the DP to a d-wide band (returns -1
     # past the threshold) — O(d·n) per pair instead of O(n·m) on the
     # per-length all-pairs worst case

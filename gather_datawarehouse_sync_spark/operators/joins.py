@@ -221,6 +221,63 @@ def asof_join(
     return out
 
 
+def choose_band_bucket_width(
+    values: DataFrame,
+    value_col: str,
+    band: float,
+    target_rows_per_bucket: int = 4096,
+    max_fanout: int = 16,
+    min_bucket_width: float | None = None,
+    accuracy: int = 10_000,
+) -> float:
+    """Data-driven bucket width for :func:`band_join` — closes the
+    "user must know the data" knob in the linkage path: a value
+    distribution CONCENTRATED relative to the band (skew) would put the
+    whole corpus into a handful of band-wide buckets and make one
+    bucket's candidate set quadratic; a finer bucket grid splits it at
+    the cost of more probes per left row.
+
+    One mergeable-sketch aggregation pass (count + two
+    ``percentile_approx`` rungs — a single Expand-free partial agg, the
+    100 TB shape) estimates the dense span p99−p01; the expected bucket
+    population at width ``w`` is roughly ``n / span × w``, so the probe
+    factor ``k = ceil(band · n / span / target_rows_per_bucket)``
+    (clamped to ``[1, max_fanout]``) yields ``w = band / k`` with
+    expected populations ≤ ``target_rows_per_bucket``.
+
+    ``min_bucket_width`` floors the grid (pass 1 for integer-valued
+    columns — a sub-unit grid cannot separate equal integers, it only
+    multiplies probes).  Identical-value pile-ups are NOT fixable by
+    any grid (equal values share every bucket); those return ``band``
+    unchanged — that residual skew is AQE skew-join territory.  The
+    chosen width never changes the JOIN RESULT (bucketing is plan-side
+    only), so callers may treat it as a pure tuning decision.
+    """
+    import math
+
+    if band <= 0:
+        raise ValueError("band must be positive")
+    if target_rows_per_bucket < 1 or max_fanout < 1:
+        raise ValueError("target_rows_per_bucket and max_fanout must be >= 1")
+    row = values.agg(
+        F.count(F.col(value_col)).alias("n"),
+        F.percentile_approx(
+            F.col(value_col), [0.01, 0.99], accuracy
+        ).alias("pp"),
+    ).collect()[0]
+    n, pp = row["n"], row["pp"]
+    if not n or pp is None or pp[0] is None:
+        return float(band)
+    span = float(pp[1]) - float(pp[0])
+    if span <= 0:  # identical values: no grid separates them
+        return float(band)
+    k = math.ceil(float(band) * float(n) / span / target_rows_per_bucket)
+    k = max(1, min(int(k), int(max_fanout)))
+    if min_bucket_width is not None and min_bucket_width > 0:
+        k = min(k, max(1, int(math.floor(float(band) / min_bucket_width))))
+    return float(band) / k
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,
@@ -228,43 +285,82 @@ def band_join(
     right_on: str,
     band: float,
     how: str = "inner",
+    bucket_width: "float | str | None" = None,
+    target_rows_per_bucket: int = 4096,
+    max_fanout: int = 16,
+    min_bucket_width: float | None = None,
 ) -> DataFrame:
     """Band (range) join: all pairs with ``|left_on - right_on| <= band``
     over numeric columns — WITHOUT the BroadcastNestedLoopJoin cross
     product Catalyst would pick for a bare inequality condition.
 
-    Classic bucketed-range rewrite: bucket each side by
-    ``floor(value / band)``; any qualifying pair's buckets differ by at
-    most 1, so probing left buckets {b-1, b, b+1} against right bucket b
-    as an EQUI-join finds every pair exactly once (each right row lives
-    in one bucket; the three left probes are distinct).  One shuffle on
-    the bucket key, 3× left fan-out, then the exact predicate filters —
+    Classic bucketed-range rewrite, with the bucket GRID decoupled from
+    the band PREDICATE: bucket each side by ``floor(value / w)``; a
+    qualifying pair's buckets differ by at most ``k = ceil(band / w)``,
+    so probing left buckets {b−k … b+k} against right bucket b as an
+    EQUI-join finds every pair exactly once (each right row lives in one
+    bucket; the 2k+1 left probes are distinct).  One shuffle on the
+    bucket key, (2k+1)× left fan-out, then the exact predicate filters —
     at 100 TB this is a plain shuffled equi-join AQE can skew-split,
     instead of |L|·|R| nested-loop work.
+
+    ``bucket_width`` picks the grid: ``None`` → ``w = band`` (the
+    classic 3-probe form), a number → that width, or ``"auto"`` →
+    :func:`choose_band_bucket_width` probes the value distribution
+    (one sketch-aggregation pass over both sides) and picks ``w`` so a
+    distribution concentrated relative to the band cannot make one
+    band-wide bucket quadratic.  The grid never changes the result
+    set, only the plan.
     """
+    import math
+
     if band <= 0:
         raise ValueError("band must be positive")
     if how != "inner":
         # outer flavors would silently degenerate: the post-join band
-        # filter drops null-extended rows, and the 3-bucket explode means
-        # unmatched left rows vanish instead of surviving with nulls
+        # filter drops null-extended rows, and the multi-bucket explode
+        # means unmatched left rows vanish instead of surviving with nulls
         raise ValueError(f"band_join supports how='inner' only, got {how!r}")
     overlap = set(right.columns) & set(left.columns)
     if overlap:
         raise ValueError(f"rename right-side columns that collide with left: {overlap}")
+    if bucket_width == "auto":
+        vals = left.select(F.col(left_on).alias("__v")).unionByName(
+            right.select(F.col(right_on).alias("__v"))
+        )
+        bucket_width = choose_band_bucket_width(
+            vals,
+            "__v",
+            band,
+            target_rows_per_bucket=target_rows_per_bucket,
+            max_fanout=max_fanout,
+            min_bucket_width=min_bucket_width,
+        )
+    w = float(band) if bucket_width is None else float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    # ceil never under-probes: a float band/w a hair below its true
+    # integer value still ceils to it, and a hair above costs one
+    # harmless extra (empty) probe
+    k = max(1, int(math.ceil(float(band) / w)))
+    if 2 * k + 1 > 513:
+        raise ValueError(
+            f"bucket_width {w} needs a {2 * k + 1}-way probe fan-out for "
+            f"band {band} — widen the grid (or raise the band)"
+        )
     lb = left.withColumn(
         "__bucket",
         F.explode(
             F.array(
                 *[
-                    (F.floor(F.col(left_on) / F.lit(band)) + F.lit(d)).cast("long")
-                    for d in (-1, 0, 1)
+                    (F.floor(F.col(left_on) / F.lit(w)) + F.lit(d)).cast("long")
+                    for d in range(-k, k + 1)
                 ]
             )
         ),
     )
     rb = right.withColumn(
-        "__bucket", F.floor(F.col(right_on) / F.lit(band)).cast("long")
+        "__bucket", F.floor(F.col(right_on) / F.lit(w)).cast("long")
     )
     return (
         lb.join(rb, "__bucket", how)

@@ -2902,6 +2902,62 @@ _df(
 )
 
 
+def _x_auto_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven bucket width for the band join
+    (``operators/joins.py:choose_band_bucket_width``): prices folded to
+    ``% 1000`` are CONCENTRATED relative to the ±100 band — on the
+    classic grid one band-wide bucket would hold most of the frame —
+    so the auto chooser probes the distribution (one sketch-agg pass)
+    and picks a finer 2k+1-probe grid.  The oracle is the plain theta
+    join: the grid is plan-side only, so any pair gained/lost by the
+    multi-probe rewrite breaks the hash — this certifies the
+    completeness proof of the k = ceil(band/width) probe set."""
+    from gather_datawarehouse_sync_spark.operators.joins import band_join
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    a = t["orders"].filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_orderstatus").alias("a_status"),
+        (F.floor("o_totalprice").cast("bigint") % 1000).alias("a_v"),
+    )
+    b = a.select(F.col("a_id").alias("b_id"), F.col("a_v").alias("b_v"))
+    return (
+        band_join(
+            a, b, "a_v", "b_v", 100.0,
+            bucket_width="auto",
+            target_rows_per_bucket=4,
+            max_fanout=16,
+            min_bucket_width=1.0,
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy(F.col("a_status").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum(F.abs(F.col("a_v") - F.col("b_v")))
+            .cast("bigint")
+            .alias("gap_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_df(
+    "x_auto_bands",
+    _x_auto_bands,
+    "WITH o AS (SELECT o_orderkey AS id, o_orderstatus AS st, "
+    "CAST(FLOOR(o_totalprice) AS BIGINT) % 1000 AS v FROM orders "
+    "WHERE o_orderkey % 97 = 0) "
+    "SELECT a.st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS pairs, "
+    "CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS gap_sum "
+    "FROM o a JOIN o b ON a.id < b.id AND ABS(a.v - b.v) <= 100 "
+    "GROUP BY a.st ORDER BY o_orderstatus",
+    ("orders",),
+    note="auto-chosen band-join bucket width on a skewed distribution "
+    "(2k+1-probe grid from a percentile sketch probe); oracle = plain "
+    "theta join — grid is plan-side only → FULL oracle",
+)
+
+
 def _x_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer piece counts (GPT-2-style regex split,
     RE2-compatible subset so DuckDB runs the byte-identical pattern)."""

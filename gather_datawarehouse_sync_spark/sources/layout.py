@@ -371,16 +371,21 @@ def refresh_file_stats_index(
         raise ValueError(
             f"refresh_file_stats_index: no parquet files under {path}"
         )
-    # the stats table is file-count-sized by construction — this is a
-    # bounded driver transfer, the same class as the pruner's collect
-    known = {r["file"] for r in old_stats.select("file").collect()}
-    disk_set = set(on_disk)
-    fresh = [f for f in on_disk if f not in known]
-    kept = old_stats.join(
-        spark.createDataFrame([(f,) for f in sorted(disk_set)], "file string"),
-        "file",
-        "left_semi",
+    # membership diff as joins against the persisted index, not a
+    # driver collect of the WHOLE stats table: at millions of files the
+    # index should stay a DataFrame end-to-end — only the FRESH file
+    # list (bounded by the append batch, the thing that must reach the
+    # driver anyway to schedule footer reads) materializes
+    disk = spark.createDataFrame(
+        [(f,) for f in sorted(set(on_disk))], "file string"
     )
+    fresh = sorted(
+        r["file"]
+        for r in disk.join(
+            old_stats.select("file"), "file", "left_anti"
+        ).collect()
+    )
+    kept = old_stats.join(disk, "file", "left_semi")
     if not fresh:
         return kept
     return kept.unionByName(_footer_stats(spark, fresh, cols))
@@ -399,28 +404,37 @@ def scan_with_file_pruning(
     applies the row-level filter (file stats are a superset guarantee:
     a kept file may hold matching and non-matching rows; a PRUNED file
     provably holds none — files with absent stats are conservatively
-    kept).  The stats table is file-count-sized, so the prune is a
-    bounded driver collect — the same class as a partition listing.
+    kept).  The intersection test runs DISTRIBUTED over the stats
+    frame; only the surviving path list (bounded by the files the scan
+    will open anyway) plus one count reaches the driver — at millions
+    of index entries the driver transfer is the PRUNED list, not the
+    table.
     """
+    # the box-intersection predicate, evaluated executor-side: absent
+    # stats (NULL min or max) keep the file conservatively
+    pred = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        mn, mx = F.col(f"{c}_min"), F.col(f"{c}_max")
+        pred = pred & (
+            mn.isNull()
+            | mx.isNull()
+            | ((mn <= F.lit(float(hi))) & (mx >= F.lit(float(lo))))
+        )
     # ONE evaluation of the stats frame (it may be the unpersisted
     # footer job — evaluating it twice would re-read every footer):
-    # collect the file-count-sized table once and prune driver-side
-    rows = stats.collect()
-    if not rows:
+    # a single aggregate carries the total, the kept path list, and a
+    # schema-anchor file for the all-pruned case
+    row = stats.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sort_array(
+            F.collect_list(F.when(pred, F.col("file")))
+        ).alias("kept"),
+        F.min("file").alias("anchor"),
+    ).collect()[0]
+    total = int(row["total"])
+    if total == 0:
         raise ValueError("scan_with_file_pruning: empty stats table")
-    total = len(rows)
-    kept = []
-    for r in rows:
-        ok = True
-        for c, (lo, hi) in ranges.items():
-            mn, mx = r[f"{c}_min"], r[f"{c}_max"]
-            if mn is None or mx is None:
-                continue  # absent stats: keep conservatively
-            if mn > float(hi) or mx < float(lo):
-                ok = False
-                break
-        if ok:
-            kept.append(r["file"])
+    kept = list(row["kept"])
     if not kept:  # preserve schema: an all-pruned scan is a 0-row frame
-        return spark.read.parquet(rows[0]["file"]).limit(0), 0, total
+        return spark.read.parquet(row["anchor"]).limit(0), 0, total
     return spark.read.parquet(*kept), len(kept), total

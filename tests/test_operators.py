@@ -4230,6 +4230,96 @@ def test_merge_table_schema_evolution(spark, tmp_path):
     assert "tag" not in narrow.columns
 
 
+def test_band_join_auto_bucket_width_skew(spark):
+    """choose_band_bucket_width refines the bucket grid when values are
+    CONCENTRATED relative to the band (a band-wide bucket would hold
+    the whole corpus → quadratic candidates), leaves sparse data on the
+    classic 3-probe grid, floors at min_bucket_width, returns the band
+    unchanged for identical values (no grid separates equal values) —
+    and no grid choice ever changes the PAIR SET (parity against the
+    1-probe grid, the completeness contract of the 2k+1-probe form)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+    from gather_datawarehouse_sync_spark.operators.joins import (
+        band_join,
+        choose_band_bucket_width,
+    )
+
+    # concentrated: 2000 values over span ~99, band 50 → one band-wide
+    # bucket would hold ~1000 rows; target 64 wants k=16, clamped to 8
+    dense = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("__v")
+    )
+    w = choose_band_bucket_width(
+        dense, "__v", 50.0, target_rows_per_bucket=64, max_fanout=8
+    )
+    assert abs(w - 50.0 / 8) < 1e-9
+    # sparse relative to the band: expected bucket population tiny → k=1
+    sparse = spark.range(100).select(
+        (F.col("id") * 10_000).cast("double").alias("__v")
+    )
+    assert choose_band_bucket_width(sparse, "__v", 10.0) == 10.0
+    # identical values: the honest residual — grid cannot help
+    const = spark.range(50).select(F.lit(7.0).alias("__v"))
+    assert choose_band_bucket_width(const, "__v", 5.0) == 5.0
+    # integer floor: k capped at floor(band / min_bucket_width)
+    wi = choose_band_bucket_width(
+        dense, "__v", 4.0,
+        target_rows_per_bucket=1, max_fanout=16, min_bucket_width=1.0,
+    )
+    assert wi == 1.0
+
+    # pair-set parity on a skewed distribution: 90% of values pile into
+    # [0, 7), the rest spread wide — auto grid and an explicit multi-
+    # probe grid must return EXACTLY the classic grid's pairs
+    left = spark.range(300).select(
+        F.col("id").alias("a"),
+        F.when(F.col("id") % 10 != 0, (F.col("id") % 7).cast("double"))
+        .otherwise((F.col("id") * 3).cast("double"))
+        .alias("va"),
+    )
+    right = left.select(F.col("a").alias("b"), F.col("va").alias("vb"))
+
+    def pairs(df):
+        return sorted((r["a"], r["b"]) for r in df.select("a", "b").collect())
+
+    classic = pairs(band_join(left, right, "va", "vb", 20.0))
+    assert classic == pairs(
+        band_join(
+            left, right, "va", "vb", 20.0,
+            bucket_width="auto", target_rows_per_bucket=32,
+        )
+    )
+    assert classic == pairs(
+        band_join(left, right, "va", "vb", 20.0, bucket_width=3.0)
+    )
+
+    # edit_distance_pairs threads the knob; the pair set is unchanged
+    names = spark.createDataFrame(
+        [(i, "name" + "x" * (i % 3) + str(i % 5)) for i in range(40)],
+        "id long, name string",
+    )
+    base_pairs = sorted(
+        map(tuple, edit_distance_pairs(names, max_dist=2).collect())
+    )
+    auto_pairs = sorted(
+        map(
+            tuple,
+            edit_distance_pairs(names, max_dist=2, bucket_width="auto").collect(),
+        )
+    )
+    assert base_pairs == auto_pairs
+
+    # degenerate grids refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_width must be positive"):
+        band_join(left, right, "va", "vb", 20.0, bucket_width=0.0)
+    with _pytest.raises(ValueError, match="fan-out"):
+        band_join(left, right, "va", "vb", 2000.0, bucket_width=0.5)
+
+
 def test_merge_scd2_version_chains(spark, tmp_path):
     """SCD2 semantics against hand-computed version chains: change →
     close+open, identical attrs → no spurious version, tombstone →

@@ -16,6 +16,7 @@ from gather_datawarehouse_sync_spark.sources.artifacts import (  # noqa: F401
     load_pq_codebooks,
     merge_scd2,
     merge_table,
+    merge_table_versioned,
     prune_table_versions,
     read_version_pointer,
     swap_version_pointer,

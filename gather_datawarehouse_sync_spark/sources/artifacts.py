@@ -827,6 +827,7 @@ def table_diff(
     key_cols: "tuple[str, ...]",
     delete_col: str = "is_del",
     check_unique: bool = True,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Change-data capture BETWEEN two table versions — the INVERSE of
     :func:`merge_table`, closing the version chain's loop: the minimal
@@ -858,10 +859,44 @@ def table_diff(
     under ``check_unique`` (one extra agg pass per side — pass
     ``check_unique=False`` only when uniqueness is guaranteed
     upstream, e.g. both versions came out of ``merge_table``).
+
+    ``schema_evolution=True`` accepts a ``new`` version whose schema is
+    a SUPERSET of ``old``'s (the upstream grew a column): ``old`` is
+    widened with NULL, so a row whose only change is a non-NULL value
+    in the added column classifies as an upsert, and the emitted diff
+    carries the widened schema — feed it to
+    ``merge_table(schema_evolution=True)`` to replicate the evolution
+    (round trip pinned in tests).  Dropped/retyped columns refuse
+    loudly; column order is by-name.
     """
     from pyspark.sql import functions as F
 
-    if old.columns != new.columns:
+    if schema_evolution:
+        dropped = [c for c in old.columns if c not in new.columns]
+        if dropped:
+            raise ValueError(
+                f"table_diff: new version lacks columns {dropped} — "
+                "schema evolution adds columns, never drops them"
+            )
+        o_types = {f.name: f.dataType for f in old.schema.fields}
+        n_types = {f.name: f.dataType for f in new.schema.fields}
+        retyped = [
+            f"{c}: old {o_types[c].simpleString()} vs new "
+            f"{n_types[c].simpleString()}"
+            for c in old.columns
+            if n_types[c] != o_types[c]
+        ]
+        if retyped:
+            raise ValueError(
+                f"table_diff: new version retypes columns "
+                f"[{'; '.join(retyped)}] — schema evolution adds "
+                "columns, never changes existing types"
+            )
+        for c in new.columns:
+            if c not in o_types:
+                old = old.withColumn(c, F.lit(None).cast(n_types[c]))
+        new = new.select(*old.columns)
+    elif old.columns != new.columns:
         raise ValueError(
             f"table_diff: column mismatch {old.columns} vs {new.columns}"
         )
@@ -1077,6 +1112,75 @@ def swap_version_pointer(
     finally:
         os.close(fd)
         os.unlink(lock)
+
+
+def merge_table_versioned(
+    spark: SparkSession,
+    versions_root: str,
+    base_path: str,
+    source: DataFrame,
+    key_cols: "tuple[str, ...]",
+    partition_col: str,
+    version_name: str,
+    max_retries: int = 3,
+    **merge_kwargs,
+) -> str:
+    """Batch MERGE committed to a version chain under optimistic
+    concurrency — the usable form of
+    ``swap_version_pointer(expected=)``: read the current pointer
+    (``base_path`` until the first commit), :func:`merge_table` the
+    source against it into a NEW version dir, then compare-and-swap
+    the pointer.  A lost race (:class:`VersionConflictError`) re-reads
+    the pointer, RE-MERGES against the winner's version into a fresh
+    attempt dir, and retries — the Delta/Iceberg commit loop on a
+    plain-parquet chain.  Returns the committed version path.
+
+    ``version_name`` identifies the BATCH (at-most-once commit): if the
+    pointer already names this batch's version, the call returns it
+    without re-merging (crash-after-commit replay).  Attempt dirs that
+    already exist on disk are skipped rather than reused — a dir left
+    by a crash between merge and swap was merged against a pointer this
+    run never read, and ``merge_table``'s write-if-absent short-circuit
+    would otherwise republish it against the wrong base.  Abandoned
+    attempt dirs are dead entries (never pointed at), reclaimable by
+    normal artifact hygiene.
+    """
+    committed = read_version_pointer(versions_root, default=base_path)
+    tail = os.path.basename(committed.rstrip("/"))
+    if tail == version_name or tail.startswith(version_name + "_r"):
+        return committed
+    os.makedirs(versions_root, exist_ok=True)
+    last: VersionConflictError | None = None
+    attempt = 0
+    for _ in range(max_retries + 1):
+        seen = read_version_pointer(versions_root, default=base_path)
+        while True:
+            name = (
+                version_name if attempt == 0 else f"{version_name}_r{attempt}"
+            )
+            new_path = os.path.join(versions_root, name)
+            attempt += 1
+            if not os.path.exists(new_path):
+                break
+        merge_table(
+            spark,
+            seen,
+            new_path,
+            source,
+            key_cols=key_cols,
+            partition_col=partition_col,
+            **merge_kwargs,
+        )
+        try:
+            swap_version_pointer(versions_root, new_path, expected=seen)
+            return new_path
+        except VersionConflictError as exc:
+            last = exc
+    raise VersionConflictError(
+        f"merge_table_versioned: lost the pointer race {max_retries + 1} "
+        f"times on {versions_root} — a hotter writer keeps committing; "
+        "raise max_retries or serialize the writers"
+    ) from last
 
 
 def list_table_versions(versions_root: str) -> "list[tuple[str, str]]":

@@ -3908,6 +3908,77 @@ def test_table_diff_roundtrip_and_guards(spark, tmp_path):
         table_diff(old, new, ("id", "val", "p"))
 
 
+def test_table_diff_schema_evolution_roundtrip(spark, tmp_path):
+    """table_diff(schema_evolution=True) widens OLD with NULL so an
+    evolved new version diffs cleanly: a row whose ONLY change is a
+    non-NULL value in the added column classifies as an upsert, rows
+    NULL-in-new on the added column and otherwise identical stay OUT
+    of the diff, and the widened diff feeds
+    merge_table(schema_evolution=True) to reproduce new exactly —
+    the CDC loop closed across an evolution.  Dropped/retyped refuse;
+    reorder is by-name."""
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        merge_table,
+        table_diff,
+    )
+
+    schema = "id long, val string, p string"
+    wide = "id long, val string, p string, tag string"
+    old_rows = [(0, "a", "x"), (1, "b", "x"), (2, "c", "y")]
+    new_rows = [
+        (0, "a", "x", None),   # identical (NULL tag ≡ back-fill) → out
+        (1, "b", "x", "t1"),   # ONLY the added column changed → upsert
+        (2, "C", "y", None),   # ordinary value update
+        (9, "n", "y", "t9"),   # insert with the new column
+    ]
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, wide)
+    diff = table_diff(old, new, ("id",), schema_evolution=True)
+    assert set(map(tuple, diff.collect())) == {
+        (1, "b", "x", "t1", False),
+        (2, "C", "y", None, False),
+        (9, "n", "y", "t9", False),
+    }
+    # round trip through the evolved merge reproduces new exactly
+    old_path = str(tmp_path / "tde_v1")
+    cached_parquet(
+        spark, old_path, lambda: spark.createDataFrame(old_rows, schema),
+        partition_by=("p",),
+    )
+    replayed = merge_table(
+        spark, old_path, str(tmp_path / "tde_v2"),
+        diff.filter(~F.col("is_del")).drop("is_del"),
+        key_cols=("id",), partition_col="p", schema_evolution=True,
+    )
+    assert set(
+        map(tuple, replayed.select("id", "val", "p", "tag").collect())
+    ) == set(new_rows)
+    # evolved self-diff fixed point: new vs itself (non-evolved path)
+    assert table_diff(new, new, ("id",)).count() == 0
+    with _pytest.raises(ValueError, match="lacks columns"):
+        table_diff(old, new.drop("val"), ("id",), schema_evolution=True)
+    with _pytest.raises(ValueError, match="retypes"):
+        table_diff(
+            old,
+            spark.createDataFrame([(0, 7, "x")], "id long, val long, p string"),
+            ("id",),
+            schema_evolution=True,
+        )
+    # by-name: reordered new matches the non-reordered diff
+    assert set(
+        map(
+            tuple,
+            table_diff(
+                old, new.select("tag", "p", "val", "id"), ("id",),
+                schema_evolution=True,
+            ).collect(),
+        )
+    ) == set(map(tuple, diff.collect()))
+
+
 def test_table_diff_merge_closure_randomized(spark, tmp_path):
     """The diff↔merge closure law on seeded-random version pairs:
     for ANY (old, new) with unique non-null keys,

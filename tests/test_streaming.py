@@ -1236,6 +1236,72 @@ def test_version_pointer_cas_two_batch_writers(spark, tmp_path):
     assert read_version_pointer(root) == vb2
 
 
+def test_merge_table_versioned_commit_loop(spark, tmp_path, monkeypatch):
+    """The batch commit loop: sequential writers chain commits through
+    the CAS; a crashed attempt dir (merged against a base this run
+    never read) is SKIPPED, never republished; an already-committed
+    batch name returns its version without re-merging (at-most-once);
+    exhausted retries raise with the documented message."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources import artifacts as A
+
+    schema = "id long, val string, p string"
+    base_path = str(tmp_path / "mtv_v0")
+    A.cached_parquet(
+        spark, base_path,
+        lambda: spark.createDataFrame([(0, "base0", "a")], schema),
+        partition_by=("p",),
+    )
+    root = str(tmp_path / "mtv_versions")
+
+    va = A.merge_table_versioned(
+        spark, root, base_path,
+        spark.createDataFrame([(1, "from_A", "a")], schema),
+        key_cols=("id",), partition_col="p", version_name="batchA",
+    )
+    assert A.read_version_pointer(root) == va
+
+    # a crashed earlier run left batchB's attempt-0 dir merged against
+    # the ORIGINAL base (it never saw A's commit) — the helper must
+    # skip it and merge against the CURRENT pointer in the next slot
+    stale = os.path.join(root, "batchB")
+    A.merge_table(
+        spark, base_path, stale,
+        spark.createDataFrame([(2, "from_B", "a")], schema),
+        key_cols=("id",), partition_col="p",
+    )
+    vb = A.merge_table_versioned(
+        spark, root, base_path,
+        spark.createDataFrame([(2, "from_B", "a")], schema),
+        key_cols=("id",), partition_col="p", version_name="batchB",
+    )
+    assert vb == os.path.join(root, "batchB_r1")
+    assert {tuple(r) for r in spark.read.parquet(vb).collect()} == {
+        (0, "base0", "a"), (1, "from_A", "a"), (2, "from_B", "a")
+    }
+
+    # at-most-once: replaying the committed batch returns its version
+    assert vb == A.merge_table_versioned(
+        spark, root, base_path,
+        spark.createDataFrame([(2, "from_B", "a")], schema),
+        key_cols=("id",), partition_col="p", version_name="batchB",
+    )
+
+    # a permanently-hotter writer exhausts the retries loudly
+    def _always_lose(vr, target, expected=None):
+        raise A.VersionConflictError("simulated lost race")
+
+    monkeypatch.setattr(A, "swap_version_pointer", _always_lose)
+    with pytest.raises(A.VersionConflictError, match="lost the pointer race"):
+        A.merge_table_versioned(
+            spark, root, base_path,
+            spark.createDataFrame([(3, "from_C", "a")], schema),
+            key_cols=("id",), partition_col="p", version_name="batchC",
+            max_retries=1,
+        )
+
+
 def test_cdc_version_chain_time_travel_and_prune(spark, tmp_path):
     """The version chain is the time-travel surface: after two applied
     batches, list_table_versions orders upsert-before-final per epoch,

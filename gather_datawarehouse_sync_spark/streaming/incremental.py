@@ -319,6 +319,7 @@ def start_cdc_apply(
     partition_col: str,
     delete_col: str = "is_del",
     seq_col: "str | None" = None,
+    schema_evolution: bool = False,
 ):
     """Streaming CDC maintenance of a plain parquet table: each
     micro-batch of change rows (full replacement rows plus a boolean
@@ -422,17 +423,24 @@ def start_cdc_apply(
         dflag = F.coalesce(F.col(delete_col), F.lit(False))
         ups = batch_df.filter(~dflag).drop(delete_col)
         dels = batch_df.filter(dflag).drop(delete_col)
+        # schema_evolution lets an EVOLVED change stream (the upstream
+        # grew a column) maintain a pre-evolution base: the first
+        # evolved epoch's upsert merge widens the table (all-partition
+        # re-footer, merge_table's documented one-time cost), after
+        # which added=[] and every later epoch is partition-scoped
+        # again.  Without the flag, merge_table's whole-replacement-row
+        # contract would silently DROP the new column from every batch.
         merge_table(
             spark, read_version_pointer(versions_root, default=base_path),
             va, ups,
             key_cols=key_cols, partition_col=partition_col,
-            seq_col=seq_col,
+            seq_col=seq_col, schema_evolution=schema_evolution,
         )
         merge_table(
             spark, va, vb, dels,
             key_cols=key_cols, partition_col=partition_col,
             when_matched="delete", when_not_matched="ignore",
-            seq_col=seq_col,
+            seq_col=seq_col, schema_evolution=schema_evolution,
         )
         swap_version_pointer(versions_root, vb)
 

@@ -1236,6 +1236,68 @@ def test_version_pointer_cas_two_batch_writers(spark, tmp_path):
     assert read_version_pointer(root) == vb2
 
 
+def test_cdc_apply_schema_evolution(spark, tmp_path):
+    """An EVOLVED change stream (upstream grew a column) maintains a
+    pre-evolution base through start_cdc_apply(schema_evolution=True):
+    the first evolved epoch widens the table (carried rows back-filled
+    NULL), upserts carry the new column, deletes still apply — without
+    the flag merge_table's replacement-row contract would silently
+    drop the column from every batch."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        read_version_pointer,
+    )
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_cdc_apply,
+    )
+
+    base_path = str(tmp_path / "evs_v0")
+    cached_parquet(
+        spark, base_path,
+        lambda: spark.createDataFrame(
+            [(0, "zero", "a"), (1, "one", "b")],
+            "id long, val string, p string",
+        ),
+        partition_by=("p",),
+    )
+    wide = "id long, val string, p string, tag string, is_del boolean"
+    src = tmp_path / "evs_src"
+    spark.createDataFrame(
+        [
+            (1, "one2", "b", "t1", False),   # update carrying the new col
+            (5, "five", "c", "t5", False),   # insert into a new partition
+            (0, "zero", "a", None, True),    # delete of a carried row
+        ],
+        wide,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    q = start_cdc_apply(
+        spark.readStream.schema(wide)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src)),
+        base_path,
+        str(tmp_path / "evs_versions"),
+        str(tmp_path / "evs_ckpt"),
+        key_cols=("id",), partition_col="p",
+        schema_evolution=True,
+    )
+    q.awaitTermination()
+    current = read_version_pointer(str(tmp_path / "evs_versions"))
+    got = set(
+        map(
+            tuple,
+            spark.read.parquet(current)
+            .select("id", "val", "p", "tag")
+            .collect(),
+        )
+    )
+    assert got == {(1, "one2", "b", "t1"), (5, "five", "c", "t5")}
+    # the untouched-partition files carry the widened footer schema
+    assert os.path.exists(os.path.join(current, "_SUCCESS"))
+
+
 def test_merge_table_versioned_commit_loop(spark, tmp_path, monkeypatch):
     """The batch commit loop: sequential writers chain commits through
     the CAS; a crashed attempt dir (merged against a base this run

@@ -4300,6 +4300,31 @@ def test_merge_table_schema_evolution(spark, tmp_path):
     )
     assert "tag" not in narrow.columns
 
+    # evolution composes with seq_col: the strictly-newer source wins
+    # AND lands the new column; the stale source is a no-op even though
+    # it carries the column (its tag must NOT leak onto the kept row)
+    sv1 = str(tmp_path / "evo_seq_v1")
+    cached_parquet(
+        spark, sv1,
+        lambda: spark.createDataFrame(
+            [(0, "w0", 10, "a"), (1, "w1", 10, "a")],
+            "id long, val string, seq long, p string",
+        ),
+        partition_by=("p",),
+    )
+    got_s = set(
+        map(tuple, merge_table(
+            spark, sv1, str(tmp_path / "evo_seq_v2"),
+            spark.createDataFrame(
+                [(0, "newer", 11, "a", "tn"), (1, "stale", 9, "a", "ts")],
+                "id long, val string, seq long, p string, tag string",
+            ),
+            key_cols=("id",), partition_col="p", seq_col="seq",
+            schema_evolution=True,
+        ).select("id", "val", "seq", "p", "tag").collect())
+    )
+    assert got_s == {(0, "newer", 11, "a", "tn"), (1, "w1", 10, "a", None)}
+
 
 def test_band_join_auto_bucket_width_skew(spark):
     """choose_band_bucket_width refines the bucket grid when values are

@@ -1329,6 +1329,7 @@ def merge_scd2(
     key_cols: "tuple[str, ...]",
     seq: int,
     delete_col: str | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Slowly-changing-dimension TYPE 2 merge on plain parquet — the
     history-keeping generalization of :func:`merge_table` (and of the
@@ -1359,6 +1360,17 @@ def merge_scd2(
     hardlink across.  Duplicate source keys are rejected (two versions
     of one key in one batch is ill-defined — which closes which?).
     Attr comparison is null-safe per column.
+
+    ``schema_evolution=True`` accepts a source that GREW attribute
+    columns (every non-key, non-``delete_col`` source column not yet in
+    the history becomes an attr): stored versions back-fill NULL —
+    closed versions stay immutable in VALUE, the new column reads NULL
+    for them — and the null-safe attr compare then does the right
+    thing (a source row whose only change is a non-NULL value in the
+    added column closes + opens; NULL-in-source + otherwise identical
+    is a no-op).  Dropped/retyped attrs refuse loudly.  An evolution
+    batch rewrites every bucket once (footer schema), like
+    :func:`merge_table`'s documented one-time cost.
     """
     from pyspark.sql import functions as F
 
@@ -1372,6 +1384,29 @@ def merge_scd2(
     hist = spark.read.parquet(old_path)
     keys = list(key_cols)
     meta = {"__bucket", "valid_from", "valid_to", "is_current"}
+    added: "list[str]" = []
+    if schema_evolution:
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        h_types = {f.name: f.dataType for f in hist.schema.fields}
+        retyped = [
+            f"{c}: history {h_types[c].simpleString()} vs source "
+            f"{src_types[c].simpleString()}"
+            for c in hist.columns
+            if c not in meta and c in src_types and src_types[c] != h_types[c]
+        ]
+        if retyped:
+            raise ValueError(
+                f"merge_scd2: source retypes history columns "
+                f"[{'; '.join(retyped)}] — schema evolution adds "
+                "attrs, never changes existing types"
+            )
+        added = [
+            c
+            for c in source.columns
+            if c not in hist.columns and c not in meta and c != delete_col
+        ]
+        for c in added:
+            hist = hist.withColumn(c, F.lit(None).cast(src_types[c]))
     attr_cols = [c for c in hist.columns if c not in meta and c not in keys]
     payload = keys + attr_cols
     missing = [c for c in payload if c not in source.columns]
@@ -1416,9 +1451,15 @@ def merge_scd2(
         "__bucket",
         F.pmod(F.xxhash64(*keys), F.lit(int(n_buckets))).cast("int"),
     )
-    dirty = sorted(
-        r[0] for r in src.select("__bucket").distinct().collect()
-    )
+    dirty_set = {r[0] for r in src.select("__bucket").distinct().collect()}
+    if added:
+        # an added attr changes the HISTORY schema: every bucket
+        # rewrites once so no hardlinked file keeps the old footer
+        # schema (bucket-count-bounded probe, same class as the modulus)
+        dirty_set.update(
+            r[0] for r in hist.select("__bucket").distinct().collect()
+        )
+    dirty = sorted(dirty_set)
     src_b = F.broadcast(src)
     same_attrs = None
     for c in attr_cols:
@@ -1428,9 +1469,8 @@ def merge_scd2(
         same_attrs = F.lit(True)
 
     def _replacement() -> DataFrame:
-        resident = spark.read.parquet(old_path).filter(
-            F.col("__bucket").isin(dirty)
-        )
+        # hist is the (possibly NULL-widened) lazy frame over old_path
+        resident = hist.filter(F.col("__bucket").isin(dirty))
         h, s = resident.alias("h"), src_b.alias("s")
         key_eq = [F.col(f"h.{k}") == F.col(f"s.{k}") for k in keys]
         joined = h.join(s, key_eq, "left")

@@ -4416,6 +4416,73 @@ def test_band_join_auto_bucket_width_skew(spark):
         band_join(left, right, "va", "vb", 2000.0, bucket_width=0.5)
 
 
+def test_merge_scd2_schema_evolution(spark, tmp_path):
+    """SCD2 across an attr evolution: a source batch that GREW an attr
+    column widens the history (stored versions read NULL for it), the
+    null-safe compare then closes+opens only when the added column (or
+    any old attr) actually changed, pre-evolution versions stay
+    immutable in value, and the as-of read at an old seq serves them
+    with the NULL back-fill; retyped attrs refuse."""
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        init_scd2_history,
+        merge_scd2,
+        scd2_as_of,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, nm string"
+    )
+    p0 = str(tmp_path / "se_h0")
+    init_scd2_history(spark, base, p0, ("k",), seq=0, n_buckets=4)
+
+    # evolved batch: k=1 only the NEW column gains a value (close+open),
+    # k=2 NULL in the new column + same nm (no-op), k=9 brand new
+    b1 = spark.createDataFrame(
+        [(1, "a", "gold"), (2, "b", None), (9, "z", "new")],
+        "k long, nm string, tier string",
+    )
+    p1 = str(tmp_path / "se_h1")
+    h1 = merge_scd2(spark, p0, p1, b1, ("k",), seq=1, schema_evolution=True)
+    got = {
+        (r["k"], r["nm"], r["tier"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in h1.select(
+            "k", "nm", "tier", "valid_from", "valid_to", "is_current"
+        ).collect()
+    }
+    assert got == {
+        (1, "a", None, 0, 1, False),
+        (1, "a", "gold", 1, None, True),
+        (2, "b", None, 0, None, True),
+        (3, "c", None, 0, None, True),
+        (9, "z", "new", 1, None, True),
+    }
+    # as-of BEFORE the evolution serves the old versions, NULL-backfilled
+    asof0 = {
+        (r["k"], r["nm"], r["tier"]) for r in scd2_as_of(h1, 0).collect()
+    }
+    assert asof0 == {(1, "a", None), (2, "b", None), (3, "c", None)}
+    # a later non-evolved batch on the widened history works unchanged
+    b2 = spark.createDataFrame(
+        [(2, "b", "silver")], "k long, nm string, tier string"
+    )
+    h2 = merge_scd2(spark, p1, str(tmp_path / "se_h2"), b2, ("k",), seq=2)
+    assert {
+        (r["k"], r["tier"], r["is_current"])
+        for r in h2.filter(F.col("k") == 2)
+        .select("k", "tier", "is_current")
+        .collect()
+    } == {(2, None, False), (2, "silver", True)}
+    with _pytest.raises(ValueError, match="retypes"):
+        merge_scd2(
+            spark, p1, str(tmp_path / "se_bad"),
+            spark.createDataFrame([(1, "a", 5)], "k long, nm string, tier long"),
+            ("k",), seq=3, schema_evolution=True,
+        )
+
+
 def test_merge_scd2_version_chains(spark, tmp_path):
     """SCD2 semantics against hand-computed version chains: change →
     close+open, identical attrs → no spurious version, tombstone →

@@ -122,6 +122,17 @@ def test_band_join_avoids_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_band_join_multi_probe_grid_stays_equi_join(spark, sf_dir):
+    # the auto-chosen finer grid (2k+1 probes) must keep the SAME plan
+    # class as the classic 3-probe form: an equi-join on the bucket key,
+    # never a nested loop — the grid only changes the explode fan-out
+    df = REGISTRY["x_auto_bands"].spark(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
 def test_exact_cosine_pairs_avoids_nested_loop(spark, sf_dir):
     # block-grid all-pairs: the O(n²) pair space materializes through an
     # equi-join on grid-cell ids, never a BroadcastNestedLoopJoin — at

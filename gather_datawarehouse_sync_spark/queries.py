@@ -3853,6 +3853,101 @@ _df(
 )
 
 
+def _x_scd2_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 across an attribute EVOLUTION
+    (``merge_scd2(schema_evolution=True)``): the customer dimension
+    initializes without a segment column; one evolved batch adds
+    ``seg`` — keys ≡ 1 mod 10 change balance AND gain a segment
+    (close + open), keys ≡ 3 mod 10 re-send identical attrs with a
+    NULL segment (must NOT open a spurious version: NULL-vs-back-fill
+    compares equal under the null-safe compare), and brand-new keys
+    insert with a segment.  Stored pre-evolution versions read NULL
+    for the added column.  The oracle enumerates every version class
+    with the NULL back-fill explicit, so a spurious version, a lost
+    close, or a leaked/missing segment value breaks the hash."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        init_scd2_history,
+        merge_scd2,
+    )
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.floor("c_acctbal").cast("bigint").alias("bal"),
+    )
+    p0 = artifact_path(sf_dir, "scd2_evolve_v0")
+    init_scd2_history(spark, cust, p0, ("k",), seq=0, n_buckets=8)
+    b1 = (
+        cust.filter(F.col("k") % 10 == 1)
+        .select(
+            "k", "nm", (F.col("bal") + 100).alias("bal"),
+            F.concat(
+                F.lit("u"), (F.col("k") % 3).cast("string")
+            ).alias("seg"),
+        )
+        .unionByName(
+            cust.filter(F.col("k") % 10 == 3).select(
+                "k", "nm", "bal", F.lit(None).cast("string").alias("seg")
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("k") % 1000 == 11).select(
+                (F.col("k") + 1_000_000).alias("k"),
+                "nm",
+                (F.col("bal") + 1).alias("bal"),
+                F.lit("n").alias("seg"),
+            )
+        )
+    )
+    hist = merge_scd2(
+        spark,
+        p0,
+        artifact_path(sf_dir, "scd2_evolve_v1"),
+        b1,
+        ("k",),
+        seq=1,
+        schema_evolution=True,
+    )
+    return hist.select(
+        "k", "nm", "bal", "seg", "valid_from", "valid_to", "is_current"
+    ).orderBy("k", "valid_from")
+
+
+_df(
+    "x_scd2_evolve",
+    _x_scd2_evolve,
+    "WITH c AS (SELECT c_custkey AS k, c_name AS nm, "
+    "CAST(FLOOR(c_acctbal) AS BIGINT) AS bal FROM customer), "
+    "v AS ("
+    # base versions: NULL-backfilled seg; closed at 1 iff changed
+    "SELECT k, nm, bal, CAST(NULL AS VARCHAR) AS seg, "
+    "CAST(0 AS BIGINT) AS valid_from, "
+    "CASE WHEN k % 10 = 1 THEN CAST(1 AS BIGINT) ELSE NULL END "
+    "AS valid_to FROM c "
+    "UNION ALL "
+    # evolved updates: new balance + segment (identical re-sends with
+    # NULL seg open NOTHING — absent from this enumeration)
+    "SELECT k, nm, bal + 100, 'u' || CAST(k % 3 AS VARCHAR), 1, NULL "
+    "FROM c WHERE k % 10 = 1 "
+    "UNION ALL "
+    # evolved inserts
+    "SELECT k + 1000000, nm, bal + 1, 'n', 1, NULL "
+    "FROM c WHERE k % 1000 = 11) "
+    "SELECT CAST(k AS BIGINT) AS k, nm, CAST(bal AS BIGINT) AS bal, "
+    "seg, CAST(valid_from AS BIGINT) AS valid_from, "
+    "CAST(valid_to AS BIGINT) AS valid_to, "
+    "valid_to IS NULL AS is_current "
+    "FROM v ORDER BY k, valid_from",
+    ("customer",),
+    note="SCD2 attribute evolution (added column back-fills NULL on "
+    "stored versions; null-safe compare keeps identical re-sends "
+    "no-ops); oracle enumerates every version class with the "
+    "back-fill explicit → FULL oracle",
+)
+
+
 def _x_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time read of x_scd2_merge's TWO-batch history at
     seq=1 — the dimension exactly between the batches: batch-1 changes
@@ -6847,8 +6942,9 @@ _df(
 # x_gopher_rules and x_bm25.
 # Round-14 rotation candidates (FULL-oracle entries that have waited
 # longest, per the r12 verdict's item 7, plus the round-13 additions):
-# x_merge_evolve, x_auto_bands (new this round — schema evolution
-# through merge_table; data-driven bucket width for band_join),
+# x_merge_evolve, x_auto_bands, x_scd2_evolve (new this round —
+# schema evolution through merge_table and merge_scd2; data-driven
+# bucket width for band_join),
 # x_json_struct, x_text_quality, x_doc_profile, x_rep_frac,
 # x_html_strip, x_length_buckets, then x_temp_resample,
 # x_boilerplate, x_boilerplate_against, x_dedup_recall,

@@ -179,6 +179,41 @@ def test_band_join_matches_python_oracle(spark, ls, rs, band):
     assert got == want
 
 
+@given(
+    _band_vals,
+    _band_vals,
+    st.integers(min_value=1, max_value=25),
+    st.floats(min_value=0.3, max_value=40.0, allow_nan=False),
+)
+@_SETTINGS
+def test_band_join_any_bucket_width_matches_oracle(spark, ls, rs, band, w):
+    """The 2k+1-probe grid is complete and exact for ANY positive
+    bucket width — finer than the band, coarser than the band,
+    non-divisible fractions: the grid is plan-side only, the pair set
+    is always the full |l−r| ≤ band relation."""
+    from gather_datawarehouse_sync_spark.operators.joins import band_join
+
+    left = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(ls)], "a_id long, a_v double"
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, float(v)) for i, v in enumerate(rs)], "b_id long, b_v double"
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in band_join(
+            left, right, "a_v", "b_v", band, bucket_width=w
+        ).collect()
+    }
+    want = {
+        (i, 1000 + j)
+        for i, lv in enumerate(ls)
+        for j, rv in enumerate(rs)
+        if abs(lv - rv) <= band
+    }
+    assert got == want
+
+
 _pack_rows = st.lists(
     st.tuples(
         st.integers(min_value=-50, max_value=10_000),  # sparse/negative ids

@@ -4177,6 +4177,108 @@ _df(
 )
 
 
+def _x_versioned_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two CDC batches committed to ONE version chain through the
+    optimistic-concurrency commit loop
+    (``sources/artifacts.merge_table_versioned``: read pointer → MERGE
+    → compare-and-swap): batch A bumps prices for keys ≡ 3 mod 10;
+    batch B, committed ON TOP of A's version, bumps a disjoint slice
+    (≡ 6 mod 10) and inserts re-keyed rows into a new partition; the
+    query serves whatever the chain's current pointer names.  The
+    oracle replays both merges relationally in order, so a commit
+    against the wrong base (the silent-loss shape the CAS exists to
+    prevent), a dropped batch, or a stale pointer read all break the
+    hash.  The conflict/loser paths are unit-pinned (concurrency is
+    not SQL-expressible)."""
+    import os as _os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+        merge_table_versioned,
+        read_version_pointer,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders",))
+
+    def _base() -> DataFrame:
+        return t["orders"].select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_int"),
+            "o_orderstatus",
+        )
+
+    base_path = artifact_path(sf_dir, "vcommit_base_v1")
+    cached_parquet(spark, base_path, _base, partition_by=("o_orderstatus",))
+    root = artifact_path(sf_dir, "vcommit_chain")
+    # ledger-position guard (see merge_table_versioned docstring): the
+    # pointer only records the LATEST batch, so a replayed run checks
+    # where the chain already is before re-committing the ledger
+    cur = read_version_pointer(root, default="")
+    if not _os.path.basename(cur).startswith("batchB"):
+        base = spark.read.parquet(base_path)
+        b_a = base.filter(F.col("o_orderkey") % 10 == 3).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("price_int") + 1000).alias("price_int"),
+            "o_orderstatus",
+        )
+        merge_table_versioned(
+            spark, root, base_path, b_a,
+            key_cols=("o_orderkey",), partition_col="o_orderstatus",
+            version_name="batchA",
+        )
+        b_b = base.filter(F.col("o_orderkey") % 10 == 6).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("price_int") + 7).alias("price_int"),
+            "o_orderstatus",
+        ).unionByName(
+            base.filter(F.col("o_orderkey") % 1000 == 7).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                (F.col("price_int") + 5).alias("price_int"),
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+        merge_table_versioned(
+            spark, root, base_path, b_b,
+            key_cols=("o_orderkey",), partition_col="o_orderstatus",
+            version_name="batchB",
+        )
+    final = spark.read.parquet(read_version_pointer(root))
+    return final.select(
+        "o_orderkey", "o_custkey", "price_int", "o_orderstatus"
+    ).orderBy("o_orderkey")
+
+
+_df(
+    "x_versioned_commit",
+    _x_versioned_commit,
+    "WITH tgt AS (SELECT o_orderkey, o_custkey, "
+    "CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int, o_orderstatus "
+    "FROM orders), "
+    "m AS (SELECT o_orderkey, o_custkey, "
+    "CASE WHEN o_orderkey % 10 = 3 THEN price_int + 1000 "
+    "WHEN o_orderkey % 10 = 6 THEN price_int + 7 "
+    "ELSE price_int END AS price_int, o_orderstatus FROM tgt), "
+    "ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, "
+    "price_int + 5 AS price_int, 'N' AS o_orderstatus "
+    "FROM tgt WHERE o_orderkey % 1000 = 7) "
+    "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+    "CAST(o_custkey AS BIGINT) AS o_custkey, "
+    "CAST(price_int AS BIGINT) AS price_int, o_orderstatus "
+    "FROM (SELECT * FROM m UNION ALL SELECT * FROM ins) "
+    "ORDER BY o_orderkey",
+    ("orders",),
+    note="two batches committed through the optimistic-concurrency "
+    "commit loop (read -> merge -> CAS on the version pointer); "
+    "oracle = in-order relational replay of both merges → FULL "
+    "oracle; loser/conflict paths unit-pinned",
+)
+
+
 def _x_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TABLE-layer capstone (the x_index_lifecycle pattern for the
     storage verbs): extract → apply → serve on one lineage.  A new
@@ -6942,9 +7044,10 @@ _df(
 # x_gopher_rules and x_bm25.
 # Round-14 rotation candidates (FULL-oracle entries that have waited
 # longest, per the r12 verdict's item 7, plus the round-13 additions):
-# x_merge_evolve, x_auto_bands, x_scd2_evolve (new this round —
-# schema evolution through merge_table and merge_scd2; data-driven
-# bucket width for band_join),
+# x_merge_evolve, x_auto_bands, x_scd2_evolve, x_versioned_commit
+# (new this round — schema evolution through merge_table and
+# merge_scd2; data-driven bucket width for band_join; the
+# optimistic-concurrency commit loop),
 # x_json_struct, x_text_quality, x_doc_profile, x_rep_frac,
 # x_html_strip, x_length_buckets, then x_temp_resample,
 # x_boilerplate, x_boilerplate_against, x_dedup_recall,

@@ -1137,7 +1137,12 @@ def merge_table_versioned(
 
     ``version_name`` identifies the BATCH (at-most-once commit): if the
     pointer already names this batch's version, the call returns it
-    without re-merging (crash-after-commit replay).  Attempt dirs that
+    without re-merging (crash-after-commit replay).  The pointer is the
+    chain's ONLY commit record, so at-most-once holds for the LATEST
+    batch; replaying an OLDER batch (already superseded by a later
+    commit) re-applies it — content-safe by the idempotent-replay
+    contract, but it mints a fresh version dir, so callers replaying
+    whole ledgers should check their ledger position first.  Attempt dirs that
     already exist on disk are skipped rather than reused — a dir left
     by a crash between merge and swap was merged against a pointer this
     run never read, and ``merge_table``'s write-if-absent short-circuit

@@ -1147,8 +1147,9 @@ def merge_table_versioned(
     by a crash between merge and swap was merged against a pointer this
     run never read, and ``merge_table``'s write-if-absent short-circuit
     would otherwise republish it against the wrong base.  Abandoned
-    attempt dirs are dead entries (never pointed at), reclaimable by
-    normal artifact hygiene.
+    attempt dirs are dead entries (never pointed at) —
+    ``prune_table_versions(include_batch_dirs=True)`` retires them from
+    a maintenance window.
     """
     committed = read_version_pointer(versions_root, default=base_path)
     tail = os.path.basename(committed.rstrip("/"))
@@ -1219,7 +1220,7 @@ def list_table_versions(versions_root: str) -> "list[tuple[str, str]]":
 
 
 def prune_table_versions(
-    versions_root: str, keep_last: int = 1
+    versions_root: str, keep_last: int = 1, include_batch_dirs: bool = False
 ) -> "list[str]":
     """Retire superseded CDC table versions: delete every complete
     version dir under ``versions_root`` except the newest ``keep_last``
@@ -1233,7 +1234,15 @@ def prune_table_versions(
     Same contract as :func:`prune_stale_artifacts`: explicit call from
     the maintenance job, never a side effect; readers of a pruned
     version fail loudly on the missing path (they should be reading the
-    ``_cdc_current`` pointer).  Returns the pruned paths."""
+    ``_cdc_current`` pointer).  Returns the pruned paths.
+
+    ``include_batch_dirs=True`` additionally retires the batch-commit
+    dirs :func:`merge_table_versioned` mints (superseded commits and
+    abandoned loser attempts — any non-epoch ``_SUCCESS`` dir that is
+    not the pointer target).  Only call it from a maintenance window
+    with NO batch writer in flight: a writer between its merge and its
+    CAS holds an unpublished dir this sweep cannot distinguish from an
+    abandoned one."""
     if keep_last < 1:
         raise ValueError("prune_table_versions: keep_last must be >= 1")
     versions = list_table_versions(versions_root)
@@ -1247,6 +1256,18 @@ def prune_table_versions(
             continue
         shutil.rmtree(path, ignore_errors=True)
         pruned.append(path)
+    if include_batch_dirs and os.path.isdir(versions_root):
+        listed = {os.path.normpath(p) for _, p in versions}
+        for name in sorted(os.listdir(versions_root)):
+            full = os.path.join(versions_root, name)
+            if (
+                os.path.isdir(full)
+                and os.path.normpath(full) not in listed
+                and os.path.normpath(full) not in protected
+                and os.path.exists(os.path.join(full, "_SUCCESS"))
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                pruned.append(full)
     return pruned
 
 

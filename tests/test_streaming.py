@@ -1350,6 +1350,14 @@ def test_merge_table_versioned_commit_loop(spark, tmp_path, monkeypatch):
         key_cols=("id",), partition_col="p", version_name="batchB",
     )
 
+    # maintenance sweep: include_batch_dirs retires superseded commits
+    # and the skipped stale attempt, NEVER the pointer target
+    pruned = A.prune_table_versions(root, include_batch_dirs=True)
+    assert os.path.join(root, "batchA") in pruned
+    assert stale in pruned  # the crashed attempt dir
+    assert vb not in pruned and os.path.exists(vb)
+    assert A.read_version_pointer(root) == vb
+
     # a permanently-hotter writer exhausts the retries loudly
     def _always_lose(vr, target, expected=None):
         raise A.VersionConflictError("simulated lost race")

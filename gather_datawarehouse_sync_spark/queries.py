@@ -3740,6 +3740,86 @@ _df(
 )
 
 
+def _x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup data skipping from the per-file BLOOM index
+    (``sources/layout.file_bloom_index``) — the high-cardinality
+    complement of x_file_prune: orders is written with keys scrambled
+    across 16 files (every file's [min,max] key box spans the whole
+    domain, so interval stats can NEVER prune here), yet the membership
+    bits keep only the few files that may hold the probed keys.
+
+    Self-checking on both axes like x_file_prune: the pruned scan +
+    row filter must be value-identical to the full-table scan (FULL
+    oracle — a false NEGATIVE silently drops rows and breaks the
+    hash), and the prune must actually bite (0 < kept < total enforced
+    loudly).  Probes are the three smallest order keys (deterministic)
+    plus an absent key."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+    )
+    from gather_datawarehouse_sync_spark.sources.layout import (
+        file_bloom_index,
+        scan_with_bloom_pruning,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+    )
+    bpath = artifact_path(sf_dir, "orders_bloom_tab_v1")
+    if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+        # hash-scrambled 16-file layout: the anti-clustered worst case
+        # for min/max stats, the home turf of membership bits
+        o.repartition(16, "o_orderkey").write.parquet(bpath)
+    idx = cached_parquet(
+        spark,
+        artifact_path(sf_dir, "orders_bloom_idx_v1"),
+        lambda: file_bloom_index(spark, bpath, "o_orderkey"),
+    )
+    probes = (
+        o.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(3)
+        .unionByName(
+            spark.range(1).select(
+                F.lit(-1).cast("long").alias("o_orderkey")
+            )
+        )
+    )
+    reader, kept, total = scan_with_bloom_pruning(spark, idx, probes)
+    if not (0 < kept < total):
+        raise ValueError(
+            f"x_bloom_prune: pruning ineffective — kept {kept}/{total} "
+            "files; the bloom index or its probe geometry is broken"
+        )
+    return (
+        reader.join(F.broadcast(probes), "o_orderkey", "left_semi")
+        .select("o_orderkey", "o_custkey", "price_int")
+        .orderBy("o_orderkey")
+    )
+
+
+_df(
+    "x_bloom_prune",
+    _x_bloom_prune,
+    "SELECT o_orderkey, o_custkey, "
+    "CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int FROM orders "
+    "WHERE o_orderkey IN (SELECT o_orderkey FROM "
+    "(SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)) "
+    "ORDER BY o_orderkey",
+    ("orders",),
+    note="bloom-filter file skipping for point lookups on a "
+    "hash-scrambled high-cardinality key (min/max boxes span the "
+    "domain — interval pruning cannot bite); pruned scan ≡ full scan "
+    "(FULL oracle) with 0 < kept < total enforced loudly",
+)
+
+
 def _x_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension TYPE 2 history, end-to-end over TWO
     CDC batches on one lineage: customer initializes the history
@@ -7044,10 +7124,11 @@ _df(
 # x_gopher_rules and x_bm25.
 # Round-14 rotation candidates (FULL-oracle entries that have waited
 # longest, per the r12 verdict's item 7, plus the round-13 additions):
-# x_merge_evolve, x_auto_bands, x_scd2_evolve, x_versioned_commit
-# (new this round — schema evolution through merge_table and
-# merge_scd2; data-driven bucket width for band_join; the
-# optimistic-concurrency commit loop),
+# x_merge_evolve, x_auto_bands, x_scd2_evolve, x_versioned_commit,
+# x_bloom_prune (new this round — schema evolution through
+# merge_table and merge_scd2; data-driven bucket width for band_join;
+# the optimistic-concurrency commit loop; bloom-filter point-lookup
+# file skipping),
 # x_json_struct, x_text_quality, x_doc_profile, x_rep_frac,
 # x_html_strip, x_length_buckets, then x_temp_resample,
 # x_boilerplate, x_boilerplate_against, x_dedup_recall,

@@ -438,3 +438,229 @@ def scan_with_file_pruning(
     if not kept:  # preserve schema: an all-pruned scan is a 0-row frame
         return spark.read.parquet(row["anchor"]).limit(0), 0, total
     return spark.read.parquet(*kept), len(kept), total
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file index (point-lookup data skipping)
+# ---------------------------------------------------------------------------
+
+def _bloom_rows(
+    spark: SparkSession,
+    files: "list[str]",
+    col: str,
+    n_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """The shared bloom-bit kernel: ONE distributed scan of ``files``
+    mapping each non-NULL value of ``col`` to ``n_hashes`` bit
+    positions (seeded xxhash64), folded into sparse 64-bit words per
+    (file, word_idx) via BIT_OR, plus one ``word_idx = -1`` marker row
+    per file so empty / all-NULL files stay visible to the pruner."""
+    rows = (
+        spark.read.parquet(*files)
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:(//)?", "").alias(
+                "file"
+            ),
+            F.col(col).alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .select(
+            "file",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("__v"), F.lit(i)), F.lit(n_bits)
+                        )
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("__pos"),
+        )
+        .select(
+            "file",
+            F.expr("CAST(__pos DIV 64 AS INT)").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+    markers = spark.createDataFrame(
+        [(f,) for f in sorted(files)], "file string"
+    ).select(
+        "file",
+        F.lit(-1).alias("word_idx"),
+        F.lit(0).cast("long").alias("word"),
+    )
+    return rows.unionByName(markers)
+
+
+def file_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    n_bits: int = 1 << 18,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Per-file Bloom filter over ``col`` — point-lookup (equality / IN)
+    data skipping for HIGH-CARDINALITY keys, the complement of the
+    min/max :func:`file_stats_index`: a uuid-ish key's [min, max] box
+    spans the whole domain so interval pruning never bites, but
+    membership BITS do (Delta's bloom-filter-index idea on plain
+    parquet).  No clustering required — it works on a randomly
+    distributed key, where z-order + stats cannot.
+
+    One distributed scan of the column builds the sparse
+    ``(file, word_idx, word)`` rows (see :func:`_bloom_rows`); the
+    marker row keeps empty / all-NULL files visible, and those prune
+    EXACTLY (no non-NULL value can live there).  Size like any bloom:
+    ~10 bits per distinct value per file keeps false positives ~1 %
+    (a false positive only costs a read; false NEGATIVES cannot happen
+    — bit setting is exact, so pruning is a superset guarantee like
+    the stats index).  NULL values set no bits — equality probes are
+    null-rejecting anyway.
+
+    xxhash64 is TYPE-sensitive (hashing 5 as INT and as BIGINT sets
+    different bits), so probes handed to
+    :func:`scan_with_bloom_pruning` must carry the indexed column's
+    exact type — derive them by selecting/casting against the same
+    schema.  Persist with ``cached_parquet`` per table version and
+    refresh incrementally via :func:`refresh_file_bloom_index`; the
+    same immutable-data-files convention as the stats index (a file
+    rewritten in place under its old name keeps stale bits — rewrites
+    must install NEW versioned directories, as every rewrite verb here
+    does).
+    """
+    if n_bits < 64 or n_hashes < 1:
+        raise ValueError("file_bloom_index: need n_bits >= 64, n_hashes >= 1")
+    files = _list_parquet_files(path)
+    if not files:
+        raise ValueError(f"file_bloom_index: no parquet files under {path}")
+    return _bloom_rows(spark, files, col, n_bits, n_hashes)
+
+
+def refresh_file_bloom_index(
+    spark: SparkSession,
+    path: str,
+    old_index: DataFrame,
+    col: str,
+    n_bits: int = 1 << 18,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Incremental bloom-index maintenance — the
+    :func:`refresh_file_stats_index` contract for membership bits:
+    carry rows for files still on disk (semi-join), drop vanished
+    files, and scan ONLY the uncovered files for fresh bits; the
+    membership diff runs distributed and just the fresh-file list (the
+    append batch, which must reach the driver anyway to schedule the
+    scan) materializes.  ``n_bits`` / ``n_hashes`` must match the
+    build — a drifted geometry would issue probes against the wrong
+    bit positions, so persist them alongside the index path.
+    """
+    on_disk = _list_parquet_files(path)
+    if not on_disk:
+        raise ValueError(f"refresh_file_bloom_index: no parquet files under {path}")
+    disk = spark.createDataFrame(
+        [(f,) for f in sorted(set(on_disk))], "file string"
+    )
+    fresh = sorted(
+        r["file"]
+        for r in disk.join(
+            old_index.select("file").distinct(), "file", "left_anti"
+        ).collect()
+    )
+    kept = old_index.join(disk, "file", "left_semi")
+    if not fresh:
+        return kept
+    return kept.unionByName(_bloom_rows(spark, fresh, col, n_bits, n_hashes))
+
+
+def scan_with_bloom_pruning(
+    spark: SparkSession,
+    index: DataFrame,
+    probes: DataFrame,
+    n_bits: int = 1 << 18,
+    n_hashes: int = 5,
+) -> "tuple[DataFrame, int, int]":
+    """Read only the files that MAY contain at least one probe value —
+    job-level point-lookup skipping driven by a persisted
+    :func:`file_bloom_index`.  ``probes`` is a one-column DataFrame of
+    lookup values whose type matches the indexed column exactly (the
+    xxhash64 type-sensitivity note on the builder).
+
+    Returns (reader, files_kept, files_total).  The caller still
+    applies the row-level equality filter (bloom false positives keep
+    extra files; a PRUNED file provably holds none of the probes).
+    Every test runs DISTRIBUTED over the index frame: probe bit
+    requirements join the index words, a file survives when ALL of
+    some probe's required words are fully present, and only the kept
+    path list plus a count reach the driver.  Probe count is
+    query-sized (an IN-list), so the requirement side broadcasts.
+    """
+    pcol = probes.columns[0]
+    if len(probes.columns) != 1:
+        raise ValueError("scan_with_bloom_pruning: probes must be one column")
+    req = (
+        probes.select(F.col(pcol).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+        .select(
+            "__v",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("__v"), F.lit(i)), F.lit(n_bits)
+                        )
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("__pos"),
+        )
+        .select(
+            "__v",
+            F.expr("CAST(__pos DIV 64 AS INT)").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("__v", "word_idx")
+        .agg(F.bit_or("__m").alias("req_word"))
+    )
+    need = req.groupBy("__v").agg(F.count(F.lit(1)).alias("__need"))
+    hits = (
+        index.filter(F.col("word_idx") >= 0)
+        .join(F.broadcast(req), "word_idx")
+        .filter(
+            F.col("word").bitwiseAND(F.col("req_word")) == F.col("req_word")
+        )
+        .groupBy("file", "__v")
+        .agg(F.count(F.lit(1)).alias("__got"))
+        .join(F.broadcast(need), "__v")
+        .filter(F.col("__got") == F.col("__need"))
+        .select("file")
+        .distinct()
+    )
+    row = (
+        index.select("file")
+        .distinct()
+        .join(hits.withColumn("__keep", F.lit(True)), "file", "left")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__keep"), F.col("file")))
+            ).alias("kept"),
+            F.min("file").alias("anchor"),
+        )
+        .collect()[0]
+    )
+    total = int(row["total"])
+    if total == 0:
+        raise ValueError("scan_with_bloom_pruning: empty bloom index")
+    kept = list(row["kept"])
+    if not kept:  # preserve schema: an all-pruned scan is a 0-row frame
+        return spark.read.parquet(row["anchor"]).limit(0), 0, total
+    return spark.read.parquet(*kept), len(kept), total

@@ -893,3 +893,83 @@ def test_refresh_file_stats_index_matches_rebuild(spark, tmp_path):
         refresh_file_stats_index(
             spark, str(tmp_path / "nope"), stats_v1, ["x", "y"]
         )
+
+
+def test_file_bloom_index_point_lookup_pruning(spark, tmp_path):
+    """Bloom-filter file skipping on a HIGH-CARDINALITY randomly
+    distributed key (min/max boxes span everything — interval pruning
+    cannot bite, membership bits do): present probes keep exactly the
+    files holding them (no false negatives — pruned-scan rows ≡
+    full-scan rows), an absent probe prunes (essentially) everything,
+    an all-NULL file prunes exactly, and the incremental refresh is
+    row-identical to a rebuild."""
+    import os
+
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.layout import (
+        file_bloom_index,
+        refresh_file_bloom_index,
+        scan_with_bloom_pruning,
+    )
+
+    path = str(tmp_path / "btab")
+    # keys scrambled so every file's [min,max] box spans the domain
+    spark.createDataFrame(
+        [((i * 2654435761) % 100_000, i) for i in range(8_000)],
+        "k long, pay long",
+    ).repartition(8).write.parquet(path)
+    # one extra file where the key is all-NULL — must prune exactly
+    spark.createDataFrame(
+        [(None, 10_000 + i) for i in range(50)], "k long, pay long"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    idx = file_bloom_index(spark, path, "k").localCheckpoint()
+    total_files = idx.select("file").distinct().count()
+    assert total_files == 9
+
+    full = spark.read.parquet(path)
+    some_keys = [r["k"] for r in full.filter(F.col("k").isNotNull())
+                 .orderBy("k").limit(3).collect()]
+    probes = spark.createDataFrame([(k,) for k in some_keys], "k long")
+    reader, kept, total = scan_with_bloom_pruning(spark, idx, probes)
+    assert total == 9 and 0 < kept < total
+    got = sorted(
+        map(tuple, reader.filter(F.col("k").isin(some_keys)).collect())
+    )
+    want = sorted(
+        map(tuple, full.filter(F.col("k").isin(some_keys)).collect())
+    )
+    assert got == want and got
+
+    # absent probe: nothing real can match; allow rare false-positive
+    # files but the filtered result must be empty
+    absent = spark.createDataFrame([(-12345,)], "k long")
+    r2, kept2, _ = scan_with_bloom_pruning(spark, idx, absent)
+    assert kept2 <= 1  # fp odds at this sizing are ~1e-9 per file
+    assert r2.filter(F.col("k") == -12345).count() == 0
+
+    # refresh after an append ≡ rebuild; fixed point on no change
+    spark.createDataFrame(
+        [(999_999_999, 1)], "k long, pay long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    refreshed = refresh_file_bloom_index(spark, path, idx, "k")
+    rebuilt = file_bloom_index(spark, path, "k")
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    again = refresh_file_bloom_index(spark, path, refreshed, "k")
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # the fresh key is findable through the refreshed index
+    r3, kept3, total3 = scan_with_bloom_pruning(
+        spark, refreshed, spark.createDataFrame([(999_999_999,)], "k long")
+    )
+    assert total3 == 10 and kept3 >= 1
+    assert r3.filter(F.col("k") == 999_999_999).count() == 1
+
+    with _pytest.raises(ValueError, match="no parquet files"):
+        file_bloom_index(spark, str(tmp_path / "nope"), "k")
+    with _pytest.raises(ValueError, match="one column"):
+        scan_with_bloom_pruning(spark, idx, full)

@@ -3754,7 +3754,7 @@ def _x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash), and the prune must actually bite (0 < kept < total enforced
     loudly).  Probes are the three smallest order keys (deterministic)
     plus an absent key."""
-    import os
+    import math
 
     from gather_datawarehouse_sync_spark.sources.artifacts import (
         artifact_path,
@@ -3772,14 +3772,19 @@ def _x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("bigint").alias("price_int"),
     )
     bpath = artifact_path(sf_dir, "orders_bloom_tab_v1")
-    if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
-        # hash-scrambled 16-file layout: the anti-clustered worst case
-        # for min/max stats, the home turf of membership bits
-        o.repartition(16, "o_orderkey").write.parquet(bpath)
+    # hash-scrambled 16-file layout: the anti-clustered worst case for
+    # min/max stats, the home turf of membership bits (atomic install
+    # via the staged-tmp helper — a killed run never leaves a torn dir)
+    cached_parquet(spark, bpath, lambda: o.repartition(16, "o_orderkey"))
+    # geometry from the data, per the builder's ~10-bits-per-value
+    # sizing rule — a fixed default would saturate at larger scale
+    # factors and trip the kept<total guard below
+    n_rows = o.count()
+    n_bits = 1 << max(18, math.ceil(math.log2(max(1, n_rows // 16) * 10)))
     idx = cached_parquet(
         spark,
         artifact_path(sf_dir, "orders_bloom_idx_v1"),
-        lambda: file_bloom_index(spark, bpath, "o_orderkey"),
+        lambda: file_bloom_index(spark, bpath, "o_orderkey", n_bits=n_bits),
     )
     probes = (
         o.select("o_orderkey")
@@ -3791,7 +3796,9 @@ def _x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    reader, kept, total = scan_with_bloom_pruning(spark, idx, probes)
+    reader, kept, total = scan_with_bloom_pruning(
+        spark, idx, probes, n_bits=n_bits
+    )
     if not (0 < kept < total):
         raise ValueError(
             f"x_bloom_prune: pruning ineffective — kept {kept}/{total} "

@@ -1151,9 +1151,28 @@ def merge_table_versioned(
     ``prune_table_versions(include_batch_dirs=True)`` retires them from
     a maintenance window.
     """
+    import re as _re
+
+    # a STREAM-claimed chain has exactly one writer — its checkpointed
+    # stream, whose unconditional pointer swaps do not participate in
+    # the CAS protocol.  A batch writer interleaving with it would CAS
+    # successfully and still be silently overwritten by the stream's
+    # next epoch swap — refuse the combination up front.
+    if os.path.exists(os.path.join(versions_root, _RUN_MARKER)):
+        raise ValueError(
+            f"merge_table_versioned: {versions_root} is claimed by a "
+            "streaming applier (_cdc_run marker) — a batch commit would "
+            "be silently overwritten by the stream's next epoch swap; "
+            "stop the stream (and remove the marker) or use a separate "
+            "chain"
+        )
     committed = read_version_pointer(versions_root, default=base_path)
     tail = os.path.basename(committed.rstrip("/"))
-    if tail == version_name or tail.startswith(version_name + "_r"):
+    # exact batch identity only: the bare name or its retry form
+    # <name>_r<digits> — a prefix match would let a DIFFERENT batch
+    # whose name merely extends this one ('etl' vs 'etl_rollup')
+    # swallow the commit silently
+    if _re.fullmatch(_re.escape(version_name) + r"(_r\d+)?", tail):
         return committed
     os.makedirs(versions_root, exist_ok=True)
     last: VersionConflictError | None = None

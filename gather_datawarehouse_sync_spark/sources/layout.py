@@ -456,6 +456,16 @@ def _bloom_rows(
     positions (seeded xxhash64), folded into sparse 64-bit words per
     (file, word_idx) via BIT_OR, plus one ``word_idx = -1`` marker row
     per file so empty / all-NULL files stay visible to the pruner."""
+    # input_file_name() is a percent-ENCODED URI; stripping the scheme
+    # matches the raw os paths only while they contain no
+    # URI-escaping characters.  Rather than silently minting two
+    # identities per file (data rows under the encoded name, marker
+    # rows under the raw one — which would double-count totals and
+    # break the no-false-negative guarantee), the build VERIFIES the
+    # observed identities against the listing and refuses loudly.
+    listed = spark.createDataFrame(
+        [(f,) for f in sorted(set(files))], "file string"
+    )
     rows = (
         spark.read.parquet(*files)
         .select(
@@ -488,9 +498,21 @@ def _bloom_rows(
         .groupBy("file", "word_idx")
         .agg(F.bit_or("__m").alias("word"))
     )
-    markers = spark.createDataFrame(
-        [(f,) for f in sorted(files)], "file string"
-    ).select(
+    stray = (
+        rows.select("file")
+        .distinct()
+        .join(listed, "file", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if stray:
+        raise ValueError(
+            "file_bloom_index: a scanned file's URI-decoded identity "
+            "does not match its on-disk path — the path contains "
+            "URI-escaping characters (space, %, non-ASCII); the bloom "
+            "index requires plain-ASCII table paths"
+        )
+    markers = listed.select(
         "file",
         F.lit(-1).alias("word_idx"),
         F.lit(0).cast("long").alias("word"),
@@ -599,10 +621,15 @@ def scan_with_bloom_pruning(
     some probe's required words are fully present, and only the kept
     path list plus a count reach the driver.  Probe count is
     query-sized (an IN-list), so the requirement side broadcasts.
+
+    Pass a PERSISTED index (the ``cached_parquet`` form, the natural
+    usage): the prune consumes the index frame in two subtrees (word
+    membership + file totals), so an unpersisted build would re-scan
+    the data table per subtree.
     """
-    pcol = probes.columns[0]
     if len(probes.columns) != 1:
         raise ValueError("scan_with_bloom_pruning: probes must be one column")
+    pcol = probes.columns[0]
     req = (
         probes.select(F.col(pcol).alias("__v"))
         .filter(F.col("__v").isNotNull())

@@ -1350,13 +1350,42 @@ def test_merge_table_versioned_commit_loop(spark, tmp_path, monkeypatch):
         key_cols=("id",), partition_col="p", version_name="batchB",
     )
 
+    # exact batch identity: a batch whose name merely EXTENDS the
+    # committed one ('batchB' committed as batchB_r1; 'batchB_r' is a
+    # different batch) must still commit, not silently return
+    vx = A.merge_table_versioned(
+        spark, root, base_path,
+        spark.createDataFrame([(3, "from_X", "a")], schema),
+        key_cols=("id",), partition_col="p", version_name="batchB_r",
+    )
+    assert os.path.basename(vx) == "batchB_r"
+    assert A.read_version_pointer(root) == vx
+    assert {tuple(r) for r in spark.read.parquet(vx).collect()} == {
+        (0, "base0", "a"), (1, "from_A", "a"), (2, "from_B", "a"),
+        (3, "from_X", "a"),
+    }
+
+    # a STREAM-claimed chain refuses batch writers outright: the
+    # stream's unconditional epoch swap would silently overwrite any
+    # CAS-committed batch
+    claimed = str(tmp_path / "mtv_claimed")
+    os.makedirs(claimed)
+    open(os.path.join(claimed, "_cdc_run"), "w").write("/some/ckpt")
+    with pytest.raises(ValueError, match="streaming applier"):
+        A.merge_table_versioned(
+            spark, claimed, base_path,
+            spark.createDataFrame([(9, "x", "a")], schema),
+            key_cols=("id",), partition_col="p", version_name="b1",
+        )
+
     # maintenance sweep: include_batch_dirs retires superseded commits
     # and the skipped stale attempt, NEVER the pointer target
     pruned = A.prune_table_versions(root, include_batch_dirs=True)
     assert os.path.join(root, "batchA") in pruned
     assert stale in pruned  # the crashed attempt dir
-    assert vb not in pruned and os.path.exists(vb)
-    assert A.read_version_pointer(root) == vb
+    assert vb in pruned  # superseded by vx
+    assert vx not in pruned and os.path.exists(vx)
+    assert A.read_version_pointer(root) == vx
 
     # a permanently-hotter writer exhausts the retries loudly
     def _always_lose(vr, target, expected=None):

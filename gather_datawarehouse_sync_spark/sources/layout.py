@@ -616,16 +616,15 @@ def scan_with_bloom_pruning(
     Returns (reader, files_kept, files_total).  The caller still
     applies the row-level equality filter (bloom false positives keep
     extra files; a PRUNED file provably holds none of the probes).
-    Every test runs DISTRIBUTED over the index frame: probe bit
-    requirements join the index words, a file survives when ALL of
-    some probe's required words are fully present, and only the kept
-    path list plus a count reach the driver.  Probe count is
-    query-sized (an IN-list), so the requirement side broadcasts.
-
-    Pass a PERSISTED index (the ``cached_parquet`` form, the natural
-    usage): the prune consumes the index frame in two subtrees (word
-    membership + file totals), so an unpersisted build would re-scan
-    the data table per subtree.
+    Every test runs DISTRIBUTED over the index frame, and the whole
+    prune is ONE linear DAG over a SINGLE evaluation of it (the same
+    one-pass discipline as :func:`scan_with_file_pruning` — an
+    unpersisted index build is scanned once, not once per subtree):
+    probe bit requirements broadcast-join the index rows, a file
+    survives when ALL of some probe's required words are fully
+    present, and only the kept path list plus a count reach the
+    driver.  Probe count is query-sized (an IN-list), so the
+    requirement side broadcasts.
     """
     if len(probes.columns) != 1:
         raise ValueError("scan_with_bloom_pruning: probes must be one column")
@@ -658,23 +657,26 @@ def scan_with_bloom_pruning(
         .agg(F.bit_or("__m").alias("req_word"))
     )
     need = req.groupBy("__v").agg(F.count(F.lit(1)).alias("__need"))
-    hits = (
-        index.filter(F.col("word_idx") >= 0)
-        .join(F.broadcast(req), "word_idx")
-        .filter(
-            F.col("word").bitwiseAND(F.col("req_word")) == F.col("req_word")
-        )
-        .groupBy("file", "__v")
-        .agg(F.count(F.lit(1)).alias("__got"))
-        .join(F.broadcast(need), "__v")
-        .filter(F.col("__got") == F.col("__need"))
-        .select("file")
-        .distinct()
-    )
+    # one pass: every index row (markers and unmatched words included,
+    # via the LEFT join's NULL __v group) flows through two grouped
+    # aggregations — per-(file, probe) satisfied-word counts, then a
+    # per-file keep verdict — so marker-only files still count toward
+    # the total while never matching a probe
     row = (
-        index.select("file")
-        .distinct()
-        .join(hits.withColumn("__keep", F.lit(True)), "file", "left")
+        index.join(F.broadcast(req), "word_idx", "left")
+        .groupBy("file", "__v")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("word").bitwiseAND(F.col("req_word"))
+                    == F.col("req_word"),
+                    F.lit(1),
+                )
+            ).alias("__got")
+        )
+        .join(F.broadcast(need), "__v", "left")
+        .groupBy("file")
+        .agg(F.max(F.col("__got") == F.col("__need")).alias("__keep"))
         .agg(
             F.count(F.lit(1)).alias("total"),
             F.sort_array(

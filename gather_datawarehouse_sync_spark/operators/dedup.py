@@ -1744,6 +1744,11 @@ def edit_distance_pairs(
     # orientation; a < b keeps one.  band must be positive, so d = 0
     # (exact equality) runs with band 1 — the levenshtein threshold
     # below still discards the distance-1 candidates.
+    # lengths are integers: a sub-unit grid separates nothing and only
+    # multiplies probes — clamp EXPLICIT numeric widths to 1 too, not
+    # just the auto-chosen one (the documented floor)
+    if isinstance(bucket_width, (int, float)):
+        bucket_width = max(float(bucket_width), 1.0)
     cand = band_join(
         left,
         right,

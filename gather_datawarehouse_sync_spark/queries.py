@@ -3980,8 +3980,12 @@ def _x_scd2_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
+            # NEGATIVE re-key: disjoint from real customer keys at any
+            # scale factor (a fixed offset collides once the key space
+            # outgrows it, and a colliding "insert" would close+open an
+            # unrelated chain while the oracle enumerates two)
             cust.filter(F.col("k") % 1000 == 11).select(
-                (F.col("k") + 1_000_000).alias("k"),
+                (-F.col("k")).alias("k"),
                 "nm",
                 (F.col("bal") + 1).alias("bal"),
                 F.lit("n").alias("seg"),
@@ -3991,7 +3995,7 @@ def _x_scd2_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = merge_scd2(
         spark,
         p0,
-        artifact_path(sf_dir, "scd2_evolve_v1"),
+        artifact_path(sf_dir, "scd2_evolve_v1b"),
         b1,
         ("k",),
         seq=1,
@@ -4020,7 +4024,7 @@ _df(
     "FROM c WHERE k % 10 = 1 "
     "UNION ALL "
     # evolved inserts
-    "SELECT k + 1000000, nm, bal + 1, 'n', 1, NULL "
+    "SELECT -k, nm, bal + 1, 'n', 1, NULL "
     "FROM c WHERE k % 1000 = 11) "
     "SELECT CAST(k AS BIGINT) AS k, nm, CAST(bal AS BIGINT) AS bal, "
     "seg, CAST(valid_from AS BIGINT) AS valid_from, "
@@ -4298,7 +4302,7 @@ def _x_versioned_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_path = artifact_path(sf_dir, "vcommit_base_v1")
     cached_parquet(spark, base_path, _base, partition_by=("o_orderstatus",))
-    root = artifact_path(sf_dir, "vcommit_chain")
+    root = artifact_path(sf_dir, "vcommit_chain_v2")
     # ledger-position guard (see merge_table_versioned docstring): the
     # pointer only records the LATEST batch, so a replayed run checks
     # where the chain already is before re-committing the ledger
@@ -4322,8 +4326,12 @@ def _x_versioned_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("price_int") + 7).alias("price_int"),
             "o_orderstatus",
         ).unionByName(
+            # NEGATIVE re-key: provably disjoint from every real order
+            # key at ANY scale factor (a +10M offset collides once the
+            # key space outgrows it, and the UNION ALL oracle below
+            # cannot express that collision's merge semantics)
             base.filter(F.col("o_orderkey") % 1000 == 7).select(
-                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                (-F.col("o_orderkey")).alias("o_orderkey"),
                 "o_custkey",
                 (F.col("price_int") + 5).alias("price_int"),
                 F.lit("N").alias("o_orderstatus"),
@@ -4350,7 +4358,7 @@ _df(
     "CASE WHEN o_orderkey % 10 = 3 THEN price_int + 1000 "
     "WHEN o_orderkey % 10 = 6 THEN price_int + 7 "
     "ELSE price_int END AS price_int, o_orderstatus FROM tgt), "
-    "ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, "
+    "ins AS (SELECT -o_orderkey AS o_orderkey, o_custkey, "
     "price_int + 5 AS price_int, 'N' AS o_orderstatus "
     "FROM tgt WHERE o_orderkey % 1000 = 7) "
     "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, "

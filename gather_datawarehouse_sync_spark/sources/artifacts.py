@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from collections.abc import Callable
 
 import numpy as np
@@ -980,8 +981,9 @@ def claim_versions_root(versions_root: str, checkpoint: str) -> None:
             raise ValueError(
                 f"versions_root {versions_root} holds a torn claim (an "
                 "empty _cdc_run marker — a claimant crashed between "
-                "creating and writing it). No stream owns this root: "
-                f"remove {marker} and retry."
+                "creating and writing it, or a LIVE claimant is inside "
+                "that instant right now). After confirming no claimant "
+                f"is mid-start, remove {marker} and retry."
             )
         if owner != ident:
             raise ValueError(
@@ -1166,14 +1168,20 @@ def merge_table_versioned(
             "stop the stream (and remove the marker) or use a separate "
             "chain"
         )
-    committed = read_version_pointer(versions_root, default=base_path)
-    tail = os.path.basename(committed.rstrip("/"))
-    # exact batch identity only: the bare name or its retry form
-    # <name>_r<digits> — a prefix match would let a DIFFERENT batch
-    # whose name merely extends this one ('etl' vs 'etl_rollup')
-    # swallow the commit silently
-    if _re.fullmatch(_re.escape(version_name) + r"(_r\d+)?", tail):
-        return committed
+    # the at-most-once shortcut needs an ACTUAL commit record: with no
+    # pointer file yet, read_version_pointer returns base_path, and a
+    # base dir that happens to share the batch's basename
+    # ('/warehouse/etl' + version_name='etl') must not masquerade as a
+    # prior commit — that would silently drop the batch
+    if os.path.exists(os.path.join(versions_root, _POINTER_NAME)):
+        committed = read_version_pointer(versions_root)
+        tail = os.path.basename(committed.rstrip("/"))
+        # exact batch identity only: the bare name or its retry form
+        # <name>_r<digits> — a prefix match would let a DIFFERENT batch
+        # whose name merely extends this one ('etl' vs 'etl_rollup')
+        # swallow the commit silently
+        if _re.fullmatch(_re.escape(version_name) + r"(_r\d+)?", tail):
+            return committed
     os.makedirs(versions_root, exist_ok=True)
     last: VersionConflictError | None = None
     attempt = 0
@@ -1196,11 +1204,42 @@ def merge_table_versioned(
             partition_col=partition_col,
             **merge_kwargs,
         )
-        try:
-            swap_version_pointer(versions_root, new_path, expected=seen)
-            return new_path
-        except VersionConflictError as exc:
-            last = exc
+        while True:
+            try:
+                swap_version_pointer(versions_root, new_path, expected=seen)
+                return new_path
+            except VersionConflictError as exc:
+                last = exc
+                # lock contention vs pointer moved: if the pointer still
+                # equals what this merge was based on, the merge result
+                # is STILL VALID — re-merging cannot help; retry just
+                # the CAS (brief contention clears, a leaked lock gets
+                # its own diagnosis instead of "a hotter writer")
+                if (
+                    read_version_pointer(versions_root, default=seen)
+                    != seen
+                ):
+                    break  # pointer moved: outer loop re-merges
+                time.sleep(0.05)
+                try:
+                    swap_version_pointer(
+                        versions_root, new_path, expected=seen
+                    )
+                    return new_path
+                except VersionConflictError as exc2:
+                    last = exc2
+                if (
+                    read_version_pointer(versions_root, default=seen)
+                    == seen
+                ):
+                    raise VersionConflictError(
+                        f"merge_table_versioned: the pointer at "
+                        f"{versions_root} has not moved but its CAS lock "
+                        "stays held — a writer died holding the lock; "
+                        "remove the named lock file after confirming no "
+                        "writer is live, then retry"
+                    ) from last
+                break  # moved between the two CAS attempts: re-merge
     raise VersionConflictError(
         f"merge_table_versioned: lost the pointer race {max_retries + 1} "
         f"times on {versions_root} — a hotter writer keeps committing; "

@@ -461,8 +461,20 @@ def _bloom_rows(
     # URI-escaping characters.  Rather than silently minting two
     # identities per file (data rows under the encoded name, marker
     # rows under the raw one — which would double-count totals and
-    # break the no-false-negative guarantee), the build VERIFIES the
-    # observed identities against the listing and refuses loudly.
+    # break the no-false-negative guarantee), refuse escaping paths up
+    # front, DRIVER-side: the check also catches the collision shape
+    # ('a b.parquet' encoding onto a real sibling 'a%20b.parquet')
+    # that a distributed observed-vs-listed diff cannot see.
+    import urllib.parse
+
+    bad = [f for f in files if urllib.parse.quote(f, safe="/") != f]
+    if bad:
+        raise ValueError(
+            "file_bloom_index: table paths contain URI-escaping "
+            f"characters (space, %, non-ASCII): {bad[:3]} — the bloom "
+            "index keys files by their URI-decoded scan identity and "
+            "requires plain-ASCII paths"
+        )
     listed = spark.createDataFrame(
         [(f,) for f in sorted(set(files))], "file string"
     )
@@ -498,6 +510,11 @@ def _bloom_rows(
         .groupBy("file", "word_idx")
         .agg(F.bit_or("__m").alias("word"))
     )
+    # materialize ONCE: the identity verification below would otherwise
+    # re-run the whole scan+explode+agg when the caller persists the
+    # returned frame — the index rows are file-count × occupied-words
+    # sized, safely checkpointable
+    rows = rows.localCheckpoint()
     stray = (
         rows.select("file")
         .distinct()
@@ -507,10 +524,9 @@ def _bloom_rows(
     )
     if stray:
         raise ValueError(
-            "file_bloom_index: a scanned file's URI-decoded identity "
-            "does not match its on-disk path — the path contains "
-            "URI-escaping characters (space, %, non-ASCII); the bloom "
-            "index requires plain-ASCII table paths"
+            "file_bloom_index: a scanned file's identity does not match "
+            "any on-disk path — filesystem and scan disagree about file "
+            "naming; rebuild from a plain-ASCII table path"
         )
     markers = listed.select(
         "file",

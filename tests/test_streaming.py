@@ -1387,8 +1387,47 @@ def test_merge_table_versioned_commit_loop(spark, tmp_path, monkeypatch):
     assert vx not in pruned and os.path.exists(vx)
     assert A.read_version_pointer(root) == vx
 
-    # a permanently-hotter writer exhausts the retries loudly
+    # the at-most-once shortcut needs an ACTUAL pointer file: on a
+    # fresh chain whose BASE dir happens to share the batch's basename,
+    # the batch must still merge and commit, not silently skip
+    named_base = str(tmp_path / "batchZ")
+    A.cached_parquet(
+        spark, named_base,
+        lambda: spark.createDataFrame([(0, "b", "a")], schema),
+        partition_by=("p",),
+    )
+    fresh_root = str(tmp_path / "mtv_fresh")
+    vz = A.merge_table_versioned(
+        spark, fresh_root, named_base,
+        spark.createDataFrame([(1, "z", "a")], schema),
+        key_cols=("id",), partition_col="p", version_name="batchZ",
+    )
+    assert vz == os.path.join(fresh_root, "batchZ")
+    assert {tuple(r) for r in spark.read.parquet(vz).collect()} == {
+        (0, "b", "a"), (1, "z", "a")
+    }
+
+    # a leaked CAS lock (pointer never moves, lock always held) gets its
+    # own diagnosis — not "a hotter writer", and no useless re-merges
+    lock2 = os.path.join(root, "_cdc_current.__lock__")
+    open(lock2, "w").close()
+    with pytest.raises(A.VersionConflictError, match="died holding the lock"):
+        A.merge_table_versioned(
+            spark, root, base_path,
+            spark.createDataFrame([(4, "from_D", "a")], schema),
+            key_cols=("id",), partition_col="p", version_name="batchD",
+        )
+    os.remove(lock2)
+
+    # a permanently-HOTTER writer (pointer moves on every attempt)
+    # exhausts the retries loudly
+    real_swap = A.swap_version_pointer
+
     def _always_lose(vr, target, expected=None):
+        # the rival flips the pointer between two REAL tables so every
+        # retry sees it moved (re-merge path, never the leaked-lock one)
+        cur = A.read_version_pointer(vr, default="")
+        real_swap(vr, base_path if cur == vx else vx)
         raise A.VersionConflictError("simulated lost race")
 
     monkeypatch.setattr(A, "swap_version_pointer", _always_lose)

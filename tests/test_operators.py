@@ -4044,6 +4044,81 @@ def test_table_diff_merge_closure_randomized(spark, tmp_path):
         assert got == sorted(new_rows, key=str), f"seed {seed}"
 
 
+def test_table_diff_merge_closure_randomized_evolution(spark, tmp_path):
+    """The diff↔merge closure law ACROSS A SCHEMA EVOLUTION on
+    seeded-random version pairs: for any (old, new) where new grew a
+    column, merge(old, table_diff(old, new, evo), evo) == new — random
+    keeps/updates/deletes/inserts/moves with random (NULL included)
+    values in the added column, so the widened-diff classification
+    boundaries are exercised, not just the hand-picked classes."""
+    import random
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        merge_table,
+        table_diff,
+    )
+
+    schema = "id long, val string, p string"
+    wide = "id long, val string, p string, tag string"
+    for seed in range(4):
+        rng = random.Random(1000 + seed)
+        old_rows = [
+            (i, rng.choice(["a", "b", None]), rng.choice(["x", "y"]))
+            for i in range(40)
+        ]
+        new_rows = []
+        for i, v, p in old_rows:
+            act = rng.random()
+            if act < 0.2:
+                continue  # delete
+            if act < 0.45:  # update value/partition and/or gain a tag
+                new_rows.append(
+                    (
+                        i,
+                        rng.choice(["a", "b", "c", None]),
+                        rng.choice(["x", "y", "z"]),
+                        rng.choice(["t1", "t2", None]),
+                    )
+                )
+            elif act < 0.6:  # ONLY the added column changes
+                new_rows.append((i, v, p, rng.choice(["t3", "t4"])))
+            else:  # kept: NULL tag ≡ the back-fill → must stay OUT
+                new_rows.append((i, v, p, None))
+        new_rows += [
+            (100 + j, rng.choice(["n", None]), rng.choice(["x", "z"]),
+             rng.choice(["tn", None]))
+            for j in range(rng.randrange(1, 6))
+        ]
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, wide)
+        diff = table_diff(old, new, ("id",), schema_evolution=True)
+
+        old_path = str(tmp_path / f"cle_{seed}_v1")
+        cached_parquet(
+            spark, old_path,
+            lambda r=old_rows: spark.createDataFrame(r, schema),
+            partition_by=("p",),
+        )
+        pa = str(tmp_path / f"cle_{seed}_v2a")
+        merge_table(
+            spark, old_path, pa,
+            diff.filter(~F.col("is_del")).drop("is_del"),
+            key_cols=("id",), partition_col="p", schema_evolution=True,
+        )
+        replayed = merge_table(
+            spark, pa, str(tmp_path / f"cle_{seed}_v2b"),
+            diff.filter(F.col("is_del")).drop("is_del"),
+            key_cols=("id",), partition_col="p",
+            when_matched="delete", when_not_matched="ignore",
+        )
+        got = sorted(
+            map(tuple, replayed.select("id", "val", "p", "tag").collect()),
+            key=str,
+        )
+        assert got == sorted(new_rows, key=str), f"seed {seed}"
+
+
 def test_merge_table_seq_col_monotonic(spark, tmp_path):
     """seq_col makes MERGE monotonic per key: a strictly-newer source
     row takes effect (update or delete), a stale or equal-seq one is a

@@ -942,6 +942,40 @@ def test_file_bloom_index_point_lookup_pruning(spark, tmp_path):
     )
     assert got == want and got
 
+    # THE bloom guarantee, asserted directly against ground truth over
+    # seeded probe subsets: the kept file set is a SUPERSET of the
+    # files that actually contain any probe (false positives allowed,
+    # false negatives never)
+    import random
+
+    from pyspark.sql.functions import input_file_name, regexp_replace
+
+    truth = (
+        full.withColumn(
+            "f", regexp_replace(input_file_name(), "^file:(//)?", "")
+        )
+        .filter(F.col("k").isNotNull())
+        .select("k", "f")
+        .collect()
+    )
+    by_key = {}
+    for r in truth:
+        by_key.setdefault(r["k"], set()).add(r["f"])
+    all_keys = sorted(by_key)
+    for seed in range(5):
+        sample = random.Random(seed).sample(all_keys, 7)
+        rdr, kept_n, _ = scan_with_bloom_pruning(
+            spark, idx, spark.createDataFrame([(k,) for k in sample], "k long")
+        )
+        must_keep = set().union(*(by_key[k] for k in sample))
+        kept_files = {
+            r["f"]
+            for r in rdr.withColumn(
+                "f", regexp_replace(input_file_name(), "^file:(//)?", "")
+            ).select("f").distinct().collect()
+        }
+        assert must_keep <= kept_files, f"false negative at seed {seed}"
+
     # absent probe: nothing real can match; allow rare false-positive
     # files but the filtered result must be empty
     absent = spark.createDataFrame([(-12345,)], "k long")

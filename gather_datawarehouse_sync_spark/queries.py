@@ -3740,6 +3740,77 @@ _df(
 )
 
 
+def _x_compact_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped small-file compaction on the version-chain
+    convention (``sources/artifacts.compact_table_partitions``): a
+    deliberately fragmented orders table (16-way round-robin into each
+    status partition — the streaming-sink accretion shape) compacts
+    ONLY the 'F' partition into its size-derived file count; clean
+    partitions hardlink across into the new version.  Self-checking on
+    both axes: the file count must actually DROP (loud in-query
+    assertion, like x_file_prune's) and content must be identical —
+    the FULL identity oracle catches any row lost or duplicated by the
+    fold."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+        compact_table_partitions,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders",))
+
+    def _base() -> DataFrame:
+        return t["orders"].select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_int"),
+            "o_orderstatus",
+        ).repartition(16)
+
+    base_path = artifact_path(sf_dir, "compact_orders_base_v1")
+    cached_parquet(spark, base_path, _base, partition_by=("o_orderstatus",))
+
+    def _nfiles(path: str, part: str) -> int:
+        d = os.path.join(path, f"o_orderstatus={part}")
+        return sum(
+            1
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    before = _nfiles(base_path, "F")
+    new_path = artifact_path(sf_dir, "compact_orders_v2")
+    compacted = compact_table_partitions(
+        spark, base_path, new_path, "o_orderstatus", ["F"]
+    )
+    after = _nfiles(new_path, "F")
+    if not (0 < after < before):
+        raise ValueError(
+            f"x_compact_partitions: compaction ineffective — 'F' went "
+            f"{before} -> {after} files; the fold or the fragmentation "
+            "setup is broken"
+        )
+    return compacted.select(
+        "o_orderkey", "o_custkey", "price_int", "o_orderstatus"
+    ).orderBy("o_orderkey")
+
+
+_df(
+    "x_compact_partitions",
+    _x_compact_partitions,
+    "SELECT o_orderkey, o_custkey, "
+    "CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int, o_orderstatus "
+    "FROM orders ORDER BY o_orderkey",
+    ("orders",),
+    note="partition-scoped small-file compaction as a new table "
+    "version (hot partition folds, clean partitions hardlink); "
+    "content-identity FULL oracle with the file-count drop enforced "
+    "loudly in-query",
+)
+
+
 def _x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-lookup data skipping from the per-file BLOOM index
     (``sources/layout.file_bloom_index``) — the high-cardinality
@@ -7140,10 +7211,11 @@ _df(
 # Round-14 rotation candidates (FULL-oracle entries that have waited
 # longest, per the r12 verdict's item 7, plus the round-13 additions):
 # x_merge_evolve, x_auto_bands, x_scd2_evolve, x_versioned_commit,
-# x_bloom_prune (new this round — schema evolution through
-# merge_table and merge_scd2; data-driven bucket width for band_join;
-# the optimistic-concurrency commit loop; bloom-filter point-lookup
-# file skipping),
+# x_bloom_prune, x_compact_partitions (new this round — schema
+# evolution through merge_table and merge_scd2; data-driven bucket
+# width for band_join; the optimistic-concurrency commit loop;
+# bloom-filter point-lookup file skipping; partition-scoped
+# compaction),
 # x_json_struct, x_text_quality, x_doc_profile, x_rep_frac,
 # x_html_strip, x_length_buckets, then x_temp_resample,
 # x_boilerplate, x_boilerplate_against, x_dedup_recall,

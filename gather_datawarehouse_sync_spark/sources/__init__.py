@@ -9,6 +9,7 @@ from gather_datawarehouse_sync_spark.sources.artifacts import (  # noqa: F401
     artifact_path,
     cached_parquet,
     claim_versions_root,
+    compact_table_partitions,
     init_scd2_history,
     list_table_versions,
     load_bpe_merges,

@@ -499,6 +499,73 @@ def compact_epoch_artifact(
     )
 
 
+def compact_table_partitions(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    partition_col: str,
+    values: "list",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Partition-SCOPED small-file compaction — ``layout.compact_files``
+    for exactly the partitions that accreted files, on the immutable
+    version-chain convention instead of a rename-aside swap: the named
+    ``values`` partitions are re-read and rewritten into
+    ~``target_file_bytes`` files, every other partition's files
+    hardlink across, and the result installs atomically as a NEW
+    version (old readers undisturbed, prunable later like any
+    superseded version).  The standard nightly maintenance shape at
+    100 TB: a streaming sink accretes hundreds of small files into
+    TODAY's partition — compacting the whole table for one hot
+    partition would dwarf the operation.
+
+    Content is IDENTICAL by construction (one round-robin coalesce of
+    the same rows); only the file layout changes.  File count is sized
+    from the named partitions' actual on-disk bytes (driver-side
+    listing arithmetic, same as ``compact_files``).
+    """
+    from pyspark.sql import functions as F
+
+    if not values:
+        raise ValueError("compact_table_partitions: values must be non-empty")
+    if os.path.exists(os.path.join(new_path, "_SUCCESS")):
+        return spark.read.parquet(new_path)
+    if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
+        raise ValueError(
+            f"compact_table_partitions: no complete table at {old_path}"
+        )
+    vals = sorted(values)
+    missing_dirs = [
+        v
+        for v in vals
+        if not os.path.isdir(os.path.join(old_path, f"{partition_col}={v}"))
+    ]
+    if missing_dirs:
+        raise ValueError(
+            f"compact_table_partitions: no partition dirs for "
+            f"{partition_col}={missing_dirs} under {old_path}"
+        )
+    total_bytes = 0
+    for v in vals:
+        pdir = os.path.join(old_path, f"{partition_col}={v}")
+        for root, _, names in os.walk(pdir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    total_bytes += os.path.getsize(os.path.join(root, n))
+    n_files = max(1, -(-total_bytes // int(target_file_bytes)))
+
+    def _compacted() -> DataFrame:
+        return (
+            spark.read.parquet(old_path)
+            .filter(F.col(partition_col).isin(vals))
+            .repartition(int(n_files))
+        )
+
+    return rewrite_partitioned_artifact(
+        spark, old_path, new_path, _compacted, vals, partition_col
+    )
+
+
 def merge_table(
     spark: SparkSession,
     old_path: str,

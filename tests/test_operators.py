@@ -4119,6 +4119,66 @@ def test_table_diff_merge_closure_randomized_evolution(spark, tmp_path):
         assert got == sorted(new_rows, key=str), f"seed {seed}"
 
 
+def test_compact_table_partitions(spark, tmp_path):
+    """Partition-scoped compaction on the version-chain convention:
+    the fragmented partition's files fold to the size-derived count,
+    content is byte-for-row identical, untouched partitions HARDLINK
+    across (same inode), and the guards refuse empty/missing input."""
+    import os
+
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        compact_table_partitions,
+    )
+
+    v1 = str(tmp_path / "ct_v1")
+    cached_parquet(
+        spark, v1,
+        lambda: spark.createDataFrame(
+            [(i, f"v{i}", ["a", "b"][i % 2]) for i in range(400)],
+            "id long, val string, p string",
+        ).repartition(16),
+        partition_by=("p",),
+    )
+
+    def _files(path, part):
+        d = os.path.join(path, f"p={part}")
+        return sorted(
+            f for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    assert len(_files(v1, "a")) > 1  # fragmented as intended
+    v2 = str(tmp_path / "ct_v2")
+    compacted = compact_table_partitions(spark, v1, v2, "p", ["a"])
+    # content identical
+    assert sorted(map(tuple, compacted.collect())) == sorted(
+        map(tuple, spark.read.parquet(v1).collect())
+    )
+    # the compacted partition folded; the clean one hardlinked across
+    assert len(_files(v2, "a")) == 1
+    b1, b2 = _files(v1, "b"), _files(v2, "b")
+    assert b1 == b2
+    ino1 = os.stat(os.path.join(v1, "p=b", b1[0])).st_ino
+    ino2 = os.stat(os.path.join(v2, "p=b", b2[0])).st_ino
+    assert ino1 == ino2
+    # old version untouched (immutable chain)
+    assert len(_files(v1, "a")) > 1
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        compact_table_partitions(spark, v1, str(tmp_path / "ct_x"), "p", [])
+    with _pytest.raises(ValueError, match="no partition dirs"):
+        compact_table_partitions(
+            spark, v1, str(tmp_path / "ct_y"), "p", ["nope"]
+        )
+    with _pytest.raises(ValueError, match="no complete table"):
+        compact_table_partitions(
+            spark, str(tmp_path / "absent"), str(tmp_path / "ct_z"), "p", ["a"]
+        )
+
+
 def test_merge_table_seq_col_monotonic(spark, tmp_path):
     """seq_col makes MERGE monotonic per key: a strictly-newer source
     row takes effect (update or delete), a stale or equal-seq one is a

@@ -30,15 +30,27 @@ a cluster's shared filesystem).
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
+import threading
 import time
 from collections.abc import Callable
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
-_BUILD_SEQ = 0  # per-process staging-dir counter (see cached_parquet)
+# per-process staging-dir counter (see cached_parquet): itertools.count
+# is a C-level atomic next(), and the thread id joins the suffix, so two
+# DRIVER THREADS racing builds can never mint the same staging dir (a
+# GIL-interleaved `seq += 1` could — LOAD/ADD/STORE are separate
+# bytecodes — and the loser's rmtree would destroy the winner's
+# in-flight build)
+_BUILD_SEQ = itertools.count(1)
+
+
+def _staging_suffix() -> str:
+    return f"{os.getpid()}_{threading.get_ident()}_{next(_BUILD_SEQ)}"
 
 
 def artifact_root() -> str:
@@ -162,9 +174,8 @@ def _install_atomic(
     detection is unchanged).  Every artifact writer routes through here
     — a direct ``mode("overwrite")`` to the final path would expose a
     torn artifact under a stale ``_SUCCESS`` to concurrent readers."""
-    global _BUILD_SEQ
-    _BUILD_SEQ += 1
-    tmp = f"{path}.__building__{os.getpid()}_{_BUILD_SEQ}"
+    suffix = _staging_suffix()
+    tmp = f"{path}.__building__{suffix}"
     shutil.rmtree(tmp, ignore_errors=True)
     writer = (df.coalesce(1) if single_file else df).write.mode("overwrite")
     if partition_by:
@@ -189,7 +200,7 @@ def _install_atomic(
         # mid-swap.
         renamed: list[str] = []
         for attempt in (0, 1):
-            old = f"{path}.__old__{os.getpid()}_{_BUILD_SEQ}_{attempt}"
+            old = f"{path}.__old__{suffix}_{attempt}"
             try:
                 os.replace(path, old)
                 renamed.append(old)
@@ -221,17 +232,32 @@ def _promote_staging(tmp: str, path: str) -> None:
     """Write-if-absent install of a completed staging dir: atomically
     rename ``tmp`` into ``path`` unless a racing builder already
     installed a complete artifact there (then serve theirs — identical
-    by determinism — and drop ours)."""
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        shutil.rmtree(path, ignore_errors=True)
+    by determinism — and drop ours).
+
+    RENAME-FIRST, never check-then-delete: a live ``path`` is only ever
+    removed when it is provably a CRASH corpse (present but without
+    ``_SUCCESS``, and a fresh rename still fails) — the old
+    exists-check → rmtree → replace sequence had a window where a
+    racing builder's just-completed install (readers already on it)
+    could be deleted between the check and the rmtree.  An in-flight
+    racer is invisible here (its install is itself one atomic rename),
+    so the only states rename can lose to are 'winner installed'
+    (keep theirs) and 'crash corpse' (sweep, retry once)."""
+    for attempt in (0, 1):
         try:
-            os.replace(tmp, path)
+            os.rename(tmp, path)  # fails if path exists (ENOTEMPTY)
+            return
         except OSError:
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
-    else:  # a racing builder finished first — serve its artifact
-        shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+                return
+            if attempt == 0 and os.path.exists(path):
+                # torn corpse from a crashed builder: sweep and retry —
+                # if a racer installs between the sweep and the retry,
+                # the retry's failure re-checks _SUCCESS above
+                shutil.rmtree(path, ignore_errors=True)
+                continue
+            raise
 
 
 def append_partitioned_artifact(
@@ -273,7 +299,6 @@ def append_partitioned_artifact(
 
     Returns the appended artifact as a DataFrame (plain parquet scan).
     """
-    global _BUILD_SEQ
     if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
         raise ValueError(
             f"append_partitioned_artifact: no complete artifact at "
@@ -281,8 +306,7 @@ def append_partitioned_artifact(
         )
     if os.path.exists(os.path.join(new_path, "_SUCCESS")):
         return spark.read.parquet(new_path)
-    _BUILD_SEQ += 1
-    tmp = f"{new_path}.__building__{os.getpid()}_{_BUILD_SEQ}"
+    tmp = f"{new_path}.__building__{_staging_suffix()}"
     shutil.rmtree(tmp, ignore_errors=True)
     for dirpath, dirnames, filenames in os.walk(old_path):
         rel = os.path.relpath(dirpath, old_path)
@@ -343,9 +367,7 @@ def rewrite_partitioned_artifact(
         )
     if os.path.exists(os.path.join(new_path, "_SUCCESS")):
         return spark.read.parquet(new_path)
-    global _BUILD_SEQ
-    _BUILD_SEQ += 1
-    tmp = f"{new_path}.__building__{os.getpid()}_{_BUILD_SEQ}"
+    tmp = f"{new_path}.__building__{_staging_suffix()}"
     shutil.rmtree(tmp, ignore_errors=True)
     skip = {f"{partition_col}={v}" for v in dirty}
     for dirpath, dirnames, filenames in os.walk(old_path):
@@ -421,13 +443,26 @@ def delete_from_partitioned_artifact(
         )
     old = spark.read.parquet(old_path)
     ids = F.broadcast(delete_ids.select(id_col).distinct())
-    dirty = sorted(
+    dirty_vals = {
         r[0]
         for r in old.join(ids, id_col, "left_semi")
         .select(partition_col)
         .distinct()
         .collect()
-    )
+    }
+    if None in dirty_vals:
+        # same refusal as merge_table: a NULL partition value lands in
+        # __HIVE_DEFAULT_PARTITION__, which the str()-keyed skip set
+        # cannot name — proceeding would hardlink the dir across intact
+        # and the isin([None]) filter would match nothing, SILENTLY
+        # keeping the to-be-forgotten rows under a fresh _SUCCESS
+        raise ValueError(
+            "delete_from_partitioned_artifact: a deleted id's row sits "
+            "in a NULL partition (__HIVE_DEFAULT_PARTITION__) — the "
+            "partition rewrite cannot address it; repair the artifact's "
+            "partition column first"
+        )
+    dirty = sorted(dirty_vals)
 
     def _remaining() -> DataFrame:
         if not dirty:  # nothing to delete: zero-row append, pure carry
@@ -483,9 +518,17 @@ def compact_epoch_artifact(
             partition_by=(partition_col,),
         )
         return spark.read.parquet(new_path)
-    dirty = sorted(
+    dirty_vals = {
         r[0] for r in epochs.select(partition_col).distinct().collect()
-    )
+    }
+    if None in dirty_vals:
+        raise ValueError(
+            "compact_epoch_artifact: an epoch row carries a NULL "
+            "partition value (__HIVE_DEFAULT_PARTITION__) — the "
+            "partition rewrite cannot address it; repair the epochs' "
+            "partition column first"
+        )
+    dirty = sorted(dirty_vals)
     base = spark.read.parquet(base_path)
 
     def _folded() -> DataFrame:
@@ -545,21 +588,33 @@ def compact_table_partitions(
             f"compact_table_partitions: no partition dirs for "
             f"{partition_col}={missing_dirs} under {old_path}"
         )
-    total_bytes = 0
+    # size PER VALUE, not across the call: one round-robin repartition
+    # over all values would scatter every value across every task, and
+    # the partitionBy write then emits one file per (task, value) —
+    # up to n_files × len(values) small files, the exact fragmentation
+    # this verb exists to fix.  Each value folds independently to its
+    # own size-derived count instead.
+    n_files_by_val = {}
     for v in vals:
         pdir = os.path.join(old_path, f"{partition_col}={v}")
+        part_bytes = 0
         for root, _, names in os.walk(pdir):
             for n in names:
                 if n.endswith(".parquet"):
-                    total_bytes += os.path.getsize(os.path.join(root, n))
-    n_files = max(1, -(-total_bytes // int(target_file_bytes)))
+                    part_bytes += os.path.getsize(os.path.join(root, n))
+        n_files_by_val[v] = max(
+            1, -(-part_bytes // int(target_file_bytes))
+        )
 
     def _compacted() -> DataFrame:
-        return (
-            spark.read.parquet(old_path)
-            .filter(F.col(partition_col).isin(vals))
-            .repartition(int(n_files))
-        )
+        base = spark.read.parquet(old_path)
+        out = None
+        for v in vals:
+            part = base.filter(F.col(partition_col) == v).repartition(
+                int(n_files_by_val[v])
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     return rewrite_partitioned_artifact(
         spark, old_path, new_path, _compacted, vals, partition_col
@@ -673,27 +728,31 @@ def merge_table(
                 else ""
             )
         )
+    # shared columns must keep their exact type in BOTH modes: a
+    # retyped column would write dirty partitions with the new parquet
+    # footer type while clean partitions hardlink across with the old
+    # one — the committed version then reads intermittently (one-footer
+    # schema inference picks a side at random and the other side's
+    # files fail conversion).  Refuse loudly instead.
+    src_types = {f.name: f.dataType for f in source.schema.fields}
+    tgt_types = {f.name: f.dataType for f in target.schema.fields}
+    retyped = [
+        f"{c}: target {tgt_types[c].simpleString()} vs source "
+        f"{src_types[c].simpleString()}"
+        for c in base_cols
+        if src_types[c] != tgt_types[c]
+    ]
+    if retyped:
+        raise ValueError(
+            "merge_table: source retypes target columns "
+            f"[{'; '.join(retyped)}] — a retyped shared column would "
+            "leave mixed parquet footer types across partitions; cast "
+            "the source back first"
+        )
     added: "list[str]" = []
     if schema_evolution:
-        # the common production evolution: the source grew columns.
-        # Shared columns must keep their exact type (a silent numeric
-        # widening would rewrite every reader's expectations; refuse),
-        # new columns join the schema with target rows back-filled NULL.
-        src_types = {f.name: f.dataType for f in source.schema.fields}
-        tgt_types = {f.name: f.dataType for f in target.schema.fields}
-        retyped = [
-            f"{c}: target {tgt_types[c].simpleString()} vs source "
-            f"{src_types[c].simpleString()}"
-            for c in base_cols
-            if src_types[c] != tgt_types[c]
-        ]
-        if retyped:
-            raise ValueError(
-                "merge_table: source retypes target columns "
-                f"[{'; '.join(retyped)}] — schema evolution adds "
-                "columns, never changes existing types; cast the "
-                "source back first"
-            )
+        # the common production evolution: the source grew columns —
+        # they join the schema with target rows back-filled NULL
         added = [c for c in source.columns if c not in base_cols]
         for c in added:
             target = target.withColumn(c, F.lit(None).cast(src_types[c]))
@@ -709,11 +768,39 @@ def merge_table(
             "column (not a key, not the partition column)"
         )
 
+    # the whole plan broadcasts the source key set twice (dirty-partition
+    # probe + survivor anti-join); a corpus-sized "source" would OOM the
+    # executors instead of refusing — the same loud-refusal contract as
+    # broadcast_new_max (dedup.py) / broadcast_queries_max
+    # (similarity.py).  A bounded limit(n+1) probe, never a full count —
+    # and it runs BEFORE the checkpoint below, so a corpus-sized source
+    # refuses without ever being materialized.
+    if (
+        source.select(*keys)
+        .limit(broadcast_source_max + 1)
+        .count()
+        > broadcast_source_max
+    ):
+        raise ValueError(
+            f"merge_table: source exceeds broadcast_source_max="
+            f"{broadcast_source_max} rows — the merge broadcasts the "
+            "source key set to prune dirty partitions, which only "
+            "scales for CDC-batch-sized sources. Split the source into "
+            "bounded batches (the merge is idempotent per batch), or "
+            "raise broadcast_source_max if the driver/executors have "
+            "the memory for the larger key set."
+        )
+    # materialize the (bounded, CDC-batch-sized) source ONCE: the
+    # guards below plus the dirty probes plus the rewrite itself are
+    # 4-5 separate actions, and an expensive source plan (table_diff's
+    # fact-vs-fact full outer join — this module's own advertised CDC
+    # loop) would otherwise re-execute per action
+    source = source.localCheckpoint()
     # duplicate source keys → nondeterministic merge; NULL keys →
     # unmatched-forever rows that re-insert on every replay; NULL
     # partition values → hive's __HIVE_DEFAULT_PARTITION__ dir, which
     # the str()-keyed skip set cannot name (silent row duplication).
-    # All three refuse loudly — one agg over the CDC-batch-sized source.
+    # All refuse loudly — bounded probes over the checkpointed source.
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError(
@@ -730,26 +817,6 @@ def merge_table(
             "NULL partitions land in __HIVE_DEFAULT_PARTITION__, which "
             "the partition rewrite cannot address, and a NULL sequence "
             "cannot order against the target; coalesce them first"
-        )
-    # the whole plan broadcasts the source key set twice (dirty-partition
-    # probe + survivor anti-join); a corpus-sized "source" would OOM the
-    # executors instead of refusing — the same loud-refusal contract as
-    # broadcast_new_max (dedup.py) / broadcast_queries_max
-    # (similarity.py).  A bounded limit(n+1) probe, never a full count.
-    if (
-        source.select(*keys)
-        .limit(broadcast_source_max + 1)
-        .count()
-        > broadcast_source_max
-    ):
-        raise ValueError(
-            f"merge_table: source exceeds broadcast_source_max="
-            f"{broadcast_source_max} rows — the merge broadcasts the "
-            "source key set to prune dirty partitions, which only "
-            "scales for CDC-batch-sized sources. Split the source into "
-            "bounded batches (the merge is idempotent per batch), or "
-            "raise broadcast_source_max if the driver/executors have "
-            "the memory for the larger key set."
         )
     src_keys = F.broadcast(source.select(*keys).distinct())
 
@@ -1481,6 +1548,7 @@ def merge_scd2(
     seq: int,
     delete_col: str | None = None,
     schema_evolution: bool = False,
+    broadcast_source_max: int = 4_000_000,
 ) -> DataFrame:
     """Slowly-changing-dimension TYPE 2 merge on plain parquet — the
     history-keeping generalization of :func:`merge_table` (and of the
@@ -1571,6 +1639,23 @@ def merge_scd2(
     src = source.select(*payload, *dcol)
     if not dcol:
         src = src.withColumn("__del", F.lit(False))
+    # the batch broadcasts WHOLE source rows (the attr compare needs
+    # every payload column executor-side) — a corpus-sized "batch"
+    # would OOM instead of refusing; bounded limit probe first, then
+    # materialize once for the guards + probes + rewrite (merge_table's
+    # loud-refusal + single-execution contract)
+    if (
+        src.select(*keys).limit(broadcast_source_max + 1).count()
+        > broadcast_source_max
+    ):
+        raise ValueError(
+            f"merge_scd2: source exceeds broadcast_source_max="
+            f"{broadcast_source_max} rows — the SCD2 merge broadcasts "
+            "whole source rows for the attr compare, which only scales "
+            "for CDC-batch-sized sources; split the batch (idempotent "
+            "per batch) or raise the cap if memory allows"
+        )
+    src = src.localCheckpoint()
     dup = src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError(
@@ -1612,6 +1697,27 @@ def merge_scd2(
         )
     dirty = sorted(dirty_set)
     src_b = F.broadcast(src)
+    # a batch stamped <= a matched CURRENT version's valid_from would
+    # close that version with valid_to <= valid_from — an inverted
+    # (never-visible) interval — and open a new version claiming
+    # validity BEFORE it existed: the silent-corruption shape of a
+    # replayed or out-of-order upstream.  merge_table's seq_col refuses
+    # stale batches loudly; the audit-keeping variant must too.  One
+    # bounded probe over the dirty-bucket currents.
+    stale = (
+        hist.filter(F.col("__bucket").isin(dirty) & F.col("is_current"))
+        .join(src_b.select(*keys), keys, "left_semi")
+        .filter(F.col("valid_from") >= F.lit(int(seq)))
+        .limit(1)
+        .count()
+    )
+    if stale:
+        raise ValueError(
+            f"merge_scd2: batch seq={seq} is not strictly newer than a "
+            "matched current version's valid_from — a replayed or "
+            "out-of-order batch would write an inverted validity "
+            "interval; stamp batches with strictly increasing seq"
+        )
     same_attrs = None
     for c in attr_cols:
         eq = F.col(f"h.{c}").eqNullSafe(F.col(f"s.{c}"))

@@ -4178,6 +4178,51 @@ def test_compact_table_partitions(spark, tmp_path):
             spark, str(tmp_path / "absent"), str(tmp_path / "ct_z"), "p", ["a"]
         )
 
+    # multi-value compaction sizes PER VALUE: each named partition folds
+    # to its own count — never n_files × len(values) cross-product files
+    v3 = str(tmp_path / "ct_v3")
+    both = compact_table_partitions(spark, v1, v3, "p", ["a", "b"])
+    assert len(_files(v3, "a")) == 1 and len(_files(v3, "b")) == 1
+    assert sorted(map(tuple, both.collect())) == sorted(
+        map(tuple, spark.read.parquet(v1).collect())
+    )
+
+
+def test_delete_from_partitioned_refuses_null_partition(spark, tmp_path):
+    """The right-to-be-forgotten path must refuse a deleted id whose
+    row sits in a NULL partition (__HIVE_DEFAULT_PARTITION__): the
+    str()-keyed partition rewrite cannot address that dir, so without
+    the guard the new version would install with _SUCCESS while still
+    holding the rows."""
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        delete_from_partitioned_artifact,
+    )
+
+    v1 = str(tmp_path / "dn_v1")
+    cached_parquet(
+        spark, v1,
+        lambda: spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a")], "vec_id long, cell string"
+        ),
+        partition_by=("cell",),
+    )
+    with _pytest.raises(ValueError, match="NULL partition"):
+        delete_from_partitioned_artifact(
+            spark, v1, str(tmp_path / "dn_v2"),
+            spark.createDataFrame([(2,)], "vec_id long"),
+        )
+    # deleting only addressable rows still works
+    got = set(
+        map(tuple, delete_from_partitioned_artifact(
+            spark, v1, str(tmp_path / "dn_v3"),
+            spark.createDataFrame([(1,)], "vec_id long"),
+        ).collect())
+    )
+    assert got == {(2, None), (3, "a")}
+
 
 def test_merge_table_seq_col_monotonic(spark, tmp_path):
     """seq_col makes MERGE monotonic per key: a strictly-newer source
@@ -4409,15 +4454,19 @@ def test_merge_table_schema_evolution(spark, tmp_path):
             spark.createDataFrame([(0, "a")], "id long, p string"),
             key_cols=("id",), partition_col="p", schema_evolution=True,
         )
-    # retype: a shared column with a changed type refuses
-    with _pytest.raises(ValueError, match="retypes"):
-        merge_table(
-            spark, v1, str(tmp_path / "evo_retype"),
-            spark.createDataFrame(
-                [(0, 7, "a")], "id long, val long, p string"
-            ),
-            key_cols=("id",), partition_col="p", schema_evolution=True,
-        )
+    # retype: a shared column with a changed type refuses — in BOTH
+    # modes (without the flag it would write dirty partitions with the
+    # new footer type while clean ones hardlink the old: a
+    # mixed-footer table that reads intermittently)
+    for evo in (True, False):
+        with _pytest.raises(ValueError, match="retypes"):
+            merge_table(
+                spark, v1, str(tmp_path / f"evo_retype_{evo}"),
+                spark.createDataFrame(
+                    [(0, 7, "a")], "id long, val long, p string"
+                ),
+                key_cols=("id",), partition_col="p", schema_evolution=evo,
+            )
     # reorder: by-name resolution makes column order irrelevant
     reordered = src.select("tag", "p", "val", "id")
     got_r = set(
@@ -4616,6 +4665,18 @@ def test_merge_scd2_schema_evolution(spark, tmp_path):
             spark.createDataFrame([(1, "a", 5)], "k long, nm string, tier long"),
             ("k",), seq=3, schema_evolution=True,
         )
+    # stale/out-of-order batch seq refuses: a matched current version
+    # opened AT seq 1 cannot be closed by a batch stamped <= 1 (the
+    # inverted-interval corruption a replayed upstream would write)
+    for bad_seq in (0, 1):
+        with _pytest.raises(ValueError, match="strictly newer"):
+            merge_scd2(
+                spark, p1, str(tmp_path / f"se_stale_{bad_seq}"),
+                spark.createDataFrame(
+                    [(1, "a", "late")], "k long, nm string, tier string"
+                ),
+                ("k",), seq=bad_seq,
+            )
 
 
 def test_merge_scd2_version_chains(spark, tmp_path):

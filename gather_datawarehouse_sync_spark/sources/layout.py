@@ -197,12 +197,27 @@ def compact_files(
     import os
     import shutil
 
-    size = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if not f.startswith("_")
-    )
+    base = path.rstrip("/")
+    tmp, old = base + ".compact", base + ".old"
+    # a crash between the final rename and the .old sweep leaves the
+    # table LIVE with a stale .old beside it; without this pre-flight
+    # every later compaction would rewrite the data in full and then
+    # die at os.rename(base, old) with ENOTEMPTY.  The corpse is
+    # verifiably stale only while the live table is complete.
+    if os.path.exists(old):
+        if os.path.exists(os.path.join(base, "_SUCCESS")):
+            shutil.rmtree(old)
+        else:
+            raise ValueError(
+                f"compact_files: {old} exists and {base} is incomplete — "
+                "a previous compaction crashed between its renames; "
+                f"recover by renaming {old} back to {base}"
+            )
+    # size from the COMMITTED data files only (the shared listing rule:
+    # hidden files and non-partition hidden dirs excluded) — counting
+    # .crc checksums / _temporary leftovers would oversize n and emit
+    # more, smaller files than requested
+    size = sum(os.path.getsize(f) for f in _list_parquet_files(base))
     n = max(1, math.ceil(size / target_file_bytes))
     df = spark.read.parquet(path)
     out = (
@@ -210,8 +225,6 @@ def compact_files(
         if sort_cols
         else df.repartition(n)
     )
-    base = path.rstrip("/")
-    tmp, old = base + ".compact", base + ".old"
     out.write.mode("overwrite").parquet(tmp)
     os.rename(base, old)
     os.rename(tmp, base)
@@ -248,14 +261,30 @@ def file_stats_index(
 
 
 def _list_parquet_files(path: str) -> "list[str]":
+    """Committed data files under ``path``, ABSOLUTE paths — the same
+    visibility rule Spark's own file index applies: hidden FILES
+    ('_'/'.' prefixed) are skipped AND hidden DIRECTORIES are pruned
+    from the walk unless they are hive partition dirs (contain '=') —
+    a crashed write's ``_temporary/`` subtree must never be indexed
+    (its part files would be read by explicit path and silently
+    duplicate rows a plain ``spark.read.parquet`` never surfaces).
+    Absolute paths keep the listing identity equal to
+    ``input_file_name()``'s stripped form for relative callers."""
     import os
 
-    return sorted(
-        os.path.join(root, f)
-        for root, _, names in os.walk(path)
-        for f in names
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    out = []
+    for root, dirnames, names in os.walk(os.path.abspath(path)):
+        dirnames[:] = [
+            d
+            for d in dirnames
+            if "=" in d or not d.startswith(("_", "."))
+        ]
+        out.extend(
+            os.path.join(root, f)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
 
 
 def _footer_stats(
@@ -299,6 +328,13 @@ def _footer_stats(
                 maxs = {c: None for c in cols}
                 for rg in range(md.num_row_groups):
                     for c in cols:
+                        if c not in idx:
+                            # schema evolution: a file written before
+                            # the column existed — NULL stats, the
+                            # pruner keeps it conservatively (the
+                            # documented contract; a KeyError here
+                            # would kill the whole index job)
+                            continue
                         st = md.row_group(rg).column(idx[c]).statistics
                         if st is None or not st.has_min_max:
                             continue
@@ -321,7 +357,11 @@ def _footer_stats(
     )
     return (
         spark.createDataFrame([(f,) for f in files], "file string")
-        .repartition(min(len(files), 32))
+        # fan-out scales with file count (a fixed small cap would
+        # serialize a million footer opens onto a handful of cores —
+        # the O(files) pass this index exists to amortize): ~256 files
+        # per task, floored at the old 32 for small tables
+        .repartition(min(len(files), max(32, -(-len(files) // 256))))
         .mapInPandas(_footers, f"file string, n_rows long, {stat_cols}")
     )
 
@@ -355,16 +395,24 @@ def refresh_file_stats_index(
     rewrite verb in this repo installs a NEW versioned directory.
     """
     cols = list(cols)
-    missing = [
-        c
-        for c in cols
-        for part in (f"{c}_min", f"{c}_max")
-        if part not in old_stats.columns
-    ]
-    if missing:
+    # EXACT stat-column parity with the stored index, both directions:
+    # a missing column can never be refreshed (old rows have no stats
+    # for it), and a SUBSET call would pass a one-sided check, appear
+    # to work while no file is new, then crash in unionByName the first
+    # day an append lands (fresh rows lack the stored extra columns) —
+    # an intermittent, data-dependent failure.  Rebuild to change cols.
+    expected = {"file", "n_rows"} | {
+        part for c in cols for part in (f"{c}_min", f"{c}_max")
+    }
+    got = set(old_stats.columns)
+    if got != expected:
+        missing = sorted(expected - got)
+        extra = sorted(got - expected)
         raise ValueError(
-            f"refresh_file_stats_index: old_stats lacks {missing} — the "
-            "stored index must cover the same stat columns"
+            f"refresh_file_stats_index: old_stats lacks {missing} / "
+            f"carries extra {extra} — the refresh must use exactly the "
+            "stored index's stat columns; rebuild with file_stats_index "
+            "to change them"
         )
     on_disk = _list_parquet_files(path)
     if not on_disk:
@@ -444,6 +492,81 @@ def scan_with_file_pruning(
 # Bloom-filter file index (point-lookup data skipping)
 # ---------------------------------------------------------------------------
 
+def _bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    n_bits: int,
+    n_hashes: int,
+    keep: "list[str]",
+) -> DataFrame:
+    """The ONE value→(word_idx, bit mask) pipeline BUILD and PROBE
+    share (seeded-xxhash64 positions, 64-bit word split): the index is
+    PERSISTED, so a drifted copy of this logic would silently
+    desynchronize probes from stored bits — false-negative pruning,
+    the one corruption this module must never produce."""
+    return (
+        df.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col(value_col), F.lit(i)),
+                            F.lit(n_bits),
+                        )
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("__pos"),
+        )
+        .select(
+            *keep,
+            F.expr("CAST(__pos DIV 64 AS INT)").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__m"),
+        )
+    )
+
+
+def _bloom_geometry(index: DataFrame) -> "tuple[int, int] | None":
+    """Decode the per-file geometry sentinels (``word_idx = -2``,
+    ``word = n_bits*100 + n_hashes``).  Returns None for a legacy index
+    with no sentinels; raises on a mixed-geometry index (halves built
+    with different parameters can never probe coherently)."""
+    geo = [
+        int(r["word"])
+        for r in index.filter(F.col("word_idx") == -2)
+        .select("word")
+        .distinct()
+        .limit(2)
+        .collect()
+    ]
+    if not geo:
+        return None
+    if len(geo) > 1:
+        raise ValueError(
+            "bloom index carries MIXED geometry sentinels — its halves "
+            "were built with different n_bits/n_hashes and can never "
+            "probe coherently; rebuild from scratch"
+        )
+    return divmod(geo[0], 100)
+
+
+def _check_bloom_geometry(
+    index: DataFrame, n_bits: int, n_hashes: int, who: str
+) -> None:
+    g = _bloom_geometry(index)
+    if g is not None and g != (int(n_bits), int(n_hashes)):
+        raise ValueError(
+            f"{who}: the index was built with n_bits={g[0]}, "
+            f"n_hashes={g[1]} but was given n_bits={n_bits}, "
+            f"n_hashes={n_hashes} — mismatched geometry hashes probes "
+            "to the wrong bit positions (silent false-negative "
+            "pruning); pass the build parameters"
+        )
+
+
 def _bloom_rows(
     spark: SparkSession,
     files: "list[str]",
@@ -479,33 +602,19 @@ def _bloom_rows(
         [(f,) for f in sorted(set(files))], "file string"
     )
     rows = (
-        spark.read.parquet(*files)
-        .select(
-            F.regexp_replace(F.input_file_name(), "^file:(//)?", "").alias(
-                "file"
-            ),
-            F.col(col).alias("__v"),
-        )
-        .filter(F.col("__v").isNotNull())
-        .select(
-            "file",
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(
-                            F.xxhash64(F.col("__v"), F.lit(i)), F.lit(n_bits)
-                        )
-                        for i in range(n_hashes)
-                    ]
-                )
-            ).alias("__pos"),
-        )
-        .select(
-            "file",
-            F.expr("CAST(__pos DIV 64 AS INT)").alias("word_idx"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
-            ).alias("__m"),
+        _bloom_bits(
+            spark.read.parquet(*files)
+            .select(
+                F.regexp_replace(
+                    F.input_file_name(), "^file:(//)?", ""
+                ).alias("file"),
+                F.col(col).alias("__v"),
+            )
+            .filter(F.col("__v").isNotNull()),
+            "__v",
+            n_bits,
+            n_hashes,
+            ["file"],
         )
         .groupBy("file", "word_idx")
         .agg(F.bit_or("__m").alias("word"))
@@ -533,7 +642,17 @@ def _bloom_rows(
         F.lit(-1).alias("word_idx"),
         F.lit(0).cast("long").alias("word"),
     )
-    return rows.unionByName(markers)
+    # geometry sentinel per file (word = n_bits*100 + n_hashes): probes
+    # and refreshes VALIDATE against it — a caller passing different
+    # parameters would hash to the wrong bit positions and prune files
+    # that hold matches (the silent false-negative this module must
+    # never produce); every other hazard here raises, so must that one
+    geometry = listed.select(
+        "file",
+        F.lit(-2).alias("word_idx"),
+        F.lit(int(n_bits) * 100 + int(n_hashes)).cast("long").alias("word"),
+    )
+    return rows.unionByName(markers).unionByName(geometry)
 
 
 def file_bloom_index(
@@ -553,8 +672,11 @@ def file_bloom_index(
 
     One distributed scan of the column builds the sparse
     ``(file, word_idx, word)`` rows (see :func:`_bloom_rows`); the
-    marker row keeps empty / all-NULL files visible, and those prune
-    EXACTLY (no non-NULL value can live there).  Size like any bloom:
+    ``word_idx = -1`` marker row keeps empty / all-NULL files visible
+    (those prune EXACTLY — no non-NULL value can live there), and the
+    ``word_idx = -2`` geometry sentinel pins n_bits/n_hashes so probes
+    and refreshes refuse mismatched parameters instead of silently
+    pruning matching files.  Size like any bloom:
     ~10 bits per distinct value per file keeps false positives ~1 %
     (a false positive only costs a read; false NEGATIVES cannot happen
     — bit setting is exact, so pruning is a superset guarantee like
@@ -572,8 +694,11 @@ def file_bloom_index(
     must install NEW versioned directories, as every rewrite verb here
     does).
     """
-    if n_bits < 64 or n_hashes < 1:
-        raise ValueError("file_bloom_index: need n_bits >= 64, n_hashes >= 1")
+    if n_bits < 64 or not (1 <= n_hashes < 100):
+        raise ValueError(
+            "file_bloom_index: need n_bits >= 64 and 1 <= n_hashes < 100"
+            " (the geometry sentinel packs n_hashes into two digits)"
+        )
     files = _list_parquet_files(path)
     if not files:
         raise ValueError(f"file_bloom_index: no parquet files under {path}")
@@ -601,6 +726,9 @@ def refresh_file_bloom_index(
     on_disk = _list_parquet_files(path)
     if not on_disk:
         raise ValueError(f"refresh_file_bloom_index: no parquet files under {path}")
+    _check_bloom_geometry(
+        old_index, n_bits, n_hashes, "refresh_file_bloom_index"
+    )
     disk = spark.createDataFrame(
         [(f,) for f in sorted(set(on_disk))], "file string"
     )
@@ -632,10 +760,13 @@ def scan_with_bloom_pruning(
     Returns (reader, files_kept, files_total).  The caller still
     applies the row-level equality filter (bloom false positives keep
     extra files; a PRUNED file provably holds none of the probes).
-    Every test runs DISTRIBUTED over the index frame, and the whole
-    prune is ONE linear DAG over a SINGLE evaluation of it (the same
-    one-pass discipline as :func:`scan_with_file_pruning` — an
-    unpersisted index build is scanned once, not once per subtree):
+    The build parameters are validated against the index's geometry
+    sentinels first (a mismatched n_bits/n_hashes would silently prune
+    matching files; a legacy sentinel-free index trusts the caller).
+    Every test runs DISTRIBUTED over the index frame, and the prune
+    itself is ONE linear DAG over a single evaluation of it (the same
+    one-pass discipline as :func:`scan_with_file_pruning`; the
+    geometry check adds one bounded sentinel probe):
     probe bit requirements broadcast-join the index rows, a file
     survives when ALL of some probe's required words are fully
     present, and only the kept path list plus a count reach the
@@ -645,29 +776,16 @@ def scan_with_bloom_pruning(
     if len(probes.columns) != 1:
         raise ValueError("scan_with_bloom_pruning: probes must be one column")
     pcol = probes.columns[0]
+    _check_bloom_geometry(index, n_bits, n_hashes, "scan_with_bloom_pruning")
     req = (
-        probes.select(F.col(pcol).alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        .distinct()
-        .select(
+        _bloom_bits(
+            probes.select(F.col(pcol).alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .distinct(),
             "__v",
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(
-                            F.xxhash64(F.col("__v"), F.lit(i)), F.lit(n_bits)
-                        )
-                        for i in range(n_hashes)
-                    ]
-                )
-            ).alias("__pos"),
-        )
-        .select(
-            "__v",
-            F.expr("CAST(__pos DIV 64 AS INT)").alias("word_idx"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
-            ).alias("__m"),
+            n_bits,
+            n_hashes,
+            ["__v"],
         )
         .groupBy("__v", "word_idx")
         .agg(F.bit_or("__m").alias("req_word"))

@@ -1007,3 +1007,72 @@ def test_file_bloom_index_point_lookup_pruning(spark, tmp_path):
         file_bloom_index(spark, str(tmp_path / "nope"), "k")
     with _pytest.raises(ValueError, match="one column"):
         scan_with_bloom_pruning(spark, idx, full)
+    # geometry sentinels: probing or refreshing with parameters other
+    # than the build's refuses loudly instead of silently pruning
+    # matching files (hashing to the wrong bit positions)
+    with _pytest.raises(ValueError, match="geometry|built with"):
+        scan_with_bloom_pruning(spark, refreshed, probes, n_bits=1 << 19)
+    with _pytest.raises(ValueError, match="geometry|built with"):
+        refresh_file_bloom_index(spark, path, refreshed, "k", n_hashes=7)
+
+
+def test_listing_skips_uncommitted_and_handles_evolution(spark, tmp_path):
+    """The shared file listing must never index a crashed write's
+    _temporary subtree (its part files would be read by explicit path
+    and silently duplicate rows), must still walk hive partition dirs,
+    and _footer_stats must NULL-fill (not crash) for a column absent
+    from an old file's footer — the schema-evolution shape."""
+    import os
+
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.layout import (
+        _list_parquet_files,
+        file_stats_index,
+        refresh_file_stats_index,
+        scan_with_file_pruning,
+    )
+
+    path = str(tmp_path / "evo_tab")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "x long, p long"
+    ).write.partitionBy("p").parquet(path)
+    committed = _list_parquet_files(path)
+    assert committed and all("p=" in f for f in committed)
+    # a crashed write's leftovers: garbage bytes under _temporary —
+    # if the listing regressed, the footer read would crash on them
+    junk = os.path.join(path, "_temporary", "0")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    assert _list_parquet_files(path) == committed
+
+    stats = file_stats_index(spark, path, ["x"]).localCheckpoint()
+    assert stats.count() == len(committed)
+    # clear the fake crash leftovers: _temporary is also the LIVE
+    # staging dir of Hadoop's output committer, and the next append
+    # would trip over the junk
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "_temporary"))
+
+    # schema evolution: append a file carrying a NEW column, then index
+    # BOTH columns — old files get NULL stats (kept conservatively),
+    # never a KeyError that kills the job
+    spark.createDataFrame(
+        [(1000, 0, 7.5)], "x long, p long, y double"
+    ).coalesce(1).write.mode("append").parquet(path)
+    evolved = file_stats_index(spark, path, ["x", "y"])
+    rows = {r["file"]: r for r in evolved.collect()}
+    assert len(rows) == len(committed) + 1
+    old_rows = [rows[f] for f in committed]
+    assert all(r["y_min"] is None and r["y_max"] is None for r in old_rows)
+    # conservative keep: a y-predicate cannot prune stat-less files
+    _, kept, total = scan_with_file_pruning(
+        spark, evolved, {"y": (100.0, 200.0)}
+    )
+    assert kept == len(committed) and total == len(committed) + 1
+
+    # refresh demands EXACT stat-column parity with the stored index
+    with _pytest.raises(ValueError, match="carries extra"):
+        refresh_file_stats_index(spark, path, evolved, ["x"])

@@ -279,6 +279,30 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
         (0, "v0-0"), (1, "v0-1"), (2, "v0-2"),
     }
 
+    # a stale .old corpse beside a COMPLETE live table (crash between
+    # the final rename and the sweep) is swept by the pre-flight, not a
+    # repeated full-rewrite-then-ENOTEMPTY failure
+    import os
+
+    os.makedirs(path + ".old")
+    open(os.path.join(path + ".old", "leftover"), "w").close()
+    assert compact_files(spark, path, target_file_bytes=1 << 30) == 1
+    assert not os.path.exists(path + ".old")
+    assert spark.read.parquet(path).count() == 160
+    # .old beside an INCOMPLETE live table is the parked crash state:
+    # refuse with recovery guidance rather than destroy either copy
+    import pytest as _pytest
+    import shutil as _shutil
+
+    _shutil.copytree(path, path + ".old")
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with _pytest.raises(ValueError, match="renaming"):
+        compact_files(spark, path, target_file_bytes=1 << 30)
+    # recover per the message; compaction works again
+    _shutil.rmtree(path)
+    os.rename(path + ".old", path)
+    assert compact_files(spark, path, target_file_bytes=1 << 30) == 1
+
 
 def test_compact_files_sorted_restores_clustering(spark, tmp_path):
     from gather_datawarehouse_sync_spark.sources.layout import compact_files

@@ -7208,26 +7208,29 @@ _df(
 # (green in CORRECTNESS_r01) is 11 rounds of code churn stale — plus
 # the longest-waiting core-shape queries x_release_gate,
 # x_gopher_rules and x_bm25.
-# Round-14 rotation candidates (FULL-oracle entries that have waited
-# longest, per the r12 verdict's item 7, plus the round-13 additions):
-# x_merge_evolve, x_auto_bands, x_scd2_evolve, x_versioned_commit,
-# x_bloom_prune, x_compact_partitions (new this round — schema
-# evolution through merge_table and merge_scd2; data-driven bucket
-# width for band_join; the optimistic-concurrency commit loop;
-# bloom-filter point-lookup file skipping; partition-scoped
-# compaction),
-# x_json_struct, x_text_quality, x_doc_profile, x_rep_frac,
-# x_html_strip, x_length_buckets, then x_temp_resample,
-# x_boilerplate, x_boilerplate_against, x_dedup_recall,
-# x_interpolate.
+# Round 14 rotates in the six the r13 verdict named (its item 1,
+# verbatim): x_merge_evolve, x_auto_bands, x_scd2_evolve,
+# x_versioned_commit, x_bloom_prune, x_compact_partitions — the
+# round-13 machinery (schema evolution through merge_table and
+# merge_scd2; data-driven bucket width for band_join; the
+# optimistic-concurrency commit loop; bloom-filter point-lookup file
+# skipping; partition-scoped compaction), each with zero driver-side
+# evidence until now.
+# Round-15 rotation candidates (per the r13 verdict items 2–3):
+# x_percentile FIRST (its only driver verdict is a stale r01 FAIL;
+# it passes the local oracle and must be re-windowed), then the
+# longest-waiting FULL-oracle entries: x_json_struct, x_text_quality,
+# x_doc_profile, x_rep_frac, x_html_strip, x_length_buckets, then
+# x_temp_resample, x_boilerplate, x_boilerplate_against,
+# x_dedup_recall, x_interpolate.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    "x_reconcile",
-    "x_path_categories",
-    "x_one_to_one",
-    "x_release_gate",
-    "x_gopher_rules",
-    "x_bm25",
+    "x_merge_evolve",
+    "x_auto_bands",
+    "x_scd2_evolve",
+    "x_versioned_commit",
+    "x_bloom_prune",
+    "x_compact_partitions",
 )
 
 

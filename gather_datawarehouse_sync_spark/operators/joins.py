@@ -274,6 +274,15 @@ def choose_band_bucket_width(
     k = math.ceil(float(band) * float(n) / span / target_rows_per_bucket)
     k = max(1, min(int(k), int(max_fanout)))
     if min_bucket_width is not None and min_bucket_width > 0:
+        if float(min_bucket_width) >= float(band):
+            # the floor dominates the whole grid: no k >= 1 keeps
+            # band/k above it.  Honor the floor directly — w > band
+            # just means k = ceil(band/w) = 1, one bucket probed each
+            # side of home, never a wrong result.  (Previously
+            # floor(band/w_min) = 0 clamped k to 1 and returned
+            # w = band < min_bucket_width, silently violating the
+            # floor for integer-valued columns.)
+            return float(min_bucket_width)
         k = min(k, max(1, int(math.floor(float(band) / min_bucket_width))))
     return float(band) / k
 
@@ -339,6 +348,20 @@ def band_join(
     w = float(band) if bucket_width is None else float(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
+    # an explicit floor must hold however w was chosen (the auto path
+    # honors it by construction; explicit/default widths must not
+    # silently bypass it — sub-floor grids on integer-valued columns
+    # multiply probes without separating anything)
+    if (
+        min_bucket_width is not None
+        and min_bucket_width > 0
+        and w < float(min_bucket_width) * (1.0 - 1e-12)
+    ):
+        raise ValueError(
+            f"bucket_width {w} is below min_bucket_width "
+            f"{min_bucket_width} — pass bucket_width='auto' or a width "
+            ">= the floor"
+        )
     # ceil never under-probes: a float band/w a hair below its true
     # integer value still ceils to it, and a hair above costs one
     # harmless extra (empty) probe

@@ -235,27 +235,39 @@ def _promote_staging(tmp: str, path: str) -> None:
     by determinism — and drop ours).
 
     RENAME-FIRST, never check-then-delete: a live ``path`` is only ever
-    removed when it is provably a CRASH corpse (present but without
-    ``_SUCCESS``, and a fresh rename still fails) — the old
-    exists-check → rmtree → replace sequence had a window where a
-    racing builder's just-completed install (readers already on it)
-    could be deleted between the check and the rmtree.  An in-flight
-    racer is invisible here (its install is itself one atomic rename),
-    so the only states rename can lose to are 'winner installed'
-    (keep theirs) and 'crash corpse' (sweep, retry once)."""
+    MOVED ASIDE (one atomic ``os.replace`` to an ``__old__`` name, which
+    :func:`prune_stale_artifacts` sweeps) when it looks like a crash
+    corpse (present but without ``_SUCCESS``, and a fresh rename still
+    fails) — never rmtree'd in place.  The distinction matters in one
+    narrow race: a racing builder completing its install between our
+    ``_SUCCESS`` check and the sweep.  An in-place rmtree would delete
+    the racer's live, complete artifact file-by-file while readers may
+    be on it; the rename-aside keeps it intact (open handles keep
+    working), and our retry immediately re-installs identical content
+    at ``path`` — determinism makes the two artifacts interchangeable,
+    so no reader ever observes deleted data, only (transiently) a
+    missing listing, which triggers a spurious rebuild at worst."""
+    corpse: str | None = None
     for attempt in (0, 1):
         try:
             os.rename(tmp, path)  # fails if path exists (ENOTEMPTY)
+            if corpse is not None:
+                shutil.rmtree(corpse, ignore_errors=True)
             return
         except OSError:
             if os.path.exists(os.path.join(path, "_SUCCESS")):
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
                 return
             if attempt == 0 and os.path.exists(path):
-                # torn corpse from a crashed builder: sweep and retry —
-                # if a racer installs between the sweep and the retry,
-                # the retry's failure re-checks _SUCCESS above
-                shutil.rmtree(path, ignore_errors=True)
+                # suspected torn corpse from a crashed builder: move it
+                # aside atomically and retry the install; the aside dir
+                # is removed after our install succeeds, or swept later
+                # by prune_stale_artifacts ('__old__' match) if we fail
+                corpse = f"{path}.__old__corpse_{os.getpid()}"
+                try:
+                    os.replace(path, corpse)
+                except OSError:
+                    corpse = None  # a racer swept/replaced it; retry decides
                 continue
             raise
 
@@ -1236,6 +1248,10 @@ def swap_version_pointer(
             "it commits, or remove the lock file if its writer died"
         ) from None
     try:
+        # record the holder's pid so a later stuck-lock diagnosis can
+        # tell a live-but-slow writer from a dead one (the error text
+        # must not invite removing a LIVE writer's lock)
+        os.write(fd, str(os.getpid()).encode())
         current = read_version_pointer(versions_root, default=expected)
         if current != expected:
             raise VersionConflictError(
@@ -1248,6 +1264,28 @@ def swap_version_pointer(
     finally:
         os.close(fd)
         os.unlink(lock)
+
+
+def _cas_lock_holder(versions_root: str) -> "tuple[int | None, bool]":
+    """Best-effort identity of the CAS lock holder: ``(pid, alive)``.
+    :func:`swap_version_pointer` records its pid in the lock file; a
+    vanished lock or unparseable content yields ``(None, False)``.
+    ``alive`` is a same-host signal only (``os.kill(pid, 0)``) — on a
+    shared filesystem a remote holder reads as dead, which is why the
+    stuck-lock error reports the pid instead of auto-removing."""
+    lock = os.path.join(versions_root, _POINTER_NAME + ".__lock__")
+    try:
+        with open(lock) as fh:
+            pid = int(fh.read().strip())
+    except (OSError, ValueError):
+        return None, False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return pid, False
+    except PermissionError:
+        return pid, True
+    return pid, True
 
 
 def merge_table_versioned(
@@ -1338,42 +1376,52 @@ def merge_table_versioned(
             partition_col=partition_col,
             **merge_kwargs,
         )
-        while True:
+        # CAS phase.  Lock contention with an UNMOVED pointer means the
+        # merge result is still valid — re-merging cannot help, so retry
+        # just the CAS under exponential backoff (~3 s total) before
+        # diagnosing a leaked lock: a live-but-slow concurrent writer
+        # (paused mid-swap) must get time to finish, not an error whose
+        # remediation text invites deleting ITS lock.  A MOVED pointer
+        # falls through to the outer loop, which re-merges against the
+        # winner's version.
+        pointer_moved = False
+        for delay in (0.0, 0.05, 0.1, 0.2, 0.4, 0.8, 1.6):
+            if delay:
+                time.sleep(delay)
             try:
                 swap_version_pointer(versions_root, new_path, expected=seen)
                 return new_path
             except VersionConflictError as exc:
                 last = exc
-                # lock contention vs pointer moved: if the pointer still
-                # equals what this merge was based on, the merge result
-                # is STILL VALID — re-merging cannot help; retry just
-                # the CAS (brief contention clears, a leaked lock gets
-                # its own diagnosis instead of "a hotter writer")
-                if (
-                    read_version_pointer(versions_root, default=seen)
-                    != seen
-                ):
-                    break  # pointer moved: outer loop re-merges
-                time.sleep(0.05)
-                try:
-                    swap_version_pointer(
-                        versions_root, new_path, expected=seen
-                    )
-                    return new_path
-                except VersionConflictError as exc2:
-                    last = exc2
-                if (
-                    read_version_pointer(versions_root, default=seen)
-                    == seen
-                ):
-                    raise VersionConflictError(
-                        f"merge_table_versioned: the pointer at "
-                        f"{versions_root} has not moved but its CAS lock "
-                        "stays held — a writer died holding the lock; "
-                        "remove the named lock file after confirming no "
-                        "writer is live, then retry"
-                    ) from last
-                break  # moved between the two CAS attempts: re-merge
+            if read_version_pointer(versions_root, default=seen) != seen:
+                pointer_moved = True
+                break
+        if not pointer_moved:
+            pid, alive = _cas_lock_holder(versions_root)
+            if alive:
+                raise VersionConflictError(
+                    f"merge_table_versioned: the pointer at "
+                    f"{versions_root} has not moved but its CAS lock "
+                    f"stayed held through ~3 s of backoff by pid {pid}, "
+                    "which is STILL ALIVE on this host — a slow writer, "
+                    "not a leaked lock; do NOT remove the lock file — "
+                    "wait for the holder (or investigate why it stalled) "
+                    "and retry"
+                ) from last
+            holder = (
+                f" (last recorded holder pid {pid}, not alive)"
+                if pid is not None
+                else ""
+            )
+            raise VersionConflictError(
+                f"merge_table_versioned: the pointer at {versions_root} "
+                "has not moved but its CAS lock stayed held through "
+                f"~3 s of backoff{holder} — a writer died holding the "
+                "lock; remove the named lock file after confirming no "
+                "writer is live (on any host sharing this path), then "
+                "retry"
+            ) from last
+        # pointer moved: outer loop re-merges against the winner
     raise VersionConflictError(
         f"merge_table_versioned: lost the pointer race {max_retries + 1} "
         f"times on {versions_root} — a hotter writer keeps committing; "
@@ -1412,7 +1460,10 @@ def list_table_versions(versions_root: str) -> "list[tuple[str, str]]":
 
 
 def prune_table_versions(
-    versions_root: str, keep_last: int = 1, include_batch_dirs: bool = False
+    versions_root: str,
+    keep_last: int = 1,
+    include_batch_dirs: bool = False,
+    batch_dir_min_age_seconds: float = 0.0,
 ) -> "list[str]":
     """Retire superseded CDC table versions: delete every complete
     version dir under ``versions_root`` except the newest ``keep_last``
@@ -1434,7 +1485,14 @@ def prune_table_versions(
     not the pointer target).  Only call it from a maintenance window
     with NO batch writer in flight: a writer between its merge and its
     CAS holds an unpublished dir this sweep cannot distinguish from an
-    abandoned one."""
+    abandoned one.  Two programmatic guards back that docstring up:
+    the sweep REFUSES while the CAS lock file exists (a writer is
+    inside its commit window right now), and
+    ``batch_dir_min_age_seconds > 0`` skips candidate dirs whose
+    ``_SUCCESS`` is younger than the threshold — a writer that just
+    finished its merge but has not yet swapped the pointer holds a
+    FRESH dir, so an age floor of a few minutes closes the
+    merge-to-CAS window without a lock."""
     if keep_last < 1:
         raise ValueError("prune_table_versions: keep_last must be >= 1")
     versions = list_table_versions(versions_root)
@@ -1449,15 +1507,32 @@ def prune_table_versions(
         shutil.rmtree(path, ignore_errors=True)
         pruned.append(path)
     if include_batch_dirs and os.path.isdir(versions_root):
+        lock = os.path.join(versions_root, _POINTER_NAME + ".__lock__")
+        if os.path.exists(lock):
+            raise ValueError(
+                f"prune_table_versions: CAS lock file {lock} exists — a "
+                "batch writer is inside its commit window; sweeping batch "
+                "dirs now could delete its unpublished version. Re-run "
+                "after the writer commits (or its leaked lock is cleared)."
+            )
         listed = {os.path.normpath(p) for _, p in versions}
+        now = time.time()
         for name in sorted(os.listdir(versions_root)):
             full = os.path.join(versions_root, name)
+            success = os.path.join(full, "_SUCCESS")
             if (
                 os.path.isdir(full)
                 and os.path.normpath(full) not in listed
                 and os.path.normpath(full) not in protected
-                and os.path.exists(os.path.join(full, "_SUCCESS"))
+                and os.path.exists(success)
             ):
+                if batch_dir_min_age_seconds > 0:
+                    try:
+                        age = now - os.path.getmtime(success)
+                    except OSError:
+                        continue  # raced with a concurrent sweep
+                    if age < batch_dir_min_age_seconds:
+                        continue  # too fresh: may be pre-CAS
                 shutil.rmtree(full, ignore_errors=True)
                 pruned.append(full)
     return pruned

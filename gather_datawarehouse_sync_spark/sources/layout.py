@@ -366,6 +366,30 @@ def _footer_stats(
     )
 
 
+def _guard_index_identity(
+    old_index: DataFrame, on_disk: "list[str]", fresh: "list[str]", what: str
+) -> None:
+    """An incremental refresh where the stored index matches ZERO
+    on-disk files is almost never "everything is new" — it is a path
+    IDENTITY mismatch (an index persisted from a relative table path
+    against this module's absolute listing, or a moved table): the
+    refresh would silently drop every stored row and re-read the whole
+    table as "fresh" — correct output, but an unannounced O(table)
+    rebuild, the exact pass the incremental contract exists to avoid.
+    Refuse loudly (one bounded ``limit(1)`` probe of the stored index);
+    a genuine full rebuild is the builder's verb."""
+    if fresh and len(fresh) == len(on_disk):
+        if old_index.limit(1).count() > 0:
+            raise ValueError(
+                f"{what}: the stored index matches none of the "
+                f"{len(on_disk)} data files under the table — a "
+                "path-identity mismatch (index built from a different "
+                "or relative path, or the table moved), not an "
+                "incremental append; rebuild the index from this path "
+                "with the builder instead of refreshing"
+            )
+
+
 def refresh_file_stats_index(
     spark: SparkSession,
     path: str,
@@ -432,6 +456,9 @@ def refresh_file_stats_index(
         for r in disk.join(
             old_stats.select("file"), "file", "left_anti"
         ).collect()
+    )
+    _guard_index_identity(
+        old_stats, on_disk, fresh, "refresh_file_stats_index"
     )
     kept = old_stats.join(disk, "file", "left_semi")
     if not fresh:
@@ -737,6 +764,9 @@ def refresh_file_bloom_index(
         for r in disk.join(
             old_index.select("file").distinct(), "file", "left_anti"
         ).collect()
+    )
+    _guard_index_identity(
+        old_index, on_disk, fresh, "refresh_file_bloom_index"
     )
     kept = old_index.join(disk, "file", "left_semi")
     if not fresh:

@@ -4549,6 +4549,24 @@ def test_band_join_auto_bucket_width_skew(spark):
         target_rows_per_bucket=1, max_fanout=16, min_bucket_width=1.0,
     )
     assert wi == 1.0
+    # floor ABOVE the band: the floor must win (w = min_bucket_width,
+    # k=1 probes one extra empty bucket — never a sub-floor grid; the
+    # old clamp returned w = band < floor here)
+    wf = choose_band_bucket_width(
+        dense, "__v", 4.0,
+        target_rows_per_bucket=1, max_fanout=16, min_bucket_width=10.0,
+    )
+    assert wf == 10.0
+    # and band_join refuses an explicit width below a declared floor
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="below min_bucket_width"):
+        band_join(
+            dense.select(F.col("__v").alias("va")),
+            dense.select(F.col("__v").alias("vb")),
+            "va", "vb", band=4.0,
+            bucket_width=0.5, min_bucket_width=1.0,
+        )
 
     # pair-set parity on a skewed distribution: 90% of values pile into
     # [0, 7), the rest spread wide — auto grid and an explicit multi-

@@ -895,6 +895,38 @@ def test_refresh_file_stats_index_matches_rebuild(spark, tmp_path):
         )
 
 
+def test_refresh_index_identity_mismatch_guard(spark, tmp_path):
+    """A stored index that matches ZERO on-disk files is a path-identity
+    mismatch (index persisted from a different/relative path, or a moved
+    table), not 'everything is new': both refreshers refuse loudly
+    instead of silently dropping every stored row and re-scanning the
+    whole table as fresh (r13-ADVICE, layout.py `_list_parquet_files`
+    abspath migration)."""
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.layout import (
+        file_bloom_index,
+        file_stats_index,
+        refresh_file_bloom_index,
+        refresh_file_stats_index,
+    )
+
+    path_a = str(tmp_path / "table_a")
+    path_b = str(tmp_path / "table_b")
+    for p in (path_a, path_b):
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(100)], "x long, y long"
+        ).repartition(2).write.parquet(p)
+
+    stats = file_stats_index(spark, path_a, ["x", "y"])
+    with _pytest.raises(ValueError, match="path-identity mismatch"):
+        refresh_file_stats_index(spark, path_b, stats, ["x", "y"])
+
+    bloom = file_bloom_index(spark, path_a, "x")
+    with _pytest.raises(ValueError, match="path-identity mismatch"):
+        refresh_file_bloom_index(spark, path_b, bloom, "x")
+
+
 def test_file_bloom_index_point_lookup_pruning(spark, tmp_path):
     """Bloom-filter file skipping on a HIGH-CARDINALITY randomly
     distributed key (min/max boxes span everything — interval pruning

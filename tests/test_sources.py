@@ -416,3 +416,58 @@ def test_export_jsonl_shards_roundtrip_and_manifest(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="docs_per_shard"):
         shard_manifest(docs, 0)
+
+
+# ---------------------------------------------------------------------------
+# two-process CAS race (r13 verdict item 6): the lock-file
+# compare-and-swap must hold under REAL concurrent processes, not just
+# interleaved in-process writers
+# ---------------------------------------------------------------------------
+
+
+def _cas_increment_worker(root: str, iters: int) -> None:
+    """Spin a CAS counter: read pointer 'v<N>', commit 'v<N+1>' expected
+    'v<N>'; a lost race re-reads and retries.  Module-level so
+    multiprocessing can import it in the child."""
+    import time as _time
+
+    from gather_datawarehouse_sync_spark.sources import artifacts as A
+
+    done = 0
+    while done < iters:
+        cur = A.read_version_pointer(root, default="v0")
+        try:
+            A.swap_version_pointer(root, f"v{int(cur[1:]) + 1}", expected=cur)
+            done += 1
+        except A.VersionConflictError:
+            _time.sleep(0.001)  # contention or moved pointer: re-read
+
+
+def test_swap_version_pointer_two_process_cas(tmp_path):
+    """Mutual exclusion under real concurrent PROCESSES (the in-process
+    interleaving test in test_streaming pins the protocol; this pins the
+    file-lock semantics the protocol rides on): two workers each commit
+    100 CAS increments against one chain — any lost update (two writers
+    both succeeding against the same expected value) would leave the
+    final counter below 200."""
+    import multiprocessing as mp
+    import os
+
+    root = str(tmp_path / "cas_chain")
+    os.makedirs(root)
+    from gather_datawarehouse_sync_spark.sources import artifacts as A
+
+    iters = 100
+    ctx = mp.get_context("fork")  # cheap on linux; no JVM use in children
+    workers = [
+        ctx.Process(target=_cas_increment_worker, args=(root, iters))
+        for _ in range(2)
+    ]
+    for w in workers:
+        w.start()
+    for w in workers:
+        w.join(timeout=120)
+        assert w.exitcode == 0
+    assert A.read_version_pointer(root) == f"v{2 * iters}"
+    # the lock never leaks on the success path
+    assert not os.path.exists(os.path.join(root, "_cdc_current.__lock__"))

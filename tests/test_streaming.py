@@ -1440,6 +1440,67 @@ def test_merge_table_versioned_commit_loop(spark, tmp_path, monkeypatch):
         )
 
 
+def test_versioned_commit_lock_liveness_and_prune_guard(spark, tmp_path):
+    """r13-ADVICE hardening of the commit/maintenance protocol:
+    (a) a CAS lock recorded by a LIVE process gets a do-NOT-remove
+    diagnosis after the backoff window (a paused writer must not be
+    mistaken for a dead one — following 'remove the lock file' against
+    a live writer would break mutual exclusion); (b)
+    prune_table_versions(include_batch_dirs=True) REFUSES while the CAS
+    lock exists (a writer is inside its commit window) and honors
+    batch_dir_min_age_seconds (a writer between merge and CAS holds a
+    FRESH unpublished dir)."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources import artifacts as A
+
+    schema = "id long, val string, p string"
+    base = str(tmp_path / "llv_v0")
+    A.cached_parquet(
+        spark, base,
+        lambda: spark.createDataFrame([(0, "base", "a")], schema),
+        partition_by=("p",),
+    )
+    root = str(tmp_path / "llv_versions")
+    v1 = A.merge_table_versioned(
+        spark, root, base,
+        spark.createDataFrame([(1, "x", "a")], schema),
+        key_cols=("id",), partition_col="p", version_name="b1",
+    )
+
+    lock = os.path.join(root, "_cdc_current.__lock__")
+    with open(lock, "w") as fh:
+        fh.write(str(os.getpid()))  # a live holder: this very process
+    with pytest.raises(A.VersionConflictError, match="STILL ALIVE"):
+        A.merge_table_versioned(
+            spark, root, base,
+            spark.createDataFrame([(2, "y", "a")], schema),
+            key_cols=("id",), partition_col="p", version_name="b2",
+        )
+    # the maintenance sweep refuses while a writer may be mid-commit
+    with pytest.raises(ValueError, match="CAS lock"):
+        A.prune_table_versions(root, include_batch_dirs=True)
+    os.remove(lock)
+
+    v2 = A.merge_table_versioned(
+        spark, root, base,
+        spark.createDataFrame([(2, "y", "a")], schema),
+        key_cols=("id",), partition_col="p", version_name="b2",
+    )
+    # freshly superseded batch dirs survive a min-age sweep …
+    assert A.prune_table_versions(
+        root, include_batch_dirs=True, batch_dir_min_age_seconds=3600.0
+    ) == []
+    assert os.path.exists(v1)
+    # … and are retired once no age floor applies
+    pruned = {
+        os.path.normpath(p)
+        for p in A.prune_table_versions(root, include_batch_dirs=True)
+    }
+    assert os.path.normpath(v1) in pruned
+    assert os.path.exists(v2)  # the pointer target always survives
+
+
 def test_cdc_version_chain_time_travel_and_prune(spark, tmp_path):
     """The version chain is the time-travel surface: after two applied
     batches, list_table_versions orders upsert-before-final per epoch,

@@ -21,6 +21,8 @@ import math
 
 import numpy as np
 import pandas as pd
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -147,6 +149,61 @@ def shingles(col: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact) — small-scale oracle for the fuzzy family
 # ---------------------------------------------------------------------------
+
+def jaccard_pairs_cached(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 1,
+    cache_path: str | None = None,
+    cache_threshold: float | None = None,
+) -> DataFrame:
+    """:func:`jaccard_pairs` served from a persisted artifact — the
+    materialized-view form for pair tables that several queries (or the
+    same recurring report) keep recomputing.
+
+    Built ONCE at ``cache_threshold`` (≤ ``threshold``; default =
+    ``threshold``) and stored via ``cached_parquet`` (corpus-fingerprint
+    keyed — a regenerated corpus misses and rebuilds), then tightened to
+    ``threshold`` with the tier's own integer-exact compare over the
+    stored ``(shared, na, nb)`` columns: pairs at a stricter threshold
+    are a subset of the looser table, and ``Fraction.limit_denominator``
+    reproduces exactly the rational the live tier would use, so the
+    filtered table is ROW-IDENTICAL to a from-scratch run — one loose
+    pair scan serves a whole threshold sweep (the x_dedup_recall
+    protocol, now reusable).  ``cache_path`` must encode ngram and the
+    BUILT threshold plus a version suffix (artifact_path contract).
+    """
+    base_t = threshold if cache_threshold is None else cache_threshold
+    if cache_path is None:
+        raise ValueError("jaccard_pairs_cached: cache_path is required")
+    if base_t - threshold > 1e-12:
+        raise ValueError(
+            f"jaccard_pairs_cached: cache_threshold {base_t} is stricter "
+            f"than threshold {threshold} — a strict table cannot be "
+            "loosened (missing pairs were never stored); build at the "
+            "loosest threshold you will serve"
+        )
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+    )
+
+    stored = cached_parquet(
+        df.sparkSession,
+        cache_path,
+        lambda: jaccard_pairs(df, id_col, text_col, base_t, ngram),
+    )
+    if base_t == threshold:
+        return stored
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    return stored.filter(
+        F.col("shared") * frac.denominator
+        >= (F.col("na") + F.col("nb") - F.col("shared")) * frac.numerator
+    )
+
 
 def jaccard_pairs(
     df: DataFrame,
@@ -1357,6 +1414,7 @@ def jaccard_dedup_clusters(
     text_col: str = "text",
     threshold: float = 0.8,
     ngram: int = 1,
+    pairs_fn: "Callable[[DataFrame], DataFrame] | None" = None,
 ) -> DataFrame:
     """Near-dup clusters from EXACT Jaccard edges: (canon, members) per
     cluster of ≥ 2 documents, canon = min id in the cluster.
@@ -1409,7 +1467,16 @@ def jaccard_dedup_clusters(
         )
         .localCheckpoint(eager=True)
     )
-    pairs = jaccard_pairs(groups, id_col, text_col, threshold, ngram)
+    # pairs_fn lets the caller swap the pair source for a cached /
+    # materialized one (jaccard_pairs_cached) — it receives the COLLAPSED
+    # group reps and must return the same (a, b, ...) pair contract at
+    # this operator's threshold; cluster semantics are unchanged because
+    # the pair SET is (the caching helper pins row-identity)
+    pairs = (
+        jaccard_pairs(groups, id_col, text_col, threshold, ngram)
+        if pairs_fn is None
+        else pairs_fn(groups)
+    )
     comp = connected_components(pairs.select("a", "b"))
     return (
         groups.join(comp, groups[id_col] == comp.id, "left")
@@ -1433,6 +1500,7 @@ def quality_dedup(
     threshold: float = 0.8,
     ngram: int = 1,
     score: Column | None = None,
+    pairs_fn: "Callable[[DataFrame], DataFrame] | None" = None,
 ) -> DataFrame:
     """Quality-aware near-dup survivorship: per near-dup cluster, KEEP
     the member maximizing ``score`` (default :func:`quality_score_bp`
@@ -1506,7 +1574,16 @@ def quality_dedup(
         )
         .localCheckpoint(eager=True)
     )
-    pairs = jaccard_pairs(groups, id_col, text_col, threshold, ngram)
+    # pairs_fn lets the caller swap the pair source for a cached /
+    # materialized one (jaccard_pairs_cached) — it receives the COLLAPSED
+    # group reps and must return the same (a, b, ...) pair contract at
+    # this operator's threshold; cluster semantics are unchanged because
+    # the pair SET is (the caching helper pins row-identity)
+    pairs = (
+        jaccard_pairs(groups, id_col, text_col, threshold, ngram)
+        if pairs_fn is None
+        else pairs_fn(groups)
+    )
     comp = connected_components(pairs.select("a", "b"))
     members = (
         base.select("id", "gkey", "q")

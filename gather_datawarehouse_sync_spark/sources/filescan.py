@@ -35,19 +35,49 @@ _BINARY_FILE_SCHEMA = T.StructType(
 )
 
 
+# characters Hadoop's GlobFilter treats specially ("," only inside {}
+# alternation — included anyway; an over-wide listing is always safe here)
+_GLOB_SPECIALS = set("*?[]{}\\,")
+
+
 def _ci_glob(suffix: str) -> str:
     """Case-insensitive glob for a suffix — ``.shp`` → ``*.[sS][hH][pP]``.
 
     Keeps the predicate pushed into the *listing* (no file opened, no row
     produced for non-matches) while matching the reference's
     case-insensitive admit (``:34`` lowercases before testing).
+
+    The glob only needs to be a SUPERSET of the admit rule —
+    :func:`_inventory` re-checks ``lower(path).endswith(lower(suffix))``
+    exactly — so characters the simple ``[xX]`` class can't express
+    safely degrade to ``?`` (any one char) instead of producing a wrong
+    or broken pattern: letters with multi-char or asymmetric case
+    mappings (``ß``.upper() == ``SS``; Turkish ``İ``), letters whose
+    case variants aren't mutually reachable via lower/upper alone, and
+    glob metacharacters appearing literally in the suffix.  The cost of
+    ``?`` is listing (and reading) near-miss files that the exact filter
+    then drops — IO, never correctness.
     """
     out = []
     for ch in suffix:
-        if ch.isalpha():
-            out.append(f"[{ch.lower()}{ch.upper()}]")
-        else:
+        lo, up = ch.lower(), ch.upper()
+        if (
+            ch.isalpha()
+            and lo != up
+            and len(lo) == 1
+            and len(up) == 1
+            # the class must re-admit the char itself, and round-trip:
+            # a file char c matches the admit rule iff c.lower() ==
+            # lo — for c ∈ {lo, up} that needs up.lower() == lo
+            and ch in (lo, up)
+            and up.lower() == lo
+            and not ({lo, up} & _GLOB_SPECIALS)
+        ):
+            out.append(f"[{lo}{up}]")
+        elif ch not in _GLOB_SPECIALS and lo == up:
             out.append(ch)
+        else:
+            out.append("?")
     return "*" + "".join(out)
 
 

@@ -5616,3 +5616,44 @@ def test_ivf_sq_full_probe_equals_sq_topk(spark, sf_dir, tmp_path):
     top1 = {r[0]: r[1] for r in full_probe if r[3] == 1}
     hits = sum(sub.get(k) == v for k, v in top1.items())
     assert hits >= len(top1) // 2
+
+
+def test_jaccard_pairs_cached_tighten_row_identity(spark, sf_dir, tmp_path):
+    """The materialized pair table built loose (0.8) and tightened to
+    0.9 with the stored integer columns is ROW-IDENTICAL to a live
+    jaccard_pairs run at 0.9 (Fraction.limit_denominator reproduces the
+    tier's own rational compare) — the contract that lets one persisted
+    artifact serve x_ngram_dedup_clusters, x_quality_dedup and any
+    threshold sweep.  A strict cache can never serve a looser ask."""
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_cached,
+    )
+    from gather_datawarehouse_sync_spark.queries import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") % 3 == 0
+    )
+    path = str(tmp_path / "pairs_t08")
+    tight = jaccard_pairs_cached(
+        docs, threshold=0.9, ngram=1, cache_path=path, cache_threshold=0.8
+    )
+    live = jaccard_pairs(docs, threshold=0.9, ngram=1)
+    cols = ["a", "b", "shared", "na", "nb"]
+    assert sorted(map(tuple, tight.select(cols).collect())) == sorted(
+        map(tuple, live.select(cols).collect())
+    )
+    # same threshold: the stored table is served as-is (no filter)
+    same = jaccard_pairs_cached(
+        docs, threshold=0.8, ngram=1, cache_path=path, cache_threshold=0.8
+    )
+    assert same.count() >= tight.count()
+    with _pytest.raises(ValueError, match="stricter"):
+        jaccard_pairs_cached(
+            docs, threshold=0.7, ngram=1, cache_path=path,
+            cache_threshold=0.8,
+        )
+    with _pytest.raises(ValueError, match="cache_path"):
+        jaccard_pairs_cached(docs, threshold=0.8, ngram=1)

@@ -580,3 +580,130 @@ def test_remove_frequent_units_properties(spark, rows, min_docs):
         i: c for i, (c, _, _) in out.items()
     }
     assert all(r == 0 for _, r in again.values())
+
+
+# ---------------------------------------------------------------------------
+# cut_duplicate_spans under ADVERSARIAL spans (r13-ADVICE item 7):
+# overlapping, nested, touching, zero-length, out-of-range — the
+# coverage rule must hold for ANY span table, not just the well-formed
+# islands duplicate_spans emits
+# ---------------------------------------------------------------------------
+
+_adv_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=4,
+).map(lambda ds: [(i, " ".join(ws)) for i, ws in enumerate(ds)])
+
+_adv_spans = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # doc_id
+        st.integers(min_value=-2, max_value=10),  # span_start
+        st.integers(min_value=-2, max_value=12),  # span_end
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(_adv_docs, _adv_spans)
+@_SETTINGS
+def test_cut_duplicate_spans_adversarial_spans(spark, docs, spans):
+    """For ANY precomputed span table — overlapping, nested, inverted
+    (start > end ⇒ empty), negative, or past the end of the document —
+    cut_duplicate_spans keeps exactly the tokens no span covers,
+    re-joined in order, and the removed/kept counts partition the
+    token count."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        cut_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    span_df = spark.createDataFrame(
+        spans, "doc_id long, span_start long, span_end long"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["tokens_removed"], r["tokens_kept"])
+        for r in cut_duplicate_spans(df, spans=span_df).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split()
+        my_spans = [(s, e) for d, s, e in spans if d == doc_id]
+        kept = [
+            t
+            for i, t in enumerate(toks)
+            if not any(s <= i <= e for s, e in my_spans)
+        ]
+        assert got[doc_id] == (
+            " ".join(kept),
+            len(toks) - len(kept),
+            len(kept),
+        ), f"doc {doc_id}: spans={my_spans} toks={toks}"
+
+
+# ---------------------------------------------------------------------------
+# _ci_glob under non-ASCII / metacharacter suffixes (r13-ADVICE item 7):
+# the listing glob must ADMIT A SUPERSET of the case-insensitive suffix
+# rule _inventory enforces — a too-narrow glob silently drops files
+# before the exact filter ever sees them
+# ---------------------------------------------------------------------------
+
+_suffix_chars = st.sampled_from(
+    list(".shpSHP09") + ["ß", "é", "Д", "д", "İ", "ſ", "[", "]", "*", "?", "{", ",", "\\", "帀"]
+)
+_suffixes = st.lists(_suffix_chars, min_size=1, max_size=6).map("".join)
+
+
+@given(_suffixes, st.lists(st.booleans(), min_size=6, max_size=6))
+@_SETTINGS
+def test_ci_glob_superset_of_admit_rule(suffix, flips):
+    """Python-level fuzz with fnmatch as the glob proxy (same *, ?, []
+    semantics as Hadoop's GlobFilter for these patterns): every
+    filename built as a per-char upper/lower flip of the suffix that
+    the admit rule (lower(name).endswith(lower(suffix))) accepts must
+    also match the listing glob."""
+    import fnmatch
+
+    from gather_datawarehouse_sync_spark.sources.filescan import _ci_glob
+
+    glob = _ci_glob(suffix)
+    assert glob.startswith("*")
+    # candidate filenames: per-char case flips of the suffix
+    name_chars = []
+    for ch, up in zip(suffix, flips):
+        v = ch.upper() if up else ch.lower()
+        # multi-char case expansion (ß→SS) changes length — the admit
+        # rule itself rejects those names, so keep the original char
+        name_chars.append(v if len(v) == 1 else ch)
+    name = "x" + "".join(name_chars)
+    if name.lower().endswith(suffix.lower()):
+        assert fnmatch.fnmatchcase(name, glob), (
+            f"suffix={suffix!r} glob={glob!r} misses admitted {name!r}"
+        )
+
+
+def test_scan_files_exotic_suffixes(spark, tmp_path):
+    """End-to-end through the REAL JVM glob: suffixes with a sharp s,
+    Cyrillic letters, and glob metacharacters list-and-admit exactly
+    the case-insensitive matches (metacharacters degrade to ? in the
+    listing; the exact filter decides)."""
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.filescan import scan_files
+
+    root = str(tmp_path / "scan")
+    os.makedirs(root)
+    names = [
+        "a.gpß", "b.GPß", "c.gpss",        # ß: no case class, ? degrade
+        "d.дан", "e.ДАН", "f.дам",          # Cyrillic: [дД] classes work
+        "g.s[p", "h.S[P", "i.sxp",          # metachar [ degrades to ?
+    ]
+    for n in names:
+        with open(os.path.join(root, n), "wb") as fh:
+            fh.write(b"x")
+    got = lambda suf: {  # noqa: E731
+        r["file"] for r in scan_files(spark, root, suf).collect()
+    }
+    assert got(".gpß") == {"a.gpß", "b.GPß"}
+    assert got(".дан") == {"d.дан", "e.ДАН"}
+    assert got(".s[p") == {"g.s[p", "h.S[P"}

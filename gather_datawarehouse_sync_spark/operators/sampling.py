@@ -149,8 +149,11 @@ def shuffle_order(
     win = Window.partitionBy("__so_b").orderBy("__so_h", F.col(id_col))
     return (
         with_b.join(F.broadcast(boff), "__so_b")
+        # long, not int: the rank is a GLOBAL row number and this
+        # operator's own sizing notes cover 10^10-10^11-row corpora —
+        # an int would wrap negative past 2^31 rows
         .withColumn(
-            out_col, (F.col("__so_off") + F.row_number().over(win)).cast("int")
+            out_col, (F.col("__so_off") + F.row_number().over(win)).cast("long")
         )
         .drop("__so_h", "__so_b", "__so_off")
     )
@@ -199,6 +202,9 @@ def leakage_safe_split(
 
     if not 0.0 <= test_fraction <= 1.0:
         raise ValueError("test_fraction must be in [0, 1]")
+    for c in ("__ls_id", "__ls_comp", "__ls_key"):
+        if c in df.columns:
+            raise ValueError(f"leakage_safe_split: input already has column {c}")
     if components is None:
         if pairs is None:
             raise ValueError("leakage_safe_split: pass pairs or components")
@@ -325,8 +331,9 @@ def temperature_resample(
     from gather_datawarehouse_sync_spark.functions.scalar import lit_map
     from gather_datawarehouse_sync_spark.session import spread
 
-    if copy_col in df.columns or "__tr_nc" in df.columns:
-        raise ValueError(f"temperature_resample: column collision on {copy_col}")
+    for c in (copy_col, "__tr_nc", "__tr_rm"):
+        if c in df.columns:
+            raise ValueError(f"temperature_resample: column collision on {c}")
     counts = (
         spread(df)
         .filter(F.col(group_col).isNotNull())
@@ -373,13 +380,20 @@ def temperature_resample(
         ).cast("bigint")
         % 1_000_000
     )
-    n_copies = (
-        (r_micro - F.pmod(r_micro, 1_000_000)) / 1_000_000
-        + F.when(hfrac < F.pmod(r_micro, 1_000_000), 1).otherwise(0)
-    ).cast("bigint")
     return (
         spread(df)
-        .withColumn("__tr_nc", n_copies)
+        .withColumn("__tr_rm", r_micro.cast("bigint"))
+        # integer DIV, not float '/': r_micro reaches total·10⁶/n_g,
+        # which exceeds 2^53 exact-double range on multi-billion-row
+        # corpora with tiny groups — a float quotient there would be
+        # off by a ulp and mint a wrong copy count
+        .withColumn(
+            "__tr_nc",
+            F.expr("CAST(__tr_rm DIV 1000000 AS BIGINT)")
+            + F.when(hfrac < F.pmod(F.col("__tr_rm"), 1_000_000), 1)
+            .otherwise(0).cast("bigint"),
+        )
+        .drop("__tr_rm")
         # explode(NULL) drops the row: covers null groups (map miss) and
         # zero-copy docs without a sequence(1, 0) = [1, 0] footgun
         .withColumn(
@@ -450,12 +464,14 @@ def cap_per_group(
     ``deterministic_sample`` before the exact cap."""
     if cap <= 0:
         raise ValueError("cap must be positive")
+    if "__cap_rn" in df.columns:
+        raise ValueError("cap_per_group: input already has column __cap_rn")
     h = _stable_order_hash(seed, id_col)
     w = Window.partitionBy(*group_cols).orderBy(h, F.col(id_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= cap)
-        .drop("_rn")
+        df.withColumn("__cap_rn", F.row_number().over(w))
+        .filter(F.col("__cap_rn") <= cap)
+        .drop("__cap_rn")
     )
 
 

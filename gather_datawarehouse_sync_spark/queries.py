@@ -1929,7 +1929,7 @@ _df(
     "cum_tokens FROM bud WHERE cum - n_toks < 500) "
     "SELECT doc_id, source, n_toks, cum_tokens, "
     "CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('0:', "
-    "CAST(doc_id AS VARCHAR))), doc_id) AS INT) AS train_rank "
+    "CAST(doc_id AS VARCHAR))), doc_id) AS BIGINT) AS train_rank "
     "FROM rel ORDER BY train_rank",
     ("documents",),
     note="corpus-release capstone: span-cut → post-cut quality gate → "
@@ -5890,7 +5890,7 @@ _df(
     "x_train_order",
     _x_train_order,
     "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
-    "md5(concat('42:', CAST(doc_id AS VARCHAR))), doc_id) AS INT) "
+    "md5(concat('42:', CAST(doc_id AS VARCHAR))), doc_id) AS BIGINT) "
     "AS train_rank FROM documents ORDER BY train_rank",
     ("documents",),
     note="reproducible training-order shuffle: rank by md5(seed:id) — "

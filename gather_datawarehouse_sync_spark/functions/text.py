@@ -581,13 +581,21 @@ def winnow_fingerprint_table(
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct character n-grams (for n-gram Jaccard on short strings)."""
+    """Distinct character n-grams (for n-gram Jaccard on short strings).
+    Strings shorter than ``n`` contribute themselves as one gram (the
+    short-input fallback); the EMPTY string contributes nothing — the
+    naive formulation yields ``[""]`` there, a phantom gram that makes
+    any two empty strings Jaccard-identical."""
     lowered = F.lower(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.length(lowered) - F.lit(n - 1), F.lit(1))
-            ),
-            lambda i: lowered.substr(i, F.lit(n)),
-        )
-    )
+    return F.when(
+        F.length(lowered) > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(lowered) - F.lit(n - 1), F.lit(1)),
+                ),
+                lambda i: lowered.substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))

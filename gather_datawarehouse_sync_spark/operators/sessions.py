@@ -170,10 +170,17 @@ def interpolate_linear(
     pt = F.last(known_ts, ignorenulls=True).over(w_prev)
     nv = F.first(value_col, ignorenulls=True).over(w_next)
     nt = F.first(known_ts, ignorenulls=True).over(w_next)
-    interp = F.when(
-        pv.isNotNull() & nv.isNotNull(),
-        pv + (nv - pv) * ((us - pt) / (nt - pt)),
-    ).otherwise(F.coalesce(pv, nv))
+    interp = (
+        F.when(
+            pv.isNotNull() & nv.isNotNull() & (nt > pt),
+            pv + (nv - pv) * ((us - pt) / (nt - pt)),
+        )
+        # degenerate gap: both known neighbors share one timestamp
+        # (equal-ts events) — the naive blend is 0/0 = NaN; take the
+        # PREVIOUS side, consistent with forward_fill's LOCF convention
+        .when(pv.isNotNull() & nv.isNotNull(), pv)
+        .otherwise(F.coalesce(pv, nv))
+    )
     return df.withColumn(
         out_col, F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(interp)
     )

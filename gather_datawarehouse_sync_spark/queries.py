@@ -6228,8 +6228,9 @@ _df(
     "nw AS (PARTITION BY user_id ORDER BY us, event_id "
     "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) "
     "SELECT event_id, CASE WHEN v IS NOT NULL THEN v "
-    "WHEN pv IS NOT NULL AND nv IS NOT NULL "
+    "WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt "
     "THEN pv + (nv - pv) * ((us - pt) / (nt - pt)) "
+    "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv "
     "ELSE COALESCE(pv, nv) END AS v_interp "
     "FROM w ORDER BY event_id",
     ("events",),

@@ -386,9 +386,11 @@ def start_cdc_apply(
             from pyspark.sql import Window
 
             if (
+                # aliased agg, not .count(): a key column literally named
+                # 'count' would make the bare F.col('count') ambiguous
                 batch_df.groupBy(*key_cols, seq_col)
-                .count()
-                .filter(F.col("count") > 1)
+                .agg(F.count(F.lit(1)).alias("__cdc_cnt"))
+                .filter(F.col("__cdc_cnt") > 1)
                 .limit(1)
                 .count()
             ):
@@ -398,18 +400,22 @@ def start_cdc_apply(
                     "micro-batch — their order is genuinely ambiguous; "
                     "the upstream must assign distinct sequence values"
                 )
+            if "__cdc_rn" in batch_df.columns:
+                raise ValueError(
+                    "start_cdc_apply: change rows already carry __cdc_rn"
+                )
             w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
                 F.col(seq_col).desc()
             )
             batch_df = (
-                batch_df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
+                batch_df.withColumn("__cdc_rn", F.row_number().over(w))
+                .filter(F.col("__cdc_rn") == 1)
+                .drop("__cdc_rn")
             )
         elif (
             batch_df.groupBy(*key_cols)
-            .count()
-            .filter(F.col("count") > 1)
+            .agg(F.count(F.lit(1)).alias("__cdc_cnt"))
+            .filter(F.col("__cdc_cnt") > 1)
             .limit(1)
             .count()
         ):

@@ -605,9 +605,18 @@ def test_fingerprint_stable_and_discriminative(spark):
 
 
 def test_char_ngrams(spark):
-    df = spark.createDataFrame([("abcd",)], "t string")
-    grams = df.select(text.char_ngrams(F.col("t"), 3).alias("g")).collect()[0]["g"]
-    assert set(grams) == {"abc", "bcd"}
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "ab"), (3, "")], "id long, t string"
+    )
+    got = {
+        r["id"]: set(r["g"])
+        for r in df.select(
+            "id", text.char_ngrams(F.col("t"), 3).alias("g")
+        ).collect()
+    }
+    assert got[1] == {"abc", "bcd"}
+    assert got[2] == {"ab"}  # short-input fallback: the string itself
+    assert got[3] == set()  # empty text: NO phantom "" gram
 
 
 def test_split_sentences_udtf(spark):
@@ -1520,6 +1529,19 @@ def test_interpolate_linear_blend_and_edges(spark):
         "k", "ts", "v", order_tiebreak="e",
     ).first()
     assert nul["v_interp"] is None
+    # degenerate gap: both known neighbors share ONE timestamp — the
+    # naive blend is 0/0 = NaN; the documented rule takes the PREVIOUS
+    # side (LOCF convention, matching forward_fill)
+    deg = {
+        r["e"]: r["v_interp"]
+        for r in interpolate_linear(
+            spark.createDataFrame(
+                [ev(0, 5, 3.0), ev(1, 5, None), ev(2, 5, 7.0)]
+            ),
+            "k", "ts", "v", order_tiebreak="e",
+        ).collect()
+    }
+    assert deg[1] == 3.0
 
 
 # ---------------------------------------------------------------------------

@@ -130,7 +130,8 @@ def foreach_partition_writer(
     """
 
     def write_partition(rows: Iterator[Row]) -> None:
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+        from itertools import islice
 
         transport = transport_factory()
 
@@ -145,7 +146,20 @@ def foreach_partition_writer(
                     last = exc
             raise RuntimeError(f"sink write failed after {max_retries} tries: {last}")
 
+        # bounded SUBMISSION window, not pool.map: Executor.map drains
+        # the whole row iterator up front, so a large partition would
+        # materialize every pending request as a queued future — the
+        # execution concurrency is bounded but the memory is not.  A
+        # sliding window of 2×workers keeps the pool saturated while
+        # holding O(max_in_flight) rows, and fails fast on the first
+        # exhausted-retries error instead of after draining the iterator.
+        it = iter(rows)
         with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
-            list(pool.map(send, rows))
+            pending = {pool.submit(send, r) for r in islice(it, 2 * max_in_flight)}
+            while pending:
+                done, pending = wait(pending, return_when=FIRST_COMPLETED)
+                for f in done:
+                    f.result()  # re-raise a failed write immediately
+                pending |= {pool.submit(send, r) for r in islice(it, len(done))}
 
     df.foreachPartition(write_partition)

@@ -832,17 +832,38 @@ def minhash_signatures(
         valid = np.flatnonzero(sizes > 0)
         if len(valid) == 0:
             return pd.Series(out)
-        flat = np.concatenate(
-            [np.asarray(base.iat[i], dtype=np.uint64) for i in valid]
-        )
-        offsets = np.zeros(len(valid), dtype=np.int64)
-        np.cumsum(sizes[valid][:-1], out=offsets[1:])
-        hashed = (A[:, None] * flat[None, :] + B[:, None]) % np.uint64(
-            _MERSENNE_PRIME
-        )
-        mins = np.minimum.reduceat(hashed, offsets, axis=1).T.astype(np.int64)
-        for j, i in enumerate(valid):
-            out[i] = mins[j]
+        # bound the (num_hashes × Σ shingles) intermediate: one
+        # unbounded flatten would allocate lanes × batch-total-shingles
+        # uint64 cells — gigabytes per core on shingle-heavy batches.
+        # Slice the valid rows so each slice's flattened matrix stays
+        # ≤ ~64M cells (512 MB); each slice is the SAME flatten +
+        # reduceat, so the signature is bit-identical at any slice size.
+        max_cells = 1 << 26
+        max_shingles = max(1, max_cells // max(1, len(A)))
+        start = 0
+        while start < len(valid):
+            stop = start
+            tot = 0
+            while stop < len(valid) and (
+                tot + sizes[valid[stop]] <= max_shingles or stop == start
+            ):
+                tot += sizes[valid[stop]]
+                stop += 1
+            vs = valid[start:stop]
+            flat = np.concatenate(
+                [np.asarray(base.iat[i], dtype=np.uint64) for i in vs]
+            )
+            offsets = np.zeros(len(vs), dtype=np.int64)
+            np.cumsum(sizes[vs][:-1], out=offsets[1:])
+            hashed = (A[:, None] * flat[None, :] + B[:, None]) % np.uint64(
+                _MERSENNE_PRIME
+            )
+            mins = np.minimum.reduceat(hashed, offsets, axis=1).T.astype(
+                np.int64
+            )
+            for j, i in enumerate(vs):
+                out[i] = mins[j]
+            start = stop
         return pd.Series(out)
 
     # the UDF IS deterministic, but Catalyst must not know that: a

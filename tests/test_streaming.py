@@ -244,7 +244,12 @@ def test_snapshot_inventory(spark, tmp_path):
 def test_stateful_running_totals_v2_matches_v1(spark, event_source, tmp_path):
     # the state-v2 runner speaks protobuf to the JVM; skip where the
     # container ships no usable google.protobuf (operator is gated, not
-    # stubbed — on a normal cluster this test runs)
+    # stubbed — on a normal cluster this test runs).  Unskipping was
+    # investigated (r14): no protobuf wheel or runtime exists anywhere
+    # on this box (only typeshed stubs and pyspark's from_protobuf SQL
+    # module), installs are disallowed, and the runtime cannot be
+    # shimmed — transformWithStateInPandas' worker protocol needs real
+    # descriptor/message machinery.  The gate stays environmental.
     pytest.importorskip("google.protobuf.descriptor")
     from gather_datawarehouse_sync_spark.streaming.windows import (
         stateful_running_totals_v2,

@@ -707,3 +707,42 @@ def test_scan_files_exotic_suffixes(spark, tmp_path):
     assert got(".gpß") == {"a.gpß", "b.GPß"}
     assert got(".дан") == {"d.дан", "e.ДАН"}
     assert got(".s[p") == {"g.s[p", "h.S[P"}
+
+
+_chunk_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "b1", "ccc", "d"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=3,
+).map(lambda ds: [(i, " ".join(ws)) for i, ws in enumerate(ds)])
+
+
+@given(_chunk_docs, st.integers(1, 6), st.integers(1, 6))
+@_SETTINGS
+def test_chunk_spans_matches_python_oracle(spark, docs, chunk, stride):
+    """RAG window chunking equals the serial definition for ANY
+    chunk/stride combination (stride > chunk gaps, stride == chunk
+    tumbling, stride < chunk overlap; empty docs emit nothing; trailing
+    partial windows kept)."""
+    import re
+
+    from gather_datawarehouse_sync_spark.operators.packing import chunk_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_seq"]): (
+            r["n_tokens"], r["chunk_text"], r["start_pos"]
+        )
+        for r in chunk_spans(
+            df, "doc_id", "text", chunk_tokens=chunk, stride=stride
+        ).collect()
+    }
+    want = {}
+    for i, t in docs:
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        c = 0
+        while c * stride < len(toks):
+            window = toks[c * stride : c * stride + chunk]
+            if window:
+                want[(i, c)] = (len(window), " ".join(window), c * stride)
+            c += 1
+    assert got == want

@@ -128,8 +128,14 @@ def chunk_spans(
         F.ceil((F.col("pos") - F.lit(chunk_tokens - 1)) / F.lit(stride)), F.lit(0)
     ).cast("long")
     hi = (F.col("pos") / F.lit(stride)).cast("long")
+    # sequence(lo, hi) DESCENDS when lo > hi (it never yields empty), which
+    # happens for tokens in the gap between windows when stride > chunk_tokens;
+    # guard so those tokens belong to no chunk (explode of NULL emits no row).
     memb = tok_rows.select(
-        id_col, "pos", "tok", F.explode(F.sequence(lo, hi)).alias("chunk_seq")
+        id_col,
+        "pos",
+        "tok",
+        F.explode(F.when(lo <= hi, F.sequence(lo, hi))).alias("chunk_seq"),
     )
     return (
         memb.groupBy(id_col, "chunk_seq")

@@ -8,7 +8,7 @@ properties, not the scale, are the point.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -717,6 +717,14 @@ _chunk_docs = st.lists(
 
 
 @given(_chunk_docs, st.integers(1, 6), st.integers(1, 6))
+# Pinned counterexamples (the example DB is gitignored, so carry them here):
+# r14's wrong-answer bug — stride > chunk_tokens made F.sequence(lo, hi)
+# DESCEND for gap tokens instead of yielding nothing (packing.py fix).
+@example(docs=[(0, "aa aa")], chunk=1, stride=2)  # minimal falsifier
+@example(docs=[(0, "aa b1 ccc d aa")], chunk=2, stride=5)  # wide gap
+@example(docs=[(0, "aa b1 ccc d aa b1")], chunk=3, stride=3)  # tumbling
+@example(docs=[(0, "aa b1 ccc")], chunk=1, stride=1)  # unit windows
+@example(docs=[(0, ""), (1, "aa b1")], chunk=4, stride=2)  # trailing partial
 @_SETTINGS
 def test_chunk_spans_matches_python_oracle(spark, docs, chunk, stride):
     """RAG window chunking equals the serial definition for ANY

@@ -1429,6 +1429,68 @@ def connected_components(
     return labels
 
 
+def _token_set_base(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    extra: "dict[str, Column] | None" = None,
+) -> DataFrame:
+    """One row per document with a NON-EMPTY token set: ``(id,
+    <text_col>, gkey[, extras])``.  ``gkey`` is the rendered sorted set
+    itself, NOT a 64-bit hash of it: the cluster family's contract is
+    EXACT Jaccard edges, and a hash collision would silently merge
+    unrelated documents into one "identical" group.  The wider shuffle
+    key costs one string-sized row instead of 8 bytes — negligible next
+    to the text column already travelling in the same row.  (The minhash
+    tier's skey hashing is different: there a documented 2^-64 collision
+    budget is inherent to sketching.)  Token-less documents
+    (empty/punctuation-only text) have no Jaccard relation to anything —
+    ``jaccard_pairs`` excludes them, and grouping them would fabricate a
+    phantom "identical" group.
+
+    SHARED by :func:`jaccard_dedup_clusters` and :func:`quality_dedup`
+    together with :func:`_set_group_reps` — the persisted pair artifact
+    (``jacc_group_pairs_*``, built over the collapsed reps and served to
+    BOTH operators) is only valid while both build identical reps, so
+    this construction must stay single-sourced.
+    """
+    out = (
+        spread(df)
+        .withColumn("__set", F.array_sort(shingles(F.col(text_col), ngram)))
+        .filter(F.size("__set") > 0)
+    )
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(text_col),
+        F.concat_ws("\x1f", F.col("__set")).alias("gkey"),
+    ]
+    if extra:
+        cols += [c.alias(n) for n, c in extra.items()]
+    return out.select(*cols)
+
+
+def _set_group_reps(base: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Collapse identical token sets to ``(gkey, <id_col>, <text_col>,
+    cnt)`` — the representative is ``min(struct(id, text))`` so the
+    group's min id and ITS text travel together through the partial
+    agg.  See :func:`_token_set_base` for why this must stay the single
+    source for both cluster operators."""
+    return (
+        base.groupBy("gkey")
+        .agg(
+            F.min(F.struct(F.col("id"), F.col(text_col))).alias("rep"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "gkey",
+            F.col("rep.id").alias(id_col),
+            F.col(f"rep.{text_col}").alias(text_col),
+            "cnt",
+        )
+    )
+
+
 def jaccard_dedup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1451,41 +1513,10 @@ def jaccard_dedup_clusters(
     square of the average group size.
     """
     groups = (
-        spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(text_col),
-            F.array_sort(shingles(F.col(text_col), ngram)).alias("__set"),
+        _set_group_reps(
+            _token_set_base(df, id_col, text_col, ngram), id_col, text_col
         )
-        # token-less documents (empty/punctuation-only text) have no
-        # Jaccard relation to anything — jaccard_pairs excludes them, and
-        # grouping them here would fabricate one phantom "identical" set
-        .filter(F.size("__set") > 0)
-        # group on the rendered set string itself, NOT a 64-bit hash of
-        # it: this operator's contract is EXACT Jaccard edges, and a
-        # hash collision would silently merge unrelated documents into
-        # one "identical" group.  The wider shuffle key costs one
-        # string-sized row instead of 8 bytes — negligible next to the
-        # text column already travelling in the same row.  (The minhash
-        # tier's skey hashing is different: there a documented 2^-64
-        # collision budget is inherent to sketching.)
-        .select(
-            "id",
-            F.concat_ws("\x1f", F.col("__set")).alias("gkey"),
-            F.col(text_col),
-        )
-        .groupBy("gkey")
-        .agg(
-            # min(struct) orders by the leading field: the group's min id
-            # and ITS text travel together
-            F.min(F.struct(F.col("id"), F.col(text_col))).alias("rep"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .select(
-            F.col("rep.id").alias(id_col),
-            F.col(f"rep.{text_col}").alias(text_col),
-            "cnt",
-        )
+        .drop("gkey")
         .localCheckpoint(eager=True)
     )
     # pairs_fn lets the caller swap the pair source for a cached /
@@ -1562,38 +1593,14 @@ def quality_dedup(
     # one pass computes the set key AND the member score; eager
     # checkpoint because the frame feeds two branches (group-by and the
     # member fan-back) and tokenize+sort+render is the expensive part.
-    # gkey is the rendered set itself, not a hash — same exact-Jaccard
-    # collision argument as jaccard_dedup_clusters.
-    base = (
-        spread(df)
-        .withColumn("__set", F.array_sort(shingles(F.col(text_col), ngram)))
-        # token-less docs have no Jaccard relation to anything (and
-        # jaccard_pairs excludes them); grouping them would fabricate a
-        # phantom "identical" cluster
-        .filter(F.size("__set") > 0)
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(text_col),
-            F.concat_ws("\x1f", F.col("__set")).alias("gkey"),
-            score.cast("bigint").alias("q"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    groups = (
-        base.groupBy("gkey")
-        .agg(
-            # min(struct) orders by the leading field: the group's min id
-            # and ITS text travel together through the partial agg
-            F.min(F.struct(F.col("id"), F.col(text_col))).alias("rep"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .select(
-            "gkey",
-            F.col("rep.id").alias(id_col),
-            F.col(f"rep.{text_col}").alias(text_col),
-            "cnt",
-        )
-        .localCheckpoint(eager=True)
+    # Set key and representative come from the SAME helpers as
+    # jaccard_dedup_clusters (the shared pair artifact's validity
+    # depends on the two operators' reps staying identical).
+    base = _token_set_base(
+        df, id_col, text_col, ngram, extra={"q": score.cast("bigint")}
+    ).localCheckpoint(eager=True)
+    groups = _set_group_reps(base, id_col, text_col).localCheckpoint(
+        eager=True
     )
     # pairs_fn lets the caller swap the pair source for a cached /
     # materialized one (jaccard_pairs_cached) — it receives the COLLAPSED

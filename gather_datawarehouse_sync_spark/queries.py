@@ -7312,21 +7312,26 @@ _df(
 # optimistic-concurrency commit loop; bloom-filter point-lookup file
 # skipping; partition-scoped compaction), each with zero driver-side
 # evidence until now.
-# Round-15 rotation candidates (per the r13 verdict items 2–3):
-# x_percentile FIRST (its only driver verdict is a stale r01 FAIL;
-# it passes the local oracle and must be re-windowed), then the
-# longest-waiting FULL-oracle entries: x_json_struct, x_text_quality,
-# x_doc_profile, x_rep_frac, x_html_strip, x_length_buckets, then
-# x_temp_resample, x_boilerplate, x_boilerplate_against,
-# x_dedup_recall, x_interpolate.
+# Round 15 rotates in the six the r14 verdict named (its items 2–3,
+# verbatim): x_percentile FIRST (its only driver verdict was the
+# 13-round-stale r01 hash-fail; it hash-matches DuckDB locally and in
+# the judge's own independent run), then the five longest-waiting
+# FULL-oracle never-driver-verified queries — x_json_struct,
+# x_text_quality, x_doc_profile, x_rep_frac, x_html_strip (four of
+# which the r14 judge verified hash-match locally).
+# Round-16 rotation candidates (longest-waiting FULL-oracle entries
+# after this window): x_length_buckets, x_temp_resample,
+# x_boilerplate, x_boilerplate_against, x_dedup_recall,
+# x_interpolate, then x_token_budget, x_winnow_pairs, x_tfidf_topk,
+# x_top_ngram.
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    "x_merge_evolve",
-    "x_auto_bands",
-    "x_scd2_evolve",
-    "x_versioned_commit",
-    "x_bloom_prune",
-    "x_compact_partitions",
+    "x_percentile",
+    "x_json_struct",
+    "x_text_quality",
+    "x_doc_profile",
+    "x_rep_frac",
+    "x_html_strip",
 )
 
 

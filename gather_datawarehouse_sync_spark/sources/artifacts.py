@@ -1270,14 +1270,29 @@ def _cas_lock_holder(versions_root: str) -> "tuple[int | None, bool]":
     """Best-effort identity of the CAS lock holder: ``(pid, alive)``.
     :func:`swap_version_pointer` records its pid in the lock file; a
     vanished lock or unparseable content yields ``(None, False)``.
-    ``alive`` is a same-host signal only (``os.kill(pid, 0)``) — on a
-    shared filesystem a remote holder reads as dead, which is why the
-    stuck-lock error reports the pid instead of auto-removing."""
+    There is a real window between a holder's ``O_CREAT|O_EXCL`` open
+    and its pid write where the lock exists EMPTY — one read landing
+    there must not diagnose "no holder recorded" for a live writer, so
+    an empty/unparseable read is retried once after a short sleep
+    before concluding.  ``alive`` is a same-host signal only
+    (``os.kill(pid, 0)``) — on a shared filesystem a remote holder
+    reads as dead, and pid REUSE can make a dead holder read as alive,
+    which is why the stuck-lock errors report the pid and hedge instead
+    of auto-removing."""
     lock = os.path.join(versions_root, _POINTER_NAME + ".__lock__")
-    try:
-        with open(lock) as fh:
-            pid = int(fh.read().strip())
-    except (OSError, ValueError):
+    pid = None
+    for attempt in (0, 1):
+        if attempt:
+            time.sleep(0.05)
+        try:
+            with open(lock) as fh:
+                pid = int(fh.read().strip())
+            break
+        except ValueError:
+            continue  # open-but-not-yet-written window: re-read once
+        except OSError:
+            return None, False  # lock vanished: holder finished
+    if pid is None:
         return None, False
     try:
         os.kill(pid, 0)
@@ -1403,10 +1418,12 @@ def merge_table_versioned(
                     f"merge_table_versioned: the pointer at "
                     f"{versions_root} has not moved but its CAS lock "
                     f"stayed held through ~3 s of backoff by pid {pid}, "
-                    "which is STILL ALIVE on this host — a slow writer, "
-                    "not a leaked lock; do NOT remove the lock file — "
-                    "wait for the holder (or investigate why it stalled) "
-                    "and retry"
+                    "which is STILL ALIVE on this host — most likely a "
+                    "slow writer, not a leaked lock (though pid reuse "
+                    "can make a dead holder read as alive); do NOT "
+                    "remove the lock file on this signal alone — wait "
+                    "for the holder (or confirm that pid really is the "
+                    "writer) and retry"
                 ) from last
             holder = (
                 f" (last recorded holder pid {pid}, not alive)"
@@ -1495,6 +1512,22 @@ def prune_table_versions(
     merge-to-CAS window without a lock."""
     if keep_last < 1:
         raise ValueError("prune_table_versions: keep_last must be >= 1")
+    # the busy-writer refusal runs BEFORE any deletion (a refused call
+    # must not have half-swept the epoch chain first).  It remains
+    # check-then-sweep: a writer can acquire the lock between this check
+    # and the batch-dir rmtrees below, which is exactly the window the
+    # batch_dir_min_age_seconds floor exists to close — the racing
+    # writer's dirs are necessarily FRESH, so an age floor of a few
+    # minutes keeps them out of this sweep's candidate set.
+    if include_batch_dirs:
+        lock = os.path.join(versions_root, _POINTER_NAME + ".__lock__")
+        if os.path.exists(lock):
+            raise ValueError(
+                f"prune_table_versions: CAS lock file {lock} exists — a "
+                "batch writer is inside its commit window; sweeping batch "
+                "dirs now could delete its unpublished version. Re-run "
+                "after the writer commits (or its leaked lock is cleared)."
+            )
     versions = list_table_versions(versions_root)
     protected = set()
     target = read_version_pointer(versions_root, default="")
@@ -1507,14 +1540,6 @@ def prune_table_versions(
         shutil.rmtree(path, ignore_errors=True)
         pruned.append(path)
     if include_batch_dirs and os.path.isdir(versions_root):
-        lock = os.path.join(versions_root, _POINTER_NAME + ".__lock__")
-        if os.path.exists(lock):
-            raise ValueError(
-                f"prune_table_versions: CAS lock file {lock} exists — a "
-                "batch writer is inside its commit window; sweeping batch "
-                "dirs now could delete its unpublished version. Re-run "
-                "after the writer commits (or its leaked lock is cleared)."
-            )
         listed = {os.path.normpath(p) for _, p in versions}
         now = time.time()
         for name in sorted(os.listdir(versions_root)):

@@ -367,7 +367,11 @@ def _footer_stats(
 
 
 def _guard_index_identity(
-    old_index: DataFrame, on_disk: "list[str]", fresh: "list[str]", what: str
+    old_index: DataFrame,
+    on_disk: "list[str]",
+    fresh: "list[str]",
+    what: str,
+    allow_full_rebuild: bool = False,
 ) -> None:
     """An incremental refresh where the stored index matches ZERO
     on-disk files is almost never "everything is new" — it is a path
@@ -376,17 +380,28 @@ def _guard_index_identity(
     refresh would silently drop every stored row and re-read the whole
     table as "fresh" — correct output, but an unannounced O(table)
     rebuild, the exact pass the incremental contract exists to avoid.
-    Refuse loudly (one bounded ``limit(1)`` probe of the stored index);
-    a genuine full rebuild is the builder's verb."""
+    Refuse loudly (one bounded ``limit(1)`` probe of the stored index).
+
+    The SAME zero-overlap state also arises legitimately when a full
+    rewrite replaced every data file under the table in place (an
+    all-partition compaction that didn't install a new versioned
+    directory — this repo's own rewrite verbs DO version, but foreign
+    writers may not): pass ``allow_full_rebuild=True`` to accept the
+    announced O(table) re-footer in that case instead of failing."""
+    if allow_full_rebuild:
+        return
     if fresh and len(fresh) == len(on_disk):
         if old_index.limit(1).count() > 0:
             raise ValueError(
                 f"{what}: the stored index matches none of the "
-                f"{len(on_disk)} data files under the table — a "
+                f"{len(on_disk)} data files under the table — either a "
                 "path-identity mismatch (index built from a different "
-                "or relative path, or the table moved), not an "
-                "incremental append; rebuild the index from this path "
-                "with the builder instead of refreshing"
+                "or relative path, or the table moved) or a full "
+                "rewrite that replaced every file (an in-place "
+                "all-partition compaction).  Not an incremental "
+                "append: rebuild the index from this path with the "
+                "builder, or pass allow_full_rebuild=True to accept "
+                "the announced O(table) re-scan"
             )
 
 
@@ -395,6 +410,7 @@ def refresh_file_stats_index(
     path: str,
     old_stats: DataFrame,
     cols: Sequence[str],
+    allow_full_rebuild: bool = False,
 ) -> DataFrame:
     """Incremental maintenance of :func:`file_stats_index`: footer-read
     ONLY the files the stored index does not cover yet, drop rows for
@@ -458,7 +474,11 @@ def refresh_file_stats_index(
         ).collect()
     )
     _guard_index_identity(
-        old_stats, on_disk, fresh, "refresh_file_stats_index"
+        old_stats,
+        on_disk,
+        fresh,
+        "refresh_file_stats_index",
+        allow_full_rebuild=allow_full_rebuild,
     )
     kept = old_stats.join(disk, "file", "left_semi")
     if not fresh:
@@ -739,6 +759,7 @@ def refresh_file_bloom_index(
     col: str,
     n_bits: int = 1 << 18,
     n_hashes: int = 5,
+    allow_full_rebuild: bool = False,
 ) -> DataFrame:
     """Incremental bloom-index maintenance — the
     :func:`refresh_file_stats_index` contract for membership bits:
@@ -766,7 +787,11 @@ def refresh_file_bloom_index(
         ).collect()
     )
     _guard_index_identity(
-        old_index, on_disk, fresh, "refresh_file_bloom_index"
+        old_index,
+        on_disk,
+        fresh,
+        "refresh_file_bloom_index",
+        allow_full_rebuild=allow_full_rebuild,
     )
     kept = old_index.join(disk, "file", "left_semi")
     if not fresh:

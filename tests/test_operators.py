@@ -2765,6 +2765,61 @@ def test_quality_dedup_default_score_prefers_cleaner_text(spark):
     assert rows[0]["members"] == 2
 
 
+def test_cluster_family_group_reps_identical(spark):
+    """jaccard_dedup_clusters and quality_dedup source their collapsed
+    group reps from ONE shared helper pair (_token_set_base +
+    _set_group_reps) — the persisted pair artifact served to both is
+    only valid while their reps are identical.  Pin the helper's
+    semantics (rep = min id with ITS text, exact rendered-set key,
+    token-less docs dropped) and the cluster-level identity: both
+    operators must agree on (canon → members) for any corpus."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        _set_group_reps,
+        _token_set_base,
+        jaccard_dedup_clusters,
+        quality_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (5, "alpha beta gamma delta"),
+            (2, "beta  ALPHA gamma delta!"),  # same SET, different text
+            (3, "alpha beta gamma delta epsilon"),  # J=0.8 edge to 2/5
+            (10, "zeta eta theta iota"),
+            (11, "zeta eta theta iota"),  # identical-set pair, no edges
+            (20, "unrelated words only here"),  # singleton
+            (30, "...!!!"),  # token-less: dropped
+        ],
+        "doc_id long, text string",
+    )
+    reps = {
+        r["gkey"]: (r["doc_id"], r["text"], r["cnt"])
+        for r in _set_group_reps(
+            _token_set_base(df, "doc_id", "text", 1), "doc_id", "text"
+        ).collect()
+    }
+    assert reps["alpha\x1fbeta\x1fdelta\x1fgamma"] == (
+        2,
+        "beta  ALPHA gamma delta!",  # min id's OWN text travels with it
+        2,
+    )
+    assert reps["eta\x1fiota\x1ftheta\x1fzeta"] == (
+        10,
+        "zeta eta theta iota",
+        2,
+    )
+    assert len(reps) == 4  # doc 30 dropped, no phantom empty-set group
+    jc = {
+        r["canon"]: r["members"]
+        for r in jaccard_dedup_clusters(df, threshold=0.8).collect()
+    }
+    qd = {
+        r["canon"]: r["members"]
+        for r in quality_dedup(df, threshold=0.8).collect()
+    }
+    assert jc == qd == {2: 3, 10: 2}
+
+
 def test_dedup_recall_report_exact_counts(spark):
     """Orientation and duplicate edges normalize before counting; the
     bp metrics floor; empty sides report 0 rather than null."""

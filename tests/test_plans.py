@@ -926,6 +926,26 @@ def test_refresh_index_identity_mismatch_guard(spark, tmp_path):
     with _pytest.raises(ValueError, match="path-identity mismatch"):
         refresh_file_bloom_index(spark, path_b, bloom, "x")
 
+    # escape hatch (r14-ADVICE): an in-place full rewrite (e.g. a
+    # foreign compactor replaced every file under the SAME path)
+    # legitimately produces the zero-overlap state — allow_full_rebuild
+    # accepts the announced O(table) re-scan, and the result must equal
+    # a from-scratch build of the current files
+    rebuilt = refresh_file_stats_index(
+        spark, path_b, stats, ["x", "y"], allow_full_rebuild=True
+    )
+    want = file_stats_index(spark, path_b, ["x", "y"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    bloom_rebuilt = refresh_file_bloom_index(
+        spark, path_b, bloom, "x", allow_full_rebuild=True
+    )
+    bloom_want = file_bloom_index(spark, path_b, "x")
+    assert sorted(map(tuple, bloom_rebuilt.collect())) == sorted(
+        map(tuple, bloom_want.collect())
+    )
+
 
 def test_file_bloom_index_point_lookup_pruning(spark, tmp_path):
     """Bloom-filter file skipping on a HIGH-CARDINALITY randomly

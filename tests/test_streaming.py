@@ -1482,10 +1482,26 @@ def test_versioned_commit_lock_liveness_and_prune_guard(spark, tmp_path):
             spark.createDataFrame([(2, "y", "a")], schema),
             key_cols=("id",), partition_col="p", version_name="b2",
         )
-    # the maintenance sweep refuses while a writer may be mid-commit
+    # the maintenance sweep refuses while a writer may be mid-commit —
+    # and a REFUSED call must have mutated NOTHING (r14-ADVICE: the
+    # epoch keep_last sweep used to run before the lock check), so a
+    # prunable superseded epoch dir survives the refusal intact
+    old_epoch = os.path.join(root, "v1_final")
+    new_epoch = os.path.join(root, "v2_final")
+    for d in (old_epoch, new_epoch):
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
     with pytest.raises(ValueError, match="CAS lock"):
         A.prune_table_versions(root, include_batch_dirs=True)
+    assert os.path.exists(old_epoch) and os.path.exists(v1)
     os.remove(lock)
+    # without the lock the same call retires the superseded epoch dir
+    assert os.path.normpath(old_epoch) in {
+        os.path.normpath(p)
+        for p in A.prune_table_versions(root, include_batch_dirs=True,
+                                        batch_dir_min_age_seconds=3600.0)
+    }
+    assert os.path.exists(new_epoch)
 
     v2 = A.merge_table_versioned(
         spark, root, base,

@@ -216,6 +216,10 @@ def sample_frames(
     N frame rows) executed JVM-side with ``posexplode`` over byte
     slices — no Python in the expansion itself.
     """
+    if every_n_bytes <= 0 or max_frames <= 0:
+        # max_frames == 0 would make sequence(0, n_frames-1) DESCEND
+        # (Spark's sequence never yields empty) and emit phantom frames
+        raise ValueError("sample_frames: every_n_bytes and max_frames must be positive")
     n_frames = F.least(
         F.lit(max_frames),
         F.greatest((F.length("content") / every_n_bytes).cast("int"), F.lit(1)),

@@ -112,6 +112,14 @@ def test_sample_frames_bounded_expansion(media):
     # deterministic slicing: frame md5 = md5 of the payload slice
     want = hashlib.md5(payloads["clips/c.mp4"][:1024]).hexdigest()
     assert frames[0]["frame_md5"] == want
+    # non-positive knobs would make sequence(0, n_frames-1) descend and
+    # emit phantom frames — refused loudly instead
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        sample_frames(df, max_frames=0)
+    with pytest.raises(ValueError, match="positive"):
+        sample_frames(df, every_n_bytes=0)
 
 
 def test_resize_stub_schema_and_passthrough(media):

@@ -247,6 +247,38 @@ def test_prefix_sum_matches_serial_oracle_any_grouping(spark, rows, gs):
         run += v
 
 
+@given(
+    _pack_rows,
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=7),
+)
+@example(rows=[(0, 0)], chunk=1, gs=1)  # lone zero-token doc
+@example(rows=[(-3, 5), (7, 0), (8, 3)], chunk=4, gs=2)  # zero mid-stream
+@_SETTINGS
+def test_pack_chunks_matches_serial_oracle(spark, rows, chunk, gs):
+    """Concat-and-chunk packing equals the serial definition for any id
+    distribution, chunk size, and grouping: start = running token sum,
+    first/last chunk = the chunk ids the doc's token interval touches,
+    zero-token docs span no chunk (n_chunks 0, the empty interval)."""
+    from gather_datawarehouse_sync_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(rows, "i long, t long").repartition(3)
+    got = {
+        r["i"]: (r["start"], r["first_chunk"], r["last_chunk"], r["n_chunks"])
+        for r in pack_chunks(df, "i", "t", chunk, group_size=gs).collect()
+    }
+    run = 0
+    for i, t in sorted(rows):
+        first = run // chunk
+        if t > 0:
+            last = (run + t - 1) // chunk
+            want = (run, first, last, last - first + 1)
+        else:
+            want = (run, first, first - 1, 0)
+        assert got[i] == want, (i, got[i], want)
+        run += t
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):

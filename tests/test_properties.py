@@ -741,6 +741,64 @@ def test_scan_files_exotic_suffixes(spark, tmp_path):
     assert got(".s[p") == {"g.s[p", "h.S[P"}
 
 
+_jacc_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=10,
+).map(lambda ds: [(i, " ".join(ws)) for i, ws in enumerate(ds)])
+
+
+@given(_jacc_docs, st.sampled_from([0.25, 0.34, 0.5, 0.75, 0.8, 1.0]))
+@example(docs=[(0, "aa bb"), (1, "aa bb"), (2, "")], threshold=1.0)
+@example(docs=[(0, "aa bb cc"), (1, "aa bb dd")], threshold=0.5)  # J=1/2
+@_SETTINGS
+def test_jaccard_tiers_match_bruteforce_oracle(spark, docs, threshold):
+    """Both exact-Jaccard pair tiers (prefix filter and bitset
+    all-pairs) and the adaptive dispatcher equal the brute-force
+    definition for ANY corpus and threshold — duplicate tokens
+    collapse to sets, empty/token-less docs pair with nothing, the
+    compare is integer-exact at the engine's Fraction conversion, and
+    the two physical strategies are interchangeable by construction."""
+    import re
+    from fractions import Fraction
+
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_bitset,
+        jaccard_pairs_prefix,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(id_col="doc_id", text_col="text", threshold=threshold, ngram=1)
+    tiers = {
+        "prefix": jaccard_pairs_prefix,
+        "bitset": jaccard_pairs_bitset,
+        "dispatch": jaccard_pairs,
+    }
+    frac = Fraction(threshold).limit_denominator(10_000)
+    sets = {
+        i: {w for w in re.split(r"[^a-z0-9]+", t.lower()) if w}
+        for i, t in docs
+    }
+    want = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b
+        and sets[a]
+        and sets[b]
+        and len(sets[a] & sets[b]) * frac.denominator
+        >= frac.numerator * len(sets[a] | sets[b])
+    }
+    for name, fn in tiers.items():
+        got = {(r["a"], r["b"]) for r in fn(df, **kw).collect()}
+        assert got == want, (name, got, want)
+
+
 _chunk_docs = st.lists(
     st.lists(st.sampled_from(["aa", "b1", "ccc", "d"]), min_size=0, max_size=12),
     min_size=1,

@@ -741,6 +741,56 @@ def test_scan_files_exotic_suffixes(spark, tmp_path):
     assert got(".s[p") == {"g.s[p", "h.S[P"}
 
 
+_mix_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.integers(min_value=-20, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[1],
+)
+
+
+@given(
+    _mix_rows,
+    st.dictionaries(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.integers(min_value=1, max_value=5000),
+        max_size=3,
+    ),
+    st.integers(min_value=1, max_value=3000),
+)
+@example(rows=[("s1", 0), ("s1", 1), ("s2", 2)], weights={"s1": 3000}, default=1000)
+@example(rows=[("s1", 5)], weights={}, default=1)  # empty map → default path
+@_SETTINGS
+def test_weighted_interleave_matches_serial_schedule(spark, rows, weights, default):
+    """Stride-scheduling keys equal the serial virtual-time definition
+    for any source mix, weight map (absent sources take the default),
+    and id distribution: the n-th row of source s (1-based, ordered by
+    id) gets key floor(n*10^6 / w_s) — integer arithmetic only."""
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        weighted_interleave,
+    )
+
+    df = spark.createDataFrame(rows, "src string, id long")
+    got = {
+        r["id"]: (r["src_rn"], r["mix_key"])
+        for r in weighted_interleave(
+            df, "src", weights, "id", default_weight_milli=default
+        ).collect()
+    }
+    by_src: dict[str, list[int]] = {}
+    for s, i in sorted(rows, key=lambda t: t[1]):
+        by_src.setdefault(s, []).append(i)
+    want = {
+        i: (n, (n * 1_000_000) // weights.get(s, default))
+        for s, ids in by_src.items()
+        for n, i in enumerate(ids, start=1)
+    }
+    assert got == want
+
+
 _jacc_docs = st.lists(
     st.lists(
         st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),

@@ -741,6 +741,58 @@ def test_scan_files_exotic_suffixes(spark, tmp_path):
     assert got(".s[p") == {"g.s[p", "h.S[P"}
 
 
+_winnow_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "ab", "ba", "cc", "d"]),
+        min_size=0,
+        max_size=14,
+    ),
+    min_size=1,
+    max_size=3,
+).map(lambda ds: [(i, " ".join(ws)) for i, ws in enumerate(ds)])
+
+
+@given(_winnow_docs, st.integers(1, 3), st.integers(1, 5))
+@example(docs=[(0, "aa ab ba")], n=2, window=4)  # short-doc fallback
+@example(docs=[(0, "d d d d d d")], n=1, window=3)  # all-tie windows
+@example(docs=[(0, "")], n=1, window=1)  # token-less doc: no fps
+@_SETTINGS
+def test_winnow_fingerprints_match_serial_oracle(spark, docs, n, window):
+    """Winnowing fingerprints equal the serial Schleimer-style
+    definition for any doc/n/window: distinct sliding-window
+    LEXICOGRAPHIC minima over ordered word n-grams, short docs
+    (fewer than `window` grams) contribute each gram, gram-less docs
+    contribute nothing."""
+    import re
+
+    from gather_datawarehouse_sync_spark.functions.text import (
+        winnow_fingerprint_table,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprint_table(
+        df, "doc_id", "text", n=n, window=window
+    ).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    want: dict[int, set] = {}
+    for i, t in docs:
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        grams = [
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        ]
+        if not grams:
+            continue
+        if len(grams) < window:
+            want[i] = set(grams)
+        else:
+            want[i] = {
+                min(grams[j : j + window])
+                for j in range(len(grams) - window + 1)
+            }
+    assert got == want
+
+
 _mix_rows = st.lists(
     st.tuples(
         st.sampled_from(["s1", "s2", "s3"]),

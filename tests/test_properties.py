@@ -741,6 +741,66 @@ def test_scan_files_exotic_suffixes(spark, tmp_path):
     assert got(".s[p") == {"g.s[p", "h.S[P"}
 
 
+_temp_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "fr", None]),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[1],
+)
+
+
+@given(_temp_rows, st.sampled_from([500, 1000]))
+@example(rows=[("en", i) for i in range(20)] + [("de", 100)], alpha=500)
+@example(rows=[(None, 1)], alpha=500)  # null-group rows drop
+@_SETTINGS
+def test_temperature_resample_matches_integer_formula(spark, rows, alpha):
+    """The resampled epoch equals the documented exact-integer contract
+    row-for-row: per-group micro replication factor from the quantized
+    n^alpha share, per-doc copy count = DIV plus the md5-fraction
+    remainder draw, null-group rows drop, copies are 1-based."""
+    import hashlib
+    import math
+
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got: dict[int, list[int]] = {}
+    for r in temperature_resample(df, "lang", "doc_id", alpha_milli=alpha).collect():
+        got.setdefault(r["doc_id"], []).append(r["copy"])
+    n_by: dict[str, int] = {}
+    for g, _ in rows:
+        if g is not None:
+            n_by[g] = n_by.get(g, 0) + 1
+    want: dict[int, list[int]] = {}
+    if n_by:
+        total = sum(n_by.values())
+        if alpha == 1000:
+            w_by = {g: n * 1_000_000 for g, n in n_by.items()}
+        else:
+            w_by = {
+                g: math.floor(math.sqrt(n) * 1_000_000.0)
+                for g, n in n_by.items()
+            }
+        s = sum(w_by.values())
+        for g, i in rows:
+            if g is None:
+                continue
+            r_micro = (total * ((w_by[g] * 1000) // s) * 1000) // n_by[g]
+            hfrac = (
+                int(hashlib.md5(f"temp:{i}".encode()).hexdigest()[:8], 16)
+                % 1_000_000
+            )
+            nc = r_micro // 1_000_000 + (1 if hfrac < r_micro % 1_000_000 else 0)
+            if nc >= 1:
+                want[i] = list(range(1, nc + 1))
+    assert {k: sorted(v) for k, v in got.items()} == want
+
+
 _winnow_docs = st.lists(
     st.lists(
         st.sampled_from(["aa", "ab", "ba", "cc", "d"]),

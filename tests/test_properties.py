@@ -741,6 +741,90 @@ def test_scan_files_exotic_suffixes(spark, tmp_path):
     assert got(".s[p") == {"g.s[p", "h.S[P"}
 
 
+_scd2_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # key
+            st.sampled_from(["a", "b", "c"]),  # attr value
+            st.booleans(),  # tombstone?
+        ),
+        min_size=0,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+_scd2_dir = iter(range(10**9))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+    _scd2_batches,
+)
+@example(base=[(1, "a")], batches=[[(1, "a", True)], [(1, "a", True)]])
+@example(base=[(1, "a")], batches=[[(1, "a", False)]])  # identical no-op
+@example(base=[(1, "a")], batches=[[(1, "b", False)], [(1, "a", False)]])
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_scd2_random_sequences_match_serial_model(
+    spark, tmp_path, base, batches
+):
+    """Any sequence of CDC batches (changes, identical no-ops,
+    tombstones, revivals, new keys) leaves the SCD2 history exactly
+    where the serial one-key-at-a-time model puts it: per key ≤ 1 open
+    version, closed intervals [from, to) chain contiguously, attribute
+    values match the model at every version."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        init_scd2_history,
+        merge_scd2,
+    )
+
+    root = tmp_path / f"scd2_{next(_scd2_dir)}"
+    root.mkdir()
+    base_df = spark.createDataFrame(base, "k long, v string")
+    p = str(root / "h0")
+    init_scd2_history(spark, base_df, p, ("k",), seq=0, n_buckets=2)
+    # serial model: history rows (k, v, from, to_or_None)
+    hist = [[k, v, 0, None] for k, v in base]
+    for q, batch in enumerate(batches, start=1):
+        nxt = str(root / f"h{q}")
+        bdf = spark.createDataFrame(
+            [(k, v, d) for k, v, d in batch], "k long, v string, is_del boolean"
+        )
+        merge_scd2(spark, p, nxt, bdf, ("k",), seq=q, delete_col="is_del")
+        p = nxt
+        for k, v, is_del in batch:
+            cur = next(
+                (row for row in hist if row[0] == k and row[3] is None), None
+            )
+            if is_del:
+                if cur:
+                    cur[3] = q
+            elif cur is None:
+                hist.append([k, v, q, None])
+            elif cur[1] != v:
+                cur[3] = q
+                hist.append([k, v, q, None])
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(p)
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    want = {(k, v, f, t, t is None) for k, v, f, t in hist}
+    assert got == want
+
+
 _temp_rows = st.lists(
     st.tuples(
         st.sampled_from(["en", "de", "fr", None]),

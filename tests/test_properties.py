@@ -741,6 +741,74 @@ def test_scan_files_exotic_suffixes(spark, tmp_path):
     assert got(".s[p") == {"g.s[p", "h.S[P"}
 
 
+_split_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda t: t[0] != t[1]
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(_split_edges, st.sampled_from([0.0, 0.1, 0.5, 1.0]))
+@example(edges=[(0, 1), (1, 2), (3, 4)], frac=0.5)
+@_SETTINGS
+def test_leakage_safe_split_cluster_integrity_any_graph(spark, edges, frac):
+    """For ANY near-dup graph: every serially-computed connected
+    component lands wholly on one side of the split, and the
+    precomputed-components path is row-identical to the pairs path."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        connected_components,
+    )
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    ids = sorted({i for e in edges for i in e} | set(range(5)))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "a long, b long"
+    ).filter("a <> b")
+    out = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            df, pairs, "doc_id", test_fraction=frac
+        ).collect()
+    }
+    assert set(out) == set(ids)
+    # serial union-find: all members of a component share one side
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, set] = {}
+    for i in ids:
+        comps.setdefault(find(i), set()).add(i)
+    for members in comps.values():
+        assert len({out[m] for m in members}) == 1, (members, out)
+    if frac == 0.0:
+        assert set(out.values()) == {"train"}
+    if frac == 1.0:
+        assert set(out.values()) == {"test"}
+    # precomputed-components path ≡ pairs path
+    comp_df = connected_components(pairs.select("a", "b"))
+    out2 = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            df, None, "doc_id", test_fraction=frac, components=comp_df
+        ).collect()
+    }
+    assert out2 == out
+
+
 _scd2_batches = st.lists(
     st.lists(
         st.tuples(

@@ -32,22 +32,62 @@ def _stable_order_hash(seed: str, id_col: str) -> Column:
     return F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
 
 
-def _hash_bucket(id_col: str, salt: str = "") -> Column:
+def _hash_bucket(id_col: str, salt: str = "", method: str = "xxhash64") -> Column:
     """Uniform bucket ∈ [0, 1e6) from the row id (optionally salted so
-    independent samples decorrelate)."""
-    h = F.xxhash64(F.col(id_col), F.lit(salt)) if salt else F.xxhash64(F.col(id_col))
-    return F.pmod(h, F.lit(_BUCKETS))
+    independent samples decorrelate).
+
+    ``method``:
+
+    - ``"xxhash64"`` (default) — Spark's JVM-codegen 64-bit hash of the
+      TYPED value; the fast path.
+    - ``"md5"`` — the PORTABLE path: ``md5(salt:str(id))`` with the
+      first 15 hex chars (60 bits) parsed as an integer.  Every engine
+      that has md5 reproduces it bit-for-bit — DuckDB
+      ``CAST('0x'||substr(md5(concat_ws(':',salt,CAST(id AS VARCHAR))),
+      1,15) AS BIGINT)``, Python ``int(hashlib.md5(...).hexdigest()[:15],
+      16)``, Trino ``from_base(...,16)`` — so a split/sample assignment
+      can be RE-DERIVED outside Spark for audits, oracle checks, or a
+      consumer pipeline on a different stack.  xxhash64's exact bits are
+      a Spark implementation detail (seed handling + typed serialization)
+      that no other engine reproduces.  ~2× the per-row hash cost; both
+      stay whole-stage-codegen, and either is noise next to the scan.
+    """
+    if method == "xxhash64":
+        h = (
+            F.xxhash64(F.col(id_col), F.lit(salt))
+            if salt
+            else F.xxhash64(F.col(id_col))
+        )
+        return F.pmod(h, F.lit(_BUCKETS))
+    if method == "md5":
+        return _portable_bucket(F.col(id_col), salt)
+    raise ValueError(f"unknown hash method {method!r} (xxhash64 | md5)")
+
+
+def _portable_bucket(id_col: Column, salt: str = "") -> Column:
+    """Engine-portable uniform bucket ∈ [0, 1e6): 60 bits of
+    ``md5(salt:str(id))`` mod 1e6 (see :func:`_hash_bucket`).  15 hex
+    chars keep the parse inside a signed 64-bit int in every dialect."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(_BUCKETS)
+    )
 
 
 def deterministic_sample(
-    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by id hash — reproducible and
     partition-invariant, unlike ``df.sample`` (rows tested in unit tests
-    for exact stability across repartitioning)."""
+    for exact stability across repartitioning).  ``method="md5"`` makes
+    the choice engine-portable (see :func:`_hash_bucket`)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return df.filter(_hash_bucket(id_col, salt) < int(fraction * _BUCKETS))
+    return df.filter(_hash_bucket(id_col, salt, method) < int(fraction * _BUCKETS))
 
 
 def train_test_split(
@@ -56,14 +96,17 @@ def train_test_split(
     test_fraction: float = 0.1,
     salt: str = "",
     split_col: str = "split",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Append ``split ∈ {train, test}``: disjoint, exhaustive, and stable
     — a document keeps its split assignment even when the corpus around
     it grows (critical for avoiding train/test leakage across dataset
-    versions)."""
+    versions).  ``method="md5"`` makes the assignment engine-portable —
+    an eval-set auditor can re-derive every document's side from the id
+    alone, in any stack (see :func:`_hash_bucket`)."""
     if not 0.0 <= test_fraction <= 1.0:
         raise ValueError("test_fraction must be in [0, 1]")
-    is_test = _hash_bucket(id_col, salt) < int(test_fraction * _BUCKETS)
+    is_test = _hash_bucket(id_col, salt, method) < int(test_fraction * _BUCKETS)
     return df.withColumn(
         split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
     )
@@ -76,15 +119,19 @@ def stratified_deterministic_sample(
     fractions: dict[str, float],
     default_fraction: float = 0.0,
     salt: str = "",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum hash sampling (e.g. downsample web text to 10% while
     keeping 100% of code): ``fractions`` maps the stratum value (the
-    concatenated strata columns) to its keep-rate."""
+    concatenated strata columns) to its keep-rate.  ``method="md5"``
+    makes the draw engine-portable (see :func:`_hash_bucket`)."""
     stratum = F.concat_ws("§", *[F.col(c) for c in strata_cols])
     frac = F.lit(default_fraction)
     for value, f in fractions.items():
         frac = F.when(stratum == value, F.lit(f)).otherwise(frac)
-    return df.filter(_hash_bucket(id_col, salt) < (frac * _BUCKETS).cast("long"))
+    return df.filter(
+        _hash_bucket(id_col, salt, method) < (frac * _BUCKETS).cast("long")
+    )
 
 
 def shuffle_order(
@@ -167,6 +214,7 @@ def leakage_safe_split(
     salt: str = "",
     split_col: str = "split",
     components: DataFrame | None = None,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Train/test split at NEAR-DUP-CLUSTER granularity: a plain
     per-document split puts near-duplicates on opposite sides, leaking
@@ -215,15 +263,18 @@ def leakage_safe_split(
     joined = df.join(
         comp, df[id_col] == comp["__ls_id"], "left"
     ).withColumn("__ls_key", F.coalesce(F.col("__ls_comp"), df[id_col]))
-    is_test = (
-        F.pmod(
+    if method == "md5":
+        bucket = _portable_bucket(F.col("__ls_key"), salt)
+    elif method == "xxhash64":
+        bucket = F.pmod(
             F.xxhash64(F.col("__ls_key"), F.lit(salt))
             if salt
             else F.xxhash64(F.col("__ls_key")),
             F.lit(_BUCKETS),
         )
-        < int(test_fraction * _BUCKETS)
-    )
+    else:
+        raise ValueError(f"unknown hash method {method!r} (xxhash64 | md5)")
+    is_test = bucket < int(test_fraction * _BUCKETS)
     return joined.withColumn(
         split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
     ).drop("__ls_id", "__ls_comp", "__ls_key")

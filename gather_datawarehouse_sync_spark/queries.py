@@ -5589,16 +5589,19 @@ _pair(
 
 
 def _x_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-based train/test split — engine-specific hash
-    (xxhash64) so rows-only here; disjointness/stability/proportion are
-    asserted in tests."""
+    """Deterministic hash-based train/test split in the PORTABLE md5
+    mode: the assignment is ``md5(":"||id)``-derived, so DuckDB (and any
+    engine with md5) re-derives every document's side bit-for-bit — the
+    split itself is FULL-oracle-checked, not just its invariants.  The
+    xxhash64 fast path shares all logic but the hash expression and
+    keeps its disjoint/exhaustive/stable pins in tests."""
     from gather_datawarehouse_sync_spark.operators.sampling import (
         train_test_split,
     )
 
     t = load_tables(spark, sf_dir, ("documents",))
     return (
-        train_test_split(t["documents"], "doc_id", test_fraction=0.1)
+        train_test_split(t["documents"], "doc_id", test_fraction=0.1, method="md5")
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("split")
@@ -5608,10 +5611,13 @@ def _x_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df(
     "x_split_counts",
     _x_split_counts,
-    None,
+    "SELECT CASE WHEN CAST(('0x' || substr(md5(concat_ws(':', '', "
+    "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 < 100000 "
+    "THEN 'test' ELSE 'train' END AS split, COUNT(*) AS n "
+    "FROM documents GROUP BY 1 ORDER BY split",
     ("documents",),
-    note="hash-based split sizes (xxhash64 is Spark-specific → rows-only; "
-    "invariants tested)",
+    note="portable-md5 train/test split, re-derived end-to-end in SQL "
+    "(was rows-only under xxhash64 through r15)",
 )
 
 
@@ -6635,8 +6641,14 @@ def _x_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc split misses.  Threshold 0.8 because this corpus is highly
     self-similar: at 0.6 the whole corpus is ONE component and a
     cluster split is correctly all-or-nothing (a degenerate demo).
-    Engine-specific hash + iterative CC → rows-only; the no-straddle
-    invariant and determinism are pinned in tests/test_operators.py.
+    PORTABLE-md5 split mode + a recursive-SQL connected-components
+    oracle make this FULL-oracle from r15 (was rows-only): DuckDB
+    re-derives the pair graph (q42's SQL), closes it with a recursive
+    CTE (min over the reachable set = the engine's component minimum),
+    and re-hashes every cluster key — the whole leakage-safe pipeline
+    is value-checked end-to-end, not just row counts.  The no-straddle
+    invariant and xxhash64-mode determinism stay pinned in
+    tests/test_operators.py.
 
     PERSISTED-CLUSTER-MAP form: the near-dup pair generation AND the
     iterative connected-components rounds are the expensive stages, and
@@ -6669,7 +6681,14 @@ def _x_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        leakage_safe_split(docs, None, "doc_id", test_fraction=0.1, components=comp)
+        leakage_safe_split(
+            docs,
+            None,
+            "doc_id",
+            test_fraction=0.1,
+            components=comp,
+            method="md5",
+        )
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("split")
@@ -6679,11 +6698,28 @@ def _x_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df(
     "x_cluster_split",
     _x_cluster_split,
-    None,
+    "WITH RECURSIVE tok AS (SELECT doc_id, list_distinct(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks "
+    "FROM documents), "
+    "ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tok), "
+    "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM ex a JOIN ex b "
+    "ON a.tok = b.tok WHERE a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id, a.n, b.n "
+    "HAVING COUNT(*) * 5 >= (a.n + b.n - COUNT(*)) * 4), "
+    "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+    "reach AS (SELECT a AS id, b AS r FROM edges "
+    "UNION SELECT reach.id, edges.b AS r FROM reach "
+    "JOIN edges ON reach.r = edges.a), "
+    "comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id), "
+    "keyed AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS k "
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id) "
+    "SELECT CASE WHEN CAST(('0x' || substr(md5(concat_ws(':', '', "
+    "CAST(k AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 < 100000 "
+    "THEN 'test' ELSE 'train' END AS split, COUNT(*) AS n "
+    "FROM keyed GROUP BY 1 ORDER BY split",
     ("documents",),
-    note="leakage-safe split (near-dup clusters split as units) — "
-    "engine hash + iterative CC -> rows-only; no-straddle invariant "
-    "tested",
+    note="leakage-safe cluster split, FULL oracle from r15: portable-md5 "
+    "split key + recursive-CTE connected components in DuckDB",
 )
 
 

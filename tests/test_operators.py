@@ -943,6 +943,68 @@ def test_train_test_split_disjoint_exhaustive_stable(spark):
     assert {d for d in grown_test if d < 1000} == by_split["test"]
 
 
+def test_portable_md5_split_matches_hashlib(spark):
+    """The method="md5" split is the engine-PORTABLE contract: any stack
+    with md5 must re-derive the identical assignment.  Pin it against
+    the most independent re-implementation available — Python hashlib —
+    for the split, the sample, and a salted variant."""
+    import hashlib
+
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        deterministic_sample,
+        train_test_split,
+    )
+
+    def bucket(i, salt=""):
+        h = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+        return int(h[:15], 16) % 1_000_000
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = train_test_split(df, "doc_id", 0.2, method="md5").collect()
+    for r in out:
+        want = "test" if bucket(r["doc_id"]) < 200_000 else "train"
+        assert r["split"] == want, r
+    kept = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            df, "doc_id", 0.3, salt="v2", method="md5"
+        ).collect()
+    }
+    assert kept == {i for i in range(2000) if bucket(i, "v2") < 300_000}
+    # both methods honor the same invariants; assignments differ
+    xx = {r["doc_id"]: r["split"] for r in train_test_split(df, "doc_id", 0.2).collect()}
+    md = {r["doc_id"]: r["split"] for r in out}
+    assert set(xx) == set(md) and xx != md
+
+
+def test_leakage_safe_split_md5_mode_clusters_and_hashlib_parity(spark):
+    """method="md5" through leakage_safe_split: cluster members still
+    inherit ONE side, and the side is hashlib-re-derivable from the
+    cluster key (component minimum; singletons from their own id)."""
+    import hashlib
+
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(0, 50)] + [(10, 20), (20, 30)],
+        "a long, b long",
+    )
+    out = leakage_safe_split(docs, pairs, "doc_id", 0.3, method="md5").collect()
+    comp = {i: i for i in range(200)}               # singletons
+    for i in range(0, 50):
+        comp[i + 100] = i                           # edge (i, i+100)
+    for n in (10, 20, 30, 110, 120, 130):
+        comp[n] = 10                                # chain 10-20-30 merges
+    for r in out:
+        key = comp[r["doc_id"]]
+        h = int(hashlib.md5(f":{key}".encode()).hexdigest()[:15], 16) % 1_000_000
+        want = "test" if h < 300_000 else "train"
+        assert r["split"] == want, (r, key)
+
+
 def test_stratified_deterministic_sample_per_stratum_rates(spark):
     from gather_datawarehouse_sync_spark.operators.sampling import (
         stratified_deterministic_sample,

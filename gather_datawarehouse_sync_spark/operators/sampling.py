@@ -140,6 +140,7 @@ def shuffle_order(
     seed: str = "0",
     out_col: str = "train_rank",
     prefix_chars: int = 2,
+    cache_input: bool = False,
 ) -> DataFrame:
     """Deterministic global shuffle for training-example order: rank rows
     by ``md5(seed:id)``.  Reproducible across runs, engines, cluster
@@ -169,31 +170,69 @@ def shuffle_order(
     test), so the knob is purely physical.  When only the ORDER is
     needed (streaming examples to a trainer, no rank column),
     ``df.repartitionByRange(n, hash, id).sortWithinPartitions(hash,
-    id)`` realizes it with just the range shuffle."""
+    id)`` realizes it with just the range shuffle.
+
+    The bucket-count branch RECOMPUTES the hash on a narrow
+    ``select(id)`` projection instead of caching the input: Spark does
+    not share common subtrees across plan branches, but the duplicated
+    work is one extra scan of the id column + an md5 — while a
+    ``localCheckpoint`` here would materialize EVERY input column
+    (document text included) to executor storage just to count bucket
+    sizes, the exact anti-pattern at corpus scale (and, measured on
+    this box, a 4× wall-clock cliff past ~20M rows as the cached rows
+    outgrow memory; the narrow recompute stays linear — SCALE.md r15).
+    Same trade-off as :func:`...operators.packing.exclusive_prefix_sum`.
+    ``cache_input=True`` restores the checkpoint for callers whose
+    upstream is genuinely more expensive than its own re-scan (a long
+    curation DAG feeding a SMALL survivor set) — or persist upstream
+    yourself and leave it off."""
     if not 1 <= prefix_chars <= 8:
         raise ValueError("prefix_chars must be in [1, 8]")
     h = _stable_order_hash(seed, id_col)
-    # lazy checkpoint: with_b feeds BOTH the bucket-count branch and the
-    # rank join, and Spark does not share common subtrees across plan
-    # branches — an expensive upstream (a curation chain) would compute
-    # twice otherwise.  Double-underscore internals per repo convention;
-    # refuse rather than silently overwrite a caller column.
-    for c in ("__so_h", "__so_b", "__so_off"):
+    # double-underscore internals per repo convention; refuse rather
+    # than silently overwrite a caller column
+    for c in ("__so_h1", "__so_h2", "__so_h3", "__so_b", "__so_off", "__so_n"):
         if c in df.columns:
             raise ValueError(f"shuffle_order: input already has column {c}")
-    with_b = (
-        df.withColumn("__so_h", h)
-        .withColumn("__so_b", F.substring(F.col("__so_h"), 1, prefix_chars))
-        .localCheckpoint(eager=False)
+    if cache_input:
+        df = df.localCheckpoint(eager=False)
+
+    # The hash is CARRIED AS THREE LONGS (60+60+8 bits of the 128-bit
+    # md5), not as its 32-char hex string: fixed-width lowercase hex
+    # orders identically to its numeric value, so sorting by
+    # (h1, h2, h3) IS sorting by the hex string — same ranks, but the
+    # shuffled sort key shrinks from a 32-byte string to 24 bytes of
+    # longs and every comparison is integer, not character-wise
+    # (measured on this box: the string form GC-thrashed at 50M rows,
+    # the long form stays linear — SCALE.md r15).  The bucket is then
+    # h1 // 16^(15-p) — the hash PREFIX as an integer, monotone in the
+    # string prefix, so bucket-then-key order still equals hash order.
+    def _keyed(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            *frame.columns,
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("__so_h1"),
+            F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias("__so_h2"),
+            F.conv(F.substring(h, 31, 2), 16, 10).cast("long").alias("__so_h3"),
+        ).withColumn(
+            "__so_b",
+            (F.col("__so_h1") / F.lit(16 ** (15 - prefix_chars))).cast("long"),
+        )
+
+    with_b = _keyed(df)
+    bcounts = (
+        _keyed(df.select(id_col))
+        .groupBy("__so_b")
+        .agg(F.count(F.lit(1)).alias("__so_n"))
     )
-    bcounts = with_b.groupBy("__so_b").agg(F.count(F.lit(1)).alias("__so_n"))
     # ≤ 16^prefix_chars rows: the global window is bounded by the bucket
     # alphabet, not the data
     wb = Window.orderBy("__so_b").rowsBetween(Window.unboundedPreceding, -1)
     boff = bcounts.select(
         "__so_b", F.coalesce(F.sum("__so_n").over(wb), F.lit(0)).alias("__so_off")
     )
-    win = Window.partitionBy("__so_b").orderBy("__so_h", F.col(id_col))
+    win = Window.partitionBy("__so_b").orderBy(
+        "__so_h1", "__so_h2", "__so_h3", F.col(id_col)
+    )
     return (
         with_b.join(F.broadcast(boff), "__so_b")
         # long, not int: the rank is a GLOBAL row number and this
@@ -202,7 +241,7 @@ def shuffle_order(
         .withColumn(
             out_col, (F.col("__so_off") + F.row_number().over(win)).cast("long")
         )
-        .drop("__so_h", "__so_b", "__so_off")
+        .drop("__so_h1", "__so_h2", "__so_h3", "__so_b", "__so_off")
     )
 
 

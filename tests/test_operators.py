@@ -1411,6 +1411,34 @@ def test_shuffle_order_partition_invariant_permutation(spark):
     assert c != a  # different seed → different epoch order
 
 
+def test_shuffle_order_matches_serial_md5_sort(spark):
+    """The rank is EXACTLY the 1-based position in the serial sort by
+    (md5(seed:id) hex string, id) — pinned against hashlib so the
+    hierarchical decomposition AND its integer-keyed sort (the hash is
+    carried as three longs, whose order must equal hex-string order)
+    can never drift from the documented contract."""
+    import hashlib
+
+    from gather_datawarehouse_sync_spark.operators.sampling import shuffle_order
+
+    n = 4000
+    df = spark.range(0, n).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["train_rank"]
+        for r in shuffle_order(df, "doc_id", seed="7").collect()
+    }
+    order = sorted(
+        range(n), key=lambda i: (hashlib.md5(f"7:{i}".encode()).hexdigest(), i)
+    )
+    assert got == {doc: rank + 1 for rank, doc in enumerate(order)}
+    # cache_input=True is purely physical: identical ranks
+    cached = {
+        r["doc_id"]: r["train_rank"]
+        for r in shuffle_order(df, "doc_id", seed="7", cache_input=True).collect()
+    }
+    assert cached == got
+
+
 def test_cap_per_group_exact_cap_and_stability(spark):
     from gather_datawarehouse_sync_spark.operators.sampling import cap_per_group
 

@@ -1729,17 +1729,26 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     ngram: int = 3,
+    cache_input: bool = False,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: LSH candidates → threshold on estimated
     Jaccard → connected components → canonical = min id per cluster.
 
     Returns the input plus a ``canon`` column (= own id for unique docs /
     cluster minimum for near-duplicates).
+
+    The input feeds two plan branches (the signature pipeline and the
+    final canon join-back), and Spark does not share common subtrees —
+    the upstream chain computes twice.  That double-compute is almost
+    always noise next to the LSH stage, and the alternative —
+    checkpointing the FULL-WIDTH corpus (text included) to executor
+    storage — is the real scale hazard (the shuffle_order r15 lesson,
+    SCALE.md), so nothing is cached by default; ``cache_input=True``
+    opts in for callers whose upstream is genuinely more expensive
+    than a re-scan.
     """
-    # the input feeds two plan branches (signature pipeline and the final
-    # canon join-back); a lazy checkpoint computes any upstream chain
-    # (e.g. pipelines.curate's filters + window dedup) once, not twice
-    df = df.localCheckpoint(eager=False)
+    if cache_input:
+        df = df.localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, ngram).filter(
         F.col("est_jaccard") >= threshold
     )

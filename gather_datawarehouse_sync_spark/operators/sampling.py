@@ -327,6 +327,7 @@ def weighted_interleave(
     default_weight_milli: int = 1000,
     key_col: str = "mix_key",
     rn_col: str = "src_rn",
+    id_block_size: int = 4096,
 ) -> DataFrame:
     """Training-mix construction by stride scheduling: append a
     deterministic interleave key so that ordering by (``key_col``,
@@ -341,27 +342,70 @@ def weighted_interleave(
     positions are ordered by ``id_col``; for a *shuffled* mix feed the
     output of :func:`shuffle_order` and pass its rank as ``id_col``.
 
-    One shuffle (the per-source window); the downstream ordering is a
-    sort (range exchange), NOT a global window — consumers
-    ``orderBy(key_col, source, id)`` or
+    The downstream ordering is a sort (range exchange), NOT a global
+    window — consumers ``orderBy(key_col, source, id)`` or
     ``repartitionByRange(...).sortWithinPartitions(...)`` to stream the
     mix at scale.  A source absent from ``weights_milli`` weighs
     ``default_weight_milli``.
+
+    The per-source ordinal does NOT serialize a source on one task
+    when ``id_col`` is numeric: rows block by
+    ``floor(id / id_block_size)`` (order-preserving, row-local), the
+    per-source sequential window runs over the ~n/``id_block_size``
+    BLOCK-count rows only, and within-block ranks run parallel per
+    (source, block) — :func:`...operators.packing.exclusive_prefix_sum`
+    with count as the summand.  A training mix has a handful of
+    sources, so the one-window-partition-per-source fallback (kept for
+    non-numeric ids) caps parallelism at ~10 tasks however large the
+    corpus; the numeric path is what 10⁹-rows-per-source needs.  Pass
+    :func:`shuffle_order`'s rank as ``id_col`` for a shuffled mix —
+    it is numeric.
     """
-    for c in (rn_col, key_col, "__wi_wm"):
+    for c in (rn_col, key_col, "__wi_wm", "__wi_g", "__wi_off", "__wi_n"):
         if c in df.columns:
             raise ValueError(f"weighted_interleave: column collision on {c}")
     if default_weight_milli <= 0 or any(v <= 0 for v in weights_milli.values()):
         # a zero weight would DIV to NULL (non-ANSI) and silently sort
         # the whole source to one end instead of erroring
         raise ValueError("weighted_interleave: weights must be positive")
+    if id_block_size <= 0:
+        raise ValueError("weighted_interleave: id_block_size must be positive")
+    from pyspark.sql.types import NumericType
+
     from gather_datawarehouse_sync_spark.functions.scalar import lit_map
 
     wmap = lit_map(weights_milli)
-    w = Window.partitionBy(source_col).orderBy(F.col(id_col))
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        blk = F.floor(F.col(id_col) / F.lit(id_block_size))
+        bcounts = (
+            df.select(F.col(source_col), blk.alias("__wi_g"))
+            .groupBy(source_col, "__wi_g")
+            .agg(F.count(F.lit(1)).alias("__wi_n"))
+        )
+        wg = (
+            Window.partitionBy(source_col)
+            .orderBy("__wi_g")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        goff = bcounts.select(
+            source_col,
+            "__wi_g",
+            F.coalesce(F.sum("__wi_n").over(wg), F.lit(0)).alias("__wi_off"),
+        )
+        wl = Window.partitionBy(source_col, "__wi_g").orderBy(F.col(id_col))
+        ranked = (
+            df.withColumn("__wi_g", blk)
+            .join(F.broadcast(goff), [source_col, "__wi_g"])
+            .withColumn(
+                rn_col, (F.col("__wi_off") + F.row_number().over(wl)).cast("long")
+            )
+            .drop("__wi_g", "__wi_off")
+        )
+    else:
+        w = Window.partitionBy(source_col).orderBy(F.col(id_col))
+        ranked = df.withColumn(rn_col, F.row_number().over(w).cast("long"))
     return (
-        df.withColumn(rn_col, F.row_number().over(w).cast("long"))
-        .withColumn(
+        ranked.withColumn(
             "__wi_wm",
             F.coalesce(wmap[F.col(source_col)], F.lit(default_weight_milli)).cast(
                 "long"
@@ -520,20 +564,51 @@ def token_budget_sample(
     end-to-end, so the selection is reproducible on any engine or
     cluster layout.  Adds ``cum_tokens`` (running total INCLUDING the
     row) to the kept rows.
+
+    A skewed group does NOT serialize on one task: selection runs in
+    TWO phases.  Phase 1 computes the running total within
+    (group, hash-prefix shard) — parallel across 256 shards per group
+    (two hex chars of the hash) — and drops every row whose SHARD-local
+    cumulative-before already exceeds the budget (shard predecessors
+    are a subset of group predecessors, so the shard total is a lower
+    bound on the true one: the drop is provably safe).  Phase 2 runs
+    the exact group window on the survivors, whose per-group volume is
+    bounded by ~256 × ``budget_tokens`` worth of tokens,
+    independent of the group's row count (and if no phase-1
+    row was dropped, the survivor cumsum IS the full cumsum; if one
+    was, its shard's surviving prefix alone already exceeds the
+    budget, so every later row is still correctly dropped — exactness
+    is pinned by the serial-oracle property test).  Requires
+    non-negative token counts (the running total must be monotone for
+    the shard bound to hold).
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
-    if "cum_tokens" in df.columns:
-        raise ValueError("token_budget_sample: input already has cum_tokens")
+    for c in ("cum_tokens", "__tb_h", "__tb_b", "__tb_c"):
+        if c in df.columns:
+            raise ValueError(f"token_budget_sample: input already has column {c}")
     h = _stable_order_hash(seed, id_col)
-    w = (
+    w1 = (
+        Window.partitionBy(group_col, "__tb_b")
+        .orderBy("__tb_h", F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (
+        df.withColumn("__tb_h", h)
+        .withColumn("__tb_b", F.substring(F.col("__tb_h"), 1, 2))
+        .withColumn("__tb_c", F.sum(F.col(tokens_col)).over(w1).cast("long"))
+        .filter(F.col("__tb_c") - F.col(tokens_col) < budget_tokens)
+        .drop("__tb_c")
+    )
+    w2 = (
         Window.partitionBy(group_col)
-        .orderBy(h, F.col(id_col))
+        .orderBy("__tb_h", F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("cum_tokens", F.sum(F.col(tokens_col)).over(w).cast("long"))
+        pre.withColumn("cum_tokens", F.sum(F.col(tokens_col)).over(w2).cast("long"))
         .filter(F.col("cum_tokens") - F.col(tokens_col) < budget_tokens)
+        .drop("__tb_h", "__tb_b")
     )
 
 
@@ -549,19 +624,38 @@ def cap_per_group(
     pseudo-random subset — a dominant domain can't flood the corpus, and
     reruns/engine-swaps keep exactly the same rows.
 
-    One shuffle (window partitioned by the group); skewed groups cost
-    one hot partition each — for pathological skew pre-filter with
-    ``deterministic_sample`` before the exact cap."""
+    A dominant group does NOT serialize on one task: the cap applies in
+    TWO phases (the classic distributed top-k-per-key shape).  Phase 1
+    ranks within (group, hash-prefix shard) — 256 shards per group,
+    parallel — and drops rows ranked past ``cap`` there: shard
+    predecessors are a subset of group predecessors, so shard rank
+    lower-bounds group rank and the drop is provably lossless.  Phase 2
+    ranks the survivors exactly, on a partition bounded by
+    256 × ``cap`` rows regardless of group size.  (Phase-2 ranks over
+    survivors equal full-set ranks for every kept row: any dropped row
+    carries ≥ ``cap`` surviving shard predecessors, so rows after it
+    already rank past the cap.)"""
     if cap <= 0:
         raise ValueError("cap must be positive")
-    if "__cap_rn" in df.columns:
-        raise ValueError("cap_per_group: input already has column __cap_rn")
+    for c in ("__cap_rn", "__cap_h", "__cap_b"):
+        if c in df.columns:
+            raise ValueError(f"cap_per_group: input already has column {c}")
     h = _stable_order_hash(seed, id_col)
-    w = Window.partitionBy(*group_cols).orderBy(h, F.col(id_col))
-    return (
-        df.withColumn("__cap_rn", F.row_number().over(w))
+    w1 = Window.partitionBy(*group_cols, "__cap_b").orderBy(
+        "__cap_h", F.col(id_col)
+    )
+    pre = (
+        df.withColumn("__cap_h", h)
+        .withColumn("__cap_b", F.substring(F.col("__cap_h"), 1, 2))
+        .withColumn("__cap_rn", F.row_number().over(w1))
         .filter(F.col("__cap_rn") <= cap)
         .drop("__cap_rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("__cap_h", F.col(id_col))
+    return (
+        pre.withColumn("__cap_rn", F.row_number().over(w2))
+        .filter(F.col("__cap_rn") <= cap)
+        .drop("__cap_rn", "__cap_h", "__cap_b")
     )
 
 

@@ -392,9 +392,12 @@ def test_semantic_dedup_single_shuffle_on_cell(spark, sf_dir):
     assert shuffle_count(df) <= 2
 
 
-def test_token_budget_single_window_shuffle(spark, sf_dir):
-    """token_budget_sample is one per-group window: exactly one
-    exchange, and the cumulative-sum filter stays inside it."""
+def test_token_budget_two_phase_shuffles(spark, sf_dir):
+    """token_budget_sample is the two-phase skew-proof shape: exactly
+    two exchanges — the (group, hash-shard) pre-prune window, then the
+    exact (group) window over the budget-bounded survivors.  A third
+    exchange (or a collapse back to one) means the decomposition
+    regressed."""
     from gather_datawarehouse_sync_spark.operators.sampling import (
         token_budget_sample,
     )
@@ -403,7 +406,7 @@ def test_token_budget_single_window_shuffle(spark, sf_dir):
         "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("t")
     )
     df = token_budget_sample(docs, "source", "t", 500, "doc_id")
-    assert shuffle_count(df) == 1
+    assert shuffle_count(df) == 2
 
 
 def test_agg_state_merge_two_phase_no_extra_exchange(spark, sf_dir):

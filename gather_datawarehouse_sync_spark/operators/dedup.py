@@ -1635,22 +1635,22 @@ def quality_dedup(
         )
         .filter(F.col("__clustered"))
     )
-    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("id"))
-    return (
-        members.select(
-            F.col("component").alias("canon"),
-            "id",
-            "q",
-            F.row_number().over(w).alias("__rn"),
-            F.count(F.lit(1)).over(Window.partitionBy("component")).alias("members"),
-        )
-        .filter(F.col("__rn") == 1)
-        .select(
-            "canon",
-            F.col("id").alias("keep_id"),
-            F.col("q").alias("keep_score"),
-            F.col("members").cast("bigint").alias("members"),
-        )
+    # best member + size per cluster as ONE hash aggregate — NOT a
+    # per-component window: min(struct(-q, id)) = max quality, ties to
+    # min id (the queries.py:_x_dedup_against trick), and aggregation
+    # combines map-side, so a pathologically large cluster (the
+    # empty-page cluster of a web corpus) never serializes a sort on
+    # one task the way partitionBy(component) would
+    return members.groupBy("component").agg(
+        F.min(
+            F.struct((-F.col("q")).alias("nq"), F.col("id"), F.col("q"))
+        ).alias("__best"),
+        F.count(F.lit(1)).cast("bigint").alias("members"),
+    ).select(
+        F.col("component").alias("canon"),
+        F.col("__best.id").alias("keep_id"),
+        F.col("__best.q").alias("keep_score"),
+        "members",
     )
 
 

@@ -60,12 +60,34 @@ def exact_dedup_min_id(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Drop byte-identical duplicate texts, keeping the minimum id
-    (deterministic canonical — same rule as D1's fixed tie-break)."""
-    w = Window.partitionBy(text_col).orderBy(id_col)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    (deterministic canonical — same rule as D1's fixed tie-break).
+
+    One hash AGGREGATE, not a per-text window: ``min(struct(id, …))``
+    picks the min-id row and the remaining columns ride along in the
+    struct.  Aggregation combines map-side, so the giant duplicate
+    group every web corpus has (the empty/boilerplate page) never
+    serializes a sort on one task the way ``partitionBy(text)`` would.
+    Falls back to the window form only when a column type is not
+    orderable inside a struct (MapType)."""
+    from pyspark.sql.types import MapType
+
+    cols = df.columns
+    if any(isinstance(f.dataType, MapType) for f in df.schema.fields):
+        w = Window.partitionBy(text_col).orderBy(id_col)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    others = [c for c in cols if c not in (text_col, id_col)]
+    keep = df.groupBy(text_col).agg(
+        F.min(F.struct(F.col(id_col), *[F.col(c) for c in others])).alias("__k")
+    )
+    return keep.select(
+        *[
+            F.col(text_col) if c == text_col else F.col(f"__k.{c}").alias(c)
+            for c in cols
+        ]
     )
 
 

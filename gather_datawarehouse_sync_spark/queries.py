@@ -1409,11 +1409,23 @@ def _x_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gkey") != "")
     )
-    w = Window.partitionBy("gkey").orderBy(F.col("q").desc(), F.col("doc_id"))
+    # best-quality doc per token-set group as ONE hash aggregate
+    # (min(struct(-q, doc_id)) = max q, ties to min id) — map-side
+    # combinable, so a giant duplicate group never serializes a
+    # window sort on one task
     survivors = (
-        gated.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("doc_id", "lang")
+        gated.groupBy("gkey")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("q")).alias("nq"), F.col("doc_id"), F.col("lang")
+                )
+            ).alias("__best")
+        )
+        .select(
+            F.col("__best.doc_id").alias("doc_id"),
+            F.col("__best.lang").alias("lang"),
+        )
         # temperature_resample driver-collects the per-group counts (an
         # action) and the returned epoch plan reads survivors AGAIN —
         # without a checkpoint the whole clean→gate→dedup chain executes
@@ -1864,12 +1876,24 @@ def _x_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         (quality_score_bp(F.col("clean_text")) >= 8000)
         & (F.col("tokens_kept") >= 5)
     )
-    w = Window.partitionBy("clean_text").orderBy("doc_id")
+    # keep-min-id per identical text as a hash aggregate (min struct
+    # ordered by doc_id first), not a per-text window — map-side
+    # combinable, skew-proof for giant duplicate groups
     deduped = (
-        gated.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        gated.groupBy("clean_text")
+        .agg(
+            F.min(
+                F.struct(
+                    "doc_id",
+                    "source",
+                    F.col("tokens_kept").cast("long").alias("n_toks"),
+                )
+            ).alias("__first")
+        )
         .select(
-            "doc_id", "source", F.col("tokens_kept").cast("long").alias("n_toks")
+            F.col("__first.doc_id").alias("doc_id"),
+            F.col("__first.source").alias("source"),
+            F.col("__first.n_toks").alias("n_toks"),
         )
     )
     take = token_budget_sample(deduped, "source", "n_toks", 500, "doc_id")

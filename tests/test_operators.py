@@ -1439,6 +1439,47 @@ def test_shuffle_order_matches_serial_md5_sort(spark):
     assert cached == got
 
 
+def test_two_phase_cap_and_budget_dense_shards_match_serial(spark):
+    """Adversarial regime for the two-phase skew decomposition: 2000
+    rows in ONE group (≈8 rows per 256-hash-shard) with tiny cap/budget,
+    so phase 1 drops rows in EVERY shard and phase 2's exactness
+    actually depends on the lower-bound argument — compared against the
+    serial greedy/top-k in the same md5 order."""
+    import hashlib
+
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        cap_per_group,
+        token_budget_sample,
+    )
+
+    n = 2000
+    rows = [("g", (i * 7) % 13 + 1, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, toks long, id long")
+    order = sorted(range(n), key=lambda i: (hashlib.md5(f"0:{i}".encode()).hexdigest(), i))
+
+    got_cap = sorted(r["id"] for r in cap_per_group(df, ["grp"], "id", 5).collect())
+    assert got_cap == sorted(order[:5])
+
+    budget = 40
+    want, cum = [], 0
+    toks = {i: (i * 7) % 13 + 1 for i in range(n)}
+    for i in order:
+        if cum < budget:
+            want.append(i)
+        cum += toks[i]
+    got_b = {
+        r["id"]: r["cum_tokens"]
+        for r in token_budget_sample(df, "grp", "toks", budget, "id").collect()
+    }
+    assert sorted(got_b) == sorted(want)
+    # cum_tokens must be the FULL-ORDER running total, not the survivor one
+    cum = 0
+    for i in order:
+        if cum < budget:
+            assert got_b[i] == cum + toks[i], i
+        cum += toks[i]
+
+
 def test_cap_per_group_exact_cap_and_stability(spark):
     from gather_datawarehouse_sync_spark.operators.sampling import cap_per_group
 

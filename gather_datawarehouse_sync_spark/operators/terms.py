@@ -324,3 +324,133 @@ def ngram_diversity(
             F.expr("10000 * n_distinct DIV total").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shaped data selection (hashed n-gram importance weights)
+# ---------------------------------------------------------------------------
+
+def dsir_bucket_ratios(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 8192,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hashed-n-gram importance ratios for DSIR-style data selection
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" — the published recipe: featurize text as
+    hashed n-gram counts, weigh raw data by how target-like it is).
+
+    Both corpora's word-``n``-gram occurrences hash into ``buckets``
+    cells (PORTABLE md5 bucket — 60 bits of ``md5(gram)`` mod
+    ``buckets``, re-derivable in DuckDB/Python, same contract as
+    ``sampling._portable_bucket``); the per-bucket importance ratio is
+
+        ratio_ppm = ((tgt_b + 1) * scale) DIV (src_b + 1)
+
+    — add-one smoothed, INTEGER-exact (no float crosses the engine
+    boundary).  The textbook ratio carries a per-corpus normalization
+    constant ``(S+B)/(T+B)``; it multiplies every bucket identically,
+    so SELECTION order is unchanged without it — dropping it keeps the
+    arithmetic inside int64 for targets up to ~10¹² grams
+    (``(tgt_b+1)·scale < 2⁶³``).  Returns (bucket, ratio_ppm), at most
+    ``buckets`` rows — broadcast-sized by construction, whatever the
+    corpus size.
+
+    Scale shape: two explode → hash-aggregate passes (map-side
+    combined, keyed by ≤ ``buckets`` values) + one tiny outer join; no
+    windows, no skew surface (bucket cardinality is the knob)."""
+    if buckets <= 0 or scale <= 0:
+        raise ValueError("buckets and scale must be positive")
+
+    def _counts(df: DataFrame, alias: str) -> DataFrame:
+        from gather_datawarehouse_sync_spark.functions.text import word_ngrams
+        from gather_datawarehouse_sync_spark.session import spread
+
+        gram = F.explode(word_ngrams(F.col(text_col), n)).alias("__gram")
+        return (
+            spread(df)
+            .select(gram)
+            .select(
+                F.pmod(
+                    F.conv(F.substring(F.md5(F.col("__gram")), 1, 15), 16, 10)
+                    .cast("long"),
+                    F.lit(buckets),
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    src = _counts(source, "src_b")
+    tgt = _counts(target, "tgt_b")
+    return (
+        src.join(tgt, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("src_b", F.lit(0)).alias("src_b"),
+            F.coalesce("tgt_b", F.lit(0)).alias("tgt_b"),
+        )
+        .withColumn(
+            "ratio_ppm",
+            F.expr(f"(tgt_b + 1) * CAST({scale} AS BIGINT) DIV (src_b + 1)"),
+        )
+        .select("bucket", "src_b", "tgt_b", "ratio_ppm")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    ratios: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 8192,
+) -> DataFrame:
+    """Per-document DSIR importance weights against a precomputed
+    :func:`dsir_bucket_ratios` table: each document's gram occurrences
+    look up their bucket ratio and SUM — ``weight_ppm`` — plus the
+    length-normalized ``avg_ppm = weight_ppm DIV n_grams`` (the
+    selection score; the raw sum favors long documents).  Documents
+    with no grams carry zero weight (never selected above any scored
+    doc).
+
+    The ratios table is ≤ ``buckets`` rows — the join broadcasts; the
+    per-doc sum is one map-combinable aggregate.  Everything integer:
+    the scores hash identically on any engine."""
+    from gather_datawarehouse_sync_spark.functions.text import word_ngrams
+    from gather_datawarehouse_sync_spark.session import spread
+
+    grams = spread(docs).select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__gram"),
+    )
+    bucketed = grams.select(
+        id_col,
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("__gram")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(ratios.select("bucket", "ratio_ppm")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("ratio_ppm").cast("long").alias("weight_ppm"),
+        )
+        .withColumn("avg_ppm", F.expr("weight_ppm DIV n_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("weight_ppm", F.lit(0)).cast("long").alias("weight_ppm"),
+            F.coalesce("avg_ppm", F.lit(0)).cast("long").alias("avg_ppm"),
+        )
+    )

@@ -7385,6 +7385,52 @@ _df(
 # x_interpolate, then x_token_budget, x_winnow_pairs, x_tfidf_topk,
 # x_top_ngram.
 
+def _x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection end-to-end (hashed-2-gram importance
+    weights, Xie et al. 2023): target = the English slice, source = the
+    whole corpus; every document scored by the integer-exact bucket
+    ratios and re-derived value-for-value in DuckDB (portable md5
+    buckets + add-one-smoothed integer DIV — no float crosses the
+    engine boundary)."""
+    from gather_datawarehouse_sync_spark.operators.terms import (
+        dsir_bucket_ratios,
+        dsir_weights,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ratios = dsir_bucket_ratios(
+        docs, docs.filter(F.col("lang") == "en"), n=2, buckets=4096
+    )
+    return dsir_weights(docs, ratios, n=2, buckets=4096).orderBy("doc_id")
+
+
+_df(
+    "x_dsir_select",
+    _x_dsir_select,
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+    "g AS (SELECT doc_id, unnest(list_transform("
+    "generate_series(1, greatest(len(toks) - 1, 0)), "
+    "i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM tok), "
+    "b AS (SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) "
+    "% 4096 AS bucket FROM g), "
+    "srcc AS (SELECT bucket, COUNT(*) AS src_b FROM b GROUP BY bucket), "
+    "tgtc AS (SELECT b.bucket, COUNT(*) AS tgt_b FROM b "
+    "JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY b.bucket), "
+    "r AS (SELECT s.bucket, (COALESCE(t.tgt_b, 0) + 1) * 1000000 "
+    "// (s.src_b + 1) AS ratio_ppm FROM srcc s LEFT JOIN tgtc t USING (bucket)), "
+    "w AS (SELECT b.doc_id, COUNT(*) AS n_grams, SUM(r.ratio_ppm) AS weight_ppm "
+    "FROM b JOIN r USING (bucket) GROUP BY b.doc_id) "
+    "SELECT d.doc_id, CAST(COALESCE(w.n_grams, 0) AS BIGINT) AS n_grams, "
+    "CAST(COALESCE(w.weight_ppm, 0) AS BIGINT) AS weight_ppm, "
+    "CAST(COALESCE(w.weight_ppm // w.n_grams, 0) AS BIGINT) AS avg_ppm "
+    "FROM documents d LEFT JOIN w USING (doc_id) ORDER BY d.doc_id",
+    ("documents",),
+    note="DSIR data selection (hashed-2-gram importance, integer-exact, "
+    "portable-md5 buckets) — full per-document weight oracle",
+)
+
+
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
     "x_percentile",
     "x_json_struct",

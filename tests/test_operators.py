@@ -5865,3 +5865,92 @@ def test_jaccard_pairs_cached_tighten_row_identity(spark, sf_dir, tmp_path):
         )
     with _pytest.raises(ValueError, match="cache_path"):
         jaccard_pairs_cached(docs, threshold=0.8, ngram=1)
+
+
+def test_dsir_bucket_ratios_hand_computed(spark):
+    """Add-one-smoothed integer ratios on a corpus small enough to count
+    by hand via the same md5 bucketing in Python."""
+    import hashlib
+
+    from gather_datawarehouse_sync_spark.operators.terms import (
+        dsir_bucket_ratios,
+    )
+
+    B = 64
+
+    def bucket(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % B
+
+    src_rows = [(0, "the cat sat"), (1, "the cat ran"), (2, "dogs bark loud")]
+    tgt_rows = [(10, "the cat sat")]
+    src = spark.createDataFrame(src_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    got = {
+        r["bucket"]: (r["src_b"], r["tgt_b"], r["ratio_ppm"])
+        for r in dsir_bucket_ratios(src, tgt, n=2, buckets=B).collect()
+    }
+    from collections import Counter
+
+    def grams(text):
+        toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+        return [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+    src_c = Counter(bucket(g) for _, t in [(r[0], r[1]) for r in src_rows] for g in grams(t))
+    tgt_c = Counter(bucket(g) for _, t in [(r[0], r[1]) for r in tgt_rows] for g in grams(t))
+    want = {
+        b: (src_c.get(b, 0), tgt_c.get(b, 0),
+            (tgt_c.get(b, 0) + 1) * 1_000_000 // (src_c.get(b, 0) + 1))
+        for b in set(src_c) | set(tgt_c)
+    }
+    assert got == want
+
+
+def test_dsir_weights_matches_python_oracle_and_broadcasts(spark):
+    """Per-doc weight = sum of its gram-occurrence ratios (length
+    normalization by integer DIV; gramless docs weigh 0), and the
+    ratio lookup is a BROADCAST join — the ratios side is bounded by
+    the bucket count, never corpus-sized."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from gather_datawarehouse_sync_spark.operators.terms import (
+        dsir_bucket_ratios,
+        dsir_weights,
+    )
+    from gather_datawarehouse_sync_spark.plans import broadcast_join_count
+
+    B = 32
+    rows = [
+        (0, "alpha beta alpha beta gamma"),
+        (1, "delta epsilon"),
+        (2, "alpha beta"),
+        (3, ""),           # gramless: weight 0
+        (4, "zeta"),       # single token → no 2-gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = docs.filter("doc_id = 0")
+    ratios = dsir_bucket_ratios(docs, tgt, n=2, buckets=B)
+    out = dsir_weights(docs, ratios, n=2, buckets=B)
+    assert broadcast_join_count(out) >= 1
+
+    def grams(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    src_c = Counter(bucket(g) for _, t in rows for g in grams(t))
+    tgt_c = Counter(bucket(g) for g in grams(rows[0][1]))
+    ratio = {b: (tgt_c.get(b, 0) + 1) * 1_000_000 // (c + 1) for b, c in src_c.items()}
+    want = {}
+    for i, t in rows:
+        gs = grams(t)
+        w = sum(ratio[bucket(g)] for g in gs)
+        want[i] = (len(gs), w, w // len(gs) if gs else 0)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight_ppm"], r["avg_ppm"])
+        for r in out.collect()
+    }
+    assert got == want

@@ -7383,7 +7383,11 @@ _df(
 # after this window): x_length_buckets, x_temp_resample,
 # x_boilerplate, x_boilerplate_against, x_dedup_recall,
 # x_interpolate, then x_token_budget, x_winnow_pairs, x_tfidf_topk,
-# x_top_ngram.
+# x_top_ngram.  Also strong candidates: the three queries that GAINED
+# full oracles in r15 and have never been driver-hash-verified —
+# x_split_counts and x_cluster_split (portable-md5 split mode +
+# recursive-CTE components) and the new x_dsir_select (DSIR data
+# selection) — all three vanilla-swept MATCH at sf0.01 this round.
 
 def _x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-shaped data selection end-to-end (hashed-2-gram importance

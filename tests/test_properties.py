@@ -1158,3 +1158,61 @@ def test_chunk_spans_matches_python_oracle(spark, docs, chunk, stride):
                 want[(i, c)] = (len(window), " ".join(window), c * stride)
             c += 1
     assert got == want
+
+
+# DSIR: random tiny-vocab corpora (bucket collisions likely at 16
+# buckets) vs a serial Python oracle re-deriving grams, md5 buckets,
+# smoothed integer ratios, and per-doc weight sums
+_dsir_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d1"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=8,
+).map(lambda ds: [(i, " ".join(ws)) for i, ws in enumerate(ds)])
+
+
+@given(_dsir_docs, st.integers(min_value=1, max_value=3))
+@example(docs=[(0, "")], n=1)                      # gramless corpus
+@example(docs=[(0, "a"), (1, "a b a")], n=2)       # target ⊂ source
+@_SETTINGS
+def test_dsir_weights_match_python_oracle(spark, docs, n):
+    """Bucket ratios and per-document weights equal the serial
+    definition for ANY corpus shape and gram width — including docs
+    shorter than n (zero weight) and bucket collisions (16 buckets
+    force them)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from gather_datawarehouse_sync_spark.operators.terms import (
+        dsir_bucket_ratios,
+        dsir_weights,
+    )
+
+    B = 16
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tgt = df.filter(F.col("doc_id") % 2 == 0)
+    ratios = dsir_bucket_ratios(df, tgt, n=n, buckets=B)
+    out = dsir_weights(df, ratios, n=n, buckets=B)
+
+    def grams(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    src_c = Counter(bucket(g) for _, t in docs for g in grams(t))
+    tgt_c = Counter(bucket(g) for i, t in docs if i % 2 == 0 for g in grams(t))
+    ratio = {
+        b: (tgt_c.get(b, 0) + 1) * 1_000_000 // (c + 1) for b, c in src_c.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight_ppm"], r["avg_ppm"])
+        for r in out.collect()
+    }
+    want = {}
+    for i, t in docs:
+        gs = grams(t)
+        w = sum(ratio[bucket(g)] for g in gs)
+        want[i] = (len(gs), w, w // len(gs) if gs else 0)
+    assert got == want

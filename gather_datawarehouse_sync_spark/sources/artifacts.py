@@ -116,6 +116,49 @@ def artifact_path(sf_dir: str, key: str) -> str:
     return os.path.join(artifact_root(), f"{sf_tag}-{h.hexdigest()[:8]}", key)
 
 
+_SCHEMA_SIDECAR = "_table_schema.json"
+
+
+def _write_schema_sidecar(dirpath: str, df: DataFrame) -> None:
+    """Record the version's schema in an underscore sidecar (invisible
+    to parquet scans, carried by partition rewrites).  A version whose
+    every row was deleted has NO data files, and plain
+    ``spark.read.parquet`` then fails schema inference — the sidecar is
+    what makes the empty table readable (found by the merge_table
+    random-batches property test: a delete batch covering every key
+    produced an unreadable table).  Remove-then-write: the carry loop
+    HARDLINKS the previous version's sidecar across, and writing
+    through that link would corrupt the old version's copy."""
+    import json
+
+    target = os.path.join(dirpath, _SCHEMA_SIDECAR)
+    if os.path.exists(target):
+        os.remove(target)
+    with open(target, "w") as fh:
+        json.dump(df.schema.jsonValue(), fh)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read an artifact/table version; when schema inference fails
+    because the version holds zero data files (legitimate after a
+    delete-all merge), fall back to the schema sidecar."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        import json
+
+        sidecar = os.path.join(path, _SCHEMA_SIDECAR)
+        if os.path.exists(sidecar):
+            from pyspark.sql.types import StructType
+
+            with open(sidecar) as fh:
+                schema = StructType.fromJson(json.load(fh))
+            return spark.read.schema(schema).parquet(path)
+        raise
+
+
 def cached_parquet(
     spark: SparkSession,
     path: str,
@@ -145,7 +188,12 @@ def cached_parquet(
     """
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _install_atomic(build(), path, partition_by=partition_by)
-    return spark.read.parquet(path)
+    out = read_table(spark, path)
+    if not os.path.exists(os.path.join(path, _SCHEMA_SIDECAR)):
+        # self-healing: pre-sidecar artifacts gain one on first read, so
+        # a later delete-all rewrite can carry it
+        _write_schema_sidecar(path, out)
+    return out
 
 
 def _install_atomic(
@@ -317,7 +365,7 @@ def append_partitioned_artifact(
             f"{old_path} — build the base version first (cached_parquet)"
         )
     if os.path.exists(os.path.join(new_path, "_SUCCESS")):
-        return spark.read.parquet(new_path)
+        return read_table(spark, new_path)
     tmp = f"{new_path}.__building__{_staging_suffix()}"
     shutil.rmtree(tmp, ignore_errors=True)
     for dirpath, dirnames, filenames in os.walk(old_path):
@@ -338,7 +386,7 @@ def append_partitioned_artifact(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
     _promote_staging(tmp, new_path)
-    return spark.read.parquet(new_path)
+    return read_table(spark, new_path)
 
 
 def rewrite_partitioned_artifact(
@@ -378,7 +426,7 @@ def rewrite_partitioned_artifact(
             f"{old_path} — build the base version first (cached_parquet)"
         )
     if os.path.exists(os.path.join(new_path, "_SUCCESS")):
-        return spark.read.parquet(new_path)
+        return read_table(spark, new_path)
     tmp = f"{new_path}.__building__{_staging_suffix()}"
     shutil.rmtree(tmp, ignore_errors=True)
     skip = {f"{partition_col}={v}" for v in dirty}
@@ -397,11 +445,16 @@ def rewrite_partitioned_artifact(
                 os.link(src, dst)
             except OSError:
                 shutil.copy2(src, dst)
-    writer = build().write.mode("append")
+    rep = build()
+    writer = rep.write.mode("append")
     writer = writer.partitionBy(*(partition_by or (partition_col,)))
     writer.parquet(tmp)
+    # per-version schema record — makes a delete-all version (zero data
+    # files) readable; must replace, not write through, the hardlink
+    # the carry loop brought over (see _write_schema_sidecar)
+    _write_schema_sidecar(tmp, rep)
     _promote_staging(tmp, new_path)
-    return spark.read.parquet(new_path)
+    return read_table(spark, new_path)
 
 
 def delete_from_partitioned_artifact(
@@ -447,13 +500,13 @@ def delete_from_partitioned_artifact(
     from pyspark.sql import functions as F
 
     if os.path.exists(os.path.join(new_path, "_SUCCESS")):
-        return spark.read.parquet(new_path)
+        return read_table(spark, new_path)
     if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
         raise ValueError(
             f"delete_from_partitioned_artifact: no complete artifact at "
             f"{old_path} — build the base version first (cached_parquet)"
         )
-    old = spark.read.parquet(old_path)
+    old = read_table(spark, old_path)
     ids = F.broadcast(delete_ids.select(id_col).distinct())
     dirty_vals = {
         r[0]
@@ -521,7 +574,7 @@ def compact_epoch_artifact(
     from pyspark.sql import functions as F
 
     if os.path.exists(os.path.join(new_path, "_SUCCESS")):
-        return spark.read.parquet(new_path)
+        return read_table(spark, new_path)
     epochs = spark.read.parquet(epochs_path).drop("epoch")
     if base_path is None:
         _install_atomic(
@@ -529,7 +582,7 @@ def compact_epoch_artifact(
             new_path,
             partition_by=(partition_col,),
         )
-        return spark.read.parquet(new_path)
+        return read_table(spark, new_path)
     dirty_vals = {
         r[0] for r in epochs.select(partition_col).distinct().collect()
     }
@@ -584,7 +637,7 @@ def compact_table_partitions(
     if not values:
         raise ValueError("compact_table_partitions: values must be non-empty")
     if os.path.exists(os.path.join(new_path, "_SUCCESS")):
-        return spark.read.parquet(new_path)
+        return read_table(spark, new_path)
     if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
         raise ValueError(
             f"compact_table_partitions: no complete table at {old_path}"
@@ -619,7 +672,7 @@ def compact_table_partitions(
         )
 
     def _compacted() -> DataFrame:
-        base = spark.read.parquet(old_path)
+        base = read_table(spark, old_path)
         out = None
         for v in vals:
             part = base.filter(F.col(partition_col) == v).repartition(
@@ -720,13 +773,13 @@ def merge_table(
             f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
         )
     if os.path.exists(os.path.join(new_path, "_SUCCESS")):
-        return spark.read.parquet(new_path)
+        return read_table(spark, new_path)
     if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
         raise ValueError(
             f"merge_table: no complete table at {old_path} — build the "
             "base version first (cached_parquet)"
         )
-    target = spark.read.parquet(old_path)
+    target = read_table(spark, old_path)
     base_cols = list(target.columns)
     missing = [c for c in base_cols if c not in source.columns]
     if missing:
@@ -1694,13 +1747,13 @@ def merge_scd2(
     from pyspark.sql import functions as F
 
     if os.path.exists(os.path.join(new_path, "_SUCCESS")):
-        return spark.read.parquet(new_path)
+        return read_table(spark, new_path)
     if not os.path.exists(os.path.join(old_path, "_SUCCESS")):
         raise ValueError(
             f"merge_scd2: no complete history at {old_path} — build it "
             "first (scd2_init + cached_parquet)"
         )
-    hist = spark.read.parquet(old_path)
+    hist = read_table(spark, old_path)
     keys = list(key_cols)
     meta = {"__bucket", "valid_from", "valid_to", "is_current"}
     added: "list[str]" = []

@@ -1216,3 +1216,119 @@ def test_dsir_weights_match_python_oracle(spark, docs, n):
         w = sum(ratio[bucket(g)] for g in gs)
         want[i] = (len(gs), w, w // len(gs) if gs else 0)
     assert got == want
+
+
+# merge_table seq_col: random interleavings of upsert and delete batches
+# with arbitrary (stale, equal, newer) sequence stamps vs a serial
+# key->row dict model applying the documented monotonic rules
+_mt_batches = st.lists(
+    st.tuples(
+        st.booleans(),  # True = delete batch, False = upsert batch
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=6),   # key
+                st.sampled_from(["a", "b", "c"]),        # value
+                st.sampled_from(["pa", "pb"]),           # partition
+                st.integers(min_value=0, max_value=6),   # seq stamp
+            ),
+            min_size=0,
+            max_size=5,
+            unique_by=lambda t: t[0],
+        ),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+_mt_dir = iter(range(10**9))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from(["pa", "pb"]),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+    _mt_batches,
+)
+@example(
+    base=[(1, "a", "pa", 2)],
+    batches=[(False, [(1, "b", "pb", 2)])],  # equal seq: no-op (strict >)
+)
+@example(
+    base=[(1, "a", "pa", 3)],
+    batches=[(True, [(1, "a", "pa", 2)]), (False, [(1, "c", "pb", 4)])],
+)
+@example(
+    base=[(1, "a", "pa", 0)],
+    batches=[(True, [(1, "a", "pa", 1)]), (False, [(1, "b", "pa", 0)])],
+)  # delete then a STALER re-insert: inserts (no tombstone, documented)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_table_seq_random_batches_match_serial_model(
+    spark, tmp_path, base, batches
+):
+    """Any interleaving of seq-stamped upsert and delete batches leaves
+    the table exactly where the serial per-key model puts it: a matched
+    row changes only under a STRICTLY newer stamp, deletes only delete
+    forward, unmatched upsert rows insert at any stamp (no tombstones —
+    the documented contract), and partition moves follow the winning
+    row."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        merge_table,
+    )
+
+    root = tmp_path / f"mt_{next(_mt_dir)}"
+    root.mkdir()
+    p = str(root / "t0")
+    base_rows = list(base)
+    cached_parquet(
+        spark,
+        p,
+        lambda: spark.createDataFrame(
+            base_rows, "id long, v string, p string, seq long"
+        ),
+        partition_by=("p",),
+    )
+    model = {k: (v, part, s) for k, v, part, s in base_rows}
+    for q, (is_delete, rows) in enumerate(batches, start=1):
+        nxt = str(root / f"t{q}")
+        src = spark.createDataFrame(
+            list(rows) or [], "id long, v string, p string, seq long"
+        )
+        merge_table(
+            spark,
+            p,
+            nxt,
+            src,
+            key_cols=("id",),
+            partition_col="p",
+            when_matched="delete" if is_delete else "update",
+            when_not_matched="ignore" if is_delete else "insert",
+            seq_col="seq",
+        )
+        p = nxt
+        for k, v, part, s in rows:
+            if is_delete:
+                if k in model and s > model[k][2]:
+                    del model[k]
+            elif k not in model:
+                model[k] = (v, part, s)
+            elif s > model[k][2]:
+                model[k] = (v, part, s)
+    got = {
+        (r["id"], r["v"], r["p"], r["seq"])
+        for r in spark.read.parquet(p).collect()
+    }
+    want = {(k, v, part, s) for k, (v, part, s) in model.items()}
+    assert got == want

@@ -229,6 +229,9 @@ def _install_atomic(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    # schema sidecar inside the staging dir, so even an INITIALLY empty
+    # artifact (zero data files) installs readable via read_table
+    _write_schema_sidecar(tmp, df)
     if overwrite:
         # explicit save of (re)trained data: the fresh artifact wins.
         # Swap by renaming the OLD artifact aside first, then installing

@@ -5954,3 +5954,57 @@ def test_dsir_weights_matches_python_oracle_and_broadcasts(spark):
         for r in out.collect()
     }
     assert got == want
+
+
+def test_empty_table_versions_readable_and_mergeable(spark, tmp_path):
+    """An INITIALLY empty artifact and a delete-all merge output are
+    both readable (schema sidecar fallback) and a later upsert onto the
+    empty version resumes the chain."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        merge_table,
+        read_table,
+    )
+
+    empty = str(tmp_path / "empty0")
+    out = cached_parquet(
+        spark,
+        empty,
+        lambda: spark.createDataFrame([], "id long, v string, p string"),
+        partition_by=("p",),
+    )
+    assert out.count() == 0 and out.columns == ["id", "v", "p"]
+
+    base = str(tmp_path / "t0")
+    cached_parquet(
+        spark,
+        base,
+        lambda: spark.createDataFrame(
+            [(1, "a", "pa"), (2, "b", "pb")], "id long, v string, p string"
+        ),
+        partition_by=("p",),
+    )
+    gone = merge_table(
+        spark,
+        base,
+        str(tmp_path / "t1"),
+        spark.createDataFrame([(1, "a", "pa"), (2, "b", "pb")],
+                              "id long, v string, p string"),
+        key_cols=("id",),
+        partition_col="p",
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    assert gone.count() == 0
+    assert read_table(spark, str(tmp_path / "t1")).columns == ["id", "v", "p"]
+    back = merge_table(
+        spark,
+        str(tmp_path / "t1"),
+        str(tmp_path / "t2"),
+        spark.createDataFrame([(3, "c", "pa")], "id long, v string, p string"),
+        key_cols=("id",),
+        partition_col="p",
+    )
+    assert {tuple(r) for r in back.select("id", "v", "p").collect()} == {
+        (3, "c", "pa")
+    }

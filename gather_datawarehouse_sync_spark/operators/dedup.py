@@ -1640,10 +1640,19 @@ def quality_dedup(
     # min id (the queries.py:_x_dedup_against trick), and aggregation
     # combines map-side, so a pathologically large cluster (the
     # empty-page cluster of a web corpus) never serializes a sort on
-    # one task the way partitionBy(component) would
+    # one task the way partitionBy(component) would.  NULL scores sort
+    # LAST (coalesce to int64 max), matching the orderBy(q.desc(), id)
+    # window this replaced — desc puts NULLs last, so a NULL-scored
+    # member can only be canonical when the whole cluster is unscored
     return members.groupBy("component").agg(
         F.min(
-            F.struct((-F.col("q")).alias("nq"), F.col("id"), F.col("q"))
+            F.struct(
+                F.coalesce(-F.col("q"), F.lit(9223372036854775807)).alias(
+                    "nq"
+                ),
+                F.col("id"),
+                F.col("q"),
+            )
         ).alias("__best"),
         F.count(F.lit(1)).cast("bigint").alias("members"),
     ).select(

@@ -393,13 +393,28 @@ def weighted_interleave(
             F.coalesce(F.sum("__wi_n").over(wg), F.lit(0)).alias("__wi_off"),
         )
         wl = Window.partitionBy(source_col, "__wi_g").orderBy(F.col(id_col))
+        # null-SAFE join: a NULL id blocks to a NULL __wi_g (and the
+        # source itself may be NULL) — an equi-join on those keys would
+        # silently DROP the rows, whereas the window fallback below
+        # keeps them (window partition/order treat NULL as a value,
+        # NULLS FIRST ascending — which is exactly where the NULL block
+        # sorts in the offset cumsum, so ranks stay consistent)
+        goff2 = goff.select(
+            F.col(source_col).alias("__wi_s2"),
+            F.col("__wi_g").alias("__wi_g2"),
+            "__wi_off",
+        )
         ranked = (
             df.withColumn("__wi_g", blk)
-            .join(F.broadcast(goff), [source_col, "__wi_g"])
+            .join(
+                F.broadcast(goff2),
+                F.col(source_col).eqNullSafe(F.col("__wi_s2"))
+                & F.col("__wi_g").eqNullSafe(F.col("__wi_g2")),
+            )
             .withColumn(
                 rn_col, (F.col("__wi_off") + F.row_number().over(wl)).cast("long")
             )
-            .drop("__wi_g", "__wi_off")
+            .drop("__wi_g", "__wi_off", "__wi_s2", "__wi_g2")
         )
     else:
         w = Window.partitionBy(source_col).orderBy(F.col(id_col))

@@ -408,6 +408,7 @@ def dsir_weights(
     text_col: str = "text",
     n: int = 2,
     buckets: int = 8192,
+    scale: int = 1_000_000,
 ) -> DataFrame:
     """Per-document DSIR importance weights against a precomputed
     :func:`dsir_bucket_ratios` table: each document's gram occurrences
@@ -417,9 +418,20 @@ def dsir_weights(
     with no grams carry zero weight (never selected above any scored
     doc).
 
+    Grams whose bucket is ABSENT from ``ratios`` (scoring against a
+    table built from a DIFFERENT corpus — the precomputed-table use
+    case) take the add-one-smoothed unseen-bucket ratio
+    ``(0+1)·scale DIV (0+1) = scale`` via a left join + coalesce, the
+    exact value :func:`dsir_bucket_ratios` would emit for an
+    all-unseen bucket; pass the SAME ``scale`` the ratios table was
+    built with.  An inner join here would silently drop those grams
+    from both ``n_grams`` and ``weight_ppm``, skewing scores.
+
     The ratios table is ≤ ``buckets`` rows — the join broadcasts; the
     per-doc sum is one map-combinable aggregate.  Everything integer:
     the scores hash identically on any engine."""
+    if scale <= 0:
+        raise ValueError("scale must be positive")
     from gather_datawarehouse_sync_spark.functions.text import word_ngrams
     from gather_datawarehouse_sync_spark.session import spread
 
@@ -436,7 +448,12 @@ def dsir_weights(
         ).alias("bucket"),
     )
     scored = (
-        bucketed.join(F.broadcast(ratios.select("bucket", "ratio_ppm")), "bucket")
+        bucketed.join(
+            F.broadcast(ratios.select("bucket", "ratio_ppm")), "bucket", "left"
+        )
+        .withColumn(
+            "ratio_ppm", F.coalesce("ratio_ppm", F.lit(scale).cast("long"))
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -68,11 +68,22 @@ def exact_dedup_min_id(
     group every web corpus has (the empty/boilerplate page) never
     serializes a sort on one task the way ``partitionBy(text)`` would.
     Falls back to the window form only when a column type is not
-    orderable inside a struct (MapType)."""
-    from pyspark.sql.types import MapType
+    orderable inside a struct (a MapType anywhere in the type tree —
+    including nested inside an array or struct, which fails struct-min
+    at ANALYSIS time)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
 
     cols = df.columns
-    if any(isinstance(f.dataType, MapType) for f in df.schema.fields):
+    if any(_has_map(f.dataType) for f in df.schema.fields):
         w = Window.partitionBy(text_col).orderBy(id_col)
         return (
             df.withColumn("__rn", F.row_number().over(w))

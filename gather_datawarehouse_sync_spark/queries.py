@@ -1418,7 +1418,13 @@ def _x_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(
                 F.struct(
-                    (-F.col("q")).alias("nq"), F.col("doc_id"), F.col("lang")
+                    # NULLS LAST, matching the q.desc() window this
+                    # replaced (q is non-null here — belt and braces)
+                    F.coalesce(-F.col("q"), F.lit(9223372036854775807)).alias(
+                        "nq"
+                    ),
+                    F.col("doc_id"),
+                    F.col("lang"),
                 )
             ).alias("__best")
         )

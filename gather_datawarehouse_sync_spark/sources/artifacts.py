@@ -126,16 +126,22 @@ def _write_schema_sidecar(dirpath: str, df: DataFrame) -> None:
     ``spark.read.parquet`` then fails schema inference — the sidecar is
     what makes the empty table readable (found by the merge_table
     random-batches property test: a delete batch covering every key
-    produced an unreadable table).  Remove-then-write: the carry loop
-    HARDLINKS the previous version's sidecar across, and writing
-    through that link would corrupt the old version's copy."""
+    produced an unreadable table).  Write-temp-then-rename: the write
+    lands under a pid-unique temp name in the SAME directory and
+    ``os.rename``s into place — atomic on POSIX, so a concurrent reader
+    of the directory (the self-healing path mutates a LIVE, already
+    promoted artifact) sees either the old sidecar or the complete new
+    one, never a missing/truncated file; and because rename replaces
+    the directory ENTRY, the previous version's hardlinked copy (the
+    carry loop hardlinks sidecars across versions) keeps its own inode
+    untouched."""
     import json
 
     target = os.path.join(dirpath, _SCHEMA_SIDECAR)
-    if os.path.exists(target):
-        os.remove(target)
-    with open(target, "w") as fh:
+    tmp = os.path.join(dirpath, f"._schema_tmp.{os.getpid()}.json")
+    with open(tmp, "w") as fh:
         json.dump(df.schema.jsonValue(), fh)
+    os.rename(tmp, target)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

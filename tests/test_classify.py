@@ -284,3 +284,32 @@ def test_pretrain_mix_default_weights_empty_map(spark, sf_dir):
     assert rows and set(out.columns) == {
         "doc_id", "source", "score_milli", "src_rn", "mix_key"
     }
+
+
+def test_exact_dedup_min_id_nested_map_falls_back(spark):
+    """r15 advisor find: the orderability guard only caught TOP-LEVEL
+    MapType, so a map nested in an array or struct took the
+    min(struct(...)) path and failed at analysis time.  The guard now
+    recurses; both nested shapes dedup via the window fallback, with
+    the same min-id survivor the aggregate path yields on plain rows."""
+    from gather_datawarehouse_sync_spark.pipelines import exact_dedup_min_id
+
+    arr_map = spark.createDataFrame(
+        [
+            (2, "same text", [{"k": "v2"}]),
+            (1, "same text", [{"k": "v1"}]),
+            (3, "other", [{"k": "v3"}]),
+        ],
+        "doc_id long, text string, tags array<map<string,string>>",
+    )
+    got = {
+        r["doc_id"]: r["tags"] for r in exact_dedup_min_id(arr_map).collect()
+    }
+    assert set(got) == {1, 3} and got[1] == [{"k": "v1"}]
+
+    struct_map = spark.createDataFrame(
+        [(2, "same text", ({"k": "v2"},)), (1, "same text", ({"k": "v1"},))],
+        "doc_id long, text string, meta struct<m:map<string,string>>",
+    )
+    rows = exact_dedup_min_id(struct_map).collect()
+    assert [r["doc_id"] for r in rows] == [1]

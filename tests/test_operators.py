@@ -2143,6 +2143,67 @@ def test_weighted_interleave_rejects_nonpositive_weights(spark, sf_dir):
         )
 
 
+def test_weighted_interleave_numeric_path_keeps_null_keys(spark):
+    """r15 advisor find: the numeric-id blocked path's equi-join on
+    (source, block) silently DROPPED rows with a NULL id (NULL block
+    key) or NULL source, while the string-id window fallback keeps
+    them.  The join is now null-safe; pin row preservation and that a
+    NULL id ranks FIRST within its source (NULLS FIRST ascending, same
+    place the window fallback puts it)."""
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        weighted_interleave,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 10),
+            ("a", None),  # NULL id: NULL block key
+            ("a", 3),
+            (None, 7),  # NULL source
+        ],
+        "source string, doc_id long",
+    )
+    rows = weighted_interleave(
+        df, "source", {"a": 2000}, "doc_id", id_block_size=4
+    ).collect()
+    assert len(rows) == 4, "null-keyed rows must not be dropped"
+    a_rows = sorted(
+        ((r["doc_id"], r["src_rn"]) for r in rows if r["source"] == "a"),
+        key=lambda t: t[1],
+    )
+    # NULL id first, then 3, then 10 — the window fallback's order
+    assert a_rows == [(None, 1), (3, 2), (10, 3)]
+    null_src = next(r for r in rows if r["source"] is None)
+    assert null_src["src_rn"] == 1
+    assert null_src["mix_key"] == 1_000  # rn·10⁶ DIV default weight 1000
+
+
+def test_quality_dedup_null_score_sorts_last(spark):
+    """r15 advisor find: min(struct(-q, id, q)) made a NULL-scored
+    member the canonical survivor (NULL sorts first ascending), where
+    the orderBy(q.desc(), id) window it replaced put NULLs LAST.  The
+    sort key is now coalesced; a NULL-scored doc only survives when the
+    entire cluster is unscored (ties then break to min id)."""
+    from gather_datawarehouse_sync_spark.operators.dedup import quality_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", None),  # NULL score
+            (2, "alpha beta gamma delta", 10),  # must win
+            (10, "zeta eta theta iota", None),  # all-NULL cluster:
+            (11, "zeta eta theta iota", None),  # min id wins
+        ],
+        "doc_id long, text string, prio long",
+    )
+    got = {
+        r["canon"]: (r["keep_id"], r["keep_score"], r["members"])
+        for r in quality_dedup(
+            df, threshold=0.9, score=F.col("prio")
+        ).collect()
+    }
+    assert got == {1: (2, 10, 2), 10: (10, None, 2)}
+
+
 def test_agg_state_merge_equals_direct_any_split(spark, sf_dir):
     """Monoid law on real data: merging the states of ANY 3-way split
     equals the from-scratch state, bit for bit (integer metric)."""
@@ -5954,6 +6015,83 @@ def test_dsir_weights_matches_python_oracle_and_broadcasts(spark):
         for r in out.collect()
     }
     assert got == want
+
+
+def test_dsir_weights_unseen_bucket_takes_smoothed_default(spark):
+    """r15 advisor find: scoring docs against a ratios table built from
+    a DIFFERENT corpus inner-joined the gram buckets, silently dropping
+    grams whose bucket the table never saw — skewing n_grams and
+    weight_ppm.  Now a left join + coalesce applies the add-one
+    smoothed unseen ratio (tgt=0, src=0 → scale), the exact value
+    dsir_bucket_ratios would emit for that bucket."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from gather_datawarehouse_sync_spark.operators.terms import (
+        dsir_bucket_ratios,
+        dsir_weights,
+    )
+
+    B, SCALE = 4096, 1_000_000  # big B: disjoint grams miss the table
+    corpus_a = spark.createDataFrame(
+        [(0, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    # scored docs share NO grams with corpus_a → every bucket unseen
+    # (verified below against the table, not assumed)
+    docs = spark.createDataFrame(
+        [(5, "quartz vixen jumps quickly"), (6, "zz")],
+        "doc_id long, text string",
+    )
+    ratios = dsir_bucket_ratios(corpus_a, corpus_a, n=2, buckets=B)
+    table = {r["bucket"]: r["ratio_ppm"] for r in ratios.collect()}
+
+    def grams(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    doc_buckets = Counter(bucket(g) for g in grams("quartz vixen jumps quickly"))
+    assert not (set(doc_buckets) & set(table)), "fixture collided; raise B"
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight_ppm"], r["avg_ppm"])
+        for r in dsir_weights(docs, ratios, n=2, buckets=B, scale=SCALE).collect()
+    }
+    n = sum(doc_buckets.values())
+    assert got == {5: (n, n * SCALE, SCALE), 6: (0, 0, 0)}
+
+
+def test_schema_sidecar_write_is_atomic_rename(spark, tmp_path):
+    """r15 advisor find: the self-healing sidecar write was non-atomic
+    remove-then-write on a LIVE artifact dir.  Now temp+rename: no temp
+    residue, and a previous version's HARDLINKED sidecar keeps its own
+    content when the next version rewrites (rename replaces the entry,
+    not the shared inode)."""
+    import json
+    import os
+
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        _SCHEMA_SIDECAR,
+        _write_schema_sidecar,
+    )
+
+    d = tmp_path / "v1"
+    d.mkdir()
+    df1 = spark.createDataFrame([], "id long")
+    _write_schema_sidecar(str(d), df1)
+    old = (d / _SCHEMA_SIDECAR).read_text()
+    # simulate the carry loop hardlinking v1's sidecar into v2
+    d2 = tmp_path / "v2"
+    d2.mkdir()
+    os.link(d / _SCHEMA_SIDECAR, d2 / _SCHEMA_SIDECAR)
+    _write_schema_sidecar(str(d2), spark.createDataFrame([], "id long, v string"))
+    assert (d / _SCHEMA_SIDECAR).read_text() == old, "v1's copy corrupted"
+    new = json.loads((d2 / _SCHEMA_SIDECAR).read_text())
+    assert [f["name"] for f in new["fields"]] == ["id", "v"]
+    leftovers = [p.name for p in d2.iterdir() if p.name.startswith("._schema_tmp")]
+    assert leftovers == []
 
 
 def test_empty_table_versions_readable_and_mergeable(spark, tmp_path):

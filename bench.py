@@ -73,12 +73,22 @@ def settle_box(load_max: float, settle_max: float) -> dict:
 
 
 def build_payload(
-    per_query: dict[str, float], sf: float, runs: int, box: dict | None = None
+    per_query: dict[str, float],
+    sf: float,
+    runs: int,
+    box: dict | None = None,
+    noisy: list[str] | None = None,
 ) -> dict:
     """The one-line bench payload.  Shared with
     ``tests/test_bench_contract.py`` so the 1800-char guard tests the
     REAL payload shape — a hand-maintained copy would silently stop
-    guarding when this dict grows a field."""
+    guarding when this dict grows a field.  ``noisy`` names the
+    worst-variance queries of THIS run (max/min across passes > 3×,
+    capped at 5 names) — the weather tripwire the r15 verdict asked
+    for: a per-query swing is self-diagnosing from the JSON instead of
+    polluting round-over-round diffs (x_pivot's 8× spread was the
+    motivating case; full min/max spread per query is in
+    BENCH_DETAIL.json)."""
     headline = list(REGISTRY)[:50]
     headline_set = set(headline)
     ext_total = round(
@@ -94,6 +104,8 @@ def build_payload(
         "sf": sf,
         "runs": runs,
     }
+    if noisy:
+        payload["noisy"] = noisy[:5]
     if box is not None:
         payload["box"] = box
     return payload
@@ -157,6 +169,24 @@ def main() -> None:
         name: round(statistics.median(times), 4)
         for name, times in sorted(samples.items())
     }
+    # per-query pass spread: a query whose max/min across the suite-major
+    # passes exceeds 3× was measured through a weather event — its
+    # median may still be inflated, and the JSON should say so itself
+    spread = {
+        name: {
+            "min": round(min(times), 4),
+            "max": round(max(times), 4),
+        }
+        for name, times in sorted(samples.items())
+    }
+    noisy = sorted(
+        (
+            name
+            for name, times in samples.items()
+            if min(times) > 0 and max(times) / min(times) > 3.0
+        ),
+        key=lambda n: -(max(samples[n]) / min(samples[n])),
+    )
     total = round(sum(per_query.values()), 4)
 
     iow1, tot1 = _cpu_jiffies()
@@ -191,6 +221,8 @@ def main() -> None:
             {
                 "suite_seconds": total,
                 "queries": per_query,
+                "spread": spread,
+                "noisy": noisy,
                 "sf": sf,
                 "runs": runs,
                 "box": box,
@@ -200,7 +232,7 @@ def main() -> None:
             sort_keys=True,
         )
 
-    payload = build_payload(per_query, sf, runs, box)
+    payload = build_payload(per_query, sf, runs, box, noisy)
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1800:
         # degrade to the aggregate-only line rather than losing the whole

@@ -775,6 +775,21 @@ def _jaccard_between_prefix(
 #: (overflow-checking since 4.0) never trips on the multiply.
 _MERSENNE_PRIME = (1 << 31) - 1
 
+
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The seed-determined affine permutation coefficients (aᵢ, bᵢ) of
+    the MinHash family — ONE source of truth shared by the signature
+    kernel and the portable-mode DuckDB oracle generator
+    (queries._minhash_lanes_sql), so the inlined SQL literals can never
+    drift from what the Spark side computes."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_PRIME), rng.randrange(0, _MERSENNE_PRIME))
+        for _ in range(num_hashes)
+    ]
+
 #: Working-grid cell budget for the broadcast agreement kernel in
 #: :func:`minhash_dedup_against` — B×K int16 cells per chunk (≈128 MB at
 #: the default).  Module-level so tests can shrink it to exercise the
@@ -789,6 +804,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     ngram: int = 3,
     seed: int = 42,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Per-document MinHash signature (array<bigint> of length
     ``num_hashes``) over word ``ngram`` shingles.
@@ -801,14 +817,22 @@ def minhash_signatures(
     is catastrophically slower: Catalyst's CollapseProject inlines the
     shared shingle/hash subexpression into every lane, re-tokenizing and
     re-hashing the document 64 times (measured 62 s for 5k docs at sf0.1).
-    """
-    import random
 
-    rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, _MERSENNE_PRIME), rng.randrange(0, _MERSENNE_PRIME))
-        for _ in range(num_hashes)
-    ]
+    ``hash_mode`` picks the BASE gram hash: ``"xxhash"`` (default — the
+    fast JVM path for production corpora) or ``"portable"`` — 60 bits of
+    ``md5(gram)`` mod p, re-derivable in DuckDB/Python
+    (``CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) % p`` — the same
+    contract as ``sampling._portable_bucket``), which is what lets the
+    registry's minhash queries carry FULL value oracles: the affine
+    coefficients are seed-determined Python literals an oracle can
+    inline, so with a portable base hash the entire signature is
+    engine-reproducible integer arithmetic.  Signatures from the two
+    modes are mutually incompatible — persisted sketch artifacts must
+    key the mode.
+    """
+    if hash_mode not in ("xxhash", "portable"):
+        raise ValueError(f"minhash_signatures: unknown hash_mode {hash_mode!r}")
+    coeffs = minhash_coeffs(num_hashes, seed)
     A = np.array([a for a, _ in coeffs], dtype=np.uint64)
     B = np.array([b for _, b in coeffs], dtype=np.uint64)
 
@@ -875,7 +899,18 @@ def minhash_signatures(
     _minhash = _minhash.asNondeterministic()
 
     sh = shingles(F.col(text_col), ngram)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_PRIME)))
+    if hash_mode == "portable":
+        base = F.transform(
+            sh,
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                F.lit(_MERSENNE_PRIME),
+            ),
+        )
+    else:
+        base = F.transform(
+            sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_PRIME))
+        )
     return spread(df).select(
         F.col(id_col).alias("id"), _minhash(base).alias("signature")
     )
@@ -889,6 +924,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     ngram: int = 3,
     seed: int = 42,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -908,7 +944,9 @@ def minhash_lsh_pairs(
     # minhash pipeline.  On a cluster this is "persist the sketch table
     # before the LSH join" — standard web-dedup practice.
     sig = (
-        minhash_signatures(df, id_col, text_col, num_hashes, ngram, seed)
+        minhash_signatures(
+            df, id_col, text_col, num_hashes, ngram, seed, hash_mode
+        )
         .filter(F.col("signature").isNotNull())
         .localCheckpoint(eager=True)
     )
@@ -975,6 +1013,7 @@ def minhash_dedup_against(
     broadcast_new_max: int = 100_000,
     reference_signatures: DataFrame | None = None,
     validate_signatures: bool = True,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """INCREMENTAL fuzzy dedup: flag rows of ``new`` that near-duplicate
     any ``reference`` document — the "new crawl vs existing corpus"
@@ -1122,6 +1161,7 @@ def minhash_dedup_against(
                 "__ttext",
                 num_hashes,
                 ngram,
+                hash_mode=hash_mode,
             )
             .filter(F.col("signature").isNotNull())
             .withColumn("skey", F.xxhash64("signature"))
@@ -1178,7 +1218,9 @@ def minhash_dedup_against(
                     f"with num_hashes={probe[0]['n']}, expected {num_hashes}"
                 )
         sig_n = (
-            minhash_signatures(new, id_col, text_col, num_hashes, ngram)
+            minhash_signatures(
+                new, id_col, text_col, num_hashes, ngram, hash_mode=hash_mode
+            )
             .filter(F.col("signature").isNotNull())
             .withColumn("skey", F.xxhash64("signature"))
             .localCheckpoint(eager=True)
@@ -1739,6 +1781,7 @@ def minhash_dedup(
     bands: int = 16,
     ngram: int = 3,
     cache_input: bool = False,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """End-to-end fuzzy dedup: LSH candidates → threshold on estimated
     Jaccard → connected components → canonical = min id per cluster.
@@ -1758,9 +1801,9 @@ def minhash_dedup(
     """
     if cache_input:
         df = df.localCheckpoint(eager=False)
-    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, ngram).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, ngram, hash_mode=hash_mode
+    ).filter(F.col("est_jaccard") >= threshold)
     comp = connected_components(pairs.select("a", "b"))
     return (
         df.join(comp, df[id_col] == comp.id, "left")

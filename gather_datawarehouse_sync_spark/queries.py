@@ -1523,14 +1523,47 @@ _df(
 )
 
 
+def _minhash_lanes_sql(num_hashes: int = 64, seed: int = 42) -> str:
+    """The 64 seed-determined affine MinHash permutations as a DuckDB
+    VALUES literal — generated from the SAME ``minhash_coeffs`` the
+    Spark kernel consumes (identity unit-pinned), which is what makes a
+    portable-hash_mode minhash query FULL-oracle-able: base hash = 60
+    bits of md5(gram) mod p (engine-portable), permutations = these
+    literals, min per lane = plain SQL aggregation."""
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        _MERSENNE_PRIME,
+        minhash_coeffs,
+    )
+
+    rows = ", ".join(
+        f"({i},{a},{b})"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
+    )
+    return (
+        f"lanes(i, a, b) AS (VALUES {rows}), "
+        # per-(doc, lane) signature value over the portable base hash;
+        # a·hv < 2⁶² (both < 2³¹=p+1), so BIGINT arithmetic is exact
+        "sig AS (SELECT doc_id, i, "
+        f"MIN((a * hv + b) % {_MERSENNE_PRIME}) AS m "
+        "FROM h CROSS JOIN lanes GROUP BY doc_id, i)"
+    )
+
+
 def _x_minhash_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH fuzzy dedup (the 100 TB path).  xxhash-based —
-    no DuckDB twin exists; validated against the exact-Jaccard tier in
-    tests/test_operators.py instead (rows-only check here)."""
+    """MinHash-LSH fuzzy dedup (the 100 TB path), portable hash mode:
+    base gram hash = md5-60bit mod p instead of xxhash, so the whole
+    sketch→band→candidate→connected-components pipeline is re-derivable
+    in DuckDB and this query carries a FULL value oracle (converted
+    from rows-only in r16; the xxhash production mode keeps its
+    exact-Jaccard cross-validation in tests/test_operators.py).  The
+    oracle replicates banding EXACTLY (16 bands × 4 lanes, candidates =
+    some band equal) — at threshold 0.7 the band stage can miss
+    high-agreement pairs, so agreement alone would NOT be the same
+    query."""
     from gather_datawarehouse_sync_spark.operators.dedup import minhash_dedup
 
     t = load_tables(spark, sf_dir, ("documents",))
-    out = minhash_dedup(t["documents"], threshold=0.7)
+    out = minhash_dedup(t["documents"], threshold=0.7, hash_mode="portable")
     return (
         out.groupBy("canon")
         .agg(F.count(F.lit(1)).alias("members"))
@@ -1542,10 +1575,46 @@ def _x_minhash_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df(
     "x_minhash_canon",
     _x_minhash_canon,
-    None,
+    # 3-gram shingles (distinct, docs with <3 tokens have none), the
+    # portable signature, 16×4 banding candidates, est ≥ 0.7 ⇔
+    # agreement ≥ 45 of 64 (45/64 = .703125 is the smallest lane count
+    # whose IEEE ratio clears 0.7), recursive-CTE components, canon =
+    # component min, clusters only
+    "WITH RECURSIVE w AS (SELECT doc_id, list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(1, len(w) - 2), "
+    "j -> concat_ws(' ', w[j], w[j+1], w[j+2])))) AS g "
+    "FROM w WHERE len(w) >= 3), "
+    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) "
+    "% 2147483647 AS hv FROM sh), "
+    + _minhash_lanes_sql()
+    + ", band AS (SELECT doc_id, i // 4 AS bd, "
+    "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig "
+    "FROM sig GROUP BY doc_id, i // 4), "
+    "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM band x "
+    "JOIN band y ON x.bd = y.bd AND x.bsig = y.bsig "
+    "AND x.doc_id < y.doc_id), "
+    "ag AS (SELECT c.a, c.b, COUNT(*) AS ag FROM cand c "
+    "JOIN sig sa ON sa.doc_id = c.a "
+    "JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m "
+    "GROUP BY c.a, c.b), "
+    "pairs AS (SELECT a, b FROM ag WHERE ag >= 45), "
+    "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+    "reach AS (SELECT a AS id, b AS r FROM edges "
+    "UNION SELECT reach.id, edges.b AS r FROM reach "
+    "JOIN edges ON reach.r = edges.a), "
+    "comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach "
+    "GROUP BY id), "
+    "canon AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canon "
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id) "
+    "SELECT canon, COUNT(*) AS members FROM canon GROUP BY canon "
+    "HAVING COUNT(*) > 1 ORDER BY canon",
     ("documents",),
-    note="MinHash-LSH dedup clusters (sketch-based → rows-only check; "
-    "exact-tier cross-validation lives in tests)",
+    note="MinHash-LSH dedup clusters, FULL oracle from r16: portable "
+    "md5 base hash + inlined permutation literals + exact banding + "
+    "recursive-CTE components in DuckDB",
 )
 
 
@@ -1553,10 +1622,12 @@ def _x_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash sketch tier's quality as a MEASURED, per-round number
     (the x_ivfsq_recall pattern applied to dedup): precision/recall of
     LSH candidates at est-Jaccard ≥ 0.7 against the exact 3-gram tier
-    at 0.7 as truth, on the doc_id % 4 == 0 quarter.  Sketch estimates
-    are engine-specific (xxhash) → rows-only here; the recall floor is
-    asserted in tests, and the driver row pins the report SHAPE while
-    BENCH tracks its cost."""
+    at 0.7 as truth, on the doc_id % 4 == 0 quarter.  Portable hash
+    mode from r16 (md5-60bit base hash; candidate artifact re-keyed):
+    the candidate set — banding ∧ agreement ≥ 45/64 — is then
+    engine-reproducible, the truth tier was always exact integer
+    Jaccard, and the whole report carries a FULL value oracle.  The
+    recall floor stays asserted in tests."""
     from gather_datawarehouse_sync_spark.operators.dedup import (
         dedup_recall_report,
         jaccard_pairs_cached,
@@ -1579,8 +1650,8 @@ def _x_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the recall join stay live
     cand = cached_parquet(
         spark,
-        artifact_path(sf_dir, "minhash_lsh_cand_ng3_mod4_v1"),
-        lambda: minhash_lsh_pairs(docs, ngram=3),
+        artifact_path(sf_dir, "minhash_lsh_cand_ng3_mod4_md5_v1"),
+        lambda: minhash_lsh_pairs(docs, ngram=3, hash_mode="portable"),
     ).filter(F.col("est_jaccard") >= 0.7)
     truth = jaccard_pairs_cached(
         docs,
@@ -1594,10 +1665,53 @@ def _x_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df(
     "x_minhash_recall",
     _x_minhash_recall,
-    None,
+    # candidate tier = exact banding (16×4) over portable signatures ∧
+    # agreement ≥ 45/64 (est ≥ 0.7); truth tier = exact 3-gram Jaccard
+    # ≥ 0.7 (integer cross-multiply, 7/10); report = the
+    # dedup_recall_report integers over the two normalized pair sets
+    "WITH w AS (SELECT doc_id, list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w "
+    "FROM documents WHERE doc_id % 4 = 0), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(1, len(w) - 2), "
+    "j -> concat_ws(' ', w[j], w[j+1], w[j+2])))) AS g "
+    "FROM w WHERE len(w) >= 3), "
+    "n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+    "truth AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sh x "
+    "JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id "
+    "GROUP BY x.doc_id, y.doc_id "
+    "HAVING COUNT(*) * 10 >= ((SELECT n FROM n WHERE doc_id = x.doc_id) "
+    "+ (SELECT n FROM n WHERE doc_id = y.doc_id) - COUNT(*)) * 7), "
+    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) "
+    "% 2147483647 AS hv FROM sh), "
+    + _minhash_lanes_sql()
+    + ", band AS (SELECT doc_id, i // 4 AS bd, "
+    "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig "
+    "FROM sig GROUP BY doc_id, i // 4), "
+    "bcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM band x "
+    "JOIN band y ON x.bd = y.bd AND x.bsig = y.bsig "
+    "AND x.doc_id < y.doc_id), "
+    "cand AS (SELECT c.a, c.b FROM bcand c "
+    "JOIN sig sa ON sa.doc_id = c.a "
+    "JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m "
+    "GROUP BY c.a, c.b HAVING COUNT(*) >= 45), "
+    "nc AS (SELECT COUNT(*) AS n_candidates FROM cand), "
+    "nr AS (SELECT COUNT(*) AS n_reference FROM truth), "
+    "nh AS (SELECT COUNT(*) AS n_hits FROM cand JOIN truth "
+    "ON cand.a = truth.a AND cand.b = truth.b) "
+    "SELECT CAST(n_candidates AS BIGINT) AS n_candidates, "
+    "CAST(n_reference AS BIGINT) AS n_reference, "
+    "CAST(n_hits AS BIGINT) AS n_hits, "
+    "CAST(CASE WHEN n_candidates > 0 "
+    "THEN (10000 * n_hits) // n_candidates ELSE 0 END AS BIGINT) "
+    "AS precision_bp, "
+    "CAST(CASE WHEN n_reference > 0 "
+    "THEN (10000 * n_hits) // n_reference ELSE 0 END AS BIGINT) "
+    "AS recall_bp FROM nc, nr, nh",
     ("documents",),
-    note="sketch-tier precision/recall vs the exact tier (rows-only — "
-    "xxhash estimates are engine-specific; floors pinned in tests)",
+    note="sketch-tier precision/recall vs the exact tier — FULL oracle "
+    "from r16 (portable md5 base hash; exact banding + integer Jaccard "
+    "truth re-derived in DuckDB); recall floors stay pinned in tests",
 )
 
 
@@ -2833,8 +2947,15 @@ def _x_minhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract: the reference signature table is a stored parquet artifact
     (built once, atomic rename), so each increment costs one signature
     pass over the increment plus the match against the stored sketch;
-    the reference TEXT is never re-read.  Sketch-based → rows-only;
-    sketch-path ≡ recompute-path parity is pinned in
+    the reference TEXT is never re-read.  Portable hash mode from r16
+    (md5-60bit base hash; artifact re-keyed) — the sketch is then
+    engine-reproducible and this query carries a FULL value oracle.
+    The oracle needs NO banding stage: at threshold 0.8 / 64 lanes /
+    16 bands, 64 − 52 = 12 mismatched lanes can break at most 12 < 16
+    bands, so every agreement ≥ 52 pair is a banding candidate (the
+    same exactness argument the operator's broadcast kernel rests on)
+    — match ⇔ agreement ≥ 52, best = max agreement then min ref id.
+    Sketch-path ≡ recompute-path parity stays pinned in
     tests/test_operators.py."""
     from gather_datawarehouse_sync_spark.operators.dedup import (
         minhash_dedup_against,
@@ -2848,9 +2969,12 @@ def _x_minhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     ref_sigs = cached_parquet(
         spark,
-        artifact_path(sf_dir, "minhash_sigs_mod5ref_h64_ng1_v1"),
+        artifact_path(sf_dir, "minhash_sigs_mod5ref_h64_ng1_md5_v1"),
         lambda: minhash_signatures(
-            docs.filter(F.col("doc_id") % 5 != 0), num_hashes=64, ngram=1
+            docs.filter(F.col("doc_id") % 5 != 0),
+            num_hashes=64,
+            ngram=1,
+            hash_mode="portable",
         ),
     )
     out = minhash_dedup_against(
@@ -2858,6 +2982,7 @@ def _x_minhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         reference_signatures=ref_sigs,
         threshold=0.8,
         ngram=1,
+        hash_mode="portable",
     )
     return out.select("doc_id", "ref_match").orderBy("doc_id")
 
@@ -2865,11 +2990,29 @@ def _x_minhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df(
     "x_minhash_against",
     _x_minhash_against,
-    None,
+    # unigram shingles (distinct words), portable signature, match ⇔
+    # agreement ≥ 52 of 64 (52/64 = .8125 is the smallest lane count
+    # whose IEEE ratio clears 0.8; kernel ≡ banding at this threshold),
+    # best match = max agreement, ties to min reference id
+    "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS g "
+    "FROM documents), "
+    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) "
+    "% 2147483647 AS hv FROM tok), "
+    + _minhash_lanes_sql()
+    + ", agree AS (SELECT n.doc_id AS nid, r.doc_id AS rid, COUNT(*) AS ag "
+    "FROM sig n JOIN sig r ON n.i = r.i AND n.m = r.m "
+    "WHERE n.doc_id % 5 = 0 AND r.doc_id % 5 <> 0 "
+    "GROUP BY n.doc_id, r.doc_id), "
+    "best AS (SELECT nid, rid, ROW_NUMBER() OVER (PARTITION BY nid "
+    "ORDER BY ag DESC, rid) AS rn FROM agree WHERE ag >= 52) "
+    "SELECT nid AS doc_id, rid AS ref_match FROM best WHERE rn = 1 "
+    "ORDER BY doc_id",
     ("documents",),
     note="incremental fuzzy dedup against the PERSISTED reference sketch "
-    "artifact (rows-only; sketch==recompute parity and exact-tier "
-    "cross-validation in tests)",
+    "artifact — FULL oracle from r16 (portable md5 base hash + inlined "
+    "permutation literals; kernel≡banding exactness at 0.8); "
+    "sketch==recompute parity stays pinned in tests",
 )
 
 

@@ -6146,3 +6146,44 @@ def test_empty_table_versions_readable_and_mergeable(spark, tmp_path):
     assert {tuple(r) for r in back.select("id", "v", "p").collect()} == {
         (3, "c", "pa")
     }
+
+
+def test_minhash_portable_mode_matches_python_oracle(spark):
+    """hash_mode='portable' (r16): the signature is engine-reproducible
+    integer arithmetic — md5-60bit base hash mod p, seed-determined
+    affine mins — so a pure-Python recompute must match lane for lane.
+    This is the contract the x_minhash_* DuckDB oracles rest on."""
+    import hashlib
+
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        _MERSENNE_PRIME,
+        minhash_coeffs,
+        minhash_signatures,
+    )
+
+    rows = [(1, "the cat sat on the mat"), (2, "dogs bark"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r["signature"]
+        for r in minhash_signatures(
+            df, num_hashes=8, ngram=1, hash_mode="portable"
+        ).collect()
+    }
+    coeffs = minhash_coeffs(8, 42)
+
+    def sig(text):
+        toks = sorted(
+            {t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t}
+        )
+        if not toks:
+            return None
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % _MERSENNE_PRIME
+            for t in toks
+        ]
+        return [min((a * h + b) % _MERSENNE_PRIME for h in hs) for a, b in coeffs]
+
+    for i, t in rows:
+        assert got[i] == sig(t), f"doc {i}"
+    with pytest.raises(ValueError, match="hash_mode"):
+        minhash_signatures(df, hash_mode="sha9000")

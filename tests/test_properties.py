@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
+import pytest
 from pyspark.sql import functions as F
 
 from gather_datawarehouse_sync_spark.operators.dedup import (
@@ -1332,3 +1333,254 @@ def test_merge_table_seq_random_batches_match_serial_model(
     }
     want = {(k, v, part, s) for k, (v, part, s) in model.items()}
     assert got == want
+
+
+# --- r16 verdict item 4: sq edge regimes, blocked interleave ---------------
+
+_sq_vecs = st.lists(
+    st.lists(
+        st.sampled_from(
+            [0.0, 1e-30, -1e-30, 1.27e-4, -1.0, 1.0, 0.5, 1e30, -1e30]
+        ),
+        min_size=2,
+        max_size=2,
+    ),
+    min_size=1,
+    max_size=8,
+).map(lambda vs: [(i, v) for i, v in enumerate(vs)])
+
+
+@given(_sq_vecs)
+@example(vecs=[(0, [0.0, 0.0])])  # all-zero corpus
+@example(vecs=[(0, [1e-30, 0.0]), (1, [1e30, 1e30])])  # scale extremes
+@_SETTINGS
+def test_sq_encode_matches_python_oracle_at_scale_boundaries(spark, vecs):
+    """sq_encode is one deterministic IEEE-double pipeline — a pure
+    Python recompute (same op order: v/ma·127+0.5, floor; scale =
+    max(floor(ma/127·1e6), 1), zero vector → (zeros, 0)) must match
+    bit for bit at EVERY magnitude regime: exact zeros, denormal-class
+    1e-30 (scale clamps to 1), the 1.27e-4 clamp boundary, and 1e30
+    (scale ~7.87e33 — exceeds int64!  pinned here so the overflow
+    contract is explicit, see assertion below)."""
+    import math
+
+    from gather_datawarehouse_sync_spark.operators.similarity import sq_encode
+
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (list(r["codes"]), r["scale_micro"])
+        for r in sq_encode(df).collect()
+    }
+    for i, v in vecs:
+        ma = max(abs(x) for x in v)
+        if ma == 0.0:
+            want = ([0] * len(v), 0)
+        else:
+            codes = [int(math.floor(x / ma * 127.0 + 0.5)) for x in v]
+            scale_f = math.floor(ma / 127.0 * 1_000_000.0)
+            # Spark's floor(double).cast(bigint) of a value beyond
+            # int64 saturates at Long.MAX — mirror that here so the
+            # contract is pinned rather than silently engine-specific
+            scale = max(min(int(scale_f), 9223372036854775807), 1)
+            want = (codes, scale)
+        assert got[i] == want, f"vec {i}: {got[i]} != {want}"
+
+
+_sq_corpus = st.lists(
+    st.lists(
+        st.sampled_from([0.0, -1.0, 1.0, 0.5, 0.25, 2.0, 1e-30]),
+        min_size=2,
+        max_size=2,
+    ),
+    min_size=2,
+    max_size=8,
+).map(lambda vs: [(i, v) for i, v in enumerate(vs)])
+
+
+@given(_sq_corpus, st.integers(min_value=1, max_value=4))
+@example(vecs=[(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 0.0])], k=2)
+@_SETTINGS
+def test_sq_topk_matches_python_oracle_with_zero_vectors(spark, vecs, k):
+    """sq_topk's integer scoring — (Σ qcᵢ·ccᵢ)·qs·cs, top-k by score
+    desc then min neighbor id, self excluded — equals a serial Python
+    oracle on corpora MIXING zero vectors (scale 0: every score 0,
+    ranked purely by id among themselves) with normal and
+    clamp-boundary vectors.  Queries = the whole corpus."""
+    import math
+
+    from gather_datawarehouse_sync_spark.operators.similarity import sq_topk
+
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in sq_topk(df, df, k=k).collect()
+    )
+
+    def enc(v):
+        ma = max(abs(x) for x in v)
+        if ma == 0.0:
+            return [0] * len(v), 0
+        return (
+            [int(math.floor(x / ma * 127.0 + 0.5)) for x in v],
+            max(int(math.floor(ma / 127.0 * 1_000_000.0)), 1),
+        )
+
+    codes = {i: enc(v) for i, v in vecs}
+    want = []
+    for qi, _ in vecs:
+        qc, qs = codes[qi]
+        scored = sorted(
+            (
+                -(sum(a * b for a, b in zip(qc, codes[ni][0])) * qs * codes[ni][1]),
+                ni,
+            )
+            for ni, _ in vecs
+            if ni != qi
+        )
+        for rank, (negs, ni) in enumerate(scored[:k], start=1):
+            want.append((qi, rank, ni, -negs))
+    assert got == sorted(want)
+
+
+_blocked_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.integers(min_value=-(2**62), max_value=2**62),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(_blocked_rows, st.integers(min_value=1, max_value=5))
+@example(rows=[("s1", 7), ("s1", 7), ("s1", 7)], block=2)  # id collisions
+@example(rows=[("s1", -(2**62)), ("s1", 2**62), ("s1", 0)], block=1)  # huge gaps
+@_SETTINGS
+def test_blocked_interleave_ranks_any_id_distribution(spark, rows, block):
+    """The numeric-id blocked path (r15 verdict item: collisions/gaps)
+    assigns the SAME rank multiset as the serial schedule for any id
+    distribution — duplicate ids (ties within a block: rank order among
+    them is arbitrary but the set {1..n} per source is exact), ids at
+    ±2⁶² (block = floor(id/size) runs through DOUBLE division, which is
+    monotonic — blur at the boundary can merge blocks but never invert
+    order), and any block size."""
+    from gather_datawarehouse_sync_spark.operators.sampling import (
+        weighted_interleave,
+    )
+
+    df = spark.createDataFrame(rows, "src string, id long")
+    out = weighted_interleave(
+        df, "src", {"s1": 2000}, "id", id_block_size=block
+    ).collect()
+    assert len(out) == len(rows)
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, rs in by_src.items():
+        n = len(rs)
+        # ranks are exactly {1..n} per source
+        assert sorted(r["src_rn"] for r in rs) == list(range(1, n + 1))
+        # rank order respects id order (ties excepted): sorting by rank
+        # must yield a non-decreasing id sequence
+        ids_by_rank = [r["id"] for r in sorted(rs, key=lambda r: r["src_rn"])]
+        assert ids_by_rank == sorted(ids_by_rank)
+        # keys are the serial stride schedule of the ranks
+        w = 2000 if src == "s1" else 1000
+        for r in rs:
+            assert r["mix_key"] == (r["src_rn"] * 1_000_000) // w
+
+
+_bloom_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=4),
+        ),
+        st.tuples(st.just("compact"), st.none()),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+_bloom_dir_seq = __import__("itertools").count()
+
+
+@given(_bloom_ops)
+@example(ops=[("compact", None)])  # the r15-verdict interleaving, bare
+@example(ops=[("append", [1]), ("compact", None), ("append", [2])])
+@example(ops=[("compact", None), ("compact", None)])
+@_SETTINGS
+def test_bloom_refresh_tracks_any_append_compact_interleaving(
+    spark, tmp_path, ops
+):
+    """r15 verdict item 4: the bloom index's incremental refresh racing
+    compact_files — for ANY interleaving of appends and in-place full
+    compactions, the maintained index stays row-identical to a
+    from-scratch build of the current files, with the identity guard
+    firing EXACTLY when compaction zeroed the overlap (every stored
+    file replaced) and allow_full_rebuild then recovering.  Also pins
+    the superset guarantee after every step: pruning with the
+    maintained index never loses a file that holds a probe."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gather_datawarehouse_sync_spark.sources.layout import (
+        _list_parquet_files,
+        compact_files,
+        file_bloom_index,
+        refresh_file_bloom_index,
+        scan_with_bloom_pruning,
+    )
+
+    NB, NH = 1 << 10, 3
+    base = tmp_path / f"btab{next(_bloom_dir_seq)}"
+    path = str(base)
+    spark.createDataFrame(
+        [(i,) for i in (100, 101)], "k long"
+    ).repartition(2).write.parquet(path)
+    idx = file_bloom_index(spark, path, "k", NB, NH).localCheckpoint()
+    extra = 0
+    for op, vals in ops:
+        if op == "append":
+            extra += 1
+            pq.write_table(
+                pa.table({"k": pa.array([int(v) for v in vals], pa.int64())}),
+                os.path.join(path, f"part-extra-{extra:03d}.parquet"),
+            )
+        else:
+            compact_files(spark, path, target_file_bytes=1 << 30)
+        stored = {r["file"] for r in idx.select("file").distinct().collect()}
+        overlap = stored & set(_list_parquet_files(path))
+        if not overlap:
+            with pytest.raises(ValueError, match="path-identity|full rewrite"):
+                refresh_file_bloom_index(spark, path, idx, "k", NB, NH)
+            idx = refresh_file_bloom_index(
+                spark, path, idx, "k", NB, NH, allow_full_rebuild=True
+            ).localCheckpoint()
+        else:
+            idx = refresh_file_bloom_index(
+                spark, path, idx, "k", NB, NH
+            ).localCheckpoint()
+        want = file_bloom_index(spark, path, "k", NB, NH)
+        assert sorted(map(tuple, idx.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"index drifted from rebuild after {op}"
+    # superset guarantee on the final maintained index: a probe present
+    # in the table must keep at least every file that holds it
+    full = spark.read.parquet(path)
+    keys = [r["k"] for r in full.limit(3).collect()]
+    if keys:
+        reader, kept, total = scan_with_bloom_pruning(
+            spark,
+            idx,
+            spark.createDataFrame([(k,) for k in keys], "k long"),
+            NB,
+            NH,
+        )
+        got = sorted(r["k"] for r in reader.filter(F.col("k").isin(keys)).collect())
+        want_rows = sorted(
+            r["k"] for r in full.filter(F.col("k").isin(keys)).collect()
+        )
+        assert got == want_rows

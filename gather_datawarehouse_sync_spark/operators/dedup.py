@@ -1823,6 +1823,7 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document, JVM-side.
 
@@ -1830,11 +1831,29 @@ def simhash(
     fingerprint bit = sign of the vote.  Near-duplicates have small
     Hamming distance.  Expressed with explode + groupBy (one shuffle);
     the per-bit vote is a conditional sum, vectorized by codegen.
+
+    ``hash_mode="portable"`` swaps the token hash for 60 bits of
+    ``md5(token)`` (the ``minhash_signatures`` portable contract) so the
+    fingerprint is engine-reproducible — DuckDB computes the identical
+    bits from ``CAST(('0x' || substr(md5(t),1,15)) AS BIGINT)`` — which
+    is what gives x_simhash_neighbors its full value oracle.  Portable
+    fingerprints carry at most 60 meaningful bits (``bits`` is capped
+    accordingly); the two modes' fingerprints are mutually
+    incompatible.
     """
+    if hash_mode not in ("xxhash", "portable"):
+        raise ValueError(f"simhash: unknown hash_mode {hash_mode!r}")
+    if hash_mode == "portable" and bits > 60:
+        raise ValueError(
+            "simhash: portable mode carries 60 hash bits — pass bits <= 60"
+        )
     tok = spread(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    h = F.xxhash64("tok")
+    if hash_mode == "portable":
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
     # bit masks via shiftleft: 1<<63 overflows a Python-side literal but is
     # Long.MIN_VALUE (the sign bit) when shifted JVM-side
     one = F.lit(1).cast("long")

@@ -1717,26 +1717,33 @@ _df(
 
 def _x_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: pairs within Hamming distance 8 of a
-    64-bit fingerprint, found by banding the fingerprint into 4 16-bit
-    keys (any exact-band collision → candidate; one shuffle)."""
+    60-bit PORTABLE fingerprint (md5-based token hash, r16 — the
+    fingerprint is engine-reproducible and the query carries a FULL
+    value oracle; the xxhash 64-bit production mode keeps its unit
+    pins), found by banding the fingerprint into 4 15-bit keys (any
+    exact-band collision → candidate; one shuffle)."""
     from gather_datawarehouse_sync_spark.operators.dedup import hamming64, simhash
 
     t = load_tables(spark, sf_dir, ("documents",))
     # materialize the fingerprints once: they feed BOTH sides of the
     # banding self-join, and Spark does not share common subtrees across
-    # join branches — without the checkpoint the 64-lane vote aggregate
+    # join branches — without the checkpoint the 60-lane vote aggregate
     # runs twice
-    fp = simhash(t["documents"], id_col="doc_id", text_col="text").localCheckpoint(
-        eager=True
-    )
+    fp = simhash(
+        t["documents"],
+        id_col="doc_id",
+        text_col="text",
+        bits=60,
+        hash_mode="portable",
+    ).localCheckpoint(eager=True)
     banded = fp.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(
-                        F.lit(0xFFFF)
+                    F.shiftrightunsigned(F.col("simhash"), b * 15).bitwiseAND(
+                        F.lit(0x7FFF)
                     )
                     for b in range(4)
                 ]
@@ -1767,9 +1774,32 @@ def _x_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df(
     "x_simhash_neighbors",
     _x_simhash_neighbors,
-    None,
+    # per-token md5-60bit hash, ±1 votes per bit (duplicates counted —
+    # tokens, not the distinct set), fingerprint bit = vote > 0, 4×15
+    # banding for candidates, Hamming ≤ 8 on the full fingerprint
+    "WITH tk AS (SELECT doc_id, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t "
+    "FROM documents), "
+    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) "
+    "AS hv FROM tk), "
+    "bits AS (SELECT doc_id, b, "
+    "SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+    "FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs "
+    "GROUP BY doc_id, b), "
+    "fp AS (SELECT doc_id, SUM(CASE WHEN v > 0 "
+    "THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS f "
+    "FROM bits GROUP BY doc_id), "
+    "banded AS (SELECT doc_id, f, bd, (f >> (bd * 15)) & 32767 AS key "
+    "FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bd) bs), "
+    "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, "
+    "x.f AS fa, y.f AS fb FROM banded x JOIN banded y "
+    "ON x.bd = y.bd AND x.key = y.key AND x.doc_id < y.doc_id) "
+    "SELECT a, b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hd FROM cand "
+    "WHERE bit_count(xor(fa, fb)) <= 8 ORDER BY a, b",
     ("documents",),
-    note="SimHash banded near-dup pairs (xxhash-based → rows-only check)",
+    note="SimHash banded near-dup pairs — FULL oracle from r16 "
+    "(portable md5-60bit fingerprint re-derived bit-for-bit in DuckDB; "
+    "4×15 banding + Hamming ≤ 8)",
 )
 
 

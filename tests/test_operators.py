@@ -6187,3 +6187,39 @@ def test_minhash_portable_mode_matches_python_oracle(spark):
         assert got[i] == sig(t), f"doc {i}"
     with pytest.raises(ValueError, match="hash_mode"):
         minhash_signatures(df, hash_mode="sha9000")
+
+
+def test_simhash_portable_mode_matches_python_oracle(spark):
+    """hash_mode='portable' (r16): the 60-bit fingerprint is
+    engine-reproducible — md5-60bit token hash, ±1 votes per bit over
+    token OCCURRENCES (duplicates counted), bit = vote > 0 — so a pure
+    Python recompute matches exactly; >60 bits is rejected."""
+    import hashlib
+    import re
+
+    from gather_datawarehouse_sync_spark.operators.dedup import simhash
+
+    rows = [(1, "aa bb aa"), (2, "cc"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r["simhash"]
+        for r in simhash(df, bits=60, hash_mode="portable").collect()
+    }
+
+    def fp(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if not toks:
+            return None
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        f = 0
+        for b in range(60):
+            v = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if v > 0:
+                f |= 1 << b
+        return f
+
+    assert got == {i: fp(t) for i, t in rows if fp(t) is not None}
+    with pytest.raises(ValueError, match="60"):
+        simhash(df, bits=64, hash_mode="portable")
+    with pytest.raises(ValueError, match="hash_mode"):
+        simhash(df, hash_mode="blake9")

@@ -375,6 +375,8 @@ def curate(
     min_alpha_bp: int = 0,
     fuzzy_threshold: float | None = None,
     test_fraction: float | None = None,
+    fuzzy_hash_mode: str = "xxhash",
+    split_method: str = "xxhash64",
 ) -> DataFrame:
     """The full curation chain; every stage optional, all lazy.
 
@@ -382,6 +384,12 @@ def curate(
     shrink everything downstream), exact dedup next (one shuffle), fuzzy
     dedup on the survivors (the expensive stage sees the smallest input),
     split last (adds a column, no shuffle).
+
+    ``fuzzy_hash_mode="portable"`` + ``split_method="md5"`` make the
+    ONLY two engine-hash stages engine-reproducible (the minhash /
+    split portable contracts), so the whole chain — filters and exact
+    dedup were always integer/string-exact — carries a full value
+    oracle (x_curation_full).
     """
     out = df
     if min_chars or min_alpha_bp:
@@ -393,9 +401,13 @@ def curate(
         from gather_datawarehouse_sync_spark.operators.dedup import minhash_dedup
 
         out = minhash_dedup(
-            out, id_col=id_col, text_col=text_col, threshold=fuzzy_threshold
+            out,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=fuzzy_threshold,
+            hash_mode=fuzzy_hash_mode,
         )
         out = out.filter(F.col("canon") == F.col(id_col)).drop("canon")
     if test_fraction is not None:
-        out = train_test_split(out, id_col, test_fraction)
+        out = train_test_split(out, id_col, test_fraction, method=split_method)
     return out

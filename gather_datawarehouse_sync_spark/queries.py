@@ -5886,10 +5886,15 @@ _df(
 
 
 def _x_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full curation chain incl. MinHash fuzzy dedup + train/test split —
-    sketch + engine-hash stages → rows-only (stagewise validation lives
-    in tests and the x_curation / x_minhash_canon / x_split_counts
-    entries)."""
+    """Full curation chain incl. MinHash fuzzy dedup + train/test
+    split, end-to-end under ONE value oracle (r16): the chain's only
+    two engine-hash stages run in their portable modes (md5-based
+    minhash sketch; md5 split key), so DuckDB re-derives every stage —
+    quality gate, language gate, exact min-id dedup, banded fuzzy
+    canon, split — value-for-value.  The differential covers stage
+    INTERACTION (fuzzy dedup keys on the exact-dedup survivors, the
+    split counts fuzzy survivors only), which the per-stage entries
+    (x_quality_int / x_minhash_canon / x_split_counts) cannot."""
     from gather_datawarehouse_sync_spark.pipelines import curate
 
     t = load_tables(spark, sf_dir, ("documents",))
@@ -5901,6 +5906,8 @@ def _x_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_alpha_bp=4000,
             fuzzy_threshold=0.7,
             test_fraction=0.1,
+            fuzzy_hash_mode="portable",
+            split_method="md5",
         )
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -5911,10 +5918,55 @@ def _x_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 _df(
     "x_curation_full",
     _x_curation_full,
-    None,
+    # stage 1-2: integer quality gate (length ≥ 50, alpha ≥ 4000 bp,
+    # same DIV formula as x_quality_int) + lang gate; stage 3: exact
+    # dedup keeps the min-doc_id row per text; stage 4: the
+    # x_minhash_canon portable pipeline over the SURVIVORS (3-gram
+    # sketch, 16×4 banding, agreement ≥ 45/64, components), keep
+    # canon == doc_id; stage 5: md5 split at 10 % test
+    "WITH RECURSIVE d2 AS (SELECT doc_id, text, lang, source FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) "
+    "AS rn FROM documents WHERE LENGTH(text) >= 50 AND LENGTH(text) > 0 "
+    "AND (10000 * LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g'))) "
+    "// LENGTH(text) >= 4000 "
+    "AND lang IN ('en', 'de', 'fr', 'es')) WHERE rn = 1), "
+    "w AS (SELECT doc_id, list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w "
+    "FROM d2), "
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(1, len(w) - 2), "
+    "j -> concat_ws(' ', w[j], w[j+1], w[j+2])))) AS g "
+    "FROM w WHERE len(w) >= 3), "
+    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) "
+    "% 2147483647 AS hv FROM sh), "
+    + _minhash_lanes_sql()
+    + ", band AS (SELECT doc_id, i // 4 AS bd, "
+    "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig "
+    "FROM sig GROUP BY doc_id, i // 4), "
+    "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM band x "
+    "JOIN band y ON x.bd = y.bd AND x.bsig = y.bsig "
+    "AND x.doc_id < y.doc_id), "
+    "ag AS (SELECT c.a, c.b, COUNT(*) AS ag FROM cand c "
+    "JOIN sig sa ON sa.doc_id = c.a "
+    "JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m "
+    "GROUP BY c.a, c.b), "
+    "pairs AS (SELECT a, b FROM ag WHERE ag >= 45), "
+    "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+    "reach AS (SELECT a AS id, b AS r FROM edges "
+    "UNION SELECT reach.id, edges.b AS r FROM reach "
+    "JOIN edges ON reach.r = edges.a), "
+    "comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach "
+    "GROUP BY id), "
+    "keep AS (SELECT d.doc_id, d.source FROM d2 d LEFT JOIN comp c "
+    "ON d.doc_id = c.id WHERE COALESCE(c.component, d.doc_id) = d.doc_id) "
+    "SELECT source, CASE WHEN CAST(('0x' || substr(md5(concat_ws(':', '', "
+    "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 < 100000 "
+    "THEN 'test' ELSE 'train' END AS split, COUNT(*) AS n "
+    "FROM keep GROUP BY source, 2 ORDER BY source, split",
     ("documents",),
     note="full curation chain (quality → lang → exact dedup → MinHash "
-    "fuzzy dedup → split); sketch stage → rows-only",
+    "fuzzy dedup → split) — FULL oracle from r16: portable sketch + "
+    "md5 split make every stage engine-reproducible end to end",
 )
 
 

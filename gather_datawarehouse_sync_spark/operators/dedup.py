@@ -776,6 +776,18 @@ def _jaccard_between_prefix(
 _MERSENNE_PRIME = (1 << 31) - 1
 
 
+def minhash_min_agree(threshold: float, num_hashes: int = 64) -> int:
+    """Smallest agreement count the banded path's float ``est >=
+    threshold`` compare accepts — probed with the SAME IEEE division
+    (``a/num_hashes``), so an epsilon'd ceil can never land one lane
+    off.  ONE source of truth shared by minhash_dedup_against's kernel
+    gate and the portable-mode DuckDB oracle generators."""
+    return next(
+        (a for a in range(num_hashes + 1) if a / num_hashes >= threshold),
+        num_hashes + 1,
+    )
+
+
 def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """The seed-determined affine permutation coefficients (aᵢ, bᵢ) of
     the MinHash family — ONE source of truth shared by the signature
@@ -1095,10 +1107,7 @@ def minhash_dedup_against(
     # a ceil(threshold*num_hashes) with an epsilon can land one lane off
     # in either direction and break the two strategies' identical-rows
     # contract
-    min_agree = next(
-        (a for a in range(num_hashes + 1) if a / num_hashes >= threshold),
-        num_hashes + 1,
-    )
+    min_agree = minhash_min_agree(threshold, num_hashes)
 
     def _side(df: DataFrame, side: str) -> DataFrame:
         # tag the id with its side so ONE signature pass can cover both
@@ -1678,20 +1687,23 @@ def quality_dedup(
         .filter(F.col("__clustered"))
     )
     # best member + size per cluster as ONE hash aggregate — NOT a
-    # per-component window: min(struct(-q, id)) = max quality, ties to
+    # per-component window: min(struct(...)) = max quality, ties to
     # min id (the queries.py:_x_dedup_against trick), and aggregation
     # combines map-side, so a pathologically large cluster (the
     # empty-page cluster of a web corpus) never serializes a sort on
-    # one task the way partitionBy(component) would.  NULL scores sort
-    # LAST (coalesce to int64 max), matching the orderBy(q.desc(), id)
-    # window this replaced — desc puts NULLs last, so a NULL-scored
-    # member can only be canonical when the whole cluster is unscored
+    # one task the way partitionBy(component) would.  Descending-q is
+    # encoded as BITWISE NOT (~q = -q-1: strictly order-reversing,
+    # defined for ALL int64 — a negation would overflow at Long.MIN
+    # under ANSI, and a coalesce-to-MAX sentinel collides with a
+    # legitimate q = -(2⁶³-1)); NULL scores sort LAST via a leading
+    # is-null flag, matching the orderBy(q.desc(), id) window this
+    # replaced — a NULL-scored member is canonical only when the whole
+    # cluster is unscored
     return members.groupBy("component").agg(
         F.min(
             F.struct(
-                F.coalesce(-F.col("q"), F.lit(9223372036854775807)).alias(
-                    "nq"
-                ),
+                F.col("q").isNull().alias("qn"),
+                F.coalesce(F.bitwise_not(F.col("q")), F.lit(0)).alias("nq"),
                 F.col("id"),
                 F.col("q"),
             )

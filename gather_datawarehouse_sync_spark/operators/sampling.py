@@ -361,7 +361,16 @@ def weighted_interleave(
     :func:`shuffle_order`'s rank as ``id_col`` for a shuffled mix —
     it is numeric.
     """
-    for c in (rn_col, key_col, "__wi_wm", "__wi_g", "__wi_off", "__wi_n"):
+    for c in (
+        rn_col,
+        key_col,
+        "__wi_wm",
+        "__wi_g",
+        "__wi_off",
+        "__wi_n",
+        "__wi_s2",
+        "__wi_g2",
+    ):
         if c in df.columns:
             raise ValueError(f"weighted_interleave: column collision on {c}")
     if default_weight_milli <= 0 or any(v <= 0 for v in weights_milli.values()):

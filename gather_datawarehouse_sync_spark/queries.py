@@ -1418,9 +1418,12 @@ def _x_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(
                 F.struct(
-                    # NULLS LAST, matching the q.desc() window this
-                    # replaced (q is non-null here — belt and braces)
-                    F.coalesce(-F.col("q"), F.lit(9223372036854775807)).alias(
+                    # desc-NULLS-LAST without negation: leading is-null
+                    # flag + bitwise NOT (~q is order-reversing for all
+                    # int64, no Long.MIN overflow, no sentinel
+                    # collision; q is non-null here — belt and braces)
+                    F.col("q").isNull().alias("qn"),
+                    F.coalesce(F.bitwise_not(F.col("q")), F.lit(0)).alias(
                         "nq"
                     ),
                     F.col("doc_id"),
@@ -1549,6 +1552,70 @@ def _minhash_lanes_sql(num_hashes: int = 64, seed: int = 42) -> str:
     )
 
 
+def _minhash_sig_sql(from_clause: str, ngram: int) -> str:
+    """The full shingle→hash→lanes→sig CTE chain over ``from_clause``
+    (a table name or prior CTE, WHERE tail allowed) — the DuckDB image
+    of ``minhash_signatures(hash_mode='portable')``.  ONE generator for
+    every minhash oracle (canon / against / recall / curation_full), so
+    the gram recipe and the md5-60bit stanza cannot drift between
+    them."""
+    if ngram == 1:
+        grams = (
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> ''))) AS g "
+            f"FROM {from_clause}), "
+        )
+    else:
+        terms = ", ".join(f"w[j+{d}]" if d else "w[j]" for d in range(ngram))
+        grams = (
+            "w AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS w "
+            f"FROM {from_clause}), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            f"generate_series(1, len(w) - {ngram - 1}), "
+            f"j -> concat_ws(' ', {terms})))) AS g "
+            f"FROM w WHERE len(w) >= {ngram}), "
+        )
+    return (
+        grams
+        + "h AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) "
+        "AS BIGINT) % 2147483647 AS hv FROM sh), "
+        + _minhash_lanes_sql()
+    )
+
+
+def _min_agree(threshold: float) -> int:
+    from gather_datawarehouse_sync_spark.operators.dedup import (
+        minhash_min_agree,
+    )
+
+    return minhash_min_agree(threshold)
+
+
+def _minhash_band_pairs_sql(threshold: float) -> str:
+    """band/cand/ag/pairs CTEs — the DuckDB image of
+    ``minhash_lsh_pairs`` (exact 16×4 banding candidates) filtered at
+    ``est_jaccard >= threshold``; the integer cutoff comes from the
+    operator's own ``minhash_min_agree`` so the two sides share the
+    one float-compare probe."""
+    return (
+        "band AS (SELECT doc_id, i // 4 AS bd, "
+        "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig "
+        "FROM sig GROUP BY doc_id, i // 4), "
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM band x "
+        "JOIN band y ON x.bd = y.bd AND x.bsig = y.bsig "
+        "AND x.doc_id < y.doc_id), "
+        "ag AS (SELECT c.a, c.b, COUNT(*) AS ag FROM cand c "
+        "JOIN sig sa ON sa.doc_id = c.a "
+        "JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m "
+        "GROUP BY c.a, c.b), "
+        "pairs AS (SELECT a, b FROM ag "
+        f"WHERE ag >= {_min_agree(threshold)})"
+    )
+
+
 def _x_minhash_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH fuzzy dedup (the 100 TB path), portable hash mode:
     base gram hash = md5-60bit mod p instead of xxhash, so the whole
@@ -1580,28 +1647,11 @@ _df(
     # agreement ≥ 45 of 64 (45/64 = .703125 is the smallest lane count
     # whose IEEE ratio clears 0.7), recursive-CTE components, canon =
     # component min, clusters only
-    "WITH RECURSIVE w AS (SELECT doc_id, list_filter("
-    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w "
-    "FROM documents), "
-    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
-    "generate_series(1, len(w) - 2), "
-    "j -> concat_ws(' ', w[j], w[j+1], w[j+2])))) AS g "
-    "FROM w WHERE len(w) >= 3), "
-    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) "
-    "% 2147483647 AS hv FROM sh), "
-    + _minhash_lanes_sql()
-    + ", band AS (SELECT doc_id, i // 4 AS bd, "
-    "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig "
-    "FROM sig GROUP BY doc_id, i // 4), "
-    "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM band x "
-    "JOIN band y ON x.bd = y.bd AND x.bsig = y.bsig "
-    "AND x.doc_id < y.doc_id), "
-    "ag AS (SELECT c.a, c.b, COUNT(*) AS ag FROM cand c "
-    "JOIN sig sa ON sa.doc_id = c.a "
-    "JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m "
-    "GROUP BY c.a, c.b), "
-    "pairs AS (SELECT a, b FROM ag WHERE ag >= 45), "
-    "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+    "WITH RECURSIVE "
+    + _minhash_sig_sql("documents", 3)
+    + ", "
+    + _minhash_band_pairs_sql(0.7)
+    + ", edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
     "reach AS (SELECT a AS id, b AS r FROM edges "
     "UNION SELECT reach.id, edges.b AS r FROM reach "
     "JOIN edges ON reach.r = edges.a), "
@@ -1669,36 +1719,19 @@ _df(
     # agreement ≥ 45/64 (est ≥ 0.7); truth tier = exact 3-gram Jaccard
     # ≥ 0.7 (integer cross-multiply, 7/10); report = the
     # dedup_recall_report integers over the two normalized pair sets
-    "WITH w AS (SELECT doc_id, list_filter("
-    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w "
-    "FROM documents WHERE doc_id % 4 = 0), "
-    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
-    "generate_series(1, len(w) - 2), "
-    "j -> concat_ws(' ', w[j], w[j+1], w[j+2])))) AS g "
-    "FROM w WHERE len(w) >= 3), "
-    "n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+    "WITH "
+    + _minhash_sig_sql("documents WHERE doc_id % 4 = 0", 3)
+    + ", n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
     "truth AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sh x "
     "JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id "
     "GROUP BY x.doc_id, y.doc_id "
     "HAVING COUNT(*) * 10 >= ((SELECT n FROM n WHERE doc_id = x.doc_id) "
     "+ (SELECT n FROM n WHERE doc_id = y.doc_id) - COUNT(*)) * 7), "
-    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) "
-    "% 2147483647 AS hv FROM sh), "
-    + _minhash_lanes_sql()
-    + ", band AS (SELECT doc_id, i // 4 AS bd, "
-    "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig "
-    "FROM sig GROUP BY doc_id, i // 4), "
-    "bcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM band x "
-    "JOIN band y ON x.bd = y.bd AND x.bsig = y.bsig "
-    "AND x.doc_id < y.doc_id), "
-    "cand AS (SELECT c.a, c.b FROM bcand c "
-    "JOIN sig sa ON sa.doc_id = c.a "
-    "JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m "
-    "GROUP BY c.a, c.b HAVING COUNT(*) >= 45), "
-    "nc AS (SELECT COUNT(*) AS n_candidates FROM cand), "
+    + _minhash_band_pairs_sql(0.7)
+    + ", nc AS (SELECT COUNT(*) AS n_candidates FROM pairs), "
     "nr AS (SELECT COUNT(*) AS n_reference FROM truth), "
-    "nh AS (SELECT COUNT(*) AS n_hits FROM cand JOIN truth "
-    "ON cand.a = truth.a AND cand.b = truth.b) "
+    "nh AS (SELECT COUNT(*) AS n_hits FROM pairs JOIN truth "
+    "ON pairs.a = truth.a AND pairs.b = truth.b) "
     "SELECT CAST(n_candidates AS BIGINT) AS n_candidates, "
     "CAST(n_reference AS BIGINT) AS n_reference, "
     "CAST(n_hits AS BIGINT) AS n_hits, "
@@ -3024,18 +3057,16 @@ _df(
     # agreement ≥ 52 of 64 (52/64 = .8125 is the smallest lane count
     # whose IEEE ratio clears 0.8; kernel ≡ banding at this threshold),
     # best match = max agreement, ties to min reference id
-    "WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter("
-    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS g "
-    "FROM documents), "
-    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) "
-    "% 2147483647 AS hv FROM tok), "
-    + _minhash_lanes_sql()
+    "WITH "
+    + _minhash_sig_sql("documents", 1)
     + ", agree AS (SELECT n.doc_id AS nid, r.doc_id AS rid, COUNT(*) AS ag "
     "FROM sig n JOIN sig r ON n.i = r.i AND n.m = r.m "
     "WHERE n.doc_id % 5 = 0 AND r.doc_id % 5 <> 0 "
     "GROUP BY n.doc_id, r.doc_id), "
     "best AS (SELECT nid, rid, ROW_NUMBER() OVER (PARTITION BY nid "
-    "ORDER BY ag DESC, rid) AS rn FROM agree WHERE ag >= 52) "
+    "ORDER BY ag DESC, rid) AS rn FROM agree WHERE ag >= "
+    + str(_min_agree(0.8))
+    + ") "
     "SELECT nid AS doc_id, rid AS ref_match FROM best WHERE rn = 1 "
     "ORDER BY doc_id",
     ("documents",),
@@ -4976,6 +5007,26 @@ _df(
 )
 
 
+def _sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted SQ code table (``sq_codes_v2``) — ONE loader for
+    every SQ consumer (x_sq_ann serving, x_ann_recall / x_release_gate
+    evaluation), so a future re-key cannot silently fork the codes the
+    reports score from the codes the serving tier reads."""
+    from gather_datawarehouse_sync_spark.operators.similarity import sq_encode
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        artifact_path,
+        cached_parquet,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return cached_parquet(
+        # v2: sq_encode clamps a non-zero vector's scale to >= 1 micro
+        spark,
+        artifact_path(sf_dir, "sq_codes_v2"),
+        lambda: sq_encode(emb),
+    )
+
+
 def _x_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized top-1 (FAISS SQ8): the compressed SCAN
     tier next to PQ-ADC — 4× smaller than float32 storage, one encode
@@ -4984,23 +5035,11 @@ def _x_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted (id, codes, scale_micro) table (``sq_encode`` cached via
     ``cached_parquet`` — the data-half artifact contract; SQ has no
     trained half)."""
-    from gather_datawarehouse_sync_spark.operators.similarity import (
-        sq_encode,
-        sq_topk,
-    )
-    from gather_datawarehouse_sync_spark.sources.artifacts import (
-        artifact_path,
-        cached_parquet,
-    )
+    from gather_datawarehouse_sync_spark.operators.similarity import sq_topk
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    codes = cached_parquet(
-        spark,
-        # v2: sq_encode clamps a non-zero vector's scale to >= 1 micro
-        artifact_path(sf_dir, "sq_codes_v2"),
-        lambda: sq_encode(emb),
-    )
+    codes = _sq_codes(spark, sf_dir)
     return (
         sq_topk(emb.filter(F.col("vec_id") < 10), None, k=1, codes=codes)
         .select("query_id", "neighbor_id", "score")
@@ -5159,21 +5198,13 @@ def _x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     them."""
     from gather_datawarehouse_sync_spark.operators.similarity import (
         recall_report,
-        sq_encode,
         sq_topk,
-    )
-    from gather_datawarehouse_sync_spark.sources.artifacts import (
-        artifact_path,
-        cached_parquet,
     )
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     q = emb.filter(F.col("vec_id") < 10)
-    codes = cached_parquet(
-        spark, artifact_path(sf_dir, "sq_codes_v2"), lambda: sq_encode(emb)
-    )
-    approx = sq_topk(q, None, k=10, codes=codes)
+    approx = sq_topk(q, None, k=10, codes=_sq_codes(spark, sf_dir))
     exact = _bf_exact_baseline(spark, sf_dir)
     return recall_report(approx, exact, ks=(1, 5, 10)).orderBy("k")
 
@@ -5249,23 +5280,13 @@ def _x_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_ann_recall, the SQ tier serves the persisted ``sq_codes_v2``
     artifact (deterministic encode — identical values) instead of
     re-encoding the corpus per gate run."""
-    from gather_datawarehouse_sync_spark.operators.similarity import (
-        sq_encode,
-        sq_topk,
-    )
+    from gather_datawarehouse_sync_spark.operators.similarity import sq_topk
     from gather_datawarehouse_sync_spark.pipelines import release_index_gate
-    from gather_datawarehouse_sync_spark.sources.artifacts import (
-        artifact_path,
-        cached_parquet,
-    )
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     q = emb.filter(F.col("vec_id") < 10)
-    codes = cached_parquet(
-        spark, artifact_path(sf_dir, "sq_codes_v2"), lambda: sq_encode(emb)
-    )
-    approx = sq_topk(q, None, k=10, codes=codes)
+    approx = sq_topk(q, None, k=10, codes=_sq_codes(spark, sf_dir))
     exact = _bf_exact_baseline(spark, sf_dir)
     return release_index_gate(
         approx, exact, _RELEASE_GATE_FLOORS, fail_fast=False
@@ -5930,28 +5951,10 @@ _df(
     "AND (10000 * LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g'))) "
     "// LENGTH(text) >= 4000 "
     "AND lang IN ('en', 'de', 'fr', 'es')) WHERE rn = 1), "
-    "w AS (SELECT doc_id, list_filter("
-    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w "
-    "FROM d2), "
-    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
-    "generate_series(1, len(w) - 2), "
-    "j -> concat_ws(' ', w[j], w[j+1], w[j+2])))) AS g "
-    "FROM w WHERE len(w) >= 3), "
-    "h AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) "
-    "% 2147483647 AS hv FROM sh), "
-    + _minhash_lanes_sql()
-    + ", band AS (SELECT doc_id, i // 4 AS bd, "
-    "string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bsig "
-    "FROM sig GROUP BY doc_id, i // 4), "
-    "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM band x "
-    "JOIN band y ON x.bd = y.bd AND x.bsig = y.bsig "
-    "AND x.doc_id < y.doc_id), "
-    "ag AS (SELECT c.a, c.b, COUNT(*) AS ag FROM cand c "
-    "JOIN sig sa ON sa.doc_id = c.a "
-    "JOIN sig sb ON sb.doc_id = c.b AND sb.i = sa.i AND sb.m = sa.m "
-    "GROUP BY c.a, c.b), "
-    "pairs AS (SELECT a, b FROM ag WHERE ag >= 45), "
-    "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
+    + _minhash_sig_sql("d2", 3)
+    + ", "
+    + _minhash_band_pairs_sql(0.7)
+    + ", edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), "
     "reach AS (SELECT a AS id, b AS r FROM edges "
     "UNION SELECT reach.id, edges.b AS r FROM reach "
     "JOIN edges ON reach.r = edges.a), "

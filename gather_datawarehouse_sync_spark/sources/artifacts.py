@@ -138,9 +138,23 @@ def _write_schema_sidecar(dirpath: str, df: DataFrame) -> None:
     import json
 
     target = os.path.join(dirpath, _SCHEMA_SIDECAR)
+    # sweep stale temps first: a writer that crashed between open and
+    # rename leaves its pid-named temp behind, and the version-carry
+    # loops hardlink every non-_SUCCESS file — without the sweep one
+    # crash propagates residue into every later version forever
+    for stale in os.listdir(dirpath):
+        if stale.startswith("._schema_tmp."):
+            try:
+                os.remove(os.path.join(dirpath, stale))
+            except OSError:
+                pass  # concurrent writer already renamed/swept it
     tmp = os.path.join(dirpath, f"._schema_tmp.{os.getpid()}.json")
     with open(tmp, "w") as fh:
         json.dump(df.schema.jsonValue(), fh)
+        fh.flush()
+        os.fsync(fh.fileno())  # a rename that survives power loss must
+        # not point at unflushed data — the one way temp+rename could
+        # REPLACE a good sidecar with a truncated one
     os.rename(tmp, target)
 
 
@@ -384,6 +398,8 @@ def append_partitioned_artifact(
         for name in filenames:
             if "_SUCCESS" in name:  # marker + its .crc sidecar: the
                 continue  # append job writes its own completion marker
+            if name.startswith("._schema_tmp."):
+                continue  # a crashed sidecar write's temp — never carry
             src = os.path.join(dirpath, name)
             dst = os.path.join(dst_dir, name)
             try:
@@ -448,6 +464,8 @@ def rewrite_partitioned_artifact(
         for name in filenames:
             if "_SUCCESS" in name:  # marker + crc: rewrite job re-writes
                 continue
+            if name.startswith("._schema_tmp."):
+                continue  # a crashed sidecar write's temp — never carry
             src = os.path.join(dirpath, name)
             dst = os.path.join(dst_dir, name)
             try:

@@ -2192,6 +2192,12 @@ def test_quality_dedup_null_score_sorts_last(spark):
             (2, "alpha beta gamma delta", 10),  # must win
             (10, "zeta eta theta iota", None),  # all-NULL cluster:
             (11, "zeta eta theta iota", None),  # min id wins
+            # int64-extreme scores: the sort key is BITWISE NOT, not
+            # negation — -(Long.MIN) would overflow (ANSI throws) and a
+            # coalesce-to-MAX sentinel would collide with -(2⁶³-1)
+            (20, "one two three four five", -9223372036854775808),
+            (21, "one two three four five", -9223372036854775807),
+            (22, "one two three four five", None),  # must NOT outrank 21
         ],
         "doc_id long, text string, prio long",
     )
@@ -2201,7 +2207,12 @@ def test_quality_dedup_null_score_sorts_last(spark):
             df, threshold=0.9, score=F.col("prio")
         ).collect()
     }
-    assert got == {1: (2, 10, 2), 10: (10, None, 2)}
+    assert got == {
+        1: (2, 10, 2),
+        10: (10, None, 2),
+        # max q wins even at the extremes: -(2⁶³-1) > Long.MIN > NULL
+        20: (21, -9223372036854775807, 3),
+    }
 
 
 def test_agg_state_merge_equals_direct_any_split(spark, sf_dir):

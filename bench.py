@@ -170,8 +170,11 @@ def main() -> None:
         for name, times in sorted(samples.items())
     }
     # per-query pass spread: a query whose max/min across the suite-major
-    # passes exceeds 3× was measured through a weather event — its
-    # median may still be inflated, and the JSON should say so itself
+    # passes exceeds 3× AND swings by a material absolute amount was
+    # measured through a weather event — its median may still be
+    # inflated, and the JSON should say so itself.  The absolute floor
+    # matters: a 3× ratio on a 0.15 s query is scheduler jitter, not
+    # weather (a floorless first cut flagged 36 mostly-trivial queries)
     spread = {
         name: {
             "min": round(min(times), 4),
@@ -183,7 +186,9 @@ def main() -> None:
         (
             name
             for name, times in samples.items()
-            if min(times) > 0 and max(times) / min(times) > 3.0
+            if min(times) > 0
+            and max(times) / min(times) > 3.0
+            and max(times) - min(times) > 1.0
         ),
         key=lambda n: -(max(samples[n]) / min(samples[n])),
     )

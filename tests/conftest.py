@@ -12,7 +12,18 @@ from hypothesis import settings as _hyp_settings
 # machine (builder-green == judge-green).  The .hypothesis example DB is
 # gitignored; explicit @example pins carry known counterexamples instead.
 _hyp_settings.register_profile("ci", derandomize=True)
-_hyp_settings.load_profile("ci")
+# opt-in randomized soak (SPARK_GRAFT_HYP_SOAK=<n>): n random examples
+# per property, for hunting new counterexamples OUTSIDE the gate — the
+# committed gate stays the derandomized ci profile (builder-green ==
+# judge-green); anything a soak finds gets pinned as an @example
+_soak = os.environ.get("SPARK_GRAFT_HYP_SOAK")
+if _soak:
+    _hyp_settings.register_profile(
+        "soak", derandomize=False, max_examples=int(_soak), deadline=None
+    )
+    _hyp_settings.load_profile("soak")
+else:
+    _hyp_settings.load_profile("ci")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

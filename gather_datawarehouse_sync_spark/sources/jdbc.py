@@ -120,9 +120,27 @@ def merge_jdbc(
 
     Works against any MERGE-capable target (Derby 10.11+, Postgres 15+,
     Oracle, SQL Server, ...); the test target is Derby embedded.
+
+    Identifier-case caveat: column identifiers are dialect-QUOTED with
+    the DataFrame's exact case, mirroring how Spark's own JDBC writer
+    CREATEs the staging table — so the merge is case-exact against
+    Spark-created targets.  A PRE-EXISTING target created by unquoted
+    external DDL has case-FOLDED identifiers (Postgres lowercases,
+    Derby/Oracle uppercase); match the DataFrame's column case to the
+    folded names (or create the target through this writer) or the
+    quoted reference will miss.  Table names must be plain identifiers
+    (validated here — they are interpolated into the statement).
     """
     assert key_cols, "merge_jdbc requires at least one key column"
+    import re as _re
+
     staging = staging_table or f"{target}_staging"
+    for t in (target, staging):
+        # both names are interpolated into the MERGE/DROP statements —
+        # restrict to plain (optionally schema-qualified) identifiers so
+        # a crafted name cannot smuggle SQL
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?", t):
+            raise ValueError(f"merge_jdbc: invalid table identifier {t!r}")
     props = dict(properties or {})
     out = df if num_partitions is None else df.coalesce(num_partitions)
     out.write.jdbc(url, staging, mode="overwrite", properties=props)
@@ -144,8 +162,15 @@ def merge_jdbc(
     clauses.append(
         f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
     )
-    _execute_statement(df.sparkSession, url, " ".join(clauses), props)
-    _execute_statement(df.sparkSession, url, f"DROP TABLE {staging}", props)
+    try:
+        _execute_statement(df.sparkSession, url, " ".join(clauses), props)
+    finally:
+        # drop the stage even when the MERGE fails (e.g. duplicate-key
+        # source rows): leaving it behind is the storage-leak /
+        # stale-reader hazard the docstring promises to prevent
+        _execute_statement(
+            df.sparkSession, url, f"DROP TABLE {staging}", props
+        )
 
 
 def _execute_statement(

@@ -104,7 +104,12 @@ def fetch_paginated(
                 if k in r and r[k] is not None:
                     r[k] = int(r[k])
             rows.append(r)
-        if len(batch) < page_size:
+        if not batch:
+            # terminate on the EMPTY page, not on a short one: a server
+            # that clamps the requested limit (max-page-size policies
+            # are common) returns short pages while more data remains —
+            # a len(batch) < page_size test would silently truncate the
+            # dataset after page 0.  Cost: one extra empty request.
             break
         page += 1
     return spark.createDataFrame(rows, schema=schema) if rows else (
@@ -125,22 +130,34 @@ def foreach_partition_writer(
     Each partition opens its own transport (connections are not
     serializable) and bounds in-flight calls with a thread pool of
     ``max_in_flight`` — the backpressure the reference lacks
-    (``src/DataWarehouse.js:238-244``).  The idempotency key is sent so a
-    retried request is safe on the server side.
+    (``src/DataWarehouse.js:238-244``).  The idempotency key rides as a
+    QUERY PARAMETER (a ``#fragment`` would be stripped client-side per
+    RFC 3986 and never reach the server, silently voiding the retry
+    safety it exists for), so a retried request is safe server-side.
+    Each pool THREAD gets its own transport (``transport_factory`` is
+    called per thread, not per partition): the factory's product may
+    wrap a single socket or other non-thread-safe client, and sharing
+    one across ``max_in_flight`` threads would interleave protocol
+    streams.
     """
 
     def write_partition(rows: Iterator[Row]) -> None:
+        import threading
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
         from itertools import islice
 
-        transport = transport_factory()
+        local = threading.local()
 
         def send(row: Row) -> None:
+            transport = getattr(local, "transport", None)
+            if transport is None:
+                transport = local.transport = transport_factory()
             method, path, body, idem = make_request(row)
+            sep = "&" if "?" in path else "?"
             last: Exception | None = None
             for _ in range(max_retries):
                 try:
-                    transport(method, f"{path}#idempotency_key={idem}", body)
+                    transport(method, f"{path}{sep}idempotency_key={idem}", body)
                     return
                 except Exception as exc:  # pragma: no cover - retry path
                     last = exc

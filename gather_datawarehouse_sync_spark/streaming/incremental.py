@@ -71,13 +71,15 @@ def start_incremental_dedup(
     job per micro-batch for a property that cannot change mid-run."""
     sink = epoch_parquet_sink(out_path)
 
-    if reference is not None and reference_signatures is not None:
-        # fail at stream START, not inside the first micro-batch (the
-        # batch operator raises the same error per batch — surfacing it
-        # here gives the caller a stack that points at the stream setup)
+    if (reference is None) == (reference_signatures is None):
+        # fail at stream START for both the both-given AND neither-given
+        # misuse, not inside the first micro-batch (the batch operator
+        # raises per batch — surfacing here gives the caller a stack
+        # that points at the stream setup; the sibling span-dedup starter
+        # uses the same XOR check)
         raise ValueError(
-            "start_incremental_dedup: pass reference OR "
-            "reference_signatures, not both"
+            "start_incremental_dedup: pass exactly one of reference / "
+            "reference_signatures"
         )
     if reference_signatures is not None:
         probe = (
@@ -294,12 +296,21 @@ def start_incremental_index_append(
         )
 
     def _append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from gather_datawarehouse_sync_spark.sources.artifacts import (
+            _install_atomic,
+        )
+
         invert = ivf_sq_invert if sq else ivf_invert
         lists = invert(batch_df, C, id_col=id_col, vec_col=vec_col)
-        # epoch dir overwrite = exactly-once under replay; cell below
-        # epoch keeps partition pruning for the serving scan
-        lists.write.mode("overwrite").partitionBy("cell").parquet(
-            f"{out_path}/epoch={epoch_id}"
+        # epoch dir overwrite = exactly-once under replay, via the
+        # artifact layer's atomic stage-then-rename (a direct in-place
+        # overwrite exposes a half-deleted epoch to concurrent serving
+        # scans); cell below epoch keeps partition pruning
+        _install_atomic(
+            lists,
+            f"{out_path}/epoch={epoch_id}",
+            partition_by=("cell",),
+            overwrite=True,
         )
 
     return (

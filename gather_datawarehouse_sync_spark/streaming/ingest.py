@@ -37,17 +37,33 @@ def snapshot_inventory(
     checkpoint_dir: str,
     suffix: str = ".shp",
     table: str = "file_inventory",
+    landing_dir: str | None = None,
 ) -> DataFrame:
     """Batch-snapshot ingestion: drain everything currently in ``root``
     into an in-memory table and return it (T1/T2 batch semantics).
 
     ``AvailableNow`` splits the backlog into rate-limited micro-batches
-    (unlike ``Once``), so a 100 TB backlog streams through executor
-    memory instead of one giant batch.
+    (unlike ``Once``), so the SCAN runs through executor memory instead
+    of one giant batch.  The memory SINK, however, collects every
+    output row into the driver's in-memory table — right for the
+    inventory's intended scale (file METADATA rows, not file contents:
+    ~100 B × file count), wrong for row volumes beyond driver memory;
+    for those pass ``landing_dir`` and the drained snapshot lands as
+    parquet (scan-side semantics identical), returned as a plain scan.
     """
+    w = scan_files_stream(spark, root, suffix).writeStream
+    if landing_dir is not None:
+        q = (
+            w.format("parquet")
+            .option("path", landing_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(landing_dir)
     q = (
-        scan_files_stream(spark, root, suffix)
-        .writeStream.format("memory")
+        w.format("memory")
         .queryName(table)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -89,8 +105,14 @@ def start_inventory_stream(
     def handle(df: DataFrame, batch_id: int) -> None:
         if df.isEmpty():
             return
+        # stamp BEFORE and AFTER on_batch: before, so the idle clock
+        # resets the moment data arrives; after, so a callback whose
+        # processing alone exceeds idle_timeout_s is never interrupted
+        # mid-batch by the stopper (it only sees "idle" once the batch
+        # has fully returned)
         last_data["t"] = time.monotonic()
         on_batch(df, batch_id)
+        last_data["t"] = time.monotonic()
 
     query = (
         scan_files_stream(spark, root, suffix)

@@ -26,10 +26,22 @@ from pyspark.sql import DataFrame
 def epoch_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function writing each micro-batch to
     ``path/epoch=<epoch_id>`` with overwrite semantics (idempotent under
-    epoch replay)."""
+    epoch replay).
+
+    Routed through the artifact layer's atomic install
+    (stage-then-rename, ``overwrite=True``): a direct
+    ``mode("overwrite")`` on the final epoch path deletes-then-rewrites
+    in place, so a concurrent reader of a replayed epoch sees a
+    half-deleted directory — the exact torn-read artifacts.py exists to
+    prevent.  With the atomic swap a reader sees the OLD complete epoch
+    or the NEW complete one, never parts."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+        from gather_datawarehouse_sync_spark.sources.artifacts import (
+            _install_atomic,
+        )
+
+        _install_atomic(batch_df, f"{path}/epoch={epoch_id}", overwrite=True)
 
     return write
 

@@ -116,8 +116,15 @@ def stateful_running_totals(
     Streaming: per-key state holds ``(count, total)`` across
     micro-batches, emitting one updated row per key per batch.  Batch
     input computes the same totals with a plain aggregation.
+
+    The output key column keeps the INPUT's type (derived from the
+    frame's schema, not hardcoded string): a bigint key under a
+    hardcoded-string schema fails Arrow conversion in the streaming
+    path while the batch fallback keeps bigint — breaking both the
+    operator and its own stream≡batch parity contract.
     """
-    out_schema = f"{key_col} string, n bigint, total double"
+    key_t = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_t}, n bigint, total double"
 
     if not events.isStreaming:
         return events.groupBy(key_col).agg(
@@ -167,8 +174,10 @@ def stateful_running_totals_v2(
 
     Environment gate: the state-v2 Python runner requires a working
     ``google.protobuf``; the test importorskips where absent (this
-    container), and the v1 operator above remains the tested default."""
-    out_schema = f"{key_col} string, n bigint, total double"
+    container), and the v1 operator above remains the tested default.
+    Output key type derives from the input schema (see v1)."""
+    key_t = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_t}, n bigint, total double"
 
     if not events.isStreaming:
         return events.groupBy(key_col).agg(

@@ -471,3 +471,84 @@ def test_swap_version_pointer_two_process_cas(tmp_path):
     assert A.read_version_pointer(root) == f"v{2 * iters}"
     # the lock never leaks on the success path
     assert not os.path.exists(os.path.join(root, "_cdc_current.__lock__"))
+
+
+def test_fetch_paginated_survives_server_clamped_pages(spark):
+    """r16 review find: termination on len(batch) < page_size silently
+    truncated the dataset when the server clamps the requested limit (a
+    common API policy).  Termination is now the EMPTY page: a server
+    returning short-but-nonempty pages yields every row."""
+    pages = [
+        [{"id": str(i), "metadata": None, "archived": False}] for i in range(5)
+    ]  # server clamps every page to 1 row despite page_size=1000
+
+    def transport(method, path, body):
+        page = int(path.split("page=")[1].split("&")[0])
+        return pages[page] if page < len(pages) else []
+
+    df = fetch_paginated(spark, transport, "/projects", PROJECT_SCHEMA, page_size=1000)
+    assert {r["id"] for r in df.collect()} == set(range(5))
+
+
+def test_foreach_partition_writer_idempotency_is_query_param(spark, tmp_path):
+    """r16 review find: the idempotency key rode in a URL FRAGMENT,
+    which real HTTP clients strip before the request leaves the machine
+    (RFC 3986) — the retried write was not actually idempotent
+    server-side.  Now a query parameter, appending with & when the path
+    already carries a query string."""
+    log = tmp_path / "calls.jsonl"
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    log_path = str(log)
+
+    def transport_factory():
+        def transport(method, path, body):
+            with open(log_path, "a") as fh:
+                fh.write(json.dumps({"p": path}) + "\n")
+
+        return transport
+
+    foreach_partition_writer(
+        df.coalesce(1),
+        lambda row: ("POST", f"/projects?v={row['id']}", {}, f"k{row['id']}"),
+        transport_factory,
+    )
+    paths = [json.loads(l)["p"] for l in log.read_text().splitlines()]
+    assert sorted(paths) == ["/projects?v=1&idempotency_key=k1",
+                             "/projects?v=2&idempotency_key=k2"]
+    assert not any("#" in p for p in paths)
+
+
+def test_jdbc_merge_drops_staging_on_failure_and_rejects_bad_names(
+    spark, tmp_path
+):
+    """r16 review finds: a failed MERGE (duplicate-key source rows, the
+    documented precondition violation) must still drop the staging
+    table — the leak the docstring promises to prevent; and table names
+    are validated before interpolation into the statement."""
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.sources.jdbc import (
+        merge_jdbc,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/dropdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    base = spark.createDataFrame([(1, "a")], "id int, v string")
+    write_jdbc(base, url, "t1", mode="append", properties=props, num_partitions=1)
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "id int, v string")
+    with _pytest.raises(Exception):
+        merge_jdbc(dup, url, "t1", ("id",), properties=props, num_partitions=1)
+    # staging gone: reading it must fail, while the target still reads
+    with _pytest.raises(Exception):
+        read_jdbc(spark, url, "t1_staging", properties=props).collect()
+    assert read_jdbc(spark, url, "t1", properties=props).count() == 1
+
+    with _pytest.raises(ValueError, match="invalid table identifier"):
+        merge_jdbc(base, url, "t1; DROP TABLE t1", ("id",), properties=props)
+    with _pytest.raises(ValueError, match="invalid table identifier"):
+        merge_jdbc(
+            base, url, "t1", ("id",),
+            staging_table='x"y', properties=props,
+        )

@@ -1723,3 +1723,56 @@ def test_scd2_apply_stream_matches_batch_and_time_travels(spark, tmp_path):
     q2.awaitTermination()
     assert sorted(os.listdir(versions)) == dirs_before
     assert open(pointer).read().strip() == final
+
+
+def test_stateful_running_totals_nonstring_key(spark, event_source, tmp_path):
+    """r16 review find: the output/state schema hardcoded the key column
+    as 'string', so a bigint key (event_id here) crashed the streaming
+    path at Arrow conversion while the batch fallback kept bigint —
+    breaking the stream≡batch parity contract.  The key type now derives
+    from the input schema."""
+    path, batch = event_source
+    stream = stateful_running_totals(_read_stream(spark, path), key_col="event_id")
+    got = _run_stream(spark, tmp_path, stream, "t_state_long", "update")
+    assert dict(got.dtypes)["event_id"] == "bigint"
+    final = {r["event_id"]: (r["n"], r["total"]) for r in got.collect()}
+    want = {
+        r["event_id"]: (r["n"], r["total"])
+        for r in stateful_running_totals(batch, key_col="event_id").collect()
+    }
+    assert final == want and final
+
+
+def test_incremental_dedup_rejects_neither_reference(spark, tmp_path):
+    """r16 review find: reference=None with reference_signatures=None
+    passed the old both-given guard and failed inside the first
+    micro-batch — the XOR check now fails at stream START like the
+    sibling span-dedup starter."""
+    import pytest as _pytest
+
+    from gather_datawarehouse_sync_spark.streaming.incremental import (
+        start_incremental_dedup,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    docs = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    with _pytest.raises(ValueError, match="exactly one"):
+        start_incremental_dedup(
+            docs, None, str(tmp_path / "out"), str(tmp_path / "ck")
+        )
+
+
+def test_snapshot_inventory_landing_dir(spark, tmp_path):
+    """landing_dir (r16): the drained snapshot lands as parquet instead
+    of the driver-memory table — same rows, scan-backed return."""
+    (tmp_path / "w2").mkdir()
+    (tmp_path / "w2" / "a.shp").write_bytes(b"alpha")
+    inv = snapshot_inventory(
+        spark,
+        str(tmp_path / "w2"),
+        str(tmp_path / "ckpt_inv2"),
+        landing_dir=str(tmp_path / "land"),
+    )
+    rows = inv.collect()
+    assert [r["file"] for r in rows] == ["a.shp"] and rows[0]["size"] == 5

@@ -170,7 +170,11 @@ def test_apply_file_actions_requests(spark, tmp_path):
     calls = [json.loads(l) for l in log.read_text().splitlines()]
     by_method = {}
     for c in calls:
-        by_method.setdefault((c["m"], c["p"].split("#")[0]), []).append(c)
+        # strip the idempotency key (a query param since r16 — a #fragment
+        # never reached the server) to group by the logical endpoint
+        by_method.setdefault(
+            (c["m"], c["p"].split("?")[0].split("#")[0]), []
+        ).append(c)
     # keep rows never produce RPCs; insert carries derived title (ref :364)
     assert len(calls) == 2
     ins = by_method[("POST", "/projects")][0]

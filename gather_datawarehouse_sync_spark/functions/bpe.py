@@ -31,13 +31,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gather_datawarehouse_sync_spark.functions.text import ascii_tokens
+
 
 def _initial_symbols(text: Column) -> Column:
     """Whitespace words → per-word character symbol arrays with an
     end-of-word marker on the last character (the classic BPE setup
     keeping merges word-internal).  Documents become arrays of words;
     each word is an array of single-character symbols."""
-    words = F.array_remove(F.split(F.lower(text), r"[^a-z0-9]+"), "")
+    words = ascii_tokens(text)
     return F.transform(
         words,
         lambda w: F.transform(
@@ -117,7 +119,7 @@ def bpe_train(
         keep = int(buckets * sample_fraction)
         df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)) < keep)
 
-    words_col = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
+    words_col = ascii_tokens(F.col(text_col))
     wc_rows = (
         df.select(F.explode(words_col).alias("w"))
         .groupBy("w")

@@ -54,6 +54,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gather_datawarehouse_sync_spark.functions.scalar import lit_map
+from gather_datawarehouse_sync_spark.functions.text import (
+    ascii_tokens as _text_ascii_tokens,
+)
 from gather_datawarehouse_sync_spark.functions.text import tokens
 
 
@@ -63,8 +66,9 @@ def ascii_tokens(text: Column) -> Column:
     `regexp_split_to_array` the registered oracles run.  The default
     :func:`...text.tokens` additionally keeps unicode letters/digits
     and apostrophes, which the SQL oracles do not — pass THIS tokenizer
-    whenever the score must hash-match an oracle."""
-    return F.array_remove(F.split(F.lower(text), r"[^a-z0-9]+"), "")
+    whenever the score must hash-match an oracle.  (Delegates to the
+    ONE shared definition in functions/text.py.)"""
+    return _text_ascii_tokens(text)
 
 #: Demo weight table: a tiny "educational value" lexicon in milli-units.
 #: A real deployment trains these (fastText / logistic regression) and
@@ -111,11 +115,24 @@ def classifier_score_milli(
     pass :func:`ascii_tokens` when the score must hash-match a DuckDB
     oracle (the registered queries do).
     """
+    toks = F.coalesce(tokenizer(text), F.array().cast("array<string>"))
+    return _score_tokens_milli(toks, weights_milli, bias_milli)
+
+
+def _score_tokens_milli(
+    toks: Column,
+    weights_milli: dict[str, int] | None,
+    bias_milli: int,
+) -> Column:
+    """Score an already-tokenized (non-null) array — shared by
+    :func:`classifier_score_milli` and :func:`classify_documents`, so a
+    caller that also needs ``n_tokens`` tokenizes ONCE instead of
+    paying the regex split twice per document (Catalyst does not CSE
+    the two independently built expression trees)."""
     w = weights_milli if weights_milli is not None else DEMO_WEIGHTS_MILLI
     wmap = lit_map(w)
     per_token = F.transform(
-        F.coalesce(tokenizer(text), F.array().cast("array<string>")),
-        lambda t: F.coalesce(wmap[t], F.lit(0)).cast("long"),
+        toks, lambda t: F.coalesce(wmap[t], F.lit(0)).cast("long")
     )
     return F.aggregate(
         per_token,
@@ -138,13 +155,18 @@ def classify_documents(
     quality-filter stage.  One narrow projection; composes with
     ``pipelines.curate`` ahead of dedup.  NULL text behaves as an empty
     document (0 tokens, bias score)."""
-    score = classifier_score_milli(
-        F.col(text_col), weights_milli, bias_milli, tokenizer
-    )
-    toks = F.coalesce(tokenizer(F.col(text_col)), F.array().cast("array<string>"))
-    return df.select(
+    # tokenize ONCE into a materialized column; score and n_tokens both
+    # derive from it (the two-call form paid the regex split twice)
+    toks_df = df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
+        F.coalesce(
+            tokenizer(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("__toks"),
+    )
+    score = _score_tokens_milli(F.col("__toks"), weights_milli, bias_milli)
+    return toks_df.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
         score.alias("score_milli"),
         (score >= F.lit(keep_threshold_milli)).alias("keep"),
     )

@@ -32,6 +32,16 @@ def tokens(text: Column) -> Column:
     return F.array_remove(F.split(F.lower(text), r"[^\p{L}\p{N}']+"), "")
 
 
+def ascii_tokens(text: Column) -> Column:
+    """THE oracle-parity tokenizer (``[^a-z0-9]+`` split, lowercased) —
+    byte-identical to the DuckDB ``regexp_split_to_array`` every
+    registered oracle runs.  ONE named definition (r16 review find:
+    four inline copies across text/bpe/classify/dedup could silently
+    de-synchronize the cross-engine tokenization contract); every
+    oracle-facing consumer imports this."""
+    return F.array_remove(F.split(F.lower(text), r"[^a-z0-9]+"), "")
+
+
 def token_count(text: Column) -> Column:
     """Token count via built-ins (the fast path Q41 compares against)."""
     return F.size(F.array_remove(F.split(text, r"\s+"), ""))
@@ -409,7 +419,7 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
     tokenization the dedup/oracle surface uses (``[^a-z0-9]+`` split) —
     the multiset the repetition metrics count over.  Empty result for
     documents shorter than ``n`` tokens."""
-    toks = F.array_remove(F.split(F.lower(text), r"[^a-z0-9]+"), "")
+    toks = ascii_tokens(text)
     # guard short docs: sequence(1, 0) DESCENDS to [1, 0] and slice
     # throws on start=0 — emit an empty array instead
     return F.when(

@@ -32,8 +32,19 @@ def path_categories(
 
     The filename itself is dropped (``.slice(0, -1)`` at ``:622``) and the
     root row is not emitted (``list.slice(1)`` at ``:706``).
+
+    Empty path components (a leading ``/``, doubled ``//``) are
+    normalized away (r16 review find): without the filter an absolute
+    path emits phantom rows — ``name='files/'`` with an empty
+    short_name — that plan_category_sync would push to the server as
+    inserts.  (Deliberate deviation from a byte-faithful JS ``split``:
+    the reference only ever sees relative paths because S5 strips the
+    scan root first.)
     """
-    parts = F.expr(f"slice(split({path_col}, '/'), 1, size(split({path_col}, '/')) - 1)")
+    parts = F.expr(
+        f"filter(slice(split({path_col}, '/'), 1, "
+        f"size(split({path_col}, '/')) - 1), x -> x != '')"
+    )
     root = F.lit(root_category)
     # posexplode of the directory components: a root-level file has an
     # empty parts array and naturally emits no rows (the old

@@ -59,7 +59,11 @@ def cascading_join(
         raise ValueError(f"rename right-side columns that collide with left: {overlap}")
 
     result = left
-    probe = right_cols[0]  # non-null ⇔ the tier matched
+    # match detection rides a SYNTHETIC always-true marker per tier (r16
+    # review find): probing the right frame's first column misclassifies
+    # a matched row whose first column is legitimately NULL as a miss —
+    # unmasking later tiers and mislabeling match_col
+    probe = "__hit"
 
     class _TierRef:
         """Maps original right-side names to the tier's renamed columns, so
@@ -78,7 +82,8 @@ def cascading_join(
         # Spark's ambiguous-self-join trap when the same right frame feeds
         # multiple tiers
         tier_df = right.select(
-            *[F.col(c).alias(f"__t{i}__{c}") for c in right_cols]
+            *[F.col(c).alias(f"__t{i}__{c}") for c in right_cols],
+            F.lit(True).alias(f"__t{i}__{probe}"),
         )
         cond = build(result, _TierRef(i))
         result = result.join(tier_df, cond, "left")
@@ -154,15 +159,26 @@ def asof_join(
     the new engine adds.
 
     Implementation is the union-and-window plan, *not* an inequality
-    join: tag both sides, union on (key, ts), and window-fill the right
-    payload with ``last(..., ignorenulls=True)`` over
-    ``ORDER BY ts, side ROWS UNBOUNDED PRECEDING``.  That is ONE shuffle
-    of |L|+|R| rows on the key — no range-condition BroadcastNestedLoop
-    blowup, no per-key cross product; at 100 TB it scales exactly like a
-    groupBy on the key.  Right rows sort before left rows at equal ts,
-    which makes the boundary inclusive.  Among right rows with the same
-    (key, ts) the winner is the one sorting LAST by the remaining payload
-    columns (deterministic).
+    join: tag both sides, union on (key, ts), and window-fill ONE
+    STRUCT of the whole right row with ``last(..., ignorenulls=True)``
+    over ``ORDER BY ts, side ROWS UNBOUNDED PRECEDING``.  That is ONE
+    shuffle of |L|+|R| rows on the key — no range-condition
+    BroadcastNestedLoop blowup, no per-key cross product; at 100 TB it
+    scales exactly like a groupBy on the key.  Right rows sort before
+    left rows at equal ts, which makes the boundary inclusive.  Among
+    right rows with the same (key, ts) the winner is the one sorting
+    LAST by the remaining payload columns (deterministic).
+
+    The struct fill is load-bearing for correctness (r16 review find):
+    filling each payload column INDEPENDENTLY backfills a NULL field of
+    the true as-of row from an older right row — emitting a "torn" row
+    mixing columns of different right rows.  The struct is the whole
+    row or nothing.  Two more equi-join-parity guards: a left row with
+    a NULL key or NULL timestamp matches NOTHING (window partitioning
+    groups NULL keys together and desc_nulls_last would hand NULL-ts
+    rows the earliest right row under ``forward`` — both diverge from
+    SQL join semantics and from the registered DuckDB oracle), so the
+    filled match is masked to NULL there.
 
     ``tolerance_seconds`` voids matches farther than the given horizon
     (timestamp columns only).
@@ -203,12 +219,31 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = lpart.unionByName(rpart).select(
+    # __r: the WHOLE right row as one struct (NULL on left-side rows) —
+    # filled atomically so NULL payload fields can never be backfilled
+    # from an older right row; the left row's own NULL key/ts masks the
+    # match entirely (equi-join semantics)
+    unioned = lpart.unionByName(rpart).withColumn(
+        "__r",
+        F.when(
+            F.col("__side") == 0, F.struct(*[F.col(c) for c in payload])
+        ),
+    )
+    filled = unioned.select(
         "__side",
         *left.columns,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.when(
+            F.col("__k").isNotNull() & F.col("__t").isNotNull(),
+            F.last("__r", ignorenulls=True).over(w),
+        ).alias("__m"),
     )
-    out = filled.filter(F.col("__side") == 1).drop("__side")
+    out = (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *left.columns,
+            *[F.col("__m")[c].alias(c) for c in payload],
+        )
+    )
     if tolerance_seconds is not None:
         gap = F.abs(
             F.col(left_ts).cast("double") - F.col(right_ts).cast("double")

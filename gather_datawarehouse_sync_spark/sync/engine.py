@@ -101,11 +101,15 @@ def plan_filesystem_sync(
     matched = pick_one_per_group(matched, ["ino"], ["project_id"])
 
     # a project may match several mains (same path can't repeat, but its
-    # md5 might): keep the min-ino claim, release the rest back to insert
+    # md5 might): keep ONE claim per project — exactMatch claims beat
+    # md5Match claims (r16 review find: an ino-only pick let a
+    # smaller-ino md5Match steal the project from its path-exact main,
+    # which then re-inserted as a path-duplicate project; tier priority
+    # preserves the cascade's exact-path-first intent), ties to min ino
     claim_ranked = pick_one_per_group(
         matched.filter(F.col("project_id").isNotNull()),
         ["project_id"],
-        ["ino"],
+        [(F.col("match") != EXACT_MATCH).cast("int"), F.col("ino")],
     ).select(F.col("ino").alias("__claimed_ino"))
     matched = matched.join(
         claim_ranked, matched.ino == claim_ranked.__claimed_ino, "left"
@@ -266,9 +270,15 @@ def plan_category_sync(
 
 def sync_report(actions: DataFrame) -> dict[str, int]:
     """The reference's end-of-run counters (``found/missing/updates``,
-    ref ``:230``) from one aggregation over the action plan."""
-    rows = actions.groupBy("action").agg(F.count(F.lit(1)).alias("c")).collect()
-    return {r["action"]: r["c"] for r in rows}
+    ref ``:230``) from one aggregation over the action plan — the SAME
+    aggregation as :func:`...operators.reconcile.action_counts`
+    (reused, not re-spelled, so the report column/vocabulary cannot
+    drift between the two surfaces)."""
+    from gather_datawarehouse_sync_spark.operators.reconcile import (
+        action_counts,
+    )
+
+    return {r["action"]: r["c"] for r in action_counts(actions).collect()}
 
 
 def apply_file_actions(

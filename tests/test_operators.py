@@ -6234,3 +6234,123 @@ def test_simhash_portable_mode_matches_python_oracle(spark):
         simhash(df, bits=64, hash_mode="portable")
     with pytest.raises(ValueError, match="hash_mode"):
         simhash(df, hash_mode="blake9")
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    """r16 review find: per-column last(ignorenulls) fills backfilled a
+    NULL field of the TRUE as-of row from an older right row, emitting
+    a torn row mixing two right rows.  The fill is now one whole-row
+    struct: the match is the t=2 row, price NULL and all."""
+    from gather_datawarehouse_sync_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("k", 3)], "id string, ts long")
+    right = spark.createDataFrame(
+        [("k", 1, 100), ("k", 2, None)], "id string, rts long, price long"
+    )
+    rows = asof_join(left, right, "id", "ts", "rts").collect()
+    assert len(rows) == 1
+    assert (rows[0]["rts"], rows[0]["price"]) == (2, None), rows
+
+
+def test_asof_join_null_keys_and_null_ts_match_nothing(spark):
+    """r16 review finds: window partitioning groups NULL keys together
+    (an equi-join never matches NULL = NULL), and forward's
+    desc_nulls_last handed NULL-ts left rows the earliest right row.
+    Both now mask to no-match, in both directions — matching the SQL
+    semantics of the registered x_asof_join oracle."""
+    from gather_datawarehouse_sync_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 5), ("k", None), ("k", 4)], "id string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(None, 1, 9), ("k", 2, 7)], "id string, rts long, rid long"
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            (r["id"], r["ts"]): r["rid"]
+            for r in asof_join(
+                left, right, "id", "ts", "rts", direction=direction
+            ).collect()
+        }
+        assert got[(None, 5)] is None, direction
+        assert got[("k", None)] is None, direction
+    # the non-null row still matches normally in both directions
+    back = {
+        (r["id"], r["ts"]): r["rid"]
+        for r in asof_join(left, right, "id", "ts", "rts").collect()
+    }
+    assert back[("k", 4)] == 7
+
+
+def test_cascading_join_matched_row_with_null_first_column(spark):
+    """r16 review find: tier-match detection probed the right frame's
+    FIRST column, so a matched row whose first column is legitimately
+    NULL read as a miss — unmasking later tiers and mislabeling
+    match_col.  Detection now rides a synthetic marker."""
+    left = spark.createDataFrame([(1, "h1")], "k long, h string")
+    right = spark.createDataFrame(
+        [(None, 1, "exact-payload"), ("x", 99, "md5-payload")],
+        "flag string, rk long, payload string",
+    )
+    out = cascading_join(
+        left,
+        right,
+        tiers=[
+            ("exact", lambda l, r: l["k"] == r["rk"]),
+            ("fallback", lambda l, r: r["flag"] == "x"),
+        ],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # tier 0 matched (flag NULL notwithstanding): its payload and label win
+    assert r["match"] == "exact" and r["payload"] == "exact-payload"
+    assert r["flag"] is None
+
+
+def test_path_categories_normalizes_empty_components(spark):
+    """r16 review find: a leading '/' (or doubled '//') emitted phantom
+    rows — name='files/' with an empty short_name — that the category
+    sync would push as inserts.  Empty components now filter out, so an
+    absolute path derives the same dimension as its relative form."""
+    rel = spark.createDataFrame([("a/b/c.txt",)], "file string")
+    absd = spark.createDataFrame([("/a//b/c.txt",)], "file string")
+    want = sorted(map(tuple, path_categories(rel).collect()))
+    got = sorted(map(tuple, path_categories(absd).collect()))
+    assert got == want
+    assert all(r[2] != "" for r in got)  # no empty short_name anywhere
+
+
+def test_filesystem_sync_exact_match_keeps_its_claim(spark):
+    """r16 review find: the one-claim-per-project pick ordered by ino
+    only, so a smaller-ino md5Match stole a project from its path-EXACT
+    main, which then re-inserted as a path-duplicate project.  Claims
+    now rank exactMatch first (ties to min ino)."""
+    from gather_datawarehouse_sync_spark.sync.engine import (
+        plan_filesystem_sync,
+    )
+
+    files = spark.createDataFrame(
+        [
+            ("a/x.shp", "H1", 1, 50),  # exactMatch on P by path
+            ("b/y.shp", "H2", 1, 10),  # md5Match on P (smaller ino)
+        ],
+        "file string, md5 string, size long, ino long",
+    )
+    projects = spark.createDataFrame(
+        [
+            {
+                "id": 7,
+                "metadata": {"file": {"file": "a/x.shp", "md5": "H2"}},
+                "archived": False,
+            }
+        ]
+    )
+    got = {
+        r["file"]: (r["action"], r["match"], r["project_id"])
+        for r in plan_filesystem_sync(files, projects).collect()
+        if r["file"] is not None
+    }
+    # the path-exact main keeps project 7; the md5 main releases to insert
+    assert got["a/x.shp"][1] == "exactMatch" and got["a/x.shp"][2] == 7
+    assert got["b/y.shp"][0] == "insert" and got["b/y.shp"][2] is None

@@ -6147,8 +6147,9 @@ _df(
     "WITH t AS (SELECT doc_id, CAST(len(list_filter(regexp_split_to_array("
     "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS tokens "
     "FROM documents), "
-    "s AS (SELECT doc_id, tokens, COALESCE(SUM(tokens) OVER (ORDER BY doc_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM t) "
+    "s AS (SELECT doc_id, tokens, CAST(COALESCE(SUM(tokens) OVER (ORDER BY "
+    "doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "AS st FROM t) "
     "SELECT doc_id, tokens, st, "
     "CAST(FLOOR(st / 2048.0) AS BIGINT) AS first_chunk, "
     "CAST(FLOOR(st / 2048.0) + (CASE WHEN tokens > 0 THEN "
@@ -7640,13 +7641,16 @@ _df(
 # Round-16 rotated in the r15 verdict's named six: x_tpch_q3,
 # x_tpch_q5, x_salted_join, x_pack_chunks, x_scd2_intervals,
 # x_retention (see _PRIORITY below).
-# Round-17 rotation candidates (longest-waiting FULL-oracle entries
-# after this window): x_length_buckets, x_temp_resample,
-# x_boilerplate, x_boilerplate_against, x_dedup_recall,
-# x_interpolate, then x_token_budget, x_winnow_pairs, x_tfidf_topk,
-# x_top_ngram; also x_split_counts / x_cluster_split / x_dsir_select
-# (gained full oracles in r15, vanilla-swept MATCH, never
-# driver-hash-verified).
+# Round-17 rotation (r16 verdict items 1+3): x_pack_chunks retained
+# until its driver row goes green, plus x_length_buckets,
+# x_temp_resample, x_boilerplate, x_boilerplate_against,
+# x_dedup_recall (see _PRIORITY below).
+# Round-18 rotation candidates (longest-waiting FULL-oracle entries
+# after this window): x_interpolate (deferred from the r16 verdict's
+# six by the x_pack_chunks retention), then x_token_budget,
+# x_winnow_pairs, x_tfidf_topk, x_top_ngram; also x_split_counts /
+# x_cluster_split / x_dsir_select (gained full oracles in r15,
+# vanilla-swept MATCH, never driver-hash-verified).
 
 def _x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-shaped data selection end-to-end (hashed-2-gram importance
@@ -7695,15 +7699,19 @@ _df(
 
 
 _PRIORITY: tuple[str, ...] = tuple(f"q{i}" for i in range(1, 45)) + (
-    # Round 16 rotates in the six the r15 verdict named (its item 3,
-    # verbatim — all FULL-oracle, never driver-verified; several were
-    # independently hash-verified by the r15 judge at sf0.01):
-    "x_tpch_q3",
-    "x_tpch_q5",
-    "x_salted_join",
+    # Round 17: the r16 verdict's item 1 keeps x_pack_chunks IN the
+    # window until CORRECTNESS_r17 shows hash_match true (its r16 red
+    # row was an oracle HUGEINT typing bug, fixed by the CAST above —
+    # engine values verified identical 500/500 at sf0.01).  The
+    # remaining five slots rotate to the verdict's item-3 list in its
+    # order; the sixth name (x_interpolate) is deferred to r18 because
+    # keeping x_pack_chunks consumes its slot.
     "x_pack_chunks",
-    "x_scd2_intervals",
-    "x_retention",
+    "x_length_buckets",
+    "x_temp_resample",
+    "x_boilerplate",
+    "x_boilerplate_against",
+    "x_dedup_recall",
 )
 
 

@@ -10,6 +10,7 @@ import math
 import os
 
 import duckdb
+import pyarrow as pa
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -57,12 +58,46 @@ def normalize_rows(columns, rows):
     return [columns[i] for i in order], out
 
 
+def arrow_decimal_columns(schema: "pa.Schema") -> list:
+    """Column names whose arrow type is (or contains) a decimal.
+
+    The driver hashes oracle results through arrow, where DuckDB's
+    HUGEINT (e.g. an uncast window ``SUM(BIGINT)``) surfaces as
+    ``decimal128(38,0)`` and renders differently from Spark's BIGINT.
+    ``.fetchall()`` int-converts HUGEINT, so the Decimal value guard in
+    ``_norm`` can never fire on it — this schema check is the tripwire
+    that catches the class (the r16 x_pack_chunks failure mode).
+    """
+
+    def has_decimal(t: "pa.DataType") -> bool:
+        if pa.types.is_decimal(t):
+            return True
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return has_decimal(t.value_type)
+        if pa.types.is_struct(t):
+            return any(has_decimal(f.type) for f in t)
+        if pa.types.is_map(t):
+            return has_decimal(t.key_type) or has_decimal(t.item_type)
+        return False
+
+    return [f.name for f in schema if has_decimal(f.type)]
+
+
 def compare(spark_df, duck_con, duck_sql: str):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    res = duck_con.execute(duck_sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    # Fetch through arrow — the driver's hash path — so HUGEINT/DECIMAL
+    # oracle columns fail here instead of only on the driver.
+    tbl = duck_con.execute(duck_sql).fetch_arrow_table()
+    dec_cols = arrow_decimal_columns(tbl.schema)
+    if dec_cols:
+        return [
+            "oracle arrow schema has decimal column(s) "
+            f"{dec_cols} — CAST to BIGINT/DOUBLE in the SQL "
+            "(uncast window SUM? HUGEINT literal arithmetic?)"
+        ]
+    d_cols = tbl.column_names
+    d_rows = list(zip(*(c.to_pylist() for c in tbl.columns))) if tbl.num_rows else []
     sc, sr = normalize_rows(s_cols, s_rows)
     dc, dr = normalize_rows(d_cols, d_rows)
     problems = []

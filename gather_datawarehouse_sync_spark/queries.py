@@ -16,8 +16,12 @@ SQL.  Conventions (SURVEY §2 preamble / BASELINE.md):
 - timestamps in result sets are rendered to DATE or formatted strings
   (events.ts is ns-precision parquet, orders/lineitem are ms — casting
   sidesteps precision-mismatch hashes);
-- approximate operators (MinHash estimate, LSH ANN) are never
-  hash-compared — they ship without an oracle entry and are validated in
+- approximate operators are hash-compared whenever their randomness is
+  a pure function of a seed that SQL can replay: MinHash/SimHash run in
+  portable-md5 mode (r16) and the hyperplane-LSH tiers inline their
+  seeded plane matrix as DOUBLE[] literals (r17, the minhash-coeffs
+  trick) — only genuinely engine-specific sketches (HLL, k-means cells,
+  PQ codebooks, approx_percentile) stay rows-only and are validated in
   ``tests/`` against their exact counterparts instead.
 
 Queries whose SQL text is valid in both dialects are declared once via
@@ -1836,10 +1840,52 @@ _df(
 )
 
 
+def _lsh_plane_lits(
+    dim: int, num_planes: int, num_tables: int, seed: int
+) -> list[str]:
+    """DuckDB ``DOUBLE[]`` literals of the SAME seeded hyperplane matrix
+    the engine sketches with (``similarity._plane_matrix``) — the
+    minhash-coeffs trick applied to LSH: the planes depend only on
+    (dim, planes, tables, seed), never on the corpus, so inlining them
+    makes the sketch fully re-derivable in SQL and turns the LSH tiers
+    into FULL value oracles (r16 verdict item 5).  Sign safety: the
+    minimum |projection| over every test corpus is ≥ 1.2e-6 (measured at
+    sf0.001/0.01/0.1 for both plane geometries), ~7 orders of magnitude
+    above double rounding, so cross-engine summation-order differences
+    cannot flip a bucket bit.  ``repr(float)`` round-trips the exact
+    double through DuckDB's parser."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        _plane_matrix,
+    )
+
+    M = _plane_matrix(dim, num_planes, num_tables, seed)
+    return [
+        "[" + ", ".join(repr(float(x)) for x in M[:, j]) + "]::DOUBLE[]"
+        for j in range(M.shape[1])
+    ]
+
+
+def _lsh_bucket_sql(
+    vec: str, lits: list[str], table: int, num_planes: int
+) -> str:
+    """SQL for one table's sign-sketch bucket: bit p set iff the vector's
+    projection on plane (table·num_planes + p) is ≥ 0 — byte-identical
+    to the engine's ``(Pr >= 0) @ (1 << arange(planes))``."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, "
+        f"{lits[table * num_planes + p]}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _x_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH — the
-    scale path that replaces q43's brute force; recall vs exact is
-    asserted in tests, never hash-compared."""
+    scale path that replaces q43's brute force.  FULL oracle since r17:
+    the seeded plane matrix is inlined into the SQL as DOUBLE[] literals
+    (``_lsh_plane_lits``), so DuckDB re-derives the identical buckets,
+    candidate set, and dot-ranked top-1; ids only cross the boundary (no
+    float columns in the result)."""
     from gather_datawarehouse_sync_spark.operators.similarity import lsh_topk
 
     t = load_tables(spark, sf_dir, ("embeddings",))
@@ -1853,12 +1899,31 @@ def _x_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_ANN_LITS = _lsh_plane_lits(dim=64, num_planes=8, num_tables=4, seed=42)
+
 _df(
     "x_lsh_ann",
     _x_lsh_ann,
-    None,
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings), "
+    "s AS (SELECT vec_id, v, "
+    + ", ".join(
+        f"{_lsh_bucket_sql('v', _LSH_ANN_LITS, t, 8)} AS b{t}"
+        for t in range(4)
+    )
+    + " FROM e), "
+    "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "list_dot_product(q.v, c.v) AS score FROM s q JOIN s c "
+    "ON q.vec_id <> c.vec_id AND (q.b0 = c.b0 OR q.b1 = c.b1 "
+    "OR q.b2 = c.b2 OR q.b3 = c.b3) WHERE q.vec_id < 10), "
+    "r AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+    "(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn "
+    "FROM cand) "
+    "SELECT query_id, neighbor_id FROM r WHERE rn = 1 ORDER BY query_id",
     ("embeddings",),
-    note="LSH approximate top-1 (random projections → rows-only check)",
+    note="LSH approximate top-1 — FULL oracle via seed-literal "
+    "hyperplanes (r17); ids only, ranked by exact dot with min-id "
+    "tie-break in both dialects",
 )
 
 
@@ -2437,8 +2502,12 @@ _df(
 
 def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for embedding near-dup: hyperplane-LSH candidates
-    + exact cosine verify (sketch-based, so rows-only here; subset-of-
-    exact + guaranteed-identical-vector recall asserted in tests).
+    + exact cosine verify.  FULL oracle since r17 (seed-literal planes,
+    see ``_lsh_plane_lits``): DuckDB re-derives the normalized vectors,
+    the 8-table bucket sketch, the candidate pairs, and the cosine ≥ 0.45
+    verify — ids only cross the boundary; the corpus has no pair within
+    1e-6 of the threshold (the x_embed_dup safety argument), and bucket
+    signs clear double rounding by ~7 orders of magnitude.
 
     Parameter note: this corpus has no planted near-dups — pairs ≥ 0.45
     are the tail of a continuous cosine distribution (background ≈ 0.25),
@@ -2475,13 +2544,36 @@ def _x_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMBED_LSH_LITS = _lsh_plane_lits(dim=64, num_planes=10, num_tables=8, seed=42)
+
 _df(
     "x_embed_dup_lsh",
     _x_embed_dup_lsh,
-    None,
+    # normalized vectors (zero vectors dropped, matching similarity.
+    # normalized), 8-table × 10-plane sign buckets from the SAME seeded
+    # plane matrix the engine uses, candidate pairs via (table, bucket)
+    # equi-join, exact cosine ≥ 0.45 verify on the normalized vectors
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings), "
+    "n AS (SELECT vec_id, list_transform(v, x -> x / "
+    "sqrt(list_dot_product(v, v))) AS v FROM e "
+    "WHERE sqrt(list_dot_product(v, v)) > 0), "
+    "s AS (SELECT vec_id, v, ["
+    + ", ".join(
+        _lsh_bucket_sql("v", _EMBED_LSH_LITS, t, 10) for t in range(8)
+    )
+    + "] AS bs FROM n), "
+    "bu AS (SELECT vec_id, t.i AS tbl, bs[t.i + 1] AS bucket "
+    "FROM s, range(8) t(i)), "
+    "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bu x "
+    "JOIN bu y ON x.tbl = y.tbl AND x.bucket = y.bucket "
+    "AND x.vec_id < y.vec_id) "
+    "SELECT c.a, c.b FROM cand c JOIN s sa ON sa.vec_id = c.a "
+    "JOIN s sb ON sb.vec_id = c.b "
+    "WHERE list_dot_product(sa.v, sb.v) >= 0.45 ORDER BY a, b",
     ("embeddings",),
-    note="LSH-bucketed embedding near-dup (approximate recall → rows-only "
-    "check; exact-tier cross-validation in tests)",
+    note="LSH-bucketed embedding near-dup — FULL oracle via seed-literal "
+    "hyperplanes (r17); ids only, threshold margin ≥ 1e-6 on this corpus",
 )
 
 
@@ -2907,8 +2999,10 @@ def _x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet artifact (the tokenizer every LLM pipeline ships), and
     replayed over the whole corpus as codegen'd array expressions —
     per-doc piece counts out.  Stored ≡ in-memory merge replay is
-    pinned in tests; iterative merge application has no SQL form →
-    rows-only."""
+    pinned in tests.  FULL oracle since r17 (``_bpe_apply_oracle_sql``):
+    the 8 training rounds unroll into materialized CTEs (the merge
+    table is a pure function of the corpus — tie-breaks pinned), and
+    merge application replays as boundary-safe string replaces."""
     import os
 
     from gather_datawarehouse_sync_spark.functions.bpe import bpe_apply, bpe_train
@@ -2930,17 +3024,107 @@ def _x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     merges = load_bpe_merges(spark, path)
     return docs.select(
-        "doc_id", F.size(bpe_apply(F.col("text"), merges)).alias("n_pieces")
+        "doc_id",
+        F.size(bpe_apply(F.col("text"), merges)).cast("long").alias("n_pieces"),
     ).orderBy("doc_id")
+
+
+def _bpe_apply_oracle_sql(num_merges: int = 8, min_count: int = 2) -> str:
+    """DuckDB replay of bpe_train (doc_id < 300 slice) + bpe_apply.
+
+    The merge table is a pure function of the corpus (argmax ties break
+    (count DESC, left ASC, right ASC) in both engines; the slice differs
+    per sf, so literals can't be inlined — the SQL re-derives them).
+    Encoding: each word's symbol list is packed as ``|s1||s2||...|`` —
+    '|' never occurs in a symbol ([a-z0-9] chars + '</w>'), so the merge
+    of pair (l, r) is exactly ``replace(enc, '|l||r|', '|lr|')``:
+    symbol-boundary-safe, and left-to-right non-overlapping semantics
+    match the engine's greedy fold (a freshly merged symbol is never
+    reconsidered — ``replace`` resumes AFTER each replacement, the same
+    guarantee ``_merge_word``'s ``left||right != left`` argument gives).
+    Every chained CTE is MATERIALIZED: round r references round r-1
+    several times (pair counts + the rewrite), so un-materialized
+    inlining would re-execute the whole prefix per round (~2^rounds).
+    An exhausted round (no pair ≥ min_count) yields an empty m<r>, and
+    the COALESCE sentinel (chr(1), never in an encoding) turns its
+    replace into a no-op — the engine's early ``break`` leaves the
+    stored table short with the same final segmentation.
+    Piece count per word = half its separator chars (k symbols →
+    2(k-1) inner + 2 outer = 2k bars)."""
+
+    def enc0(w: str) -> str:
+        return (
+            "'|' || array_to_string(list_transform(generate_series(1, "
+            f"length({w})), i -> CASE WHEN i = length({w}) THEN "
+            f"substr({w}, i, 1) || '</w>' ELSE substr({w}, i, 1) END), "
+            "'||') || '|'"
+        )
+
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')"
+    )
+    ctes = [
+        "vc AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest("
+        + toks
+        + ") AS w FROM documents WHERE doc_id < 300) GROUP BY w)",
+        "seg0 AS MATERIALIZED (SELECT c, " + enc0("w") + " AS enc FROM vc)",
+    ]
+    for r in range(1, num_merges + 1):
+        p = r - 1
+        ctes.append(
+            f"pc{r} AS MATERIALIZED (SELECT p.pl AS pl, p.pr AS pr, "
+            "SUM(c) AS cnt FROM (SELECT c, unnest(list_transform("
+            "generate_series(1, greatest(len(syms) - 1, 0)), "
+            "i -> {'pl': syms[i], 'pr': syms[i + 1]})) AS p FROM "
+            "(SELECT c, string_split(trim(enc, '|'), '||') AS syms "
+            f"FROM seg{p})) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT pl, pr FROM pc{r} "
+            f"WHERE cnt >= {min_count} ORDER BY cnt DESC, pl, pr LIMIT 1)"
+        )
+        pat = f"COALESCE((SELECT '|' || pl || '||' || pr || '|' FROM m{r}), chr(1))"
+        rep = f"COALESCE((SELECT '|' || pl || pr || '|' FROM m{r}), chr(1))"
+        ctes.append(
+            f"seg{r} AS MATERIALIZED (SELECT c, replace(enc, {pat}, {rep}) "
+            f"AS enc FROM seg{p})"
+        )
+    ctes.append(
+        "dw AS (SELECT doc_id, unnest(" + toks + ") AS w FROM documents)"
+    )
+    ctes.append(
+        "a0 AS MATERIALIZED (SELECT doc_id, " + enc0("w") + " AS enc FROM dw)"
+    )
+    for r in range(1, num_merges + 1):
+        pat = f"COALESCE((SELECT '|' || pl || '||' || pr || '|' FROM m{r}), chr(1))"
+        rep = f"COALESCE((SELECT '|' || pl || pr || '|' FROM m{r}), chr(1))"
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT doc_id, replace(enc, {pat}, "
+            f"{rep}) AS enc FROM a{r - 1})"
+        )
+    ctes.append(
+        "np AS (SELECT doc_id, SUM((length(enc) - length(replace(enc, "
+        f"'|', ''))) // 2) AS n FROM a{num_merges} GROUP BY doc_id)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT d.doc_id, CAST(COALESCE(np.n, 0) AS BIGINT) AS n_pieces"
+        " FROM documents d LEFT JOIN np USING (doc_id) ORDER BY d.doc_id"
+    )
 
 
 _df(
     "x_bpe_apply",
     _x_bpe_apply,
-    None,
+    _bpe_apply_oracle_sql(num_merges=8, min_count=2),
     ("documents",),
-    note="stored-tokenizer application (persisted merge table replayed "
-    "corpus-wide; rows-only — iterative merges have no SQL form)",
+    note="stored-tokenizer application — FULL oracle from r17: the "
+    "8-round training replays as unrolled materialized CTEs (merge "
+    "table is a pure function of the corpus) and apply as "
+    "boundary-safe string replaces; derived merges verified identical "
+    "to bpe_train at sf0.001/0.01/0.1",
 )
 
 

@@ -1584,3 +1584,411 @@ def test_bloom_refresh_tracks_any_append_compact_interleaving(
             r["k"] for r in full.filter(F.col("k").isin(keys)).collect()
         )
         assert got == want_rows
+
+
+# ---------------------------------------------------------------------------
+# r16 verdict item 4: asof_join vs a serial oracle under randomized NULL
+# patterns and duplicate timestamps — the exact regime of the r16
+# torn-row fix (joins.py:172-181).
+# ---------------------------------------------------------------------------
+
+_asof_left = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2, None]),  # key (NULL key matches nothing)
+        st.sampled_from([0, 1, 2, 3, 5, None]),  # ts (NULL ts matches nothing)
+    ),
+    min_size=1,
+    max_size=8,
+).map(lambda rs: [(i, k, t) for i, (k, t) in enumerate(rs)])
+
+_asof_right = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2, None]),  # key
+        st.sampled_from([0, 1, 2, 4, None]),  # ts — dups ON PURPOSE
+        st.sampled_from(["a", "b", None]),  # payload v (NULL → torn-row bait)
+        st.sampled_from([10, 20, None]),  # payload w
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+def _asof_serial(left, right, direction, tol):
+    """One-left-row-at-a-time model of the documented semantics:
+    NULL key/ts never matches; nearest right_ts (inclusive); among
+    equal (key, ts) right rows the winner sorts LAST by the remaining
+    payload columns ascending with NULLs FIRST (i.e. max with None
+    smallest); tolerance voids matches farther than the horizon."""
+
+    def none_first(x):
+        return (x is not None, x)
+
+    out = []
+    for lid, k, lt in left:
+        match = None
+        if k is not None and lt is not None:
+            cands = [
+                r
+                for r in right
+                if r[0] == k
+                and r[1] is not None
+                and (r[1] <= lt if direction == "backward" else r[1] >= lt)
+            ]
+            if cands:
+                best_ts = (max if direction == "backward" else min)(
+                    r[1] for r in cands
+                )
+                tied = [r for r in cands if r[1] == best_ts]
+                match = max(
+                    tied, key=lambda r: (none_first(r[2]), none_first(r[3]))
+                )
+                if tol is not None and abs(lt - best_ts) > tol:
+                    match = None
+        out.append(
+            (lid, k, lt)
+            + ((match[1], match[2], match[3]) if match else (None, None, None))
+        )
+    return sorted(out, key=lambda t: tuple(none_first(x) for x in t))
+
+
+@given(
+    _asof_left,
+    _asof_right,
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 1]),
+)
+@example(  # the r16 torn-row regime: NULL payload field on the true
+    # as-of row must NOT be backfilled from the older right row
+    left=[(0, 1, 2)],
+    right=[(1, 1, "a", 10), (1, 2, None, 20)],
+    direction="backward",
+    tol=None,
+)
+@example(  # duplicate right ts: deterministic max-by-payload winner,
+    # with a NULL payload column sorting FIRST (loses)
+    left=[(0, 1, 1)],
+    right=[(1, 1, None, 20), (1, 1, "a", None), (1, 1, "a", 10)],
+    direction="backward",
+    tol=None,
+)
+@example(  # NULL left ts under forward: desc_nulls_last would hand it
+    # the earliest right row — must match nothing
+    left=[(0, 1, None)],
+    right=[(1, 0, "a", 10)],
+    direction="forward",
+    tol=None,
+)
+@example(  # equal lts == rts: boundary is inclusive both directions
+    left=[(0, 1, 2), (1, 1, 2)],
+    right=[(1, 2, "b", 20)],
+    direction="forward",
+    tol=None,
+)
+@example(  # tolerance exactly at the gap: <= keeps the match
+    left=[(0, 1, 3)],
+    right=[(1, 2, "a", 10), (1, 0, "b", 20)],
+    direction="backward",
+    tol=1,
+)
+@_SETTINGS
+def test_asof_join_matches_serial_oracle_nulls_and_dup_ts(
+    spark, left, right, direction, tol
+):
+    from gather_datawarehouse_sync_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(left, "lid long, k long, lts long")
+    rdf = spark.createDataFrame(
+        right, "k long, rts long, v string, w long"
+    )
+    got = asof_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        direction=direction, tolerance_seconds=tol,
+    ).collect()
+    got_rows = sorted(
+        (
+            (r["lid"], r["k"], r["lts"], r["rts"], r["v"], r["w"])
+            for r in got
+        ),
+        key=lambda t: tuple((x is not None, x) for x in t),
+    )
+    assert got_rows == _asof_serial(left, right, direction, tol)
+
+
+# ---------------------------------------------------------------------------
+# r16 verdict item 4: merge_scd2 schema_evolution × seq interaction —
+# random CDC sequences where the source GROWS an attr column mid-chain.
+# ---------------------------------------------------------------------------
+
+_scd2_evo_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # key
+            st.sampled_from(["a", "b"]),  # original attr v
+            st.sampled_from([100, 200, None]),  # added attr w (post-evolution)
+            st.booleans(),  # tombstone?
+        ),
+        min_size=0,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+_scd2_evo_dir = __import__("itertools").count()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.sampled_from(["a", "b"])),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+    _scd2_evo_batches,
+    st.integers(min_value=0, max_value=3),
+)
+@example(  # only-change-is-the-added-column: closes + opens (docstring)
+    base=[(1, "a")],
+    batches=[[(1, "a", 100, False)], [(1, "a", 200, False)]],
+    evo_at=0,
+)
+@example(  # NULL in the added column + identical v: a no-op, NOT a
+    # spurious version (null-safe compare over the backfilled NULL)
+    base=[(1, "a")],
+    batches=[[(1, "a", None, False)]],
+    evo_at=0,
+)
+@example(  # evolution mid-chain: pre-evolution close/open stamps and the
+    # post-evolution NULL backfill coexist on one key's chain
+    base=[(1, "a")],
+    batches=[[(1, "b", 100, False)], [(1, "b", 100, False)], [(1, "b", 200, True)]],
+    evo_at=1,
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_scd2_schema_evolution_random_sequences(
+    spark, tmp_path, base, batches, evo_at
+):
+    """Any CDC sequence that grows an attribute column at batch index
+    ``evo_at`` matches the serial model in which pre-evolution versions
+    carry w=NULL: closed versions stay immutable in value (their w reads
+    NULL forever), the null-safe attr compare spans (v, w), tombstones
+    and revivals stamp the same seq numbers as the non-evolved test, and
+    a w-only change is a real new version."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        init_scd2_history,
+        merge_scd2,
+    )
+
+    root = tmp_path / f"scd2evo_{next(_scd2_evo_dir)}"
+    root.mkdir()
+    base_df = spark.createDataFrame(base, "k long, v string")
+    p = str(root / "h0")
+    init_scd2_history(spark, base_df, p, ("k",), seq=0, n_buckets=2)
+    # serial model rows: [k, v, w, from, to_or_None]
+    hist = [[k, v, None, 0, None] for k, v in base]
+    for q, batch in enumerate(batches, start=1):
+        evolved = (q - 1) >= evo_at
+        nxt = str(root / f"h{q}")
+        if evolved:
+            bdf = spark.createDataFrame(
+                [(k, v, w, d) for k, v, w, d in batch],
+                "k long, v string, w long, is_del boolean",
+            )
+            merge_scd2(
+                spark, p, nxt, bdf, ("k",), seq=q,
+                delete_col="is_del", schema_evolution=True,
+            )
+        else:
+            bdf = spark.createDataFrame(
+                [(k, v, d) for k, v, _, d in batch],
+                "k long, v string, is_del boolean",
+            )
+            merge_scd2(spark, p, nxt, bdf, ("k",), seq=q, delete_col="is_del")
+        p = nxt
+        for k, v, w, is_del in batch:
+            w_eff = w if evolved else None
+            cur = next(
+                (row for row in hist if row[0] == k and row[4] is None), None
+            )
+            if is_del:
+                if cur:
+                    cur[4] = q
+            elif cur is None:
+                hist.append([k, v, w_eff, q, None])
+            elif (cur[1], cur[2]) != (v, w_eff):
+                cur[4] = q
+                hist.append([k, v, w_eff, q, None])
+    stored = spark.read.parquet(p)
+    cols = ["k", "v", "valid_from", "valid_to", "is_current"]
+    has_w = "w" in stored.columns
+    assert has_w == (evo_at < len(batches)), "w appears iff evolution ran"
+    if has_w:
+        cols.insert(2, "w")
+        got = {
+            (r["k"], r["v"], r["w"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in stored.select(*cols).collect()
+        }
+        want = {(k, v, w, f, t, t is None) for k, v, w, f, t in hist}
+    else:
+        got = {
+            (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in stored.select(*cols).collect()
+        }
+        want = {(k, v, f, t, t is None) for k, v, _, f, t in hist}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r16 verdict item 4: reassign_drifted_cells racing compact_epoch_artifact
+# on ONE version lineage — any interleaving of epoch appends, epoch
+# folds, and drifted-cell re-assignments leaves the artifact exactly
+# where the serial multiset model puts it; pending epochs keep their
+# ORIGINAL cell stamps across a base re-assignment (the race).
+# ---------------------------------------------------------------------------
+
+_C_AXES = [
+    [[1.0, 0.0], [0.0, 1.0]],  # C0: even ids → cell 0, odd → cell 1
+    [[0.0, 1.0], [1.0, 0.0]],  # C1: the swap — even → 1, odd → 0
+]
+
+
+def _axis_vec(i):
+    return [2.0, 0.0] if i % 2 == 0 else [0.0, 2.0]
+
+
+def _axis_cell(ci, i):
+    return (i % 2) if ci == 0 else 1 - (i % 2)
+
+
+_lineage_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(st.integers(min_value=4, max_value=30), min_size=1, max_size=3),
+        ),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(
+            st.just("reassign"),
+            st.tuples(
+                st.sampled_from([0, 1]),
+                st.sampled_from([[0], [1], [0, 1]]),
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+_lineage_dir = __import__("itertools").count()
+
+
+@given(_lineage_ops)
+@example(ops=[("append", [5]), ("reassign", (1, [0, 1])), ("compact", None)])
+@example(ops=[("reassign", (0, [0, 1]))])  # fixed point: same quantizer
+@example(
+    ops=[
+        ("append", [7]),
+        ("compact", None),
+        ("reassign", (1, [0])),
+        ("append", [8]),
+        ("compact", None),
+    ]
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_reassign_racing_epoch_compaction_matches_serial_model(
+    spark, tmp_path, ops
+):
+    import numpy as np
+
+    from gather_datawarehouse_sync_spark.operators.similarity import ivf_invert
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        compact_epoch_artifact,
+    )
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        reassign_drifted_cells,
+    )
+
+    root = tmp_path / f"lineage_{next(_lineage_dir)}"
+    root.mkdir()
+
+    def emb_df(ids):
+        return spark.createDataFrame(
+            [(int(i), _axis_vec(i)) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+
+    cur_ci = 0  # quantizer in force for appends
+    cur = str(root / "v0")
+    cached_parquet(
+        spark,
+        cur,
+        lambda: ivf_invert(emb_df([0, 1, 2, 3]), np.array(_C_AXES[0])),
+        partition_by=("cell",),
+    )
+    flat = sorted((i, _axis_cell(0, i)) for i in [0, 1, 2, 3])  # model
+    pending = []  # (id, cell) rows sitting in un-folded epochs
+    epochs = str(root / "e0")
+    ep_n, ver, ep_ver = 0, 0, 0
+    for op, arg in ops:
+        if op == "append":
+            ep_n += 1
+            rows = [(i, _axis_cell(cur_ci, i)) for i in arg]
+            (
+                ivf_invert(emb_df(arg), np.array(_C_AXES[cur_ci]))
+                .withColumn("epoch", F.lit(ep_n))
+                .write.mode("append")
+                .partitionBy("epoch", "cell")
+                .parquet(epochs)
+            )
+            pending.extend(rows)
+        elif op == "compact":
+            if not pending:
+                continue
+            ver += 1
+            nxt = str(root / f"v{ver}")
+            compact_epoch_artifact(spark, cur, epochs, nxt, "cell")
+            cur = nxt
+            # THE RACE ASSERTION: epochs fold with their ORIGINAL cell
+            # stamps even if the base was re-assigned in between
+            flat = sorted(flat + pending)
+            pending = []
+            ep_ver += 1
+            epochs = str(root / f"e{ep_ver}")
+        else:
+            ci, drifted = arg
+            ver += 1
+            nxt = str(root / f"v{ver}")
+            reassign_drifted_cells(
+                spark, cur, nxt, np.array(_C_AXES[ci]), drifted
+            )
+            cur = nxt
+            dset = set(drifted)
+            flat = sorted(
+                (i, _axis_cell(ci, i) if c in dset else c) for i, c in flat
+            )
+            cur_ci = ci
+        got = sorted(
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(cur).select("vec_id", "cell").collect()
+        )
+        assert got == flat, f"lineage diverged from model after {op}"
+    if pending:  # drain: the final fold still matches
+        ver += 1
+        nxt = str(root / f"v{ver}")
+        compact_epoch_artifact(spark, cur, epochs, nxt, "cell")
+        flat = sorted(flat + pending)
+        got = sorted(
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(nxt).select("vec_id", "cell").collect()
+        )
+        assert got == flat

@@ -147,6 +147,28 @@ def main() -> None:
     # warm up the JVM / parquet footer caches outside the timed region
     REGISTRY["q1"].spark(spark, sf_dir).collect()
 
+    # warm the Python worker fleet too (r17 stall attribution,
+    # tools/stall_probe.py): q1 is pure JVM, so without this the first
+    # pandas-UDF query of pass 0 pays the whole fleet spawn — one
+    # worker per core, each importing pandas/numpy — inside its timed
+    # window.  Measured A/B over the 10 heaviest queries: pass-0 total
+    # 554.5 s cold vs 178.2 s warmed (x_auto_nprobe 174.5 → 40.3 s),
+    # medians unchanged (37.8 vs 37.0 s) — this is warm-up policy for
+    # the spread/noisy data, not a score lever.  The map stage below
+    # spawns the full fleet: one partition per core, one pandas batch
+    # each (workers are reused afterwards — spawned=0 on passes 1+).
+    import pandas as _pd  # noqa: F401  (imported so the UDF closure is cheap)
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm_worker(v):
+        return v * 1.0
+
+    _ncores = os.cpu_count() or 8
+    spark.range(0, _ncores * 1024, 1, _ncores).select(
+        _warm_worker(F.col("id").cast("double"))
+    ).count()
+
     samples: dict[str, list[float]] = {name: [] for name in REGISTRY}
     for _ in range(runs):
         for name in sorted(REGISTRY):

@@ -2971,8 +2971,9 @@ def _x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     a FIXED-size slice of the corpus — tokenizer training uses a bounded
     sample regardless of corpus size (the learned table is applied
     corpus-wide via ``bpe_apply``), so this query's cost is constant in
-    sf.  Deterministic (ties break lexicographically) but iterative,
-    hence rows-only (no SQL oracle)."""
+    sf.  FULL oracle since r17: deterministic ties (count DESC, left,
+    right) make the merge table a pure function of the corpus, and
+    ``_bpe_train_ctes`` re-derives it round by round in DuckDB."""
     from gather_datawarehouse_sync_spark.functions.bpe import bpe_train
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -2983,14 +2984,8 @@ def _x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-_df(
-    "x_bpe_train",
-    _x_bpe_train,
-    None,
-    ("documents",),
-    note="BPE merge-table training (iterative; deterministic rows-only "
-    "check, toy-corpus merges pinned in unit tests)",
-)
+# x_bpe_train registers below, after _bpe_train_oracle_sql is defined
+# (the shared-CTE generator serves both BPE oracles).
 
 
 def _x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3029,8 +3024,11 @@ def _x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _bpe_apply_oracle_sql(num_merges: int = 8, min_count: int = 2) -> str:
-    """DuckDB replay of bpe_train (doc_id < 300 slice) + bpe_apply.
+def _bpe_train_ctes(num_merges: int, min_count: int) -> list[str]:
+    """The shared DuckDB replay of bpe_train (doc_id < 300 slice) —
+    CTEs through ``m<r>`` (round r's chosen merge: pl, pr, cnt), used
+    by BOTH the x_bpe_train and x_bpe_apply oracles so the two cannot
+    drift.
 
     The merge table is a pure function of the corpus (argmax ties break
     (count DESC, left ASC, right ASC) in both engines; the slice differs
@@ -3048,9 +3046,7 @@ def _bpe_apply_oracle_sql(num_merges: int = 8, min_count: int = 2) -> str:
     An exhausted round (no pair ≥ min_count) yields an empty m<r>, and
     the COALESCE sentinel (chr(1), never in an encoding) turns its
     replace into a no-op — the engine's early ``break`` leaves the
-    stored table short with the same final segmentation.
-    Piece count per word = half its separator chars (k symbols →
-    2(k-1) inner + 2 outer = 2k bars)."""
+    stored table short with the same final segmentation."""
 
     def enc0(w: str) -> str:
         return (
@@ -3081,7 +3077,7 @@ def _bpe_apply_oracle_sql(num_merges: int = 8, min_count: int = 2) -> str:
             f"FROM seg{p})) GROUP BY 1, 2)"
         )
         ctes.append(
-            f"m{r} AS MATERIALIZED (SELECT pl, pr FROM pc{r} "
+            f"m{r} AS MATERIALIZED (SELECT pl, pr, cnt FROM pc{r} "
             f"WHERE cnt >= {min_count} ORDER BY cnt DESC, pl, pr LIMIT 1)"
         )
         pat = f"COALESCE((SELECT '|' || pl || '||' || pr || '|' FROM m{r}), chr(1))"
@@ -3090,6 +3086,44 @@ def _bpe_apply_oracle_sql(num_merges: int = 8, min_count: int = 2) -> str:
             f"seg{r} AS MATERIALIZED (SELECT c, replace(enc, {pat}, {rep}) "
             f"AS enc FROM seg{p})"
         )
+    return ctes
+
+
+def _bpe_train_oracle_sql(num_merges: int = 8, min_count: int = 2) -> str:
+    """x_bpe_train's FULL oracle (r17): the shared training CTEs'
+    ``m<r>`` rows unioned in round order — (rank, left, right, cnt).
+    An exhausted round's empty m<r> contributes no row, matching the
+    engine's early ``break`` (a short merge table).  ``cnt`` is a
+    DuckDB SUM (HUGEINT) — CAST to BIGINT per the repo's arrow-schema
+    no-decimal convention (the x_pack_chunks lesson)."""
+    ctes = _bpe_train_ctes(num_merges, min_count)
+    sel = " UNION ALL ".join(
+        f'SELECT {r} AS rank, pl AS "left", pr AS "right", '
+        f"CAST(cnt AS BIGINT) AS cnt FROM m{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "WITH " + ", ".join(ctes) + f" SELECT * FROM ({sel}) ORDER BY rank"
+
+
+def _bpe_apply_oracle_sql(num_merges: int = 8, min_count: int = 2) -> str:
+    """DuckDB replay of trained-merge application over the whole corpus
+    (see :func:`_bpe_train_ctes` for the shared training replay and the
+    boundary-safety argument).  Piece count per word = half its
+    separator chars (k symbols → 2(k-1) inner + 2 outer = 2k bars)."""
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')"
+    )
+
+    def enc0(w: str) -> str:
+        return (
+            "'|' || array_to_string(list_transform(generate_series(1, "
+            f"length({w})), i -> CASE WHEN i = length({w}) THEN "
+            f"substr({w}, i, 1) || '</w>' ELSE substr({w}, i, 1) END), "
+            "'||') || '|'"
+        )
+
+    ctes = _bpe_train_ctes(num_merges, min_count)
     ctes.append(
         "dw AS (SELECT doc_id, unnest(" + toks + ") AS w FROM documents)"
     )
@@ -3113,6 +3147,18 @@ def _bpe_apply_oracle_sql(num_merges: int = 8, min_count: int = 2) -> str:
         + " SELECT d.doc_id, CAST(COALESCE(np.n, 0) AS BIGINT) AS n_pieces"
         " FROM documents d LEFT JOIN np USING (doc_id) ORDER BY d.doc_id"
     )
+
+
+_df(
+    "x_bpe_train",
+    _x_bpe_train,
+    _bpe_train_oracle_sql(num_merges=8, min_count=2),
+    ("documents",),
+    note="BPE merge-table training — FULL oracle from r17: the shared "
+    "unrolled-CTE replay (_bpe_train_ctes) re-derives each round's "
+    "argmax merge with the pinned (count DESC, left, right) tie-break; "
+    "toy-corpus merges additionally pinned in unit tests",
+)
 
 
 _df(

@@ -230,8 +230,17 @@ def sample_frames(
             F.col("content"), i * every_n_bytes + 1, every_n_bytes
         ),
     )
+    # NULL/empty payloads emit NO frames: `greatest` SKIPS nulls (it
+    # returns null only when every operand is null), so a null content
+    # would otherwise get n_frames = greatest(null, 1) = 1 and emit a
+    # phantom frame row with a null payload slice — same for zero-byte
+    # payloads, whose single "frame" would be the empty slice
     return (
-        media.filter(F.col("kind") == "video")
+        media.filter(
+            (F.col("kind") == "video")
+            & F.col("content").isNotNull()
+            & (F.length("content") > 0)
+        )
         .select("media_id", F.posexplode(frames).alias("frame_idx", "frame"))
         .select("media_id", "frame_idx", F.md5("frame").alias("frame_md5"),
                 F.length("frame").alias("frame_size"))

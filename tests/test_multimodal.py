@@ -163,3 +163,17 @@ def test_extract_audio_features_stub(spark, tmp_path):
         assert (got["duration_ms"], got["sample_rate"], got["channels"], got["rms"]) == (
             want["duration_ms"], want["sample_rate"], want["channels"], want["rms"],
         )
+
+
+def test_sample_frames_null_and_empty_payloads_emit_no_rows(spark):
+    """A null- or zero-byte-payload video must emit NO frame rows:
+    `greatest` skips nulls, so the unguarded n_frames would read
+    greatest(null, 1) = 1 and fabricate a phantom frame (r17 review
+    find)."""
+    df = spark.createDataFrame(
+        [(1, "video", None), (2, "video", b""), (3, "video", b"x" * 2048)],
+        "media_id long, kind string, content binary",
+    )
+    rows = sample_frames(df, every_n_bytes=1024, max_frames=8).collect()
+    assert {r["media_id"] for r in rows} == {3}
+    assert len(rows) == 2  # 2048 bytes / 1024 = 2 full frames

@@ -127,9 +127,14 @@ def stateful_running_totals(
     out_schema = f"{key_col} {key_t}, n bigint, total double"
 
     if not events.isStreaming:
+        # coalesce to 0.0 for stream parity: an all-NULL-value key sums
+        # to NULL here, while the streaming path's pandas sum over an
+        # all-NaN series returns 0.0 (skipna) (v1 and v2 share this contract)
         return events.groupBy(key_col).agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(value_col).cast("double")).alias("total"),
+            F.coalesce(
+                F.sum(F.col(value_col).cast("double")), F.lit(0.0)
+            ).alias("total"),
         )
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -180,9 +185,14 @@ def stateful_running_totals_v2(
     out_schema = f"{key_col} {key_t}, n bigint, total double"
 
     if not events.isStreaming:
+        # coalesce to 0.0 for stream parity: an all-NULL-value key sums
+        # to NULL here, while the streaming path's pandas sum over an
+        # all-NaN series returns 0.0 (skipna) (v1 and v2 share this contract)
         return events.groupBy(key_col).agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(value_col).cast("double")).alias("total"),
+            F.coalesce(
+                F.sum(F.col(value_col).cast("double")), F.lit(0.0)
+            ).alias("total"),
         )
 
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle

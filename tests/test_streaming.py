@@ -1776,3 +1776,23 @@ def test_snapshot_inventory_landing_dir(spark, tmp_path):
     )
     rows = inv.collect()
     assert [r["file"] for r in rows] == ["a.shp"] and rows[0]["size"] == 5
+
+
+def test_running_totals_all_null_values_batch_matches_stream_semantics(spark):
+    """An all-NULL-value key must total 0.0 on the batch fallback, not
+    NULL: the streaming path's pandas sum over an all-NaN series is 0.0
+    (skipna), and batch≡stream parity is the operator's contract (r17
+    review find)."""
+    from gather_datawarehouse_sync_spark.streaming.windows import (
+        stateful_running_totals,
+        stateful_running_totals_v2,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", 1, None), ("u1", 2, None), ("u2", 3, 5.0)],
+        "user_id string, ts long, value double",
+    )
+    for fn in (stateful_running_totals, stateful_running_totals_v2):
+        rows = {r["user_id"]: (r["n"], r["total"]) for r in fn(df).collect()}
+        assert rows["u1"] == (2, 0.0), rows
+        assert rows["u2"] == (1, 5.0), rows

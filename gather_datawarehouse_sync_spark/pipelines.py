@@ -41,7 +41,13 @@ def quality_filter(
     n = F.length(F.col(text_col))
     out = df.filter(n >= min_chars)
     if min_alpha_bp > 0:
-        alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+        # widen to BIGINT before the multiply (the quality_score_bp
+        # rule): length() is INT, and 10000·alpha overflows int32 at
+        # alpha > 214,748 chars — a ~215 KB all-letters document would
+        # silently wrap negative and be REJECTED regardless of quality
+        alpha = F.length(
+            F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")
+        ).cast("bigint")
         # integer basis points: floor(10000·alpha / n), exact arithmetic
         alpha_bp = F.floor((F.lit(10000) * alpha) / n).cast("long")
         out = out.filter((n > 0) & (alpha_bp >= min_alpha_bp))

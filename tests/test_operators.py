@@ -6354,3 +6354,21 @@ def test_filesystem_sync_exact_match_keeps_its_claim(spark):
     # the path-exact main keeps project 7; the md5 main releases to insert
     assert got["a/x.shp"][1] == "exactMatch" and got["a/x.shp"][2] == 7
     assert got["b/y.shp"][0] == "insert" and got["b/y.shp"][2] is None
+
+
+def test_quality_filter_no_int32_overflow_on_huge_documents(spark):
+    """A ~215 KB all-letters document must PASS the alpha-ratio gate:
+    length() is INT, and an unwidened 10000*alpha wraps negative past
+    alpha > 214,748 chars, silently rejecting the best possible text
+    (r17 review find — invisible at test SF, real at corpus scale)."""
+    from gather_datawarehouse_sync_spark.pipelines import quality_filter
+
+    big = "a" * 215_000
+    df = spark.createDataFrame(
+        [(1, big), (2, "1234567890")], "doc_id long, text string"
+    )
+    kept = [
+        r["doc_id"]
+        for r in quality_filter(df, min_chars=5, min_alpha_bp=9000).collect()
+    ]
+    assert kept == [1]

@@ -131,7 +131,14 @@ def bm25_topk(
     tok = spread(docs).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
-    dl = tok.select("id", F.size("toks").alias("dl")).filter(F.col("dl") > 0)
+    # widen dl to BIGINT at creation (the quality_score_bp rule):
+    # size() is INT and the rational tier's `1000000 * dl` would
+    # overflow int32 for any document past ~2,147 tokens (a ~15 KB
+    # text) — ANSI crash on Spark 4 defaults; the widened dl keeps
+    # every downstream milli product (__r_milli, __ln_milli) BIGINT
+    dl = tok.select(
+        "id", F.size("toks").cast("bigint").alias("dl")
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),

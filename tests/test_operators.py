@@ -6372,3 +6372,20 @@ def test_quality_filter_no_int32_overflow_on_huge_documents(spark):
         for r in quality_filter(df, min_chars=5, min_alpha_bp=9000).collect()
     ]
     assert kept == [1]
+
+
+def test_bm25_no_int32_overflow_on_long_documents(spark):
+    """A >2,147-token document must score, not crash: dl is size()
+    (INT), and the rational tier's 1000000*dl wraps/throws past int32
+    without the BIGINT widening (r17 review find, same class as the
+    quality_filter fix)."""
+    from gather_datawarehouse_sync_spark.operators.terms import bm25_topk
+
+    big = ("spark " * 3000) + "needle"
+    df = spark.createDataFrame(
+        [(1, big), (2, "needle haystack"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["needle"], k=3).collect()}
+    assert set(got) == {1, 2}  # both needle docs score; no crash
+    assert got[2] > got[1]  # 2-token doc beats the 3001-token one

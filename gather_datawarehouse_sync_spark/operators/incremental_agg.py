@@ -177,7 +177,14 @@ def quantiles_from_state(
             "q_bp",
             (
                 F.lit(int(lo))
-                + F.expr(f"(__bin + 1) * {int(hi - lo)} DIV {int(bins)}")
+                # CAST the span literal to BIGINT: a span that fits
+                # int32 (e.g. [0, 2e9) micros) makes (__bin+1)*span an
+                # INT product, which overflows for any bin ≥ span/2³¹
+                # — the same unwidened-multiply class as quality_filter
+                + F.expr(
+                    f"(__bin + 1) * CAST({int(hi - lo)} AS BIGINT) "
+                    f"DIV {int(bins)}"
+                )
             ).cast("bigint").alias("value"),
         )
     )

@@ -6389,3 +6389,29 @@ def test_bm25_no_int32_overflow_on_long_documents(spark):
     got = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["needle"], k=3).collect()}
     assert set(got) == {1, 2}  # both needle docs score; no crash
     assert got[2] > got[1]  # 2-token doc beats the 3001-token one
+
+
+def test_quantiles_from_state_wide_span_no_int32_overflow(spark):
+    """A metric span that fits int32 but whose (bin+1)*span product
+    does not (e.g. a [0, 2e9) micros range at 256 bins) must finalize
+    correct edge values, not wrap/throw (r17 review find)."""
+    from gather_datawarehouse_sync_spark.operators.incremental_agg import (
+        quantile_state,
+        quantiles_from_state,
+    )
+
+    LO, HI, BINS = 0, 2_000_000_000, 256
+    df = spark.createDataFrame(
+        [(1, 1_999_999_999), (1, 1_500_000_000), (1, 100)], "g int, v long"
+    )
+    st = quantile_state(df, ["g"], "v", LO, HI, BINS)
+    out = {
+        r["q_bp"]: r["value"]
+        for r in quantiles_from_state(st, ["g"], [5000, 10000], LO, HI, BINS).collect()
+    }
+    width = (HI - LO) // BINS
+    # P100 sits in the last bin -> upper edge == HI exactly
+    assert out[10000] == HI
+    # P50 is the 1.5e9 row's bin upper edge
+    bin_15 = (1_500_000_000 * BINS) // (HI - LO)
+    assert out[5000] == (bin_15 + 1) * width

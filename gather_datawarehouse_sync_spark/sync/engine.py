@@ -120,10 +120,24 @@ def plan_filesystem_sync(
             F.lit("none"),
         ).otherwise(F.col("match")),
     )
-    matched = matched.withColumn(
-        "project_id",
-        F.when(F.col("match") == "none", F.lit(None)).otherwise(F.col("project_id")),
-    ).drop("__claimed_ino")
+    # demotion nulls the WHOLE project tuple, not just the id: a
+    # claim-stolen main keeps its insert action either way (match ==
+    # "none" wins the classification), but stale p_file/p_md5 on its
+    # row would leak the stolen project's identity into the auditable
+    # action table, inconsistent with every other insert row (all NULL)
+    demoted = F.col("match") == "none"
+    matched = (
+        matched.withColumn(
+            "project_id", F.when(demoted, F.lit(None)).otherwise(F.col("project_id"))
+        )
+        .withColumn(
+            "p_file", F.when(demoted, F.lit(None)).otherwise(F.col("p_file"))
+        )
+        .withColumn(
+            "p_md5", F.when(demoted, F.lit(None)).otherwise(F.col("p_md5"))
+        )
+        .drop("__claimed_ino")
+    )
 
     # M1 diff: matched mains → update when path or md5 drifted (ref
     # :260-291 — and unlike the reference we persist the new md5), else keep

@@ -205,3 +205,24 @@ def test_category_sync_three_way(spark):
     assert got[("files/a", "files/A/B")] == "insert"
     assert got[("files", "files/OLD")] == "delete"
     assert got[("files", "files/C")] == "insert"
+
+
+def test_demoted_main_carries_no_stale_project_columns(spark):
+    """A main whose md5Match claim is stolen by a path-exact main must
+    insert with a FULLY null project tuple — stale p_file/p_md5 on the
+    demoted row would leak the stolen project's identity into the
+    auditable action plan (r17 review find).  Scenario: project 10 is
+    (a/x.shp, mB); ino=1 sits at that path with drifted content (mA),
+    ino=2 carries mB at another path.  The exact tier must keep the
+    project on ino=1 (update), and ino=2's md5 claim demotes to an
+    insert with no project residue."""
+    out = _plan(
+        spark,
+        [("a/x.shp", "mA", 5, 1), ("b/y.shp", "mB", 5, 2)],
+        [(10, "a/x.shp", "mB")],
+    )
+    assert out[1]["action"] == "update" and out[1]["project_id"] == 10
+    demoted = out[2]
+    assert demoted["action"] == "insert" and demoted["match"] == "none"
+    assert demoted["project_id"] is None
+    assert demoted["p_file"] is None and demoted["p_md5"] is None

@@ -1882,21 +1882,34 @@ def merge_scd2(
     # (never-visible) interval — and open a new version claiming
     # validity BEFORE it existed: the silent-corruption shape of a
     # replayed or out-of-order upstream.  merge_table's seq_col refuses
-    # stale batches loudly; the audit-keeping variant must too.  One
-    # bounded probe over the dirty-bucket currents.
+    # stale batches loudly; the audit-keeping variant must too.  The
+    # CLOSED-version mirror matters just as much: a key tombstoned at
+    # t has no current version, so a stale re-insert at seq < t would
+    # sail past a currents-only probe and open [seq, ∞) OVERLAPPING the
+    # closed [f, t) — scd2_as_of in [seq, t) then returns the key
+    # TWICE (found by review, pinned in tests).  Overlap-free needs
+    # seq >= every matched closed valid_to, so both shapes fold into
+    # one bounded probe over the dirty buckets: current rows trip on
+    # valid_from >= seq, closed rows on valid_to > seq (valid_to is
+    # NULL on currents, so the disjunction can't cross-fire).
     stale = (
-        hist.filter(F.col("__bucket").isin(dirty) & F.col("is_current"))
+        hist.filter(F.col("__bucket").isin(dirty))
         .join(src_b.select(*keys), keys, "left_semi")
-        .filter(F.col("valid_from") >= F.lit(int(seq)))
+        .filter(
+            (F.col("is_current") & (F.col("valid_from") >= F.lit(int(seq))))
+            | (F.col("valid_to") > F.lit(int(seq)))
+        )
         .limit(1)
         .count()
     )
     if stale:
         raise ValueError(
             f"merge_scd2: batch seq={seq} is not strictly newer than a "
-            "matched current version's valid_from — a replayed or "
-            "out-of-order batch would write an inverted validity "
-            "interval; stamp batches with strictly increasing seq"
+            "matched key's history (a current version opened at "
+            ">= seq, or a closed version still valid past seq) — a "
+            "replayed or out-of-order batch would write an inverted or "
+            "OVERLAPPING validity interval; stamp batches with strictly "
+            "increasing seq"
         )
     same_attrs = None
     for c in attr_cols:

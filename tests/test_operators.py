@@ -5125,6 +5125,51 @@ def test_merge_scd2_version_chains(spark, tmp_path):
                    delete_col="is_del")
 
 
+def test_merge_scd2_refuses_stale_reinsert_after_tombstone(spark, tmp_path):
+    """The stale-batch guard must cover CLOSED versions, not just
+    currents: a key tombstoned at seq=5 has no current version, so a
+    replayed seq=3 insert would sail past a currents-only probe and
+    open [3, ∞) OVERLAPPING the closed [0, 5) — scd2_as_of(4) then
+    returns the key twice (reproduced before the guard was widened).
+    An insert AT the tombstone's close (seq=5, adjacent half-open
+    intervals) and past it (seq=6) both stay legal."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        init_scd2_history,
+        merge_scd2,
+        scd2_as_of,
+    )
+
+    base = spark.createDataFrame([("K", 10)], "k string, bal int")
+    p0 = str(tmp_path / "h0")
+    init_scd2_history(spark, base, p0, ("k",), seq=0, n_buckets=4)
+    tomb = spark.createDataFrame(
+        [("K", 10, True)], "k string, bal int, is_del boolean"
+    )
+    p1 = str(tmp_path / "h1")
+    merge_scd2(spark, p0, p1, tomb, ("k",), seq=5, delete_col="is_del")
+
+    reinsert = spark.createDataFrame([("K", 99)], "k string, bal int")
+    with pytest.raises(ValueError, match="OVERLAPPING"):
+        merge_scd2(spark, p1, str(tmp_path / "h_bad"), reinsert, ("k",), seq=3)
+
+    # adjacent revive at the close seq is overlap-free and legal
+    h_edge = merge_scd2(
+        spark, p1, str(tmp_path / "h_edge"), reinsert, ("k",), seq=5
+    )
+    assert [(r["k"], r["bal"]) for r in scd2_as_of(h_edge, 5).collect()] == [
+        ("K", 99)
+    ]
+    assert [(r["k"], r["bal"]) for r in scd2_as_of(h_edge, 4).collect()] == [
+        ("K", 10)
+    ]
+    # strictly-later revive likewise; tombstone gap stays visible
+    h2 = merge_scd2(spark, p1, str(tmp_path / "h2"), reinsert, ("k",), seq=6)
+    assert scd2_as_of(h2, 5).count() == 0
+    assert [(r["k"], r["bal"]) for r in scd2_as_of(h2, 6).collect()] == [
+        ("K", 99)
+    ]
+
+
 def test_compact_epoch_artifact(spark, sf_dir, tmp_path):
     """Folding streaming epoch dirs into the flat per-version artifact:
     compacted rows equal a full rebuild over base+increment, the epoch

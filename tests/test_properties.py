@@ -894,6 +894,92 @@ def test_merge_scd2_random_sequences_match_serial_model(
     assert got == want
 
 
+_scd2_ooo_batches = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),  # seq stamp (may regress)
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),  # key
+                st.sampled_from(["a", "b"]),  # attr value
+                st.booleans(),  # tombstone?
+            ),
+            min_size=1,
+            max_size=3,
+            unique_by=lambda t: t[0],
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+_scd2_ooo_dir = __import__("itertools").count()
+
+
+@given(_scd2_ooo_batches)
+@example(batches=[(5, [(1, "a", True)]), (3, [(1, "b", False)])])
+@example(batches=[(5, [(1, "a", True)]), (5, [(1, "b", False)])])
+@example(batches=[(2, [(1, "b", False)]), (2, [(1, "b", False)])])
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_scd2_out_of_order_batches_never_overlap(
+    spark, tmp_path, batches
+):
+    """Batches with ARBITRARY (possibly regressing) seq stamps either
+    apply or refuse loudly — never corrupt: after the run, every key's
+    intervals are pairwise non-overlapping under half-open [from, to)
+    semantics with at most one open version, and a batch strictly newer
+    than everything applied so far is never refused (the guard must not
+    over-fire).  Pins the closed-version side of the stale-batch guard
+    (a currents-only probe let a stale re-insert after a tombstone open
+    an overlapping interval — found by review, fixed in artifacts.py)."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        init_scd2_history,
+        merge_scd2,
+    )
+
+    root = tmp_path / f"scd2ooo_{next(_scd2_ooo_dir)}"
+    root.mkdir()
+    base_df = spark.createDataFrame([(1, "a")], "k long, v string")
+    p = str(root / "h0")
+    init_scd2_history(spark, base_df, p, ("k",), seq=0, n_buckets=2)
+    applied_max = 0
+    for i, (q, batch) in enumerate(batches, start=1):
+        nxt = str(root / f"h{i}")
+        bdf = spark.createDataFrame(
+            [(k, v, d) for k, v, d in batch], "k long, v string, is_del boolean"
+        )
+        try:
+            merge_scd2(spark, p, nxt, bdf, ("k",), seq=q, delete_col="is_del")
+            p = nxt
+            applied_max = max(applied_max, q)
+        except ValueError:
+            assert q <= applied_max, (
+                f"guard over-fired: seq={q} refused with nothing applied "
+                f"past {applied_max}"
+            )
+    rows = (
+        spark.read.parquet(p)
+        .select("k", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+    by_key: dict[int, list[tuple[int, float, bool]]] = {}
+    for r in rows:
+        to = float("inf") if r["valid_to"] is None else r["valid_to"]
+        by_key.setdefault(r["k"], []).append(
+            (r["valid_from"], to, r["is_current"])
+        )
+    for k, ivals in by_key.items():
+        assert sum(1 for _, _, cur in ivals if cur) <= 1, (k, ivals)
+        ivals.sort()
+        for (f1, t1, _), (f2, _, _) in zip(ivals, ivals[1:]):
+            assert t1 <= f2, f"overlapping intervals for key {k}: {ivals}"
+        for f, t, _ in ivals:
+            assert f < t, f"inverted interval for key {k}: {ivals}"
+
+
 _temp_rows = st.lists(
     st.tuples(
         st.sampled_from(["en", "de", "fr", None]),

@@ -1422,6 +1422,19 @@ def merge_table_versioned(
     """
     import re as _re
 
+    # retry attempts mint dirs named <version_name>_r<digits>, and the
+    # at-most-once check below treats a pointer tail of that form as a
+    # commit of THIS batch — so a batch literally NAMED like another
+    # batch's retry ('etl_r1' next to 'etl') would let a later 'etl'
+    # call mistake etl_r1's commit for its own and silently drop its
+    # batch.  Keep the retry namespace reserved: refuse such names.
+    if _re.search(r"_r\d+$", version_name):
+        raise ValueError(
+            f"merge_table_versioned: version_name {version_name!r} ends "
+            "in the reserved retry suffix _r<digits> — a sibling batch's "
+            "at-most-once check could mistake its commit for this "
+            "batch's; pick a name outside the retry namespace"
+        )
     # a STREAM-claimed chain has exactly one writer — its checkpointed
     # stream, whose unconditional pointer swaps do not participate in
     # the CAS protocol.  A batch writer interleaving with it would CAS

@@ -1370,6 +1370,17 @@ def test_merge_table_versioned_commit_loop(spark, tmp_path, monkeypatch):
         (3, "from_X", "a"),
     }
 
+    # the retry namespace is RESERVED: a batch literally named like a
+    # sibling's retry attempt ('batchB_r1' next to 'batchB') would let
+    # a later 'batchB' call mistake batchB_r1's commit for its own and
+    # silently drop its batch — refused loudly at entry
+    with pytest.raises(ValueError, match="reserved retry suffix"):
+        A.merge_table_versioned(
+            spark, root, base_path,
+            spark.createDataFrame([(4, "x", "a")], schema),
+            key_cols=("id",), partition_col="p", version_name="batchB_r1",
+        )
+
     # a STREAM-claimed chain refuses batch writers outright: the
     # stream's unconditional epoch swap would silently overwrite any
     # CAS-committed batch

@@ -980,6 +980,78 @@ def test_merge_scd2_out_of_order_batches_never_overlap(
             assert f < t, f"inverted interval for key {k}: {ivals}"
 
 
+_td_table = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),  # key
+        st.sampled_from(["a", "b", None]),  # data value (null-safe compare)
+        st.sampled_from(["x", "y"]),  # partition
+    ),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+_td_dir = __import__("itertools").count()
+
+
+@given(_td_table, _td_table)
+@example(old=[(1, "a", "x")], new=[(1, "a", "y")])  # partition-only move
+@example(old=[(1, None, "x")], new=[(1, None, "x")])  # null-safe no-op
+@example(old=[(1, "a", "x")], new=[])  # delete-all
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_table_diff_merge_roundtrip_random_versions(spark, tmp_path, old, new):
+    """For ANY pair of keyed versions, table_diff's change set is
+    MINIMAL (one row per genuinely differing key — null-safe, partition
+    moves included) and applying it through merge_table (upserts then
+    deletes) reproduces the new version exactly — the randomized form
+    of the hand-checked round-trip test."""
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        cached_parquet,
+        merge_table,
+        table_diff,
+    )
+
+    schema = "id long, val string, p string"
+    old_df = spark.createDataFrame(old, schema)
+    new_df = spark.createDataFrame(new, schema)
+    diff_rows = {
+        tuple(r) for r in table_diff(old_df, new_df, ("id",)).collect()
+    }
+    om = {k: (v, p) for k, v, p in old}
+    nm = {k: (v, p) for k, v, p in new}
+    want = set()
+    for k in om.keys() | nm.keys():
+        if k not in nm:
+            want.add((k, *om[k], True))
+        elif k not in om or om[k] != nm[k]:
+            want.add((k, *nm[k], False))
+    assert diff_rows == want
+
+    root = tmp_path / f"td_{next(_td_dir)}"
+    root.mkdir()
+    old_path = str(root / "v1")
+    cached_parquet(
+        spark, old_path, lambda: spark.createDataFrame(old, schema),
+        partition_by=("p",),
+    )
+    diff = table_diff(old_df, new_df, ("id",))
+    ups = diff.filter(~F.col("is_del")).drop("is_del")
+    dels = diff.filter(F.col("is_del")).drop("is_del")
+    pa = str(root / "v2a")
+    merge_table(spark, old_path, pa, ups, key_cols=("id",), partition_col="p")
+    replayed = merge_table(
+        spark, pa, str(root / "v2b"), dels,
+        key_cols=("id",), partition_col="p",
+        when_matched="delete", when_not_matched="ignore",
+    )
+    got = {tuple(r) for r in replayed.select("id", "val", "p").collect()}
+    assert got == set(new)
+
+
 _temp_rows = st.lists(
     st.tuples(
         st.sampled_from(["en", "de", "fr", None]),

@@ -1390,9 +1390,47 @@ def minhash_dedup_against(
     ).select(F.col("id").alias(id_col), "ref_match", "est_jaccard")
 
 
+def _union_find_local(rows, id_type: "T.DataType", spark) -> DataFrame:
+    """Bounded driver-side union-find over a collected edge list —
+    the LOCAL FINISH of :func:`connected_components`.  Union-by-min
+    (the larger root is always attached under the smaller) keeps every
+    root equal to its component's minimum id, so ``find(x)`` IS the
+    component label the distributed rounds would converge to.  Returns
+    the same ``(id, h)`` mapping shape as one distributed contraction
+    round, covering every edge-touched node.  Python's ``<`` on int and
+    str ids matches Spark's ordering (UTF-8 byte order preserves code
+    point order), so the minimum is engine-consistent."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    mapping = [(x, find(x)) for x in nodes]
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("h", id_type)]
+    )
+    return spark.createDataFrame(mapping, schema)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
+    local_edges_max: int = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list (columns
     ``a``, ``b``) via **min-contraction**: each round every node picks
@@ -1418,15 +1456,56 @@ def connected_components(
     component contracted to a single label — the component minimum,
     which is a fixed point of ``h`` and survives every round.  Returns
     (``id``, ``component``) with component = min id in the cluster.
+
+    **Local finish** (r18 optimization round): contraction shrinks the
+    edge set geometrically (measured at sf0.1: 28 865 → 888 → 72 → 7),
+    so the tail rounds of the distributed loop process a few hundred
+    rows while paying full job-scheduling cost each (isEmpty + two
+    checkpoint materializations per round).  Once the live edge count
+    is ≤ ``local_edges_max`` the remaining closure runs as ONE bounded
+    driver-side union-find (:func:`_union_find_local`) whose result
+    plugs into the same label-composition step a distributed round
+    would — identical output by the union-by-min invariant (pinned
+    against the distributed path in tests).  Driver memory is bounded
+    by the threshold (~a few MB of id tuples at the default), the same
+    bounded-metadata class as the engine's other gated collects; at
+    100 TB the initial edge set far exceeds the threshold and the
+    distributed rounds run exactly as before, finishing locally only
+    after contraction has shrunk the graph to trivia.  The loop guard
+    is the COUNT captured by each round's own materialization job —
+    the former per-round ``isEmpty()`` probe (a take(1) that escalates
+    over empty partitions) was one to four extra jobs per round for
+    information the checkpoint job already knew.
     """
     # materialize the edge list BEFORE symmetrizing: the union's two
     # branches each re-execute the (often expensive) pair-generation plan
-    # otherwise — Spark does not share common subtrees across union arms
+    # otherwise — Spark does not share common subtrees across union arms.
+    # Lazy checkpoint + count(): ONE job both materializes the blocks and
+    # captures the loop guard (an eager checkpoint runs the same job but
+    # throws the count away, forcing a separate isEmpty probe).
     g = edges.select("a", "b").filter(F.col("a") != F.col("b"))
-    g = g.localCheckpoint(eager=True)
+    g = g.localCheckpoint(eager=False)
+    n_edges = g.count()
+    spark = edges.sparkSession
+    id_type = g.schema["a"].dataType
     labels = None
     for _ in range(max_iter):
-        if g.isEmpty():
+        if n_edges == 0:
+            break
+        if n_edges <= local_edges_max:
+            h = _union_find_local(g.collect(), id_type, spark)
+            if labels is None:
+                labels = h.select("id", F.col("h").alias("component"))
+            else:
+                labels = (
+                    labels.join(h, labels.component == h.id, "left")
+                    .select(
+                        labels.id,
+                        F.coalesce(h.h, labels.component).alias("component"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+            n_edges = 0
             break
         sym = g.union(g.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # h(v) = min over {v} ∪ N(v)
@@ -1469,9 +1548,10 @@ def connected_components(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    if not g.isEmpty():  # pragma: no cover - max_iter is far above log(d)
+        n_edges = g.count()
+    if n_edges != 0:  # pragma: no cover - max_iter is far above log(d)
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     if labels is None:  # empty edge list ⇒ no components
         return edges.select(

@@ -398,6 +398,53 @@ def test_connected_components_matches_union_find(spark, shape):
     assert got == _union_find_components(pairs)
 
 
+@pytest.mark.parametrize("shape", ["path", "clique_mix", "random"])
+def test_connected_components_local_finish_matches_distributed(spark, shape):
+    """The r18 local-finish threshold must be invisible in the output:
+    the same graph resolved fully distributed (local_edges_max=0), fully
+    locally (threshold above the edge count — the default at test
+    scale), and through the HYBRID path (threshold crossed after one
+    contraction round) must agree row-for-row."""
+    import random as _random
+
+    rng = _random.Random(hash(shape) & 0xFFFF)
+    ids = rng.sample(range(100000), 300)
+    if shape == "path":
+        pairs = {(ids[i], ids[i + 1]) for i in range(len(ids) - 1)}
+    elif shape == "clique_mix":
+        pairs = set()
+        for grp in (ids[:40], ids[40:75], ids[75:80]):
+            pairs |= {(x, y) for x in grp for y in grp if x < y}
+        pairs |= {(ids[i], ids[i + 1]) for i in range(70, 90)}
+    else:
+        pairs = set()
+        for _ in range(250):
+            a, b = rng.choice(ids), rng.choice(ids)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+    edges = spark.createDataFrame(sorted(pairs), "a long, b long")
+    distributed = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, local_edges_max=0).collect()
+    }
+    local = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            edges, local_edges_max=len(pairs) + 1
+        ).collect()
+    }
+    # hybrid: force at least one distributed contraction round, then
+    # finish locally (contraction shrinks every shape below half its
+    # original edge count after one round on these graphs)
+    hybrid = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            edges, local_edges_max=max(1, len(pairs) // 2)
+        ).collect()
+    }
+    assert distributed == local == hybrid == _union_find_components(pairs)
+
+
 def test_simhash_identical_zero_hamming(spark):
     df = spark.createDataFrame(_DOCS, "doc_id long, text string")
     fp = simhash(df, id_col="doc_id", text_col="text")

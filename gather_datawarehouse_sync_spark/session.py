@@ -80,14 +80,63 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     no-op.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _partition_count(df) < target:
         return df.repartition(target)
     return df
 
 
+# spread()'s partition probe compiles the frame's physical plan just to
+# read a partition count (~70-120 ms per call, measured r18) — and the
+# bench/oracle paths rebuild the SAME frames hundreds of times.  Cache
+# the probed count per (session, canonical plan): Catalyst's
+# ``semanticHash`` costs ~5-10 ms and is stable across rebuilds of an
+# identical plan.  A hash collision or a mid-session data swap can only
+# mis-size a round-robin repartition — a performance decision, never a
+# correctness one (every registered query is partition-count-invariant;
+# the oracle hashes pin that).
+_SPREAD_NPART_CACHE: dict[tuple[int, int], int] = {}
+
+
+def _partition_count(df: DataFrame) -> int:
+    try:
+        key = (
+            id(df.sparkSession),
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:
+        key = None
+    if key is not None:
+        hit = _SPREAD_NPART_CACHE.get(key)
+        if hit is not None:
+            return hit
+    try:
+        # physical-plan RDD directly: same partition count as df.rdd
+        # without building the python-serialization wrapper around it
+        n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        n = df.rdd.getNumPartitions()
+    if key is not None:
+        _SPREAD_NPART_CACHE[key] = n
+    return n
+
+
+# schema-inference cache for load_table: parquet schema inference runs a
+# one-task Spark job to read the footer on EVERY ``spark.read.parquet``
+# call (~100-150 ms each, measured r18) — pure fixed overhead when the
+# same table is re-read hundreds of times across a bench/oracle run.
+# Keyed by (path, size, mtime_ns) so a regenerated file (same path,
+# different bytes) misses and re-infers; only single-FILE tables are
+# cached (a directory's mtime does not change when a file inside it is
+# rewritten, so directory layouts always re-infer).  Metadata-only: the
+# scan itself — pushdown, pruning, the data read — is untouched.
+_SCHEMA_CACHE: dict[tuple[str, int, int], "T.StructType"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Plain parquet scan → Catalyst gets full
-    pushdown/pruning; no schema inference cost (parquet is self-describing).
+    pushdown/pruning; schema inference is served from a stat-fingerprint
+    cache after the first read (parquet is self-describing, so the first
+    read per file version infers and later reads pin that schema).
 
     Deliberately NOT spread here: a blanket repartition would add an
     Exchange to every plan (the plan suite pins "one shuffle" shapes for
@@ -108,7 +157,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # offset and diverge from DuckDB's naive reads.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = None
+    try:
+        st = os.stat(path)
+        if os.path.isfile(path):
+            key = (os.path.realpath(path), st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = None  # non-local path: plain inference below
+    if key is not None and key in _SCHEMA_CACHE:
+        df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     for col in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
             # integer division: `/` would round-trip ~1.7e18 ns through a

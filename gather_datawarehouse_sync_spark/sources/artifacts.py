@@ -158,14 +158,54 @@ def _write_schema_sidecar(dirpath: str, df: DataFrame) -> None:
     os.rename(tmp, target)
 
 
+# schema-inference cache for artifact reads (the load_table pattern from
+# session.py applied to read_table): every ``spark.read.parquet`` runs a
+# one-task footer job (~100-150 ms measured r18), and artifact-backed
+# queries re-read the same versions every bench/oracle pass.  Keyed by a
+# WALK fingerprint of the artifact directory (leaf names, sizes,
+# nanosecond mtimes — the artifact_path freshness signal), so any
+# rewrite, append, delete, or compaction misses and re-infers.  The
+# cached schema is the one inference itself produced for that exact file
+# set — identical by construction, so partition-column type inference is
+# unchanged.  Unfingerprintable paths (remote stores) skip the cache.
+_READ_SCHEMA_CACHE: dict = {}
+
+
+def _dir_fingerprint(path: str) -> "str | None":
+    import hashlib
+
+    h = hashlib.md5()
+    n = 0
+    try:
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames.sort()
+            rel = os.path.relpath(dirpath, path)
+            for name in sorted(filenames):
+                st = os.stat(os.path.join(dirpath, name))
+                h.update(f"{rel}/{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+                n += 1
+    except OSError:
+        return None
+    return f"{n}:{h.hexdigest()}"
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read an artifact/table version; when schema inference fails
     because the version holds zero data files (legitimate after a
-    delete-all merge), fall back to the schema sidecar."""
+    delete-all merge), fall back to the schema sidecar.  Schema
+    inference for an unchanged file set is served from
+    ``_READ_SCHEMA_CACHE`` (see above) — the data scan is untouched."""
     from pyspark.errors import AnalysisException
 
+    fp = _dir_fingerprint(path)
+    key = (os.path.realpath(path), fp) if fp is not None else None
+    if key is not None and key in _READ_SCHEMA_CACHE:
+        return spark.read.schema(_READ_SCHEMA_CACHE[key]).parquet(path)
     try:
-        return spark.read.parquet(path)
+        out = spark.read.parquet(path)
+        if key is not None:
+            _READ_SCHEMA_CACHE[key] = out.schema
+        return out
     except AnalysisException:
         import json
 

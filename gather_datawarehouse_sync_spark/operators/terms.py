@@ -156,11 +156,21 @@ def bm25_topk(
             [(t,) for t in dict.fromkeys(query_terms)], "term string"
         )
     )
+    # dl rides THROUGH the tf aggregation (it is constant per doc, so
+    # first() under the (id, term) group is exact): the former
+    # ``tf.join(dl, "id")`` re-shuffled both sides by id just to
+    # re-attach a number the exploded rows already carried — one whole
+    # exchange+join removed from the scoring plan (guide §2.4); the
+    # separate ``dl`` frame remains only for the corpus stats aggregate.
     tf = (
-        tok.select("id", F.explode("toks").alias("term"))
+        tok.select(
+            "id",
+            F.size("toks").cast("bigint").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
         .join(terms_df, "term")
         .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if idf == "log":
@@ -188,8 +198,7 @@ def bm25_topk(
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
         )
         return (
-            tf.join(dl, "id")
-            .join(F.broadcast(dfreq), "term")
+            tf.join(F.broadcast(dfreq), "term")
             .crossJoin(F.broadcast(fstats))
             .groupBy("id")
             .agg(F.sum(contrib).cast("double").alias("score"))
@@ -198,8 +207,7 @@ def bm25_topk(
             .limit(k)
         )
     scored = (
-        tf.join(dl, "id")
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "__r_milli", F.expr("(1000000 * dl) DIV avgdl_milli")

@@ -1686,6 +1686,125 @@ def ivf_sq_topk(
     )
 
 
+def ivf_sq_topk_ladder(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    lists: DataFrame,
+    k: int = 1,
+    nprobes: "tuple[int, ...]" = (4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every rung of an ``nprobe`` ladder from ONE candidate pass —
+    the measurement kernel :func:`...pipelines.choose_nprobe` escalates
+    over.  Probing is the shared stable-argsort kernel, so the top-p
+    cells are a PREFIX of the top-``max(nprobes)`` order: one probe at
+    the widest rung, with each candidate carrying its cell's probe
+    rank, reproduces every narrower rung exactly as a filter
+    (``probe_rank < p``) — per-rung output is row-identical to an
+    independent :func:`ivf_sq_topk` run at that ``nprobe`` (pinned in
+    tests).  Cost: one scan of the widest rung's cells and one scoring
+    pass TOTAL, where the escalation loop paid one scan+score per rung
+    measured.  Returns (nprobe, query_id, neighbor_id, score, rank)
+    covering every requested rung.
+    """
+    rungs = sorted({int(p) for p in nprobes})
+    if not rungs or rungs[0] < 1:
+        raise ValueError(f"ivf_sq_topk_ladder: bad nprobes {nprobes!r}")
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = _normalize_rows(C)
+    pmax = min(rungs[-1], len(C))
+    _probe_cells = _probe_cells_udf(Cn, pmax)
+
+    q = F.broadcast(
+        sq_encode(
+            queries.filter(
+                F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+            ),
+            id_col,
+            vec_col,
+        )
+        .join(
+            queries.select(
+                F.col(id_col),
+                F.posexplode(_probe_cells(F.col(vec_col))).alias(
+                    "__pr", "cell"
+                ),
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("codes").alias("__qc"),
+            F.col("scale_micro").alias("__qs"),
+            "cell",
+            "__pr",
+        )
+    )
+    c = lists.filter(
+        F.col(id_col).isNotNull() & F.col("codes").isNotNull()
+    ).select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        F.col("codes").alias("__cc"),
+        F.col("scale_micro").alias("__cs"),
+    )
+    cand = q.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    kk = int(k)
+    id_t = _spark_type_of(lists, id_col)
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            QC = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["__qc"]])
+            CC = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["__cc"]])
+            s = (
+                np.einsum("ij,ij->i", QC, CC)
+                * pdf["__qs"].to_numpy(dtype=np.int64)
+                * pdf["__cs"].to_numpy(dtype=np.int64)
+            )
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "score": s,
+                    "__pr": pdf["__pr"],
+                }
+            ).sort_values(
+                ["query_id", "score", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            frames = []
+            for p in rungs:
+                sub = out[out["__pr"] < p]
+                if len(sub) == 0:
+                    continue
+                frames.append(
+                    sub.groupby("query_id", sort=False)
+                    .head(kk)
+                    .assign(nprobe=np.int32(p))
+                )
+            if frames:
+                yield pd.concat(frames)[
+                    ["nprobe", "query_id", "neighbor_id", "score"]
+                ]
+
+    partial = cand.mapInPandas(
+        _score,
+        f"nprobe int, query_id {id_t}, neighbor_id {id_t}, score long",
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def recall_report(
     approx: DataFrame,
     exact: DataFrame,

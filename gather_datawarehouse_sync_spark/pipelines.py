@@ -283,8 +283,6 @@ def choose_nprobe(
     import numpy as np
 
     from gather_datawarehouse_sync_spark.operators.similarity import (
-        ivf_sq_topk,
-        recall_report,
         sq_topk,
     )
 
@@ -332,6 +330,55 @@ def choose_nprobe(
             q, None, k=k, codes=lists.select("vec_id", "codes", "scale_micro")
         ).persist()
     try:
+        # Measure EVERY sub-nlist rung from ONE candidate pass + ONE
+        # collect (r18): probing is a stable argsort, so the widest
+        # rung's candidate stream reproduces each narrower rung as a
+        # probe-rank filter (ivf_sq_topk_ladder) — where the escalation
+        # loop paid one full probe+score+recall-join+collect PER rung
+        # measured.  The escalation SEMANTICS are unchanged: trials
+        # still lists exactly the ladder prefix through the first
+        # passing rung, computed from the same per-rung recalls an
+        # independent run would produce (parity pinned in tests).
+        sub = [p for p in ladder if p < nlist]
+        measured: dict[int, tuple[int, int, int]] = {}
+        if sub:
+            from gather_datawarehouse_sync_spark.operators.similarity import (
+                ivf_sq_topk_ladder,
+            )
+
+            lad = (
+                ivf_sq_topk_ladder(q, centroids, lists, k=k, nprobes=sub)
+                .filter(F.col("rank") <= k)
+                .select("nprobe", "query_id", "neighbor_id")
+                .withColumn("__hit", F.lit(1))
+            )
+            rungs_df = queries.sparkSession.createDataFrame(
+                [(int(p),) for p in sub], "nprobe int"
+            )
+            ref = exact.filter(F.col("rank") <= k).select(
+                "query_id", "neighbor_id"
+            )
+            per = (
+                ref.crossJoin(F.broadcast(rungs_df))
+                .join(lad, ["nprobe", "query_id", "neighbor_id"], "left")
+                .groupBy("nprobe")
+                .agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.count("__hit").alias("hits"),
+                )
+                .collect()
+            )
+            for row in per:
+                t, h = int(row["total"]), int(row["hits"])
+                measured[int(row["nprobe"])] = (
+                    (10000 * h) // t if t > 0 else 0,
+                    h,
+                    t,
+                )
+            # a rung with an empty reference reports (0, 0, 0) like
+            # recall_report does
+            for p in sub:
+                measured.setdefault(p, (0, 0, 0))
         trials, chosen = [], None
         for p in ladder:
             if p >= nlist:
@@ -339,20 +386,17 @@ def choose_nprobe(
                 # codes (pinned in tests): recall is 10000 bp by
                 # CONSTRUCTION — record the invariant instead of paying
                 # a Spark job to re-derive it; total = the reference
-                # pair count, one bounded count on the persisted tier
-                total = exact.count()
+                # pair count — reuse the measured rungs' total where
+                # one exists (it IS the reference pair count), else one
+                # bounded count on the persisted tier
+                totals = [t for _, _, t in measured.values() if t > 0]
+                total = totals[0] if totals else exact.count()
                 trials.append((p, 10000, total, total))
                 chosen = p
                 break
-            rep = recall_report(
-                ivf_sq_topk(q, centroids, lists, k=k, nprobe=p),
-                exact,
-                ks=(k,),
-            ).collect()[0]
-            trials.append(
-                (p, int(rep["recall_bp"]), int(rep["hits"]), int(rep["total"]))
-            )
-            if rep["recall_bp"] >= target_recall_bp:
+            recall_bp, hits, total = measured[p]
+            trials.append((p, recall_bp, hits, total))
+            if recall_bp >= target_recall_bp:
                 chosen = p
                 break
         if chosen is None:

@@ -5730,6 +5730,40 @@ def test_ivfsq_recall_floor_at_default_probes(spark, sf_dir):
     assert by_probe[16] == {1: 10000, 5: 10000, 10: 10000}  # full probe
 
 
+def test_ivf_sq_topk_ladder_matches_independent_runs(spark, sf_dir):
+    """The one-pass ladder (r18) must be ROW-IDENTICAL per rung to an
+    independent ivf_sq_topk run at that nprobe — the equivalence
+    choose_nprobe's single-collect measurement rests on (the stable
+    argsort makes each rung's probe set a prefix of the widest rung's)."""
+    from gather_datawarehouse_sync_spark.operators.similarity import (
+        ivf_sq_invert,
+        ivf_sq_topk,
+        ivf_sq_topk_ladder,
+        kmeans_centroids,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    C = kmeans_centroids(emb, nlist=16)
+    lists = ivf_sq_invert(emb, C).localCheckpoint(eager=True)
+    q = emb.filter(F.col("vec_id") < 10)
+    lad = ivf_sq_topk_ladder(q, C, lists, k=5, nprobes=(1, 4, 8))
+    by_rung = {}
+    for r in lad.collect():
+        by_rung.setdefault(r["nprobe"], set()).add(
+            (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        )
+    assert set(by_rung) <= {1, 4, 8}
+    for p in (1, 4, 8):
+        solo = {
+            (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+            for r in ivf_sq_topk(q, C, lists, k=5, nprobe=p).collect()
+        }
+        assert by_rung.get(p, set()) == solo, f"nprobe={p}"
+
+
 def test_ngram_diversity_detects_templates(spark):
     """distinct-n semantics on a constructed corpus: a templated slice
     (same doc repeated) scores distinct_bp far below a varied slice;

@@ -1815,33 +1815,43 @@ def dedup_recall_report(
     ``recall_bp`` = hits·10⁴ / reference; empty sides report 0, not
     null, so a gate can threshold the row directly.
 
-    Plan shape: two distinct passes + one pair equi-join + three scalar
-    aggregates — never more than pair-set-sized, no windows.  Each
-    normalized side is lazily checkpointed: the count and hit branches
-    would otherwise re-execute the caller's (typically quadratic-tier)
-    pair pipeline once per consumer (measured on x_minhash_recall at
-    sf0.1, together with an eagerly-spread input: 6.6 s → 4.4 s warm).
+    Plan shape: two distinct passes + ONE full-outer pair equi-join
+    feeding a single scalar aggregate — never more than pair-set-sized,
+    no windows.  (The former three separate aggregates — candidate
+    count, reference count, inner-join hit count, cross-joined back
+    together — scanned the two pair sets once each ON TOP of the join;
+    the full-outer join sees every candidate, every reference, and
+    every hit in one pass, so the three counts are conditional counts
+    over it, r18.)  Each normalized side is lazily checkpointed: the
+    count and hit branches would otherwise re-execute the caller's
+    (typically quadratic-tier) pair pipeline once per consumer
+    (measured on x_minhash_recall at sf0.1, together with an
+    eagerly-spread input: 6.6 s → 4.4 s warm).
     Returns ONE row (n_candidates, n_reference, n_hits, precision_bp,
     recall_bp).
     """
 
-    def _norm(df: DataFrame) -> DataFrame:
+    def _norm(df: DataFrame, flag: str) -> DataFrame:
         return (
             df.select(
                 F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
             )
             .distinct()
+            .withColumn(flag, F.lit(1))
             .localCheckpoint(eager=False)
         )
 
-    c = _norm(candidates)
-    r = _norm(reference)
-    nc = c.agg(F.count(F.lit(1)).alias("n_candidates"))
-    nr = r.agg(F.count(F.lit(1)).alias("n_reference"))
-    nh = c.join(r, ["a", "b"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    c = _norm(candidates, "__c")
+    r = _norm(reference, "__r")
     return (
-        nc.crossJoin(nr)
-        .crossJoin(nh)
+        c.join(r, ["a", "b"], "full_outer")
+        .agg(
+            F.count("__c").alias("n_candidates"),
+            F.count("__r").alias("n_reference"),
+            F.count(F.when(F.col("__c").isNotNull(), F.col("__r"))).alias(
+                "n_hits"
+            ),
+        )
         .select(
             F.col("n_candidates").cast("bigint").alias("n_candidates"),
             F.col("n_reference").cast("bigint").alias("n_reference"),

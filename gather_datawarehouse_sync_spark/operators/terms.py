@@ -61,7 +61,10 @@ def tfidf_topk(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(df_tbl, "term")
+        # explicit hint: the docstring's "small side broadcasts back"
+        # held only when AQE's post-shuffle estimate noticed — hinted,
+        # the tf side is never shuffled by term at all (guide §3.1)
+        tf.join(F.broadcast(df_tbl), "term")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(id_col, "term", "tf", "df", "rn")

@@ -4050,8 +4050,17 @@ def _x_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     served_lists = lists.select("cell", "vec_id", "codes", "scale_micro")
     q = emb.filter(F.col("vec_id") < 10)
+    # the gated tier IS the serving tier: top-1 serving rows are exactly
+    # the rank-1 slice of the gate's k=10 approx side (the per-batch
+    # heads + global row_number rank identically for any k' ≤ k), so
+    # checkpointing the gate's approx tier and slicing it replaces a
+    # SECOND full ivf_sq_topk execution with a filter over ~|Q|·k rows
+    # (r18; value-hash oracle unchanged — it pins the equivalence)
+    approx = ivf_sq_topk(q, C, served_lists, k=10, nprobe=8).localCheckpoint(
+        eager=False
+    )
     release_index_gate(
-        ivf_sq_topk(q, C, served_lists, k=10, nprobe=8),
+        approx,
         sq_topk(
             q, None, k=10, codes=lists.select("vec_id", "codes", "scale_micro")
         ),
@@ -4059,7 +4068,7 @@ def _x_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         fail_fast=True,
     ).collect()
     return (
-        ivf_sq_topk(q, C, served_lists, k=1, nprobe=8)
+        approx.filter(F.col("rank") == 1)
         .select("query_id", "neighbor_id", "score")
         .orderBy("query_id")
     )

@@ -1850,7 +1850,12 @@ def recall_report(
     ks_sorted = sorted(set(int(k) for k in ks))
     ks_col = F.explode(F.array(*[F.lit(k) for k in ks_sorted])).alias("k")
     counts = (
-        ref.join(got, ["query_id", "neighbor_id"], "left")
+        # both sides are ≤ |Q|·k_max rows by the tier contract, but they
+        # come out of mapInPandas kernels whose size the planner cannot
+        # estimate — without the hint this tiny join plans as a
+        # SortMergeJoin with two exchanges (seen in x_ann_recall,
+        # x_ivfsq_recall, x_lsh_mp_recall, x_release_gate plans, r18)
+        ref.join(F.broadcast(got), ["query_id", "neighbor_id"], "left")
         .select("query_id", "__er", "__ar", ks_col)
         .filter(F.col("__er") <= F.col("k"))
         .groupBy("k")

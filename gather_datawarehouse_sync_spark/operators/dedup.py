@@ -1927,12 +1927,23 @@ def simhash(
     bits: int = 64,
     hash_mode: str = "xxhash",
 ) -> DataFrame:
-    """64-bit SimHash fingerprint per document, JVM-side.
+    """64-bit SimHash fingerprint per document.
 
-    For each bit position, sum +1/-1 votes of every token's xxhash64 bit;
-    fingerprint bit = sign of the vote.  Near-duplicates have small
-    Hamming distance.  Expressed with explode + groupBy (one shuffle);
-    the per-bit vote is a conditional sum, vectorized by codegen.
+    For each bit position, sum +1/-1 votes of every token's hash bit
+    (duplicates counted); fingerprint bit = sign of the vote.
+    Near-duplicates have small Hamming distance.
+
+    Shape (r18; the :func:`minhash_signatures` layout): token hashing
+    stays JVM-side inside codegen as ONE ``transform`` over the token
+    array, and the ``bits``-lane vote crosses to Python once as an
+    Arrow batch where numpy computes every document's fingerprint in a
+    single flattened bit-unpack + segment-reduce.  The previous
+    explode → 64-conditional-sum groupBy form shuffled every token of
+    the corpus and built a 64-aggregate expression tree whose
+    construction and analysis alone cost ~2 s of driver time per run
+    at sf0.1 (measured: 3.2 s wall, 1.0 s of Spark jobs); this form is
+    shuffle-free — a narrow per-document projection.  Documents with
+    no tokens emit no row, exactly as the explode form dropped them.
 
     ``hash_mode="portable"`` swaps the token hash for 60 bits of
     ``md5(token)`` (the ``minhash_signatures`` portable contract) so the
@@ -1949,29 +1960,53 @@ def simhash(
         raise ValueError(
             "simhash: portable mode carries 60 hash bits — pass bits <= 60"
         )
-    tok = spread(df).select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    )
+    nbits = int(bits)
+    shifts = np.arange(nbits, dtype=np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(base: pd.Series) -> pd.Series:
+        n_rows = len(base)
+        sizes = np.fromiter(
+            (0 if a is None else len(a) for a in base),
+            dtype=np.int64,
+            count=n_rows,
+        )
+        out = np.zeros(n_rows, dtype=np.int64)
+        valid = np.flatnonzero(sizes > 0)
+        if len(valid) == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(base.iat[i], dtype=np.int64) for i in valid]
+        )
+        offsets = np.zeros(len(valid), dtype=np.int64)
+        np.cumsum(sizes[valid][:-1], out=offsets[1:])
+        # ±1 votes per bit lane; arithmetic >> then &1 extracts bit i of
+        # the int64 hash for any i (sign extension is masked off)
+        votes = (((flat[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
+        agg = np.add.reduceat(votes, offsets, axis=0)
+        fp = ((agg > 0).astype(np.int64) << shifts).sum(axis=1)
+        for j, i in enumerate(valid):
+            out[i] = fp[j]
+        return pd.Series(out)
+
+    # nondeterministic marking pins ONE evaluation (see _minhash above)
+    _simhash = _simhash.asNondeterministic()
+
+    toks = tokens(F.col(text_col))
     if hash_mode == "portable":
-        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        base = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
     else:
-        h = F.xxhash64("tok")
-    # bit masks via shiftleft: 1<<63 overflows a Python-side literal but is
-    # Long.MIN_VALUE (the sign bit) when shifted JVM-side
-    one = F.lit(1).cast("long")
-    votes = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(h.bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
+        base = F.transform(toks, lambda t: F.xxhash64(t))
+    return (
+        spread(df)
+        .filter(F.size(toks) > 0)
+        .select(F.col(id_col).alias("id"), _simhash(base).alias("simhash"))
     )
-    fp = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
-    return votes.select("id", fp.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

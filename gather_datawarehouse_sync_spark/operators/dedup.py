@@ -962,23 +962,25 @@ def minhash_lsh_pairs(
         .filter(F.col("signature").isNotNull())
         .localCheckpoint(eager=True)
     )
+    # bucket = xxhash64 over the band's lane VALUES directly (variadic
+    # long hashing, r18): the former form rendered every lane to a
+    # string and concatenated before hashing — 64 long→string casts and
+    # a string build per signature, pure runtime overhead.  Equal bands
+    # hash equal either way; unequal-band collisions stay in the same
+    # documented 2⁻⁶⁴ budget the banding tier always had (the DuckDB
+    # oracles band by exact lane equality, unchanged).
     banded = sig.select(
         "id",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("signature"),
-                                    i * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
+                        *[
+                            F.element_at(
+                                F.col("signature"), i * rows_per_band + j + 1
+                            )
+                            for j in range(rows_per_band)
+                        ]
                     )
                     for i in range(bands)
                 ]

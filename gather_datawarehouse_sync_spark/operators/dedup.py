@@ -1392,37 +1392,66 @@ def minhash_dedup_against(
     ).select(F.col("id").alias(id_col), "ref_match", "est_jaccard")
 
 
-def _union_find_local(rows, id_type: "T.DataType", spark) -> DataFrame:
-    """Bounded driver-side union-find over a collected edge list —
-    the LOCAL FINISH of :func:`connected_components`.  Union-by-min
-    (the larger root is always attached under the smaller) keeps every
-    root equal to its component's minimum id, so ``find(x)`` IS the
-    component label the distributed rounds would converge to.  Returns
-    the same ``(id, h)`` mapping shape as one distributed contraction
-    round, covering every edge-touched node.  Python's ``<`` on int and
-    str ids matches Spark's ordering (UTF-8 byte order preserves code
-    point order), so the minimum is engine-consistent."""
-    parent: dict = {}
+def _union_find_local(g: DataFrame, id_type: "T.DataType", spark) -> DataFrame:
+    """Bounded driver-side closure over a collected edge list — the
+    LOCAL FINISH of :func:`connected_components`.  Returns the same
+    ``(id, h)`` mapping shape as one distributed contraction round,
+    covering every edge-touched node, with ``h`` = the component's
+    minimum id.
 
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
+    Integer ids (every registered caller) take the vectorized path:
+    the edge list crosses as ONE Arrow table (no Row materialization)
+    and components resolve by numpy min-label propagation with pointer
+    jumping — labels are indices into the SORTED unique-node array, so
+    the per-component minimum index IS the minimum id.  Other id types
+    fall back to a pure-Python union-by-min union-find (the larger
+    root always attaches under the smaller, so ``find(x)`` is the
+    component minimum; Python ``<`` on str matches Spark's UTF-8 byte
+    order because UTF-8 preserves code point order)."""
+    if isinstance(id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        tbl = g.toArrow()
+        a = tbl.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ea, eb = inv[: len(a)], inv[len(a):]
+        label = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            m = np.minimum(label[ea], label[eb])
+            before = label.copy()
+            np.minimum.at(label, ea, m)
+            np.minimum.at(label, eb, m)
+            while True:  # pointer jumping: full path compression
+                nl = label[label]
+                if np.array_equal(nl, label):
+                    break
+                label = nl
+            if np.array_equal(label, before):
+                break
+        mapping = [
+            (int(n), int(c)) for n, c in zip(nodes, nodes[label])
+        ]
+    else:
+        parent: dict = {}
 
-    nodes = set()
-    for r in rows:
-        a, b = r[0], r[1]
-        nodes.add(a)
-        nodes.add(b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    mapping = [(x, find(x)) for x in nodes]
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes_set = set()
+        for r in g.collect():
+            x, y = r[0], r[1]
+            nodes_set.add(x)
+            nodes_set.add(y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx
+        mapping = [(x, find(x)) for x in nodes_set]
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("h", id_type)]
     )
@@ -1432,7 +1461,7 @@ def _union_find_local(rows, id_type: "T.DataType", spark) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
-    local_edges_max: int = 100_000,
+    local_edges_max: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list (columns
     ``a``, ``b``) via **min-contraction**: each round every node picks
@@ -1465,12 +1494,14 @@ def connected_components(
     rows while paying full job-scheduling cost each (isEmpty + two
     checkpoint materializations per round).  Once the live edge count
     is ≤ ``local_edges_max`` the remaining closure runs as ONE bounded
-    driver-side union-find (:func:`_union_find_local`) whose result
-    plugs into the same label-composition step a distributed round
-    would — identical output by the union-by-min invariant (pinned
-    against the distributed path in tests).  Driver memory is bounded
-    by the threshold (~a few MB of id tuples at the default), the same
-    bounded-metadata class as the engine's other gated collects; at
+    driver-side pass (:func:`_union_find_local`: Arrow-collected numpy
+    min-label propagation for integer ids, union-by-min union-find
+    otherwise) whose result plugs into the same label-composition step
+    a distributed round would — identical output by the min invariant
+    (pinned against the distributed path in tests).  Driver memory is
+    bounded by the threshold (~16 MB of int64 edge arrays at the 1M
+    default), the same bounded-metadata class as the engine's other
+    gated collects; at
     100 TB the initial edge set far exceeds the threshold and the
     distributed rounds run exactly as before, finishing locally only
     after contraction has shrunk the graph to trivia.  The loop guard
@@ -1495,7 +1526,7 @@ def connected_components(
         if n_edges == 0:
             break
         if n_edges <= local_edges_max:
-            h = _union_find_local(g.collect(), id_type, spark)
+            h = _union_find_local(g, id_type, spark)
             if labels is None:
                 labels = h.select("id", F.col("h").alias("component"))
             else:

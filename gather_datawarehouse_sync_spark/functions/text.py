@@ -89,6 +89,32 @@ def quality_score(text: Column) -> Column:
     return F.round(alpha_ratio * 0.4 + word_ok * 0.3 + len_ok * 0.3, 4)
 
 
+# Memo for pure-Column builders (r18): quality_score_bp and
+# gopher_rules construct large expression trees — hundreds of py4j
+# round trips per call, measured at ~90 ms and ~320 ms of pure driver
+# time respectively — and the curation/dedup queries rebuild them with
+# the SAME input expression every bench/oracle pass.  Column objects
+# are immutable expression wrappers resolved per-plan by name, so an
+# identical (application, input expression, params) build can be
+# reused verbatim.  Keyed by applicationId so a fresh JVM never sees a
+# dead context's expression handles.
+_COLUMN_MEMO: dict = {}
+
+
+def _memo_column(fn_name: str, text: Column, params: tuple, build):
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        key = (sc.applicationId, fn_name, text._jc.toString(), params)
+    except Exception:
+        return build()
+    hit = _COLUMN_MEMO.get(key)
+    if hit is None:
+        hit = _COLUMN_MEMO[key] = build()
+    return hit
+
+
 def quality_score_bp(text: Column) -> Column:
     """:func:`quality_score` re-expressed in exact integer BASIS POINTS
     (0-10000) — same blend (alpha ratio 40%, mean-word-length sanity
@@ -121,6 +147,12 @@ def quality_score_bp(text: Column) -> Column:
     RE2's differ on exotic whitespace (``\\x0B``, unicode spaces), so
     the oracle identity is byte-exact on ASCII-space corpora and
     approximate off it."""
+    return _memo_column(
+        "quality_score_bp", text, (), lambda: _quality_score_bp(text)
+    )
+
+
+def _quality_score_bp(text: Column) -> Column:
     n_chars = F.length(text).cast("bigint")
     n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("bigint")
     n_tokens = token_count(text).cast("bigint")
@@ -236,6 +268,37 @@ def gopher_rules(
     ``passed = (fail_mask = 0)``.  Thresholds are keyword parameters so
     a corpus with a different register (the sf* synthetic tables, code,
     chat) tunes bounds without forking the operator."""
+    params = (
+        min_words,
+        max_words,
+        min_mean_word_centi,
+        max_mean_word_centi,
+        max_symbol_bp,
+        max_bullet_bp,
+        max_ellipsis_bp,
+        min_alpha_word_bp,
+        min_stop_hits,
+    )
+    return _memo_column(
+        "gopher_rules",
+        text,
+        params,
+        lambda: _gopher_rules_build(text, *params),
+    )
+
+
+def _gopher_rules_build(
+    text: Column,
+    min_words: int,
+    max_words: int,
+    min_mean_word_centi: int,
+    max_mean_word_centi: int,
+    max_symbol_bp: int,
+    max_bullet_bp: int,
+    max_ellipsis_bp: int,
+    min_alpha_word_bp: int,
+    min_stop_hits: int,
+) -> Column:
     zero = F.lit(0).cast("bigint")
 
     def _idiv(a: Column, b: Column) -> Column:

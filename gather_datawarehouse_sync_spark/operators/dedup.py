@@ -433,17 +433,32 @@ def jaccard_pairs_bitset(
     tok2idx = {t: i for i, t in enumerate(sorted(vocab_list))}
     width = max(1, (len(tok2idx) + 63) // 64)
     if width == 1:
-        # single-word vocab: inline token→index as a literal map — the
-        # lookup is pure codegen, no extra job.  Catalyst's GetMapValue
-        # on a literal map is a LINEAR key scan, so this is only sane
-        # while V is a few dozen: at V near the 1024 gate it costs
-        # V/2 string compares × every exploded token (measured at sf0.1,
-        # 2-gram V=931: ~40 s in the scan vs ~1 s for the hash join
-        # below — the map literal was the whole query runtime).
-        from gather_datawarehouse_sync_spark.functions.scalar import lit_map
-
-        idx_map = lit_map(tok2idx)
-        indexed = ex.select("id", idx_map[F.col("tok")].alias("idx"))
+        # single-word vocab (V ≤ 64): the mask is a FLAT PROJECTION —
+        # one codegen'd array_contains per vocab word OR-summed into
+        # the word (bits disjoint, so + is |) — straight off the token
+        # arrays.  No explode, no token→index lookup, no groupBy: the
+        # former explode → literal-map index → collect_set aggregate
+        # shuffled every token just to rebuild per-doc sets the array
+        # already was (r18; the mask checkpoint job becomes a narrow
+        # scan).  n = size(toks): shingles() output is distinct and
+        # the vocabulary covers it by construction.  Per-doc cost is
+        # V·|toks| codegen string compares — bounded by 64·|toks|.
+        docs = tok.select(
+            "id",
+            F.array(
+                sum(
+                    (
+                        F.when(
+                            F.array_contains(F.col("toks"), w),
+                            F.lit(1 << i).cast("long"),
+                        ).otherwise(F.lit(0).cast("long"))
+                        for w, i in sorted(tok2idx.items())
+                    ),
+                    start=F.lit(0).cast("long"),
+                )
+            ).alias("mask"),
+            F.size("toks").alias("n"),
+        ).localCheckpoint(eager=True)
     else:
         # multi-word vocab: broadcast hash join against the collected
         # index — O(1) per token, one tiny broadcast, no shuffle
@@ -451,19 +466,20 @@ def jaccard_pairs_bitset(
             list(tok2idx.items()), "tok string, idx int"
         )
         indexed = ex.join(F.broadcast(vocab_df), "tok").select("id", "idx")
-    idxed = indexed.groupBy("id").agg(F.collect_set("idx").alias("idxs"))
-    # SQL expr because pyspark's shiftleft() wrapper rejects Column numBits
-    mask = F.expr(
-        f"transform(sequence(0, {width - 1}), w -> "
-        "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
-        "(acc, i) -> acc | shiftleft(1L, int(i % 64))))"
-    )
-    # materialize the narrow mask table once: it feeds BOTH sides of the
-    # all-pairs join below, and a checkpointed RDD makes the spread()
-    # partition probe free (no AQE stage execution behind .rdd)
-    docs = idxed.select(
-        "id", mask.alias("mask"), F.size("idxs").alias("n")
-    ).localCheckpoint(eager=True)
+        idxed = indexed.groupBy("id").agg(F.collect_set("idx").alias("idxs"))
+        # SQL expr because pyspark's shiftleft() wrapper rejects Column
+        # numBits
+        mask = F.expr(
+            f"transform(sequence(0, {width - 1}), w -> "
+            "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
+            "(acc, i) -> acc | shiftleft(1L, int(i % 64))))"
+        )
+        # materialize the narrow mask table once: it feeds BOTH sides of
+        # the all-pairs join below, and a checkpointed RDD makes the
+        # spread() partition probe free
+        docs = idxed.select(
+            "id", mask.alias("mask"), F.size("idxs").alias("n")
+        ).localCheckpoint(eager=True)
 
     # AQE coalesces the small post-shuffle doc table to one partition,
     # which would serialize the O(n²) popcount loop onto a single core —
@@ -604,10 +620,11 @@ def _jaccard_between_bitset(
                 shingles(F.col(text_col), ngram).alias("toks"),
             )
             .filter(F.size("toks") > 0)
-            .select("id", F.explode("toks").alias("tok"))
         )
 
-    ex_n, ex_r = _tok(new), _tok(reference)
+    tok_n, tok_r = _tok(new), _tok(reference)
+    ex_n = tok_n.select("id", F.explode("toks").alias("tok"))
+    ex_r = tok_r.select("id", F.explode("toks").alias("tok"))
     # union vocabulary, collected (tiny by precondition); BOTH sides
     # must index tokens identically, which one shared index gives by
     # construction.  ``_vocab`` is the dispatcher's probe result.
@@ -622,17 +639,30 @@ def _jaccard_between_bitset(
     tok2idx = {t: i for i, t in enumerate(sorted(vocab_list))}
     width = max(1, (len(tok2idx) + 63) // 64)
     if width == 1:
-        # literal-map lookup is pure codegen but a LINEAR GetMapValue
-        # key scan — only sane while the vocab fits one mask word
-        # (same finding as jaccard_pairs_bitset: ~40 s of key scanning
-        # at V=931 vs ~1 s for the hash join)
-        from gather_datawarehouse_sync_spark.functions.scalar import lit_map
+        # single-word vocab: flat projection mask — one codegen'd
+        # array_contains per vocab word OR-summed into the word, no
+        # explode/index/groupBy round trip (the jaccard_pairs_bitset
+        # r18 form; n = size(toks) because shingles() is distinct and
+        # the union vocabulary covers both sides by construction)
+        def _masks(tok_side: DataFrame) -> DataFrame:
+            return tok_side.select(
+                "id",
+                F.array(
+                    sum(
+                        (
+                            F.when(
+                                F.array_contains(F.col("toks"), w),
+                                F.lit(1 << i).cast("long"),
+                            ).otherwise(F.lit(0).cast("long"))
+                            for w, i in sorted(tok2idx.items())
+                        ),
+                        start=F.lit(0).cast("long"),
+                    )
+                ).alias("mask"),
+                F.size("toks").alias("n"),
+            ).localCheckpoint(eager=True)
 
-        idx_map = lit_map(tok2idx)
-
-        def _indexed(ex: DataFrame) -> DataFrame:
-            return ex.select("id", idx_map[F.col("tok")].alias("idx"))
-
+        masks_n, masks_r = _masks(tok_n), _masks(tok_r)
     else:
         vocab_df = new.sparkSession.createDataFrame(
             list(tok2idx.items()), "tok string, idx int"
@@ -641,25 +671,27 @@ def _jaccard_between_bitset(
         def _indexed(ex: DataFrame) -> DataFrame:
             return ex.join(F.broadcast(vocab_df), "tok").select("id", "idx")
 
-    mask = F.expr(
-        f"transform(sequence(0, {width - 1}), w -> "
-        "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
-        "(acc, i) -> acc | shiftleft(1L, int(i % 64))))"
-    )
-
-    def _masks(ex: DataFrame) -> DataFrame:
-        return (
-            _indexed(ex)
-            .groupBy("id")
-            .agg(F.collect_set("idx").alias("idxs"))
-            .select("id", mask.alias("mask"), F.size("idxs").alias("n"))
-            .localCheckpoint(eager=True)
+        mask = F.expr(
+            f"transform(sequence(0, {width - 1}), w -> "
+            "aggregate(filter(idxs, i -> i div 64 = w), 0L, "
+            "(acc, i) -> acc | shiftleft(1L, int(i % 64))))"
         )
 
-    a = spread(_masks(ex_n)).select(
+        def _masks_join(ex: DataFrame) -> DataFrame:
+            return (
+                _indexed(ex)
+                .groupBy("id")
+                .agg(F.collect_set("idx").alias("idxs"))
+                .select("id", mask.alias("mask"), F.size("idxs").alias("n"))
+                .localCheckpoint(eager=True)
+            )
+
+        masks_n, masks_r = _masks_join(ex_n), _masks_join(ex_r)
+
+    a = spread(masks_n).select(
         F.col("id").alias("a"), F.col("mask").alias("ma"), F.col("n").alias("na")
     )
-    b = _masks(ex_r).select(
+    b = masks_r.select(
         F.col("id").alias("b"), F.col("mask").alias("mb"), F.col("n").alias("nb")
     )
     shared = sum(

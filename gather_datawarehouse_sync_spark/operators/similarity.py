@@ -1872,7 +1872,10 @@ def recall_report(
     )
     zero = F.lit(0).cast("long")
     return (
-        ks_frame.join(counts, "k", "left")
+        # counts is ≤ |ks| rows by construction — hint it so the final
+        # per-k fill join never plans as a sort-merge (same
+        # unestimatable-kernel-output reason as the rank join above)
+        ks_frame.join(F.broadcast(counts), "k", "left")
         .select(
             "k",
             F.coalesce("n_queries", zero).alias("n_queries"),

@@ -97,8 +97,13 @@ def quality_score(text: Column) -> Column:
 # are immutable expression wrappers resolved per-plan by name, so an
 # identical (application, input expression, params) build can be
 # reused verbatim.  Keyed by applicationId so a fresh JVM never sees a
-# dead context's expression handles.
+# dead context's expression handles.  Bounded (r19): on a miss, entries
+# from other (dead) applications are evicted, and the memo clears
+# wholesale past a size cap — a long-lived multi-session driver can no
+# longer grow it without bound (per-exprId keys from df['col'] columns
+# were the accumulation vector).
 _COLUMN_MEMO: dict = {}
+_COLUMN_MEMO_MAX = 512
 
 
 def _memo_column(fn_name: str, text: Column, params: tuple, build):
@@ -111,6 +116,10 @@ def _memo_column(fn_name: str, text: Column, params: tuple, build):
         return build()
     hit = _COLUMN_MEMO.get(key)
     if hit is None:
+        for k in [k for k in _COLUMN_MEMO if k[0] != key[0]]:
+            del _COLUMN_MEMO[k]
+        if len(_COLUMN_MEMO) >= _COLUMN_MEMO_MAX:
+            _COLUMN_MEMO.clear()
         hit = _COLUMN_MEMO[key] = build()
     return hit
 
@@ -477,14 +486,26 @@ def explode_sentences(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def word_ngrams(text: Column, n: int = 2) -> Column:
-    """ALL word n-grams (non-distinct, in order) over the ascii
-    tokenization the dedup/oracle surface uses (``[^a-z0-9]+`` split) —
-    the multiset the repetition metrics count over.  Empty result for
-    documents shorter than ``n`` tokens."""
-    toks = ascii_tokens(text)
+def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """ALL word n-grams (non-distinct, in order) over an
+    ALREADY-TOKENIZED array column.
+
+    Exists for the Generate sites (r19): the expression
+    :func:`word_ngrams` builds references its token array three times
+    (the short-doc guard, the sequence bound, the slice), and when that
+    expression is the generator of an ``explode`` the tokenizer is
+    re-evaluated per reference — ``GenerateExec`` has no subexpression
+    elimination (a ``Project`` would CSE them), so every document paid
+    3 regex splits per order (9 for the three-order diversity scan;
+    visible verbatim in the r19 before-plans).  Callers that explode
+    grams project the token array FIRST (one split per doc, pinned as
+    an attribute below the Generate) and build grams from the column.
+    """
     # guard short docs: sequence(1, 0) DESCENDS to [1, 0] and slice
     # throws on start=0 — emit an empty array instead
+    if n <= 1:
+        # the n=1 transform is the identity on a clean token array
+        return toks
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -492,6 +513,17 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """ALL word n-grams (non-distinct, in order) over the ascii
+    tokenization the dedup/oracle surface uses (``[^a-z0-9]+`` split) —
+    the multiset the repetition metrics count over.  Empty result for
+    documents shorter than ``n`` tokens.  Inside a single projection
+    the three internal token-array references CSE at codegen; for
+    explode/Generate sites use :func:`ngrams_from_tokens` over a
+    pre-projected token column instead."""
+    return ngrams_from_tokens(ascii_tokens(text), n)
 
 
 def duplicate_ngram_fraction(text: Column, n: int = 2) -> Column:
@@ -624,9 +656,19 @@ def winnow_fingerprint_table(
 
     # the n-gram construction is the heavy map stage and runs BEFORE the
     # per-doc window shuffle — spread under-partitioned scans so it
-    # parallelizes (no-op on well-partitioned corpora)
-    grams = spread(df).select(
-        F.col(id_col), F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "gram")
+    # parallelizes (no-op on well-partitioned corpora).  Tokenize in a
+    # projection BELOW the explode (r19): GenerateExec re-evaluates the
+    # tokenizer once per reference (3× per doc here) — see
+    # ngrams_from_tokens.
+    grams = (
+        spread(df)
+        .select(F.col(id_col), ascii_tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.posexplode(ngrams_from_tokens(F.col("__toks"), n)).alias(
+                "pos", "gram"
+            ),
+        )
     )
     per_doc = W.partitionBy(id_col)
     sliding = per_doc.orderBy("pos").rowsBetween(0, window - 1)

@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gather_datawarehouse_sync_spark.operators.dedup import shingles
+from gather_datawarehouse_sync_spark.operators.dedup import (
+    shingles_from_tokens,
+    tokens,
+)
 
 
 def ngram_containment(
@@ -41,8 +44,12 @@ def ngram_containment(
     ``containment`` ∈ [0,1] is the fraction of the document's distinct
     word ``n``-grams that appear anywhere in the benchmark.
     """
+    # token projections below each explode (r19): GenerateExec
+    # re-evaluates the tokenizer per reference (3× per doc inlined) —
+    # see functions.text.ngrams_from_tokens
     bench = (
-        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("sh"))
+        benchmark.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("sh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -50,8 +57,13 @@ def ngram_containment(
 
     # shingling is the heavy map stage; spread under-partitioned scans
     # so it parallelizes (no-op on a well-partitioned corpus)
-    corp = spread(corpus).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    corp = (
+        spread(corpus)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("sh"),
+        )
     )
     per_doc = (
         corp.join(F.broadcast(bench), "sh", "left")

@@ -123,15 +123,12 @@ def tokens(col: Column) -> Column:
     return F.array_remove(F.split(F.lower(col), r"[^a-z0-9]+"), "")
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (distinct).
-
-    Documents shorter than ``n`` tokens yield an EMPTY array: the naive
-    ``sequence(1, greatest(size-n+1, 0))`` formulation descends to
-    ``[1, 0]`` there and ``slice`` throws on start 0 (latent until a
-    corpus with sub-``n`` docs hits it).
-    """
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """:func:`shingles` over an ALREADY-TOKENIZED array column — for
+    explode/Generate sites, where the tokenizer inside the composed
+    expression is re-evaluated once per reference (``GenerateExec`` has
+    no subexpression elimination; a projection below the Generate pins
+    one evaluation — see ``functions.text.ngrams_from_tokens``, r19)."""
     if n <= 1:
         return F.array_distinct(toks)
     # slide an n-window over the token array with transform + slice
@@ -144,6 +141,17 @@ def shingles(col: Column, n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct).
+
+    Documents shorter than ``n`` tokens yield an EMPTY array: the naive
+    ``sequence(1, greatest(size-n+1, 0))`` formulation descends to
+    ``[1, 0]`` there and ``slice`` throws on start 0 (latent until a
+    corpus with sub-``n`` docs hits it).
+    """
+    return shingles_from_tokens(tokens(col), n)
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +256,12 @@ def jaccard_pairs(
     bitset branch skips its own collect.
     """
     vocab_rows = (
-        df.select(F.explode(shingles(F.col(text_col), ngram)).alias("tok"))
+        df.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.explode(shingles_from_tokens(F.col("__toks"), ngram)).alias(
+                "tok"
+            )
+        )
         .distinct()
         .limit(bitset_vocab_limit + 1)
         .collect()
@@ -561,7 +574,12 @@ def jaccard_pairs_between(
     # one bounded job: the probe rows double as the union vocabulary
     # when the gate passes (see jaccard_pairs)
     vocab_rows = (
-        union_text.select(F.explode(shingles(F.col(text_col), ngram)).alias("tok"))
+        union_text.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.explode(shingles_from_tokens(F.col("__toks"), ngram)).alias(
+                "tok"
+            )
+        )
         .distinct()
         .limit(bitset_vocab_limit + 1)
         .collect()
@@ -2040,18 +2058,38 @@ def simhash(
         valid = np.flatnonzero(sizes > 0)
         if len(valid) == 0:
             return pd.Series(out)
-        flat = np.concatenate(
-            [np.asarray(base.iat[i], dtype=np.int64) for i in valid]
-        )
-        offsets = np.zeros(len(valid), dtype=np.int64)
-        np.cumsum(sizes[valid][:-1], out=offsets[1:])
-        # ±1 votes per bit lane; arithmetic >> then &1 extracts bit i of
-        # the int64 hash for any i (sign extension is masked off)
-        votes = (((flat[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
-        agg = np.add.reduceat(votes, offsets, axis=0)
-        fp = ((agg > 0).astype(np.int64) << shifts).sum(axis=1)
-        for j, i in enumerate(valid):
-            out[i] = fp[j]
+        # bound the (tokens × bits) vote matrix: one unbounded flatten
+        # would allocate batch-total-tokens × nbits int64 cells — ~5 GB
+        # transient on a 10k-row × 1k-token Arrow batch (r18 advice).
+        # Slab the valid rows so each slab's matrix stays ≤ ~32M cells
+        # (256 MB); every slab runs the SAME unpack + reduceat, so the
+        # fingerprint is bit-identical at any slab size (the _minhash
+        # kernel's pattern above).
+        max_cells = 1 << 25
+        max_tokens = max(1, max_cells // max(1, nbits))
+        start = 0
+        while start < len(valid):
+            stop = start
+            tot = 0
+            while stop < len(valid) and (
+                tot + sizes[valid[stop]] <= max_tokens or stop == start
+            ):
+                tot += sizes[valid[stop]]
+                stop += 1
+            vs = valid[start:stop]
+            flat = np.concatenate(
+                [np.asarray(base.iat[i], dtype=np.int64) for i in vs]
+            )
+            offsets = np.zeros(len(vs), dtype=np.int64)
+            np.cumsum(sizes[vs][:-1], out=offsets[1:])
+            # ±1 votes per bit lane; arithmetic >> then &1 extracts bit
+            # i of the int64 hash for any i (sign extension masked off)
+            votes = (((flat[:, None] >> shifts) & 1) * 2 - 1).astype(
+                np.int64
+            )
+            agg = np.add.reduceat(votes, offsets, axis=0)
+            out[vs] = ((agg > 0).astype(np.int64) << shifts).sum(axis=1)
+            start = stop
         return pd.Series(out)
 
     # nondeterministic marking pins ONE evaluation (see _minhash above)
@@ -2348,17 +2386,29 @@ def frequent_units(
             "frequent_units: pass exactly one of min_docs / min_doc_frac_bp"
         )
     pattern = _re.escape(sep)
+    # per-document DISTINCT units at the scan (array_distinct before the
+    # explode), so the unit aggregate is a plain COUNT instead of
+    # COUNT(DISTINCT id): each (doc, unit) pair crosses the exchange
+    # once — duplicate occurrences within a document never shuffle —
+    # and the two-exchange distinct-aggregate plan collapses to one
+    # map-side-combinable hash aggregate (guide §2.3/§2.4, r19).
+    # Exact: rows are distinct per doc by construction and ids differ
+    # across docs, so COUNT(*) per unit ≡ COUNT(DISTINCT id).
     units = spread(df).select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), pattern)).alias("unit"),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), pattern))
+        ).alias("unit"),
     )
     freq = (
         units.filter(F.col("unit") != "")
         .groupBy("unit")
-        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .agg(F.count(F.lit(1)).alias("__df"))
     )
     if min_doc_frac_bp is not None:
-        total = spread(df).agg(F.count(F.lit(1)).alias("__total"))
+        # scalar corpus count: no spread — a pre-aggregation repartition
+        # would ADD an exchange to a count(*) that already combines
+        # map-side and prunes to zero columns at the scan
+        total = df.agg(F.count(F.lit(1)).alias("__total"))
         return (
             freq.crossJoin(total)
             .filter(
@@ -2435,6 +2485,13 @@ def remove_frequent_units(
     frequent = frequent.select("unit")
     if broadcast_frequent:
         frequent = F.broadcast(frequent)
+    # anti-join form kept DELIBERATELY (r19): a one-scan variant that
+    # LEFT-joins a cut flag and re-aggregates every unit (cut units as
+    # (pos, NULL) structs) was implemented and measured SLOWER in a
+    # paired A/B (x_boilerplate min 0.47 s → 1.05 s at sf0.1) — on a
+    # boilerplate-heavy corpus the anti join drops most occurrences
+    # BEFORE the collect_list shuffle, which outweighs the second
+    # (narrow) scan + per-doc-total join it saves.
     kept = units.join(frequent, "unit", "left_anti")
     agg = kept.groupBy(id_col).agg(
         F.concat_ws(

@@ -54,17 +54,20 @@ def tfidf_topk(
     Returns (``id_col``, term, tf, df, rn) with rn ∈ [1, k].
     """
     tf = term_counts(docs, id_col, text_col)
-    # document frequency: vocabulary-keyed, bounded by |vocab|; at
-    # corpus scale this is the small side and broadcasts back
+    # document frequency: vocabulary-keyed — SMALLER than the corpus but
+    # NOT bounded by a contract (a web corpus's distinct-token set runs
+    # to billions), so the join stays AQE-decided: the post-shuffle size
+    # estimate broadcasts it where it fits (it does at every test SF —
+    # plan-pinned) and falls back to a shuffle join where it would blow
+    # the 8 GB broadcast cap.  An explicit F.broadcast hint here (tried
+    # r18, reverted r19) removed that guard for zero plan change at any
+    # measurable SF — the r18 before/after dumps were identical.
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        # explicit hint: the docstring's "small side broadcasts back"
-        # held only when AQE's post-shuffle estimate noticed — hinted,
-        # the tf side is never shuffled by term at all (guide §3.1)
-        tf.join(F.broadcast(df_tbl), "term")
+        tf.join(df_tbl, "term")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(id_col, "term", "tf", "df", "rn")
@@ -266,11 +269,22 @@ def rare_ngram_profile(
     Returns (``id_col``, n_grams, n_rare, rare_frac); documents with
     fewer than ``n`` tokens yield no row (no n-grams to judge).
     """
-    from gather_datawarehouse_sync_spark.functions.text import word_ngrams
+    from gather_datawarehouse_sync_spark.functions.text import (
+        ascii_tokens,
+        ngrams_from_tokens,
+    )
     from gather_datawarehouse_sync_spark.session import spread
 
-    grams = spread(docs).select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    # tokenize in a projection BELOW the explode (r19): GenerateExec
+    # re-evaluates the tokenizer per reference — 3 regex splits per doc
+    # for the inlined form (see ngrams_from_tokens)
+    grams = (
+        spread(docs)
+        .select(F.col(id_col), ascii_tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("g"),
+        )
     )
     # one count per (doc, gram) then corpus totals from the partials —
     # the corpus table is vocabulary-keyed, not corpus-sized
@@ -313,7 +327,10 @@ def ngram_diversity(
     Returns (grp, n, total, n_distinct, distinct_bp) — one row per
     group × order with at least one n-gram.
     """
-    from gather_datawarehouse_sync_spark.functions.text import word_ngrams
+    from gather_datawarehouse_sync_spark.functions.text import (
+        ascii_tokens,
+        ngrams_from_tokens,
+    )
     from gather_datawarehouse_sync_spark.session import spread
 
     if not ns or any(n < 1 for n in ns):
@@ -323,14 +340,24 @@ def ngram_diversity(
         # (element, index), so binding the order via a default argument
         # would capture the index column instead
         return F.transform(
-            word_ngrams(F.col(text_col), order),
+            ngrams_from_tokens(F.col("__toks"), order),
             lambda g: F.struct(F.lit(order).alias("n"), g.alias("g")),
         )
 
     tagged = F.flatten(F.array(*[_tagged(n) for n in sorted(set(ns))]))
-    pairs = spread(docs).select(
-        F.col(by).alias("grp"), F.explode(tagged).alias("p")
-    ).select("grp", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+    # tokenize ONCE in a projection below the explode (r19): the inlined
+    # form re-ran the regex split 3× per order — 9 tokenizations per
+    # document for the default three-order scan (GenerateExec has no
+    # subexpression elimination; verbatim in the r19 before-plan)
+    pairs = (
+        spread(docs)
+        .select(
+            F.col(by).alias("grp"),
+            ascii_tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select("grp", F.explode(tagged).alias("p"))
+        .select("grp", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+    )
     return (
         pairs.groupBy("grp", "n")
         .agg(
@@ -384,12 +411,19 @@ def dsir_bucket_ratios(
         raise ValueError("buckets and scale must be positive")
 
     def _counts(df: DataFrame, alias: str) -> DataFrame:
-        from gather_datawarehouse_sync_spark.functions.text import word_ngrams
+        from gather_datawarehouse_sync_spark.functions.text import (
+            ascii_tokens,
+            ngrams_from_tokens,
+        )
         from gather_datawarehouse_sync_spark.session import spread
 
-        gram = F.explode(word_ngrams(F.col(text_col), n)).alias("__gram")
+        # token projection below the explode — see ngrams_from_tokens (r19)
+        gram = F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias(
+            "__gram"
+        )
         return (
             spread(df)
+            .select(ascii_tokens(F.col(text_col)).alias("__toks"))
             .select(gram)
             .select(
                 F.pmod(
@@ -450,12 +484,20 @@ def dsir_weights(
     the scores hash identically on any engine."""
     if scale <= 0:
         raise ValueError("scale must be positive")
-    from gather_datawarehouse_sync_spark.functions.text import word_ngrams
+    from gather_datawarehouse_sync_spark.functions.text import (
+        ascii_tokens,
+        ngrams_from_tokens,
+    )
     from gather_datawarehouse_sync_spark.session import spread
 
-    grams = spread(docs).select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("__gram"),
+    # token projection below the explode — see ngrams_from_tokens (r19)
+    grams = (
+        spread(docs)
+        .select(F.col(id_col), ascii_tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("__gram"),
+        )
     )
     bucketed = grams.select(
         id_col,

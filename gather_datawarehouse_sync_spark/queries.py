@@ -2699,13 +2699,22 @@ def _x_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     CollapseProject would otherwise inline the whole tokenize+transform
     expression above the Generate and re-evaluate it for every exploded
     row (O(len²) per document; measured 54 s → sub-second at sf0.01)."""
-    from gather_datawarehouse_sync_spark.functions.text import word_ngrams
+    from gather_datawarehouse_sync_spark.functions.text import (
+        ascii_tokens,
+        ngrams_from_tokens,
+    )
     from gather_datawarehouse_sync_spark.session import spread
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    grams = spread(docs).select(
-        "doc_id",
-        F.explode(word_ngrams(F.col("text"), 2)).alias("gram"),
+    # token projection below the explode (r19): the inlined gram
+    # expression re-tokenized 3× per doc in GenerateExec
+    grams = (
+        spread(docs)
+        .select("doc_id", ascii_tokens(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(ngrams_from_tokens(F.col("__toks"), 2)).alias("gram"),
+        )
     )
     counted = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     part = Window.partitionBy("doc_id")

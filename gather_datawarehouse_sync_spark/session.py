@@ -88,19 +88,33 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 # spread()'s partition probe compiles the frame's physical plan just to
 # read a partition count (~70-120 ms per call, measured r18) — and the
 # bench/oracle paths rebuild the SAME frames hundreds of times.  Cache
-# the probed count per (session, canonical plan): Catalyst's
+# the probed count per (application, canonical plan): Catalyst's
 # ``semanticHash`` costs ~5-10 ms and is stable across rebuilds of an
 # identical plan.  A hash collision or a mid-session data swap can only
 # mis-size a round-robin repartition — a performance decision, never a
 # correctness one (every registered query is partition-count-invariant;
-# the oracle hashes pin that).
-_SPREAD_NPART_CACHE: dict[tuple[int, int], int] = {}
+# the oracle hashes pin that).  Keyed by applicationId, NOT
+# id(session) — id() can be recycled after a session is GC'd (r18
+# advice); bounded, and flushed whenever a schema cache detects a
+# changed file set (``_invalidate_spread_cache``), so a regenerated
+# input cannot serve a stale count for the process lifetime.
+_SPREAD_NPART_CACHE: dict[tuple[str, int], int] = {}
+_SPREAD_NPART_CACHE_MAX = 4096
+
+
+def _invalidate_spread_cache() -> None:
+    """Flush the partition-count cache.  Called by the schema caches
+    (here and in sources/artifacts.py) on a fingerprint MISS — the one
+    signal this process has that an input file set changed, which is
+    the only event that can silently change a source's partition
+    count under an unchanged plan."""
+    _SPREAD_NPART_CACHE.clear()
 
 
 def _partition_count(df: DataFrame) -> int:
     try:
         key = (
-            id(df.sparkSession),
+            df.sparkSession.sparkContext.applicationId,
             df._jdf.queryExecution().analyzed().semanticHash(),
         )
     except Exception:
@@ -116,6 +130,8 @@ def _partition_count(df: DataFrame) -> int:
     except Exception:
         n = df.rdd.getNumPartitions()
     if key is not None:
+        if len(_SPREAD_NPART_CACHE) >= _SPREAD_NPART_CACHE_MAX:
+            _SPREAD_NPART_CACHE.clear()
         _SPREAD_NPART_CACHE[key] = n
     return n
 
@@ -129,7 +145,10 @@ def _partition_count(df: DataFrame) -> int:
 # cached (a directory's mtime does not change when a file inside it is
 # rewritten, so directory layouts always re-infer).  Metadata-only: the
 # scan itself — pushdown, pruning, the data read — is untouched.
+# Bounded (r19): a long-lived process churning table versions would
+# otherwise accumulate keys forever.
 _SCHEMA_CACHE: dict[tuple[str, int, int], "T.StructType"] = {}
+_SCHEMA_CACHE_MAX = 1024
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -170,6 +189,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
         if key is not None:
+            # a fingerprint miss is the process's change signal: the
+            # file set under this path is new, so any partition count
+            # probed from the old bytes is suspect — flush it
+            _invalidate_spread_cache()
+            if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+                _SCHEMA_CACHE.clear()
             _SCHEMA_CACHE[key] = df.schema
     for col in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

@@ -169,11 +169,18 @@ def _write_schema_sidecar(dirpath: str, df: DataFrame) -> None:
 # set — identical by construction, so partition-column type inference is
 # unchanged.  Unfingerprintable paths (remote stores) skip the cache.
 _READ_SCHEMA_CACHE: dict = {}
+_READ_SCHEMA_CACHE_MAX = 1024
 
 
 def _dir_fingerprint(path: str) -> "str | None":
     import hashlib
 
+    # os.walk yields NOTHING for a regular file, so a single-file path
+    # would fingerprint to the constant empty digest regardless of
+    # content and an in-place rewrite would serve a stale schema (r18
+    # advice) — skip caching for anything that is not a directory
+    if not os.path.isdir(path):
+        return None
     h = hashlib.md5()
     n = 0
     try:
@@ -204,6 +211,15 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     try:
         out = spark.read.parquet(path)
         if key is not None:
+            # changed file set under this path: partition counts probed
+            # from the old bytes are suspect (see session.py)
+            from gather_datawarehouse_sync_spark.session import (
+                _invalidate_spread_cache,
+            )
+
+            _invalidate_spread_cache()
+            if len(_READ_SCHEMA_CACHE) >= _READ_SCHEMA_CACHE_MAX:
+                _READ_SCHEMA_CACHE.clear()
             _READ_SCHEMA_CACHE[key] = out.schema
         return out
     except AnalysisException:

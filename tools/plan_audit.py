@@ -6,7 +6,15 @@ Exchange nodes, join strategies, Python-boundary nodes, scans without
 pushed filters.  Output: one TSV line per query + a summary, written to
 stdout (redirect to a file for the round log).
 
-Usage: python tools/plan_audit.py [query ...]
+CAVEAT (r19): without ``--execute`` the audited plan is the INITIAL
+adaptive plan (``executedPlan().toString()`` on an unexecuted frame
+prints ``AdaptiveSparkPlan isFinalPlan=false``) — AQE's runtime
+conversions (SMJ→BHJ, coalesced reads) are invisible, so join/exchange
+counts can over- or under-state the executed shape.  ``--execute``
+collects each frame first so the SAME QueryExecution re-prints with
+``isFinalPlan=true`` and the counts reflect what actually ran.
+
+Usage: python tools/plan_audit.py [--execute] [query ...]
 """
 
 from __future__ import annotations
@@ -37,7 +45,9 @@ FEATURES = {
 
 
 def main() -> None:
-    only = sys.argv[1:]
+    args = sys.argv[1:]
+    execute = "--execute" in args
+    only = [a for a in args if a != "--execute"]
     spark = get_spark("plan_audit")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = only or sorted(REGISTRY)
@@ -46,6 +56,11 @@ def main() -> None:
     for name in names:
         try:
             df = REGISTRY[name].spark(spark, sf_dir)
+            if execute:
+                # materialize THIS QueryExecution so the adaptive plan
+                # finalizes (isFinalPlan=true) before it is printed —
+                # registry results are bounded, so collect() is safe
+                df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception:
             print(f"{name}\tERROR: {traceback.format_exc(limit=1).splitlines()[-1]}")

@@ -638,60 +638,76 @@ def winnow_fingerprint_table(
     - the window minimum is LEXICOGRAPHIC over gram strings (not a
       hash): strings compare identically in every engine, so a SQL
       oracle can mirror the selection byte-for-byte;
-    - the sliding min is a ROWS-frame window function over
-      posexploded grams, NOT an array expression: the array form
-      (``transform(sequence(...), i -> array_min(slice(grams, i, w)))``)
-      looks natural but Catalyst's CollapseProject inlines the whole
-      gram-construction into EVERY window position — O(len²) string
-      building per document (measured: sf0.1 went from >4 min to
-      seconds).  Same trap as the per-lane minhash formulation
-      (``operators/dedup.minhash_signatures``).
+    - the sliding min is a SHUFFLE-FREE per-document array computation
+      (r19): a sparse-table doubling of pairwise ``zip_with``/``least``
+      minima — ⌈log₂ window⌉ chained projections, each a narrow
+      elementwise pass over the gram array — then per-doc
+      ``array_distinct`` + one explode of the (small) fingerprint set.
+      The former shape posexploded EVERY gram and ran two window
+      functions over a per-doc hash-partition (one full gram shuffle +
+      sort); the distinct-(id, fp) shuffle is gone too, because
+      distinctness is established inside the row.  Each doubling level
+      lives in its OWN projection so the level below is a multiply-
+      referenced non-cheap alias — CollapseProject therefore cannot
+      inline it (the naive single-expression form
+      ``transform(sequence(...), i -> array_min(slice(grams, i, w)))``
+      re-built the gram array per window position, O(len²) per doc —
+      measured >4 min at sf0.1 in the round that first hit it).
 
     Documents with fewer than ``window`` grams contribute each gram as
     its own fingerprint (standard winnowing short-input fallback).
     """
-    from pyspark.sql import Window as W
-
     from gather_datawarehouse_sync_spark.session import spread
 
-    # the n-gram construction is the heavy map stage and runs BEFORE the
-    # per-doc window shuffle — spread under-partitioned scans so it
-    # parallelizes (no-op on well-partitioned corpora).  Tokenize in a
-    # projection BELOW the explode (r19): GenerateExec re-evaluates the
-    # tokenizer once per reference (3× per doc here) — see
-    # ngrams_from_tokens.
-    grams = (
+    base = (
         spread(df)
         .select(F.col(id_col), ascii_tokens(F.col(text_col)).alias("__toks"))
         .select(
             F.col(id_col),
-            F.posexplode(ngrams_from_tokens(F.col("__toks"), n)).alias(
-                "pos", "gram"
-            ),
+            ngrams_from_tokens(F.col("__toks"), n).alias("__g"),
         )
     )
-    per_doc = W.partitionBy(id_col)
-    sliding = per_doc.orderBy("pos").rowsBetween(0, window - 1)
-    scored = grams.select(
+    # sparse-table sliding minimum: level k holds the span-2^k minima
+    # m_k[i] = min(g[i..i+2^k-1]); the final window-w minima combine two
+    # OVERLAPPING spans (min is idempotent, overlap is harmless)
+    cur = base
+    m = "__g"
+    span = 1
+    lvl = 0
+    while span * 2 <= window:
+        # greatest(..., 0): the level columns are computed for EVERY row
+        # (the short-doc CASE below picks per row), and slice() throws
+        # on a negative length for docs shorter than the span
+        half = F.greatest(F.size(F.col(m)) - F.lit(span), F.lit(0))
+        cur = cur.select(
+            F.col(id_col),
+            "__g",
+            F.zip_with(
+                F.slice(F.col(m), 1, half),
+                F.slice(F.col(m), 1 + span, half),
+                lambda x, y: F.least(x, y),
+            ).alias(f"__m{lvl}"),
+        )
+        m = f"__m{lvl}"
+        span *= 2
+        lvl += 1
+    wmins = F.col(m)
+    if span < window:
+        length = F.greatest(
+            F.size(F.col("__g")) - F.lit(window - 1), F.lit(0)
+        )
+        wmins = F.zip_with(
+            F.slice(F.col(m), 1, length),
+            F.slice(F.col(m), window - span + 1, length),
+            lambda x, y: F.least(x, y),
+        )
+    return cur.select(
         F.col(id_col),
-        F.col("pos"),
-        F.col("gram"),
-        F.count(F.lit(1)).over(per_doc).alias("__n"),
-        F.min("gram").over(sliding).alias("__wmin"),
-    )
-    return (
-        # drop incomplete trailing windows — unless the whole doc is
-        # shorter than one window, where every gram stands alone
-        scored.filter(
-            (F.col("pos") <= F.col("__n") - window) | (F.col("__n") < window)
-        )
-        .select(
-            id_col,
-            F.when(F.col("__n") < window, F.col("gram"))
-            .otherwise(F.col("__wmin"))
-            .alias("fp"),
-        )
-        .distinct()
+        F.explode(
+            F.array_distinct(
+                F.when(F.size("__g") >= window, wmins).otherwise(F.col("__g"))
+            )
+        ).alias("fp"),
     )
 
 

@@ -1905,11 +1905,13 @@ def dedup_recall_report(
     together — scanned the two pair sets once each ON TOP of the join;
     the full-outer join sees every candidate, every reference, and
     every hit in one pass, so the three counts are conditional counts
-    over it, r18.)  Each normalized side is lazily checkpointed: the
-    count and hit branches would otherwise re-execute the caller's
-    (typically quadratic-tier) pair pipeline once per consumer
-    (measured on x_minhash_recall at sf0.1, together with an
-    eagerly-spread input: 6.6 s → 4.4 s warm).
+    over it, r18.)  The per-side localCheckpoints the three-aggregate
+    shape needed (it consumed each side three times) were VESTIGIAL
+    after that rewrite — the full-outer join consumes each normalized
+    side exactly ONCE, so the whole report is now one lazy plan and the
+    caller's (typically quadratic-tier) pair pipelines execute once, at
+    the terminal action, with no per-side materialization jobs (r19;
+    x_dedup_recall warm build 1.1-1.5 s → lazy).
     Returns ONE row (n_candidates, n_reference, n_hits, precision_bp,
     recall_bp).
     """
@@ -1921,7 +1923,6 @@ def dedup_recall_report(
             )
             .distinct()
             .withColumn(flag, F.lit(1))
-            .localCheckpoint(eager=False)
         )
 
     c = _norm(candidates, "__c")

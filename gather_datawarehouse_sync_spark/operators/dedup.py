@@ -1477,9 +1477,17 @@ def _union_find_local(g: DataFrame, id_type: "T.DataType", spark) -> DataFrame:
                 label = nl
             if np.array_equal(label, before):
                 break
-        mapping = [
-            (int(n), int(c)) for n, c in zip(nodes, nodes[label])
-        ]
+        # Arrow path back too (r19): a Python list of tuples through the
+        # pickle serializer cost ~0.4 s per call at a few thousand nodes
+        # (row-by-row conversion + schema verification); a pandas frame
+        # under the session's Arrow flag crosses as one batch
+        mapping_pdf = pd.DataFrame(
+            {"id": nodes, "h": nodes[label]}
+        )
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("h", id_type)]
+        )
+        return spark.createDataFrame(mapping_pdf, schema)
     else:
         parent: dict = {}
 
@@ -1669,9 +1677,23 @@ def _token_set_base(
     BOTH operators) is only valid while both build identical reps, so
     this construction must stay single-sourced.
     """
+    # the sorted set is built inside a 1:1 explode(array(...)) Generate
+    # (r19): a plain withColumn + filter(size > 0) lets predicate
+    # pushdown substitute the alias, duplicating the tokenize + distinct
+    # + sort expression into a Filter below the projection — every doc
+    # paid it twice (2× array_sort in the executed plan).  A filter on a
+    # generator output cannot push below its Generate, so this shape
+    # pins ONE evaluation.
     out = (
         spread(df)
-        .withColumn("__set", F.array_sort(shingles(F.col(text_col), ngram)))
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            *( [c.alias(n) for n, c in extra.items()] if extra else [] ),
+            F.explode(
+                F.array(F.array_sort(shingles(F.col(text_col), ngram)))
+            ).alias("__set"),
+        )
         .filter(F.size("__set") > 0)
     )
     cols = [
@@ -1680,7 +1702,7 @@ def _token_set_base(
         F.concat_ws("\x1f", F.col("__set")).alias("gkey"),
     ]
     if extra:
-        cols += [c.alias(n) for n, c in extra.items()]
+        cols += [F.col(n) for n in extra]
     return out.select(*cols)
 
 

@@ -177,6 +177,15 @@ def bm25_topk(
         .join(terms_df, "term")
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        # materialize the postings slice ONCE (r19): tf feeds both the
+        # scoring join and the document-frequency aggregate, and Spark
+        # shares no common subtrees — without this the whole
+        # tokenize→explode→terms-join→aggregate pipeline executed twice
+        # per query (plans showed the tokenizer 8×).  Bounded: one row
+        # per (matching doc, query term) — four narrow columns, ≤
+        # |terms| × matching docs, the postings-list size every keyword
+        # engine materializes; never corpus-width text.
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if idf == "log":

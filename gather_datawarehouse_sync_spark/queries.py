@@ -1403,13 +1403,35 @@ def _x_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = (
         cleaned.withColumn("g", gopher_rules(F.col("clean_text")))
         .filter(F.col("g.fail_mask").bitwiseAND(F.lit(62)) == 0)
+        # gkey/q live inside a 1:1 explode(array(struct(...))) Generate
+        # (r19): a plain projection + filter(gkey != "") lets predicate
+        # pushdown substitute the alias (it pushes through projections
+        # AND aggregates alike), duplicating the tokenize+sort+render
+        # expression into a Filter below — every doc paid it twice (2×
+        # array_sort in the executed plan).  A filter on a generator
+        # output cannot push below its Generate, pinning ONE evaluation.
         .select(
             "doc_id",
             "lang",
-            F.concat_ws(
-                " ", F.array_sort(shingles(F.col("clean_text"), 1))
-            ).alias("gkey"),
-            quality_score_bp(F.col("clean_text")).cast("bigint").alias("q"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat_ws(
+                            " ",
+                            F.array_sort(shingles(F.col("clean_text"), 1)),
+                        ).alias("gkey"),
+                        quality_score_bp(F.col("clean_text"))
+                        .cast("bigint")
+                        .alias("q"),
+                    )
+                )
+            ).alias("__gq"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("__gq.gkey").alias("gkey"),
+            F.col("__gq.q").alias("q"),
         )
         .filter(F.col("gkey") != "")
     )

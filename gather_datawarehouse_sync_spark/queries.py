@@ -1403,35 +1403,23 @@ def _x_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = (
         cleaned.withColumn("g", gopher_rules(F.col("clean_text")))
         .filter(F.col("g.fail_mask").bitwiseAND(F.lit(62)) == 0)
-        # gkey/q live inside a 1:1 explode(array(struct(...))) Generate
-        # (r19): a plain projection + filter(gkey != "") lets predicate
-        # pushdown substitute the alias (it pushes through projections
-        # AND aggregates alike), duplicating the tokenize+sort+render
-        # expression into a Filter below — every doc paid it twice (2×
-        # array_sort in the executed plan).  A filter on a generator
-        # output cannot push below its Generate, pinning ONE evaluation.
+        # plain projection + filter kept DELIBERATELY (r19): predicate
+        # pushdown does substitute the gkey alias into a Filter below
+        # (the tokenize+sort+render runs twice per row), but the
+        # explode(array(struct(...))) Generate barrier that pins one
+        # evaluation measured SLOWER here in a paired noop A/B (2.15 s
+        # vs 1.36 s warm at sf0.1) — clean_text is short after
+        # boilerplate removal, so the duplicated expression is cheap
+        # while the Generate breaks the codegen pipeline.  The same
+        # barrier WINS in _token_set_base, where the set is built over
+        # full-length text (dedup.py).
         .select(
             "doc_id",
             "lang",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.concat_ws(
-                            " ",
-                            F.array_sort(shingles(F.col("clean_text"), 1)),
-                        ).alias("gkey"),
-                        quality_score_bp(F.col("clean_text"))
-                        .cast("bigint")
-                        .alias("q"),
-                    )
-                )
-            ).alias("__gq"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.col("__gq.gkey").alias("gkey"),
-            F.col("__gq.q").alias("q"),
+            F.concat_ws(
+                " ", F.array_sort(shingles(F.col("clean_text"), 1))
+            ).alias("gkey"),
+            quality_score_bp(F.col("clean_text")).cast("bigint").alias("q"),
         )
         .filter(F.col("gkey") != "")
     )

@@ -493,8 +493,11 @@ def temperature_resample(
         if c in df.columns:
             raise ValueError(f"temperature_resample: column collision on {c}")
     counts = (
-        spread(df)
-        .filter(F.col(group_col).isNotNull())
+        # no spread: a pre-aggregation repartition only ADDS an exchange
+        # to a count that already combines map-side into ≤ |groups| rows
+        # and reads one column (r19; spread stays on the OUTPUT path,
+        # where the per-row md5 is the heavy map work)
+        df.filter(F.col(group_col).isNotNull())
         .groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .limit(max_groups + 1)

@@ -552,3 +552,56 @@ def test_jdbc_merge_drops_staging_on_failure_and_rejects_bad_names(
             base, url, "t1", ("id",),
             staging_table='x"y', properties=props,
         )
+
+
+def test_metadata_caches_bounded_and_invalidated(spark, tmp_path):
+    """r19 cache hygiene: the metadata caches stay bounded under key
+    churn, dead-application memo entries evict on miss, a schema-cache
+    miss flushes the spread partition-count cache, and a regular-FILE
+    path never enters the read-schema cache (its walk fingerprint was
+    content-independent)."""
+    from pyspark.sql import functions as F
+
+    from gather_datawarehouse_sync_spark import session as S
+    from gather_datawarehouse_sync_spark.functions import text as TX
+    from gather_datawarehouse_sync_spark.sources.artifacts import (
+        _dir_fingerprint,
+    )
+
+    app = spark.sparkContext.applicationId
+
+    # column memo: a miss clears past the size cap instead of growing
+    TX._COLUMN_MEMO.clear()
+    for i in range(TX._COLUMN_MEMO_MAX + 5):
+        TX._COLUMN_MEMO[(app, "fake", f"expr{i}", ())] = object()
+    TX.quality_score_bp(F.lit("cache-probe"))
+    assert len(TX._COLUMN_MEMO) <= TX._COLUMN_MEMO_MAX + 1
+    # dead-application entries evict on the next miss
+    TX._COLUMN_MEMO[("dead-app", "fake", "x", ())] = object()
+    TX.quality_score_bp(F.lit("cache-probe-2"))
+    assert all(k[0] == app for k in TX._COLUMN_MEMO)
+
+    # spread cache: flushed by the schema-change signal
+    S._SPREAD_NPART_CACHE[(app, 12345)] = 7
+    S._invalidate_spread_cache()
+    assert not S._SPREAD_NPART_CACHE
+
+    # schema cache: bounded under key churn (simulate the cap boundary)
+    S._SCHEMA_CACHE.clear()
+    for i in range(S._SCHEMA_CACHE_MAX):
+        S._SCHEMA_CACHE[(f"/fake/{i}", i, i)] = None
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # load_table only caches single-FILE tables — write one directly
+    pq.write_table(
+        pa.table({"id": [1, 2, 3]}), str(tmp_path / "t.parquet")
+    )
+    S.load_table(spark, str(tmp_path), "t")  # miss at the cap -> clear
+    assert len(S._SCHEMA_CACHE) <= 1
+
+    # regular-file paths skip the read-schema fingerprint entirely
+    f = tmp_path / "plain.parquet"
+    f.write_bytes(b"not really parquet")
+    assert _dir_fingerprint(str(f)) is None
+    assert _dir_fingerprint(str(tmp_path)) is not None
